@@ -1,0 +1,114 @@
+"""Vectorized pandas UDFs over the deterministic text kernels.
+
+The string kernels live in ``text_processing.py`` (pure Python, also
+the pytest oracle); here they are lifted to Arrow-batched pandas UDFs
+— the only Python execution surface of the extraction stage. There is
+deliberately no row-at-a-time ``F.udf`` anywhere in the engine
+(BASELINE.json input_hint: "no per-row Python").
+
+Tokenization for scoring stays entirely JVM-side
+(``tokenize_for_scoring``): ``F.split(F.lower(...))`` — the Spark
+mapping of the reference whitespace tokenizer
+(``app/backends/mlx_backend.py:315-342``) with the lowercase
+convention of its Jaccard scorer (``mlx_backend.py:687-702``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import text_processing as tp
+
+EXTRACT_RESULT_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("original_tokens", IntegerType()),
+        StructField("processed_tokens", IntegerType()),
+        StructField("truncated", BooleanType()),
+        StructField("strategy_used", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def make_extract_udf(
+    max_tokens: int = 2048,
+    absolute_max_tokens: int = 8192,
+    strategy: str = "smart_truncate",
+    auto_truncate: bool = True,
+):
+    """Pandas UDF: raw page text -> struct(text, stats, error).
+
+    Errors (empty text, over absolute limit, strategy="error") do not
+    raise — at table scale a bad row must quarantine, not kill the job
+    — they land in the ``error`` field and the caller filters them
+    into a quarantine DataFrame (Spark-side replacement for the
+    reference's raise-on-first-error loop, ``text_utils.py:247-299``).
+    """
+
+    @pandas_udf(EXTRACT_RESULT_SCHEMA)
+    def extract(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, 0, 0, False, "none", "null text"))
+                continue
+            try:
+                processed, info = tp.process_text_with_options(
+                    t, max_tokens, absolute_max_tokens, strategy, auto_truncate
+                )
+                rows.append(
+                    (
+                        processed,
+                        info.original_tokens,
+                        info.processed_tokens,
+                        info.truncated,
+                        info.strategy_used,
+                        None,
+                    )
+                )
+            except ValueError as e:
+                rows.append((None, tp.estimate_tokens(t), 0, False, strategy, str(e)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "text",
+                "original_tokens",
+                "processed_tokens",
+                "truncated",
+                "strategy_used",
+                "error",
+            ],
+        )
+
+    return extract
+
+
+def tokenize_for_scoring(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed — pure JVM-side.
+
+    Matches ``text.strip().split()`` + ``.lower()`` (reference
+    ``mlx_backend.py:331,694``): Python ``str.split()`` with no
+    argument splits on runs of arbitrary whitespace and drops
+    leading/trailing empties, which is exactly
+    ``split(trim(lower(col)), '\\s+')`` with empty strings filtered.
+    """
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def tokenize_preserve_case(col: Column) -> Column:
+    """``text.strip().split()`` without lowercasing (reference pair
+    tokenizer, ``mlx_reranker_backend.py:205-223``)."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
