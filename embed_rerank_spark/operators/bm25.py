@@ -1,0 +1,143 @@
+"""BM25 (Okapi) scoring as declarative DataFrame plans.
+
+This is the engine's *oracle-grade* scorer: a pure ``pyspark.sql``
+plan (joins + hash aggregations, zero Python in the hot path) that
+Catalyst compiles to whole-stage-codegen'd JVM code. The compressed
+block-max WAND path (``operators/wand.py``) must reproduce these
+scores exactly; both share the constants and formula here.
+
+Formula (k1/b Okapi, the engine's pinned semantics):
+
+    idf(t)     = ln((N - df + 0.5) / (df + 0.5) + 1)
+    tfpart     = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score(q,d) = sum over unique query terms t of idf(t)*tfpart(t,d)
+
+The reference repo has no BM25 (its first stage is the serving loop we
+replace); constants k1=1.2, b=0.75 are the standard Robertson/Lucene
+defaults, fixed as engine semantics (SURVEY.md §2.6).
+
+Scale notes (100 TB / 10^12 docs):
+- ``term_freqs`` is one map-side-combinable hash agg keyed
+  (doc_id, term); no row explosion survives the first agg.
+- ``doc_freqs`` aggregates the tf table (already 1 row per
+  (doc,term)), so the "the"-style hot terms cost one long partial-agg
+  chain, not a shuffle of raw token rows. AQE handles residual skew.
+- query->postings joins broadcast the (tiny) query-term side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..functions.udfs import tokenize_for_scoring
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc -> one row per token occurrence (lowercased whitespace)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_for_scoring(F.col(text_col))).alias("term"),
+    )
+
+
+def term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — map-side combinable hash aggregation."""
+    return tokens(docs, id_col, text_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def doc_lengths(tf: DataFrame) -> DataFrame:
+    """(doc_id, dl) from the tf table (dl = total token occurrences)."""
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def corpus_stats(dl: DataFrame) -> DataFrame:
+    """Single row (n_docs, avgdl) over docs with >=1 token."""
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def doc_freqs(tf: DataFrame) -> DataFrame:
+    """(term, df) — document frequency."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def query_terms(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term) with UNIQUE terms per query (engine semantics:
+    query term multiplicity is ignored, Lucene-style)."""
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    return qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize_for_scoring(F.col("query")))).alias("term"),
+    )
+
+
+def bm25_scores_bruteforce(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score) for every doc sharing >=1 term with the
+    query. Declarative plan: Catalyst broadcasts the query-term side
+    (tiny) into the tf scan, so the only big shuffles are the two hash
+    aggs building tf and df."""
+    tf = term_freqs(docs, id_col, text_col)
+    dl = doc_lengths(tf)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tf)
+
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf", "avgdl")
+    )
+
+    matched = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(idf, "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return matched.groupBy("query_id", "doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """Exact per-query top-k with the engine's pinned tie semantics:
+    score desc, then doc_id asc (reproduces the reference's stable
+    descending sort, ``reranking_service.py:183-186``)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """End-to-end brute-force BM25 retrieval: (query_id, doc_id, score,
+    rank), rank 1..k per query."""
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, k1, b)
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")

@@ -1,0 +1,54 @@
+"""The engine's reference query set.
+
+Plays the role of the reference repo's built-in judgment queries
+(``tools/tests/quality-rerank-only.py:119-140`` — "capital of france",
+"fastapi framework"), retargeted at the driver-provided ``documents``
+corpus vocabulary. Fixed engine constants: rank-identity of BM25 and
+rerank results on THIS set is the correctness gate (BASELINE.json
+north_rule).
+
+Covers: multi-term matches, a term absent from the corpus
+("strategy"), the rarest corpus term ("dup"), and hot stopword-ish
+terms ("the", "a") that exercise the skew path.
+"""
+
+from __future__ import annotations
+
+QUERY_SET: list[tuple[int, str]] = [
+    (1, "fast hash join"),
+    (2, "sort merge join strategy"),
+    (3, "slow table scan"),
+    (4, "window agg query"),
+    (5, "spark stream batch data"),
+    (6, "dup near duplicate"),
+    (7, "the a"),
+    (8, "customer order line value"),
+]
+
+TOP_K = 10
+
+
+def query_terms_literal() -> list[tuple[int, str]]:
+    """(query_id, term) rows with unique lowercased terms per query —
+    the exact tokenization of ``functions.udfs.tokenize_for_scoring``
+    applied driver-side, used to embed the same terms into oracle SQL."""
+    out = []
+    for qid, q in QUERY_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    return out
+
+
+def query_terms_values_sql() -> str:
+    """DuckDB VALUES clause of (query_id, term)."""
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in query_terms_literal())
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def queries_values_sql() -> str:
+    """DuckDB VALUES clause of (query_id, query)."""
+    rows = ", ".join(f"({qid}, '{q}')" for qid, q in QUERY_SET)
+    return f"(VALUES {rows}) AS q(query_id, query)"
