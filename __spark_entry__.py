@@ -109,9 +109,31 @@ def q_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed inverted index — must equal
+    the brute-force BM25 exactly, so it shares bm25_topk's oracle."""
+    from pyspark.sql import functions as SF
+
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", SF.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -151,7 +173,7 @@ scored AS (
 ),
 ranked AS (
     SELECT query_id, doc_id, score,
-           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
@@ -184,7 +206,7 @@ scored AS (
 ),
 ranked AS (
     SELECT query_id, doc_id, score,
-           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
@@ -193,6 +215,7 @@ FROM ranked WHERE rank <= {TOP_K}
 """
     return {
         "bm25_topk": bm25,
+        "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

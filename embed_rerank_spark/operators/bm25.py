@@ -117,11 +117,22 @@ def bm25_scores_bruteforce(
     return matched.groupBy("query_id", "doc_id").agg(F.sum("term_score").alias("score"))
 
 
+TIE_DECIMALS = 6
+
+
 def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     """Exact per-query top-k with the engine's pinned tie semantics:
-    score desc, then doc_id asc (reproduces the reference's stable
-    descending sort, ``reranking_service.py:183-186``)."""
-    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("doc_id"))
+    score (rounded to TIE_DECIMALS) desc, then doc_id asc.
+
+    Rounding in the ORDER BY makes ranking invariant to ulp-level
+    float-summation-order noise, so ranks are reproducible across
+    executions, engines (DuckDB oracle), and the WAND path. The
+    doc_id-asc tiebreak reproduces the reference's stable descending
+    sort (``reranking_service.py:183-186``: Python Timsort keeps input
+    order for ties, and input order is ascending index)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col(score_col), TIE_DECIMALS)), F.asc("doc_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

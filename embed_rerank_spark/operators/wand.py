@@ -1,0 +1,331 @@
+"""Block-max WAND top-k retrieval over the compressed inverted index.
+
+Distributed query model (document-partitioned search, the layout every
+web-scale engine uses):
+
+- query terms are known up front, so the postings scan is FILTERED by
+  term (predicate pushdown into the parquet/Iceberg scan — only the
+  query terms' posting blocks are ever read)
+- each index doc-shard answers every query locally with block-max WAND
+  (exact top-k within the shard), inside ONE ``mapInArrow`` stage over
+  postings repartitioned by shard
+- shard-local top-k rows are tiny (n_shards × n_queries × k), so the
+  global merge is a cheap window top-k
+
+Exactness contract: identical (doc_id, score) top-k as the brute-force
+DataFrame scorer in ``operators/bm25.py`` (ties: score desc, doc_id
+asc). WAND pruning uses upper bounds computed from block headers
+(max_tf, min_dl) — mathematically >= any member score; a 1e-9 slack on
+the threshold absorbs float rounding so pruning can never drop a true
+top-k member.
+
+No reference analogue (SURVEY.md §2.6): the reference's first stage is
+an HTTP serving loop; this operator replaces it at table scale.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..functions.codec import decode_block
+from .bm25 import topk
+from .postings import InvertedIndex
+
+_INF = float("inf")
+# Tie semantics: ranking keys round scores to 6 decimals (see
+# bm25.topk). A doc can still tie/beat the kth rounded score when its
+# raw score exceeds theta - 5e-7, so pruning keeps that margin (plus
+# ulp headroom) — slightly less skipping, provably no false drops.
+_TIE_DECIMALS = 6
+_SLACK = 6e-7
+
+_OUT_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+)
+
+
+def _tfpart(tf, dl, avgdl: float, k1: float, b: float):
+    """BM25 tf component — same association order as the oracle SQL:
+    (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class _TermIterator:
+    """Cursor over one (shard, term) posting list: lazy block decode,
+    shallow (header-only) seeks for block-max skipping."""
+
+    __slots__ = ("blocks", "idf", "bi", "pos", "docs", "tfs", "dls", "cur", "term_ub")
+
+    def __init__(self, blocks: list, idf: float, avgdl: float, k1: float, b: float):
+        # blocks: list of tuples (first_doc, last_doc, n_docs, max_tf,
+        # min_dl, docs_bin, tfs_bin, dls_bin) sorted by block_id
+        self.blocks = blocks
+        self.idf = idf
+        self.bi = 0
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self.term_ub = idf * max(
+            _tfpart(blk[3], blk[4], avgdl, k1, b) for blk in blocks
+        )
+        self._open(0)
+
+    def _open(self, bi: int) -> None:
+        if bi >= len(self.blocks):
+            self.bi = bi
+            self.cur = _INF
+            return
+        self.bi = bi
+        blk = self.blocks[bi]
+        self.docs, self.tfs, self.dls = decode_block(blk[5], blk[6], blk[7], blk[2])
+        self.pos = 0
+        self.cur = int(self.docs[0])
+
+    def block_ub(self, avgdl: float, k1: float, b: float) -> float:
+        """UB of the current block (valid after shallow_seek)."""
+        if self.bi >= len(self.blocks):
+            return 0.0
+        blk = self.blocks[self.bi]
+        return self.idf * _tfpart(blk[3], blk[4], avgdl, k1, b)
+
+    def block_last(self) -> float:
+        if self.bi >= len(self.blocks):
+            return _INF
+        return self.blocks[self.bi][1]
+
+    def shallow_seek(self, target: int) -> None:
+        """Move the BLOCK cursor (headers only) so current block's
+        last_doc >= target. Does not decode."""
+        bi = self.bi
+        while bi < len(self.blocks) and self.blocks[bi][1] < target:
+            bi += 1
+        if bi != self.bi:
+            if bi >= len(self.blocks):
+                self.bi = bi
+                self.cur = _INF
+                self.docs = None
+            else:
+                self._open(bi)
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first doc >= target."""
+        if self.cur == _INF or self.cur >= target:
+            return
+        self.shallow_seek(target)
+        if self.cur == _INF:
+            return
+        if self.docs is None:
+            self._open(self.bi)
+        pos = int(np.searchsorted(self.docs, target, side="left"))
+        if pos >= len(self.docs):
+            self._open(self.bi + 1)
+        else:
+            self.pos = pos
+            self.cur = int(self.docs[pos])
+
+    def advance(self) -> None:
+        """Move one posting forward."""
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._open(self.bi + 1)
+        else:
+            self.cur = int(self.docs[self.pos])
+
+    def score(self, avgdl: float, k1: float, b: float) -> float:
+        return self.idf * _tfpart(
+            float(self.tfs[self.pos]), float(self.dls[self.pos]), avgdl, k1, b
+        )
+
+
+def _wand_one_query(
+    term_blocks: dict[str, list],
+    qterms: list[tuple[str, float]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> list[tuple[int, float]]:
+    """Exact top-k (doc_id, score) for one query over one shard."""
+    its = [
+        _TermIterator(term_blocks[t], idf, avgdl, k1, b)
+        for t, idf in qterms
+        if t in term_blocks
+    ]
+    its = [it for it in its if it.cur != _INF]
+    if not its:
+        return []
+
+    import heapq
+
+    # entries (rounded_score, -doc_id, raw_score): the heap order IS the
+    # engine's ranking order, so the kept set matches brute-force exactly
+    heap: list[tuple[float, int, float]] = []
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -_INF
+
+    while True:
+        its = [it for it in its if it.cur != _INF]
+        if not its:
+            break
+        its.sort(key=lambda it: it.cur)
+        th = theta()
+        # pivot: first prefix whose term-UB sum can beat theta
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(its):
+            acc += it.term_ub
+            if acc > th - _SLACK:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = its[pivot_idx].cur
+
+        if its[0].cur == pivot_doc:
+            # extend the prefix over every iterator sitting on the
+            # pivot (their UBs must join the block-max check, and the
+            # skip target below must clear them all)
+            end = pivot_idx
+            while end + 1 < len(its) and its[end + 1].cur == pivot_doc:
+                end += 1
+            prefix = its[: end + 1]
+            bub = sum(it.block_ub(avgdl, k1, b) for it in prefix)
+            if bub > th - _SLACK:
+                score = 0.0
+                for it in prefix:
+                    score += it.score(avgdl, k1, b)
+                    it.advance()
+                entry = (round(score, _TIE_DECIMALS), -pivot_doc, score)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry[:2] > heap[0][:2]:
+                    heapq.heapreplace(heap, entry)
+            else:
+                # block-max skip: docs up to the shallowest block end
+                # among the prefix cannot beat theta — but only below
+                # the next (non-prefix) cursor, which caps the jump
+                nxt = min(it.block_last() for it in prefix) + 1
+                if end + 1 < len(its):
+                    nxt = min(nxt, its[end + 1].cur)
+                target = int(max(nxt, pivot_doc + 1))
+                for it in prefix:
+                    it.next_geq(target)
+        else:
+            # move the strongest pre-pivot iterator up to the pivot
+            far = max(
+                (it for it in its[: pivot_idx + 1] if it.cur < pivot_doc),
+                key=lambda it: it.term_ub,
+            )
+            far.next_geq(pivot_doc)
+
+    return [(-nd, raw) for _rs, nd, raw in heap]
+
+
+def _wand_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, list[tuple[str, float]]]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """One task: materialize its shards' (query-term-only) posting
+    blocks, answer every query per shard."""
+    shards: dict[int, dict[str, list]] = {}
+    for batch in batches:
+        cols = [batch.column(i) for i in range(batch.num_columns)]
+        names = batch.schema.names
+        col = dict(zip(names, cols))
+        n = batch.num_rows
+        shard_v = col["shard"].to_numpy(zero_copy_only=False)
+        bid_v = col["block_id"].to_numpy(zero_copy_only=False)
+        first_v = col["first_doc"].to_numpy(zero_copy_only=False)
+        last_v = col["last_doc"].to_numpy(zero_copy_only=False)
+        nd_v = col["n_docs"].to_numpy(zero_copy_only=False)
+        mt_v = col["max_tf"].to_numpy(zero_copy_only=False)
+        ml_v = col["min_dl"].to_numpy(zero_copy_only=False)
+        for i in range(n):
+            tb = shards.setdefault(int(shard_v[i]), {})
+            tb.setdefault(col["term"][i].as_py(), []).append(
+                (
+                    int(bid_v[i]),
+                    int(first_v[i]),
+                    int(last_v[i]),
+                    int(nd_v[i]),
+                    int(mt_v[i]),
+                    int(ml_v[i]),
+                    col["docs_bin"][i].as_py(),
+                    col["tfs_bin"][i].as_py(),
+                    col["dls_bin"][i].as_py(),
+                )
+            )
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, term_blocks in shards.items():
+        # sort blocks by block_id, drop the sort key
+        tb = {
+            t: [blk[1:] for blk in sorted(blocks)] for t, blocks in term_blocks.items()
+        }
+        for qid, qterms in queries:
+            for doc_id, score in _wand_one_query(tb, qterms, k, avgdl, k1, b):
+                out_q.append(qid)
+                out_d.append(doc_id)
+                out_s.append(score)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}, schema=_OUT_SCHEMA
+        )
+
+
+def wand_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
+    WAND over the compressed index."""
+    # unique lowercased whitespace terms per query (engine semantics,
+    # same as bm25.query_terms)
+    qterm_map: dict[int, list[str]] = {}
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.append(tok)
+        qterm_map[qid] = seen
+        all_terms.update(seen)
+
+    # idf for query terms only: tiny driver-side collect
+    df_rows = index.term_stats.filter(F.col("term").isin(list(all_terms))).collect()
+    n = index.n_docs
+    idf = {
+        r["term"]: math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0) for r in df_rows
+    }
+    query_plan = [
+        (qid, [(t, idf[t]) for t in terms if t in idf])
+        for qid, terms in qterm_map.items()
+    ]
+    query_plan = [(qid, qt) for qid, qt in query_plan if qt]
+    if not query_plan:
+        spark = index.postings.sparkSession
+        empty = spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+        return empty
+
+    avgdl = index.avgdl
+    filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
+    # one task owns whole shards -> shard-local exact top-k
+    per_shard = filtered.repartition("shard").mapInArrow(
+        lambda it: _wand_partition(it, query_plan, k, avgdl, k1, b),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -1,0 +1,97 @@
+"""Index-build correctness: encoded postings must decode back to
+exactly the brute-force tf table, across batch/partition boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.functions.codec import decode_block
+from embed_rerank_spark.operators.bm25 import doc_lengths, term_freqs
+from embed_rerank_spark.operators.postings import (
+    InvertedIndex,
+    build_postings,
+    lineage_manifest,
+    write_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    idx = build_postings(docs, n_shards=4, block_size=16)  # small blocks: force multi-block terms
+    write_index(idx, path)
+    return InvertedIndex.load(spark, path), path
+
+
+def _decode_all(postings_pdf):
+    """Decode every block -> set of (term, doc_id, tf, dl)."""
+    out = set()
+    for row in postings_pdf.itertuples(index=False):
+        d, t, l = decode_block(row.docs_bin, row.tfs_bin, row.dls_bin, row.n_docs)
+        assert row.first_doc == d[0] and row.last_doc == d[-1]
+        assert row.max_tf == t.max() and row.min_dl == l.min()
+        assert (np.diff(d) > 0).all()
+        for i in range(len(d)):
+            out.add((row.term, int(d[i]), int(t[i]), int(l[i])))
+    return out
+
+
+def test_postings_roundtrip_equals_tf_table(spark, docs, index):
+    idx, _ = index
+    postings = idx.postings.toPandas()
+    decoded = _decode_all(postings)
+
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    expected = {
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in tf.join(dl, "doc_id").collect()
+    }
+    assert decoded == expected
+
+
+def test_shard_assignment_and_block_sizing(index):
+    idx, _ = index
+    pdf = idx.postings.toPandas()
+    # every posting's doc ids belong to the row's shard
+    for row in pdf.itertuples(index=False):
+        d, _, _ = decode_block(row.docs_bin, row.tfs_bin, row.dls_bin, row.n_docs)
+        assert (d % 4 == row.shard).all()
+        assert row.n_docs <= 16
+    # multi-block terms exist (block_size=16 with hot terms over 500 docs)
+    assert (pdf.block_id > 0).any()
+    # block ids are dense per (shard, term)
+    g = pdf.groupby(["shard", "term"])["block_id"]
+    assert (g.max() + 1 == g.count()).all()
+
+
+def test_corpus_and_term_stats(spark, docs, index):
+    idx, _ = index
+    tf = term_freqs(docs)
+    expected_df = {(r.term, r.df) for r in tf.groupBy("term").count()
+                   .withColumnRenamed("count", "df").collect()}
+    assert {(r.term, r.df) for r in idx.term_stats.collect()} == expected_df
+    dl = doc_lengths(tf)
+    n, avg = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    assert idx.n_docs == n
+    assert idx.avgdl == pytest.approx(avg)
+
+
+def test_lineage_manifest(spark, index):
+    idx, path = index
+    m = spark.read.parquet(f"{path}/manifest").toPandas()
+    assert set(m.shard) == {0, 1, 2, 3}
+    assert (m.postings_emitted > 0).all()
+    assert (m.bytes_compressed > 0).all()
+    assert (m.docs_tokenized > 0).all()
+    # totals line up with the postings table
+    assert m.postings_emitted.sum() == idx.postings.agg(F.sum("n_docs")).first()[0]

@@ -1,0 +1,92 @@
+"""Block-max WAND must reproduce the brute-force BM25 top-k EXACTLY
+(doc ids rank-identical, scores equal to float-sum tolerance) — the
+engine's core correctness gate (BASELINE.json north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+from embed_rerank_spark.operators.postings import InvertedIndex, build_postings, write_index
+from embed_rerank_spark.operators.wand import wand_topk
+from embed_rerank_spark.queryset import QUERY_SET
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("windex"))
+    write_index(build_postings(docs, n_shards=4, block_size=16), path)
+    return InvertedIndex.load(spark, path)
+
+
+def _rows(df):
+    return [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_wand_matches_bruteforce_exactly(spark, docs, index):
+    k = 10
+    brute = _rows(bm25_topk_bruteforce(spark, docs, QUERY_SET, k=k))
+    wand = _rows(wand_topk(index, QUERY_SET, k=k))
+    assert len(brute) == len(wand) > 0
+    for (bq, br, bd, bs), (wq, wr, wd, ws) in zip(brute, wand):
+        assert (bq, br, bd) == (wq, wr, wd)
+        assert ws == pytest.approx(bs, abs=1e-9)
+
+
+def test_wand_various_k(spark, docs, index):
+    for k in (1, 3, 25):
+        brute = _rows(bm25_topk_bruteforce(spark, docs, QUERY_SET[:3], k=k))
+        wand = _rows(wand_topk(index, QUERY_SET[:3], k=k))
+        assert [(q, r, d) for q, r, d, _ in brute] == [(q, r, d) for q, r, d, _ in wand]
+
+
+def test_wand_rare_and_hot_terms(spark, docs, index):
+    # rare term 'dup' (df~26) + hot stopwords
+    qs = [(1, "dup"), (2, "the a the the")]
+    brute = _rows(bm25_topk_bruteforce(spark, docs, qs, k=50))
+    wand = _rows(wand_topk(index, qs, k=50))
+    assert [(q, r, d) for q, r, d, _ in brute] == [(q, r, d) for q, r, d, _ in wand]
+
+
+def test_wand_out_of_vocab_query(index):
+    out = wand_topk(index, [(9, "zzz unknown words")], k=5)
+    assert out.count() == 0
+
+
+def test_wand_k_exceeds_matches(spark, docs, index):
+    qs = [(1, "dup")]
+    brute = _rows(bm25_topk_bruteforce(spark, docs, qs, k=100000))
+    wand = _rows(wand_topk(index, qs, k=100000))
+    assert [(q, r, d) for q, r, d, _ in brute] == [(q, r, d) for q, r, d, _ in wand]
+
+
+def test_wand_single_doc_scores_match_formula(spark, docs, index):
+    # independent sanity: hand-compute the score of the top hit for 'dup'
+    import math
+
+    from embed_rerank_spark import BM25_B, BM25_K1
+    from embed_rerank_spark.operators.bm25 import doc_lengths, term_freqs
+
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    n, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    df = tf.filter(F.col("term") == "dup").count()
+    top = wand_topk(index, [(1, "dup")], k=1).collect()[0]
+    row = tf.filter((F.col("term") == "dup") & (F.col("doc_id") == top.doc_id)).first()
+    d_len = dl.filter(F.col("doc_id") == top.doc_id).first().dl
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    expect = idf * (row.tf * (BM25_K1 + 1)) / (
+        row.tf + BM25_K1 * (1 - BM25_B + BM25_B * d_len / avgdl)
+    )
+    assert top.score == pytest.approx(expect, rel=1e-12)
