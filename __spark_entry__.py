@@ -130,6 +130,52 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", SF.round("score", 6).alias("score"))
 
 
+def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage pipeline, fully SQL-expressible: BM25 top-20 candidate
+    pool -> word-set Jaccard rerank -> top-10 (reference fallback chain
+    reranking_service.py:105-129 -> mlx_backend.py:687-702)."""
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.rerank import rerank_candidates
+
+    docs = _docs(spark, sf_dir)
+    cands = bm25_topk_bruteforce(spark, docs, QUERY_SET, k=20)
+    out = rerank_candidates(cands, docs, QUERY_SET, top_k=TOP_K, method="jaccard")
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_score_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score normalization operators over the Jaccard rerank scores:
+    sigmoid (reference R8, reranking_router.py:107-131) and per-query
+    minmax (reference R5, mlx_reranker_backend.py:358-362)."""
+    from pyspark.sql import Window
+
+    base = q_jaccard_rerank(spark, sf_dir)
+    w = Window.partitionBy("query_id")
+    rng = F.max("score").over(w) - F.min("score").over(w)
+    return base.select(
+        "query_id",
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6).alias("sigmoid"),
+        F.round(
+            (F.col("score") - F.min("score").over(w))
+            / F.when(rng > 1e-8, rng).otherwise(F.lit(1.0)),
+            6,
+        ).alias("minmax"),
+    )
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-encoder-lite rerank of the BM25 pool
+    (sha256-seeded pooled pseudo-embeddings + linear head — not
+    SQL-expressible; exact-parity pytest oracle in tests/test_rerank.py)."""
+    from embed_rerank_spark.operators.rerank import retrieve_and_rerank
+
+    out = retrieve_and_rerank(
+        spark, _docs(spark, sf_dir), QUERY_SET, k_candidates=20, top_k=TOP_K, hidden=256
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -137,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
+        "bm25_jaccard_rerank": q_bm25_jaccard_rerank,
+        "score_norm": q_score_norm,
+        "rerank_topk": q_rerank_topk,
     }
 
 
@@ -213,12 +262,91 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+    jaccard_core = f"""
+q AS (
+    SELECT query_id, list_distinct(list_filter(
+        regexp_split_to_array(trim(lower(query)), '\\s+'), t -> t <> '')) AS qtoks
+    FROM {_queries_values()}
+),
+d AS (
+    SELECT doc_id, list_distinct({_TOKENIZE_SQL}) AS ptoks FROM documents
+)
+"""
+    bm25_jaccard = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+bm AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+cand AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+        FROM bm
+    ) WHERE rnk <= 20
+),
+{jaccard_core},
+jac AS (
+    SELECT c.query_id, c.doc_id,
+           CAST(len(list_intersect(qtoks, ptoks)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(qtoks, ptoks))), 1) AS score
+    FROM cand c JOIN q USING (query_id) JOIN d USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM jac
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    score_norm = f"""
+WITH {jaccard_core},
+jac AS (
+    SELECT q.query_id, d.doc_id,
+           CAST(len(list_intersect(qtoks, ptoks)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(qtoks, ptoks))), 1) AS raw
+    FROM q CROSS JOIN d
+),
+ranked AS (
+    SELECT query_id, doc_id, round(raw, 6) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank
+    FROM jac
+),
+top AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= {TOP_K}),
+norm AS (
+    SELECT query_id, doc_id,
+           1.0 / (1.0 + exp(-score)) AS sigmoid_raw,
+           (score - min(score) OVER (PARTITION BY query_id))
+             / (CASE WHEN max(score) OVER (PARTITION BY query_id)
+                        - min(score) OVER (PARTITION BY query_id) > 1e-8
+                     THEN max(score) OVER (PARTITION BY query_id)
+                        - min(score) OVER (PARTITION BY query_id)
+                     ELSE 1.0 END) AS minmax_raw
+    FROM top
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(sigmoid_raw, 6) AS sigmoid, round(minmax_raw, 6) AS minmax
+FROM norm
+"""
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,
+        "bm25_jaccard_rerank": bm25_jaccard,
+        "score_norm": score_norm,
     }
 
 

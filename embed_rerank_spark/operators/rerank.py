@@ -1,0 +1,120 @@
+"""Second-stage rerank over the BM25 candidate pool.
+
+Reproduces the reference's embed-then-rerank ordering semantics
+(joonsoome/embed-rerank) as a batch Spark stage: one reference HTTP
+rerank request = one (query, candidate set) group here, scored inside
+``applyInPandas`` with the NumPy kernels of ``functions/scoring.py``
+(Arrow-batched; no per-row Python).
+
+Scoring methods (reference dispatch chain,
+``reranking_service.py:105-129`` + backend fallbacks):
+
+- ``cross_encoder_lite`` — pair tokenize -> pooled sha256-seeded
+  pseudo-embedding -> linear head -> optional score norm
+  (``mlx_reranker_backend.py:300-364``); the engine default
+- ``cosine`` — deterministic per-text pseudo-embeddings + cosine
+  (service fallback, ``reranking_service.py:131-162``)
+- ``jaccard`` — word-set overlap (last resort,
+  ``mlx_backend.py:687-702``); also available as pure Spark SQL in
+  ``__spark_entry__.q_jaccard_rerank``
+
+Engine-pinned group semantics: candidates are scored in ascending
+doc_id order. The reference scores passages in request order; a batch
+engine has no request order, so ascending doc_id is the engine's
+canonical candidate order (it feeds the pair tokenizer's first-seen
+vocab and the batch pad width — both order-sensitive by reference
+semantics). Final ranking: score desc (rounded, see bm25.topk),
+doc_id asc — the reference's stable-sort tie behavior.
+
+Scale: the shuffle key is query_id; each group is one query's <= ~1k
+candidates, so groups parallelize across executors and no group can
+exceed task memory. The doc-text join is a shuffle join on doc_id
+against the (already small) candidate set — at 10^12 docs the text
+lookup hits only n_queries * k_candidates rows thanks to the
+candidate-side semi-join pushdown.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scoring
+from .bm25 import topk
+
+RERANK_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def rerank_candidates(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    method: str = "cross_encoder_lite",
+    model_name: str = "embed-rerank-spark",
+    hidden: int = scoring.DEFAULT_HIDDEN,
+    pooling: str = "mean",
+    score_norm: str = "none",
+    max_length: int = scoring.DEFAULT_MAX_LENGTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): rerank ``candidates``
+    (query_id, doc_id) with the chosen deterministic scorer."""
+    spark = candidates.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    pool = (
+        candidates.select("query_id", "doc_id")
+        .join(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "doc_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        query = pdf["query"].iloc[0]
+        passages = pdf["text"].fillna("").tolist()
+        if method == "cross_encoder_lite":
+            s = scoring.rerank_group(
+                query, passages, model_name, hidden, pooling, score_norm, max_length
+            )
+        elif method == "cosine":
+            qv = scoring.text_pseudo_embeddings([query], hidden)[0]
+            pv = scoring.text_pseudo_embeddings(passages, hidden)
+            s = scoring.cosine_scores(qv, pv)
+            s = scoring.normalize_scores(s, score_norm)
+        elif method == "jaccard":
+            s = scoring.normalize_scores(
+                pd.Series(scoring.jaccard_scores(query, passages)).to_numpy(), score_norm
+            )
+        else:
+            raise ValueError(f"unknown rerank method: {method}")
+        return pd.DataFrame(
+            {"query_id": pdf["query_id"], "doc_id": pdf["doc_id"], "score": s}
+        )
+
+    scored = pool.groupBy("query_id").applyInPandas(score_group, RERANK_SCHEMA)
+    return topk(scored, top_k).select("query_id", "rank", "doc_id", "score")
+
+
+def retrieve_and_rerank(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k_candidates: int = 100,
+    top_k: int = 10,
+    index=None,
+    **rerank_kwargs,
+) -> DataFrame:
+    """Full two-stage pipeline: BM25 first stage (WAND over a prebuilt
+    index when given, else the brute-force scorer) -> deterministic
+    rerank of the candidate pool."""
+    if index is not None:
+        from .wand import wand_topk
+
+        cands = wand_topk(index, queries, k=k_candidates)
+    else:
+        from .bm25 import bm25_topk_bruteforce
+
+        cands = bm25_topk_bruteforce(spark, docs, queries, k=k_candidates)
+    return rerank_candidates(cands, docs, queries, top_k=top_k, **rerank_kwargs)
