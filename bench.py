@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine workloads at a given scale.
+
+Default mode prints ONE JSON line:
+  {"metric": "e2e_suite_sec", "value": <total sec>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": <sf>, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+
+Phases (each a real end-to-end job, nothing cached between phases):
+  extract        pages -> byte-identical extraction UDF (full scan)
+  index_build    pages -> compressed sharded postings written to disk
+  index_merge    snapshot segments -> merged index (incremental path)
+  wand_topk      64-query batch, block-max WAND over the on-disk index
+  bm25_brute     same 64 queries, brute-force DataFrame scorer
+  rerank         cross-encoder-lite rerank of top-50 pools (64 queries)
+  docs_bm25      reference QUERY_SET over the driver documents table
+
+The synthetic pages corpus size scales with sf (sf0.1 -> 40k pages).
+
+``--scaling`` runs the same fixed workload at two parallelism levels
+(local[8] vs local[32] by default) in fresh subprocesses and reports
+throughput at both plus scaling efficiency — the sandbox stand-in for
+the north rule's N vs 4N executor criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SHARDS = 8
+RERANK_HIDDEN = 1024
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_PAGES = max(2000, int(400_000 * SF))
+
+
+def query_batch(n: int = 64) -> list[tuple[int, str]]:
+    """Deterministic 64-query batch over the synthetic vocabulary:
+    hot+mid, mid-only, and rare-term shapes."""
+    qs = []
+    for i in range(n):
+        a, b, c = (i * 7) % 9973, (i * 131 + 17) % 9973, (i * 389 + 101) % 9973
+        if i % 8 == 0:
+            qs.append((i, f"the w{a} w{b}"))
+        elif i % 8 == 7:
+            qs.append((i, f"zyzzyva w{a}"))
+        else:
+            qs.append((i, f"w{a} w{b} w{c}"))
+    return qs
+
+
+def run_suite(cpus: int, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.postings import InvertedIndex
+    from embed_rerank_spark.operators.rerank import rerank_candidates
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.plans.build_index import (
+        build_incremental,
+        extract_pages,
+        merge_segments,
+    )
+    from embed_rerank_spark.queryset import QUERY_SET
+    from embed_rerank_spark.session import get_spark
+    from embed_rerank_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="embed-rerank-bench", cores=cpus)
+    timings: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="erspark_bench_")
+    try:
+        pages = generate_pages(spark, n_pages, seed=42, n_snapshots=4)
+        pages.write.mode("overwrite").parquet(f"{tmp}/pages")
+        pages = spark.read.parquet(f"{tmp}/pages")
+
+        t0 = time.perf_counter()
+        extracted = extract_pages(pages).filter(F.col("error").isNull())
+        extracted.write.mode("overwrite").parquet(f"{tmp}/extracted")
+        timings["extract"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        build_incremental(spark, pages, f"{tmp}/index", n_shards=N_SHARDS, resume=False)
+        timings["index_build"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        index = merge_segments(spark, f"{tmp}/index")
+        timings["index_merge"] = time.perf_counter() - t0
+
+        qb = query_batch()
+        t0 = time.perf_counter()
+        wand_topk(index, qb, k=10).write.mode("overwrite").parquet(f"{tmp}/wand")
+        timings["wand_topk"] = time.perf_counter() - t0
+
+        corpus = spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text")
+        t0 = time.perf_counter()
+        bm25_topk_bruteforce(spark, corpus, qb, k=10).write.mode("overwrite").parquet(
+            f"{tmp}/brute"
+        )
+        timings["bm25_brute"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cands = wand_topk(index, qb, k=50)
+        rerank_candidates(
+            cands, corpus, qb, top_k=10, hidden=RERANK_HIDDEN
+        ).write.mode("overwrite").parquet(f"{tmp}/rerank")
+        timings["rerank"] = time.perf_counter() - t0
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.perf_counter()
+        bm25_topk_bruteforce(spark, docs, QUERY_SET, k=10).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/docs_bm25")
+        timings["docs_bm25"] = time.perf_counter() - t0
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return timings
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling_mode()
+        return
+    timings = run_suite(CPUS, N_PAGES)
+    total = sum(timings.values())
+    out = {
+        "metric": "e2e_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF,
+        "cpus": CPUS,
+        "n_pages": N_PAGES,
+        "wand_qps": round(64 / timings["wand_topk"], 2),
+    }
+    print(json.dumps(out))
+
+
+def scaling_mode() -> None:
+    """Same workload at two parallelism levels in fresh subprocesses;
+    prints throughput at both + scaling efficiency."""
+    import subprocess
+
+    lows, highs = 8, CPUS
+    results = {}
+    for cores in (lows, highs):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        p = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cores] = json.loads(p.stdout.strip().splitlines()[-1])
+    t_low = results[lows]["value"]
+    t_high = results[highs]["value"]
+    speedup = t_low / t_high
+    efficiency = speedup / (highs / lows)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(efficiency, 3),
+                "unit": "ratio",
+                "cores_low": lows,
+                "cores_high": highs,
+                "sec_low": t_low,
+                "sec_high": t_high,
+                "speedup": round(speedup, 3),
+                "per_phase_low": results[lows]["queries"],
+                "per_phase_high": results[highs]["queries"],
+                "sf": SF,
+                "n_pages": N_PAGES,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,19 +73,35 @@ def vb_decode(data: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+_SIGN_BIT = np.uint64(1 << 63)
+
+
+def _bias(a: np.ndarray) -> np.ndarray:
+    """Order-preserving signed-int64 -> uint64 map (XOR the sign bit).
+    Doc ids are xxhash64 values spanning the full int64 range, so
+    deltas between neighbors can exceed int64 — all delta arithmetic
+    happens in uint64 on the biased representation."""
+    return a.astype(np.int64).view(np.uint64) ^ _SIGN_BIT
+
+
+def _unbias(u: np.ndarray) -> np.ndarray:
+    return (u ^ _SIGN_BIT).view(np.int64)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
-    """Ascending int array -> deltas (first value absolute)."""
-    a = np.asarray(sorted_ids, dtype=np.int64)
-    out = np.empty_like(a)
-    out[0] = a[0]
-    np.subtract(a[1:], a[:-1], out=out[1:])
-    if (out[1:] <= 0).any():
+    """Ascending int64 array -> uint64 deltas (first value absolute,
+    biased)."""
+    u = _bias(np.asarray(sorted_ids, dtype=np.int64))
+    out = np.empty_like(u)
+    out[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=out[1:])
+    if len(u) > 1 and (u[1:] <= u[:-1]).any():
         raise ValueError("doc ids must be strictly ascending")
     return out
 
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
-    return np.cumsum(deltas.astype(np.int64))
+    return _unbias(np.cumsum(deltas.astype(np.uint64), dtype=np.uint64))
 
 
 @dataclass
@@ -126,7 +142,7 @@ def encode_posting_list(
                 n_docs=len(d),
                 max_tf=int(t.max()),
                 min_dl=int(l.min()),
-                docs_bin=vb_encode(delta_encode(d).astype(np.uint64)),
+                docs_bin=vb_encode(delta_encode(d)),
                 tfs_bin=vb_encode(t.astype(np.uint64)),
                 dls_bin=vb_encode(l.astype(np.uint64)),
             )
@@ -138,7 +154,7 @@ def decode_block(
     docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes, n_docs: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (doc_ids asc int64, tfs int64, dls int64)."""
-    doc_ids = delta_decode(vb_decode(docs_bin, n_docs).astype(np.int64))
+    doc_ids = delta_decode(vb_decode(docs_bin, n_docs))
     tfs = vb_decode(tfs_bin, n_docs).astype(np.int64)
     dls = vb_decode(dls_bin, n_docs).astype(np.int64)
     return doc_ids, tfs, dls

@@ -69,8 +69,13 @@ _ARROW_OUT = pa.schema(
 def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
     """Streaming encoder over one partition of (shard, term, doc_id,
     tf, dl) rows sorted by (shard, term, doc_id). Group runs can span
-    Arrow batches; a carry buffer holds the open group."""
+    Arrow batches; a carry buffer holds the open group.
+
+    The carry MUST deep-copy its slices: ``to_numpy`` on Arrow columns
+    can be zero-copy views into stream buffers that are recycled on the
+    next batch (observed as corrupted doc ids when carried across)."""
     carry: dict[str, np.ndarray] | None = None
+    carry_key: tuple[int, str] | None = None
 
     def flush(shard, term, docs, tfs, dls, out):
         for blk in encode_posting_list(docs, tfs, dls, block_size):
@@ -89,7 +94,6 @@ def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
     def new_out():
         return {name: [] for name in _ARROW_OUT.names}
 
-    prev = None  # (shard, term) of the carry
     for batch in batches:
         shard = batch.column("shard").to_numpy(zero_copy_only=False)
         term_col = batch.column("term")
@@ -101,9 +105,8 @@ def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
             continue
         # group boundaries: change in (shard, term) — vectorized
         if n > 1:
-            term_arr = batch.column("term")
             term_change = pc.not_equal(
-                term_arr.slice(1), term_arr.slice(0, n - 1)
+                term_col.slice(1), term_col.slice(0, n - 1)
             ).to_numpy(zero_copy_only=False)
             change = (shard[1:] != shard[:-1]) | term_change
             bounds = [0, *list(np.flatnonzero(change) + 1), n]
@@ -111,27 +114,39 @@ def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
             bounds = [0, n]
 
         out = new_out()
+        first_key = (int(shard[0]), term_col[0].as_py())
+        if carry is not None and first_key != carry_key:
+            # previous batch ended exactly on a group boundary
+            flush(carry_key[0], carry_key[1], carry["doc"], carry["tf"], carry["dl"], out)
+            carry = None
+
+        last_gi = len(bounds) - 2
         for gi in range(len(bounds) - 1):
             s, e = bounds[gi], bounds[gi + 1]
             key = (int(shard[s]), term_col[s].as_py())
             g_doc, g_tf, g_dl = doc[s:e], tf[s:e], dl[s:e]
-            if gi == 0 and prev == key and carry is not None:
+            if gi == 0 and carry is not None:  # continuation of carry_key
                 g_doc = np.concatenate([carry["doc"], g_doc])
                 g_tf = np.concatenate([carry["tf"], g_tf])
                 g_dl = np.concatenate([carry["dl"], g_dl])
                 carry = None
-            if gi == len(bounds) - 2:
-                # last group of the batch: might continue into the next batch
-                carry = {"doc": g_doc, "tf": g_tf, "dl": g_dl}
-                prev = key
+            if gi == last_gi:
+                # last group may continue into the next batch; COPY out
+                # of the Arrow-backed views (buffers get recycled)
+                carry = {
+                    "doc": np.array(g_doc, copy=True),
+                    "tf": np.array(g_tf, copy=True),
+                    "dl": np.array(g_dl, copy=True),
+                }
+                carry_key = key
             else:
                 flush(key[0], key[1], g_doc, g_tf, g_dl, out)
         if out["term"]:
             yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
 
-    if carry is not None and prev is not None:
+    if carry is not None and carry_key is not None:
         out = new_out()
-        flush(prev[0], prev[1], carry["doc"], carry["tf"], carry["dl"], out)
+        flush(carry_key[0], carry_key[1], carry["doc"], carry["tf"], carry["dl"], out)
         yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
 
 

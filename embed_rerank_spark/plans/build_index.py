@@ -1,0 +1,290 @@
+"""Index-build job: pages -> extract -> tokenize -> per-snapshot
+posting segments -> merged index. Checkpoint-resumable with
+per-partition lineage (BASELINE.json north_rule).
+
+This is the engine analogue of the reference's startup lifecycle
+(``app/main.py:51-160`` loads the model once before serving; we build
+the index once before querying), replacing model load with a
+log-structured build:
+
+- the ``pages`` table is processed one SNAPSHOT at a time (a snapshot =
+  one ``warc_ts`` day — the Iceberg-incremental unit). Each snapshot
+  job writes a self-contained posting SEGMENT + doc stats + a manifest
+  with per-shard lineage metrics (docs tokenized, postings emitted,
+  bytes compressed). The manifest is written LAST, so its existence is
+  the segment's commit marker: a restarted build skips every snapshot
+  whose manifest exists and redoes any partial segment (idempotent
+  overwrite).
+- ``merge_segments`` unions all committed segments and re-encodes each
+  (shard, term) posting list (segments hold disjoint doc sets, but doc
+  ids interleave, so block merge is decode -> merge-sort -> re-encode).
+  Global term/corpus stats are re-derived from segment doc stats. This
+  is the "merged across Iceberg snapshots" path: a new snapshot only
+  pays segment-build + merge, never a full rebuild.
+
+Extraction runs the byte-identical TextSummarizer semantics
+(``functions/text_processing.py``) as a pandas UDF; rows failing
+validation land in a quarantine count in the manifest, not an abort.
+
+Doc ids are ``xxhash64(url)`` — deterministic, partition-independent,
+stable across snapshots (the per-url invariant keys on url).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import BLOCK_SIZE, decode_block, encode_posting_list
+from ..functions.udfs import make_extract_udf
+from ..operators.postings import (
+    POSTINGS_SCHEMA,
+    InvertedIndex,
+    build_postings,
+    shard_expr,
+)
+
+SNAPSHOT_COL = "snap_day"
+
+
+def with_snapshot(pages: DataFrame) -> DataFrame:
+    return pages.withColumn(SNAPSHOT_COL, F.date_format("warc_ts", "yyyy-MM-dd"))
+
+
+def extract_pages(
+    pages: DataFrame,
+    max_tokens: int = 2048,
+    absolute_max_tokens: int = 8192,
+    strategy: str = "smart_truncate",
+) -> DataFrame:
+    """pages -> (url, doc_id, text, n_tokens, error). Byte-identical
+    extracted text per url; failures quarantined in ``error``."""
+    extract = make_extract_udf(max_tokens, absolute_max_tokens, strategy)
+    return pages.select(
+        "url",
+        F.xxhash64("url").alias("doc_id"),
+        extract(F.col("text")).alias("ex"),
+    ).select(
+        "url",
+        "doc_id",
+        F.col("ex.text").alias("text"),
+        F.col("ex.processed_tokens").alias("n_tokens"),
+        F.col("ex.error").alias("error"),
+    )
+
+
+def _segment_dirs(path: str) -> str:
+    return f"{path}/segments"
+
+
+def _manifest_file(path: str, snap: str) -> str:
+    return f"{_segment_dirs(path)}/{snap}/MANIFEST.json"
+
+
+def committed_snapshots(path: str) -> set[str]:
+    seg_root = _segment_dirs(path)
+    if not os.path.isdir(seg_root):
+        return set()
+    return {
+        d
+        for d in os.listdir(seg_root)
+        if os.path.exists(_manifest_file(path, d))
+    }
+
+
+def build_segment(
+    spark: SparkSession,
+    pages_snapshot: DataFrame,
+    path: str,
+    snap: str,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Build + commit one snapshot segment. Returns its manifest dict."""
+    seg = f"{_segment_dirs(path)}/{snap}"
+    # one extraction pass: persist the extracted table (it doubles as
+    # the segment's forward index for rerank text lookup), then build
+    # postings from the parquet — otherwise the UDF recomputes for the
+    # quarantine count, the tf build, and the doc-stats write
+    extract_pages(pages_snapshot).write.mode("overwrite").parquet(f"{seg}/extracted")
+    extracted = spark.read.parquet(f"{seg}/extracted")
+    clean = extracted.filter(F.col("error").isNull())
+    n_quarantined = extracted.filter(F.col("error").isNotNull()).count()
+
+    idx = build_postings(clean, n_shards=n_shards, block_size=block_size)
+    idx["postings"].write.mode("overwrite").partitionBy("shard").parquet(f"{seg}/postings")
+    idx["doc_stats"].write.mode("overwrite").parquet(f"{seg}/doc_stats")
+
+    written = spark.read.parquet(f"{seg}/postings")
+    dstats = spark.read.parquet(f"{seg}/doc_stats")
+    per_shard = (
+        written.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("postings_emitted"),
+            F.count(F.lit(1)).alias("blocks"),
+            (
+                F.sum(F.length("docs_bin"))
+                + F.sum(F.length("tfs_bin"))
+                + F.sum(F.length("dls_bin"))
+            ).alias("bytes_compressed"),
+        )
+        .join(
+            dstats.groupBy("shard").agg(F.count(F.lit(1)).alias("docs_tokenized")),
+            "shard",
+            "full",
+        )
+        .collect()
+    )
+    manifest = {
+        "snapshot": snap,
+        "n_shards": n_shards,
+        "block_size": block_size,
+        "quarantined": n_quarantined,
+        "shards": [r.asDict() for r in per_shard],
+    }
+    # manifest last = commit marker
+    with open(_manifest_file(path, snap), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest
+
+
+def build_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    resume: bool = True,
+) -> list[str]:
+    """Build every uncommitted snapshot segment; returns snapshots built.
+
+    With ``resume=True`` (default), committed segments are skipped —
+    restart-after-kill completes the build with identical bytes (the
+    generator/extraction are deterministic per url)."""
+    os.makedirs(_segment_dirs(path), exist_ok=True)
+    snaps = [
+        r[0]
+        for r in with_snapshot(pages).select(SNAPSHOT_COL).distinct().orderBy(SNAPSHOT_COL).collect()
+    ]
+    done = committed_snapshots(path) if resume else set()
+    built = []
+    for snap in snaps:
+        if snap in done:
+            continue
+        snap_pages = with_snapshot(pages).filter(F.col(SNAPSHOT_COL) == snap)
+        build_segment(spark, snap_pages, path, snap, n_shards, block_size)
+        built.append(snap)
+    return built
+
+
+_MERGE_IN = (
+    "term string, shard int, n_docs int, docs_bin binary, tfs_bin binary, dls_bin binary"
+)
+
+
+def _merge_partition(batches: Iterator[pa.RecordBatch], block_size: int):
+    """Decode -> merge-sort -> re-encode each (shard, term) group.
+    Input rows sorted by (shard, term); doc sets disjoint across
+    segments but interleaved in id space."""
+    from ..operators.postings import _ARROW_OUT  # noqa: PLC0415
+
+    groups: dict[tuple[int, str], list] = {}
+    for batch in batches:
+        shard = batch.column("shard").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        term = batch.column("term")
+        docs_b = batch.column("docs_bin")
+        tfs_b = batch.column("tfs_bin")
+        dls_b = batch.column("dls_bin")
+        for i in range(batch.num_rows):
+            key = (int(shard[i]), term[i].as_py())
+            groups.setdefault(key, []).append(
+                decode_block(docs_b[i].as_py(), tfs_b[i].as_py(), dls_b[i].as_py(), int(nd[i]))
+            )
+
+    out = {name: [] for name in _ARROW_OUT.names}
+    for (shard, term), parts in groups.items():
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        for blk in encode_posting_list(docs[order], tfs[order], dls[order], block_size):
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["block_id"].append(blk.block_id)
+            out["first_doc"].append(blk.first_doc)
+            out["last_doc"].append(blk.last_doc)
+            out["n_docs"].append(blk.n_docs)
+            out["max_tf"].append(blk.max_tf)
+            out["min_dl"].append(blk.min_dl)
+            out["docs_bin"].append(blk.docs_bin)
+            out["tfs_bin"].append(blk.tfs_bin)
+            out["dls_bin"].append(blk.dls_bin)
+    if out["term"]:
+        yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
+
+
+def merge_segments(
+    spark: SparkSession, path: str, block_size: int = BLOCK_SIZE
+) -> InvertedIndex:
+    """Merge all committed segments into the final index at
+    ``path/{postings,term_stats,doc_stats,corpus_stats,manifest}``."""
+    snaps = sorted(committed_snapshots(path))
+    if not snaps:
+        raise ValueError(f"no committed segments under {path}")
+    from functools import reduce  # noqa: PLC0415
+
+    seg_postings = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_segment_dirs(path)}/{s}/postings") for s in snaps],
+    )
+    seg_docstats = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_segment_dirs(path)}/{s}/doc_stats") for s in snaps],
+    )
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    merged = (
+        seg_postings.select(
+            "term", "shard", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+        )
+        .repartition(n_parts, "shard", "term")
+        .mapInArrow(lambda it: _merge_partition(it, block_size), POSTINGS_SCHEMA)
+    )
+    merged.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/postings")
+
+    doc_stats = seg_docstats  # snapshots hold disjoint docs
+    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    dl = spark.read.parquet(f"{path}/doc_stats")
+    dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/corpus_stats")
+
+    written = spark.read.parquet(f"{path}/postings")
+    written.groupBy("term").agg(F.sum("n_docs").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/term_stats")
+
+    from ..operators.postings import lineage_manifest  # noqa: PLC0415
+
+    lineage_manifest(written, dl).write.mode("overwrite").parquet(f"{path}/manifest")
+    return InvertedIndex.load(spark, path)
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    resume: bool = True,
+) -> InvertedIndex:
+    """Full job: incremental segment build (resumable) + merge."""
+    build_incremental(spark, pages, path, n_shards, block_size, resume)
+    return merge_segments(spark, path, block_size)

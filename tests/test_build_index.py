@@ -1,0 +1,125 @@
+"""End-to-end index-build job tests: snapshot segments, resume
+semantics, merge correctness, per-url extraction invariant."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.functions import text_processing as tp
+from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+from embed_rerank_spark.operators.wand import wand_topk
+from embed_rerank_spark.plans.build_index import (
+    build_incremental,
+    build_index,
+    committed_snapshots,
+    extract_pages,
+    merge_segments,
+)
+from embed_rerank_spark.sources.pages import generate_pages
+
+N_DOCS = 1200
+QUERIES = [
+    (1, "w1 w2 w3"),
+    (2, "the a"),
+    (3, "zyzzyva"),
+    (4, "w100 w200 the"),
+    (5, "w5 data of w9"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, N_DOCS, seed=7, n_snapshots=3).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fullindex"))
+    idx = build_index(spark, pages, path, n_shards=4, block_size=32)
+    return idx, path
+
+
+def test_pages_deterministic_and_shaped(spark, pages):
+    again = generate_pages(spark, N_DOCS, seed=7, n_snapshots=3)
+    a = sorted((r.url, r.text, r.lang, str(r.warc_ts)) for r in pages.collect())
+    b = sorted((r.url, r.text, r.lang, str(r.warc_ts)) for r in again.collect())
+    assert a == b
+    assert pages.count() == N_DOCS
+    # some docs must exceed the truncation threshold
+    # extract uses max_tokens=2048 -> threshold 2048*4 chars
+    assert pages.filter(F.length("text") > 2048 * 4).count() > 0
+    assert pages.select(F.date_format("warc_ts", "yyyy-MM-dd")).distinct().count() == 3
+
+
+def test_extraction_invariant_per_url(spark, pages):
+    """Byte-identity: distributed extraction == driver-side oracle."""
+    got = {
+        r.url: r.text
+        for r in extract_pages(pages).filter(F.col("error").isNull()).collect()
+    }
+    raw = {r.url: r.text for r in pages.collect()}
+    assert len(got) > 0
+    for url, raw_text in raw.items():
+        expect, _ = tp.process_text_with_options(raw_text, 2048, 8192, "smart_truncate")
+        assert got[url] == expect, url
+
+
+def test_segments_and_manifests(built):
+    _, path = built
+    snaps = committed_snapshots(path)
+    assert len(snaps) == 3
+    for s in snaps:
+        with open(f"{path}/segments/{s}/MANIFEST.json") as f:
+            m = json.load(f)
+        assert m["snapshot"] == s
+        assert sum(sh["postings_emitted"] for sh in m["shards"]) > 0
+        assert all(sh["bytes_compressed"] > 0 for sh in m["shards"])
+
+
+def test_merged_index_wand_equals_bruteforce(spark, pages, built):
+    idx, _ = built
+    corpus = extract_pages(pages).filter(F.col("error").isNull()).select("doc_id", "text")
+    for k in (5, 20):
+        brute = [
+            (r.query_id, r.rank, r.doc_id)
+            for r in bm25_topk_bruteforce(spark, corpus, QUERIES, k=k)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        wand = [
+            (r.query_id, r.rank, r.doc_id)
+            for r in wand_topk(idx, QUERIES, k=k).orderBy("query_id", "rank").collect()
+        ]
+        assert brute == wand and len(brute) > 0
+
+
+def test_resume_skips_committed_and_completes(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("resumeidx"))
+    # full build, then forge a partial state by deleting one manifest
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    assert len(committed_snapshots(path)) == 3
+    victim = sorted(committed_snapshots(path))[1]
+    os.remove(f"{path}/segments/{victim}/MANIFEST.json")
+    assert len(committed_snapshots(path)) == 2
+
+    built_now = build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    assert built_now == [victim]  # only the uncommitted snapshot redone
+    # second resume: nothing left to do
+    assert build_incremental(spark, pages, path, n_shards=4, block_size=32) == []
+
+    # resumed build must produce an identical index to a fresh one
+    idx_resumed = merge_segments(spark, path, block_size=32)
+    fresh_path = str(tmp_path_factory.mktemp("freshidx"))
+    idx_fresh = build_index(spark, pages, fresh_path, n_shards=4, block_size=32)
+
+    cols = ["shard", "term", "block_id", "first_doc", "last_doc", "n_docs",
+            "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin"]
+    a = sorted(map(tuple, idx_resumed.postings.select(cols).collect()))
+    b = sorted(map(tuple, idx_fresh.postings.select(cols).collect()))
+    assert a == b
+    assert idx_resumed.n_docs == idx_fresh.n_docs
+    assert idx_resumed.avgdl == pytest.approx(idx_fresh.avgdl)

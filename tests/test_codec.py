@@ -50,6 +50,23 @@ def test_delta_roundtrip_and_monotonicity_check():
         codec.delta_encode(np.array([3, 3], dtype=np.int64))
 
 
+def test_delta_full_int64_range():
+    # xxhash64 doc ids span the whole signed range; neighbor deltas can
+    # overflow int64 — the biased-uint64 path must round-trip exactly
+    ids = np.array(
+        [-(2**63), -5921132407428667389, -1, 0, 1, 5016596771113994359, 2**63 - 1],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(codec.delta_decode(codec.delta_encode(ids)), ids)
+    blocks = codec.encode_posting_list(
+        ids, np.ones(len(ids), dtype=np.int64), np.full(len(ids), 9, dtype=np.int64), 3
+    )
+    out = np.concatenate(
+        [codec.decode_block(b.docs_bin, b.tfs_bin, b.dls_bin, b.n_docs)[0] for b in blocks]
+    )
+    np.testing.assert_array_equal(out, ids)
+
+
 @given(
     st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=700, unique=True)
 )
