@@ -176,6 +176,118 @@ def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors by normalized-text hash group."""
+    from embed_rerank_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard over all doc pairs sharing >= 1
+    shingle (the verification kernel of MinHash-LSH dedup)."""
+    from embed_rerank_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, 3)
+    pairs = (
+        sh.withColumnRenamed("doc_id", "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = ngram_jaccard_pairs(docs, pairs, 3)
+    return out.filter(F.col("jaccard") > 0).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (md5-derived token hashes;
+    bit-identical oracle in DuckDB)."""
+    from embed_rerank_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature digest per doc (16 lexicographic-min md5
+    hashes folded into one md5 for comparison)."""
+    from embed_rerank_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n_hashes=16, shingle_n=3)
+    return sig.select("doc_id", F.md5(F.array_join("sig", "|")).alias("sig_md5")).orderBy(
+        "doc_id"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: token counts, language id, quality score."""
+    from embed_rerank_spark.operators.textstats import lang_id, quality_score, token_count
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (F.length("text") / 4).cast("int").alias("est_tokens"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+    return counts.join(quality_score(docs), "doc_id").orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-doc md5 of normalized text plus the
+    count of 32-token rolling window fingerprints."""
+    from embed_rerank_spark.operators.textstats import fingerprint, rolling_fingerprints
+
+    fp = fingerprint(_docs(spark, sf_dir))
+    roll = (
+        rolling_fingerprints(_docs(spark, sf_dir), 32, 16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), F.countDistinct("fp").alias("n_distinct"))
+    )
+    return fp.join(roll, "doc_id").orderBy("doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 over the embeddings table (first 5 vectors
+    as queries) — the similarity-search correctness baseline."""
+    from embed_rerank_spark.operators.similarity import cosine_topk_bruteforce
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vectors.orderBy("vec_id").limit(5)
+    queries_df = qrows.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk_bruteforce(vectors, queries_df, k=10)
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs over the embeddings table."""
+    from embed_rerank_spark.operators.dedup import embedding_near_dup
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup(vectors, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-10 (scale path; recall vs
+    the exact baseline is pinned in tests/test_similarity.py —
+    approximate by design, so rows-only here)."""
+    from embed_rerank_spark.operators.similarity import lsh_cosine_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vectors.orderBy("vec_id").limit(5)
+    queries_df = qrows.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = lsh_cosine_topk(vectors, queries_df, k=10, bits=4)
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -186,6 +298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_jaccard_rerank": q_bm25_jaccard_rerank,
         "score_norm": q_score_norm,
         "rerank_topk": q_rerank_topk,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "simhash": q_simhash,
+        "minhash_sig": q_minhash_sig,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -339,6 +460,165 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        round(sigmoid_raw, 6) AS sigmoid, round(minmax_raw, 6) AS minmax
 FROM norm
 """
+    norm_sql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    exact_dedup = f"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM (SELECT doc_id, {norm_sql} AS norm FROM documents)
+GROUP BY norm
+"""
+    shingle_cte = f"""
+toksd AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+    FROM toksd WHERE len(toks) >= 3
+)
+"""
+    ngram_jaccard = f"""
+WITH {shingle_cte},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0
+"""
+    simhash = f"""
+WITH {_TOKS_CTE},
+h AS (
+    SELECT doc_id, tf,
+           CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+    FROM tf
+),
+perbit AS (
+    SELECT doc_id, bits.bit,
+           CASE WHEN (h >> bits.bit) & 1 = 1 THEN tf ELSE -tf END AS w
+    FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bits
+),
+bitsum AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY doc_id, bit),
+uns AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+    FROM bitsum GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
+FROM uns ORDER BY doc_id
+"""
+    minhash_sig = f"""
+WITH {shingle_cte},
+seeded AS (
+    SELECT doc_id, seeds.seed,
+           md5(concat(CAST(seeds.seed AS VARCHAR), '#', shingle)) AS hv
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+),
+mins AS (SELECT doc_id, seed, min(hv) AS minh FROM seeded GROUP BY doc_id, seed)
+SELECT doc_id, md5(string_agg(minh, '|' ORDER BY seed)) AS sig_md5
+FROM mins GROUP BY doc_id ORDER BY doc_id
+"""
+    lang_fracs = ", ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({markers}, t))) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS f_{lang}"
+        for lang, markers in {
+            "en": "['the','and','of','to','a','in','is']",
+            "de": "['der','die','das','und','ist','nicht']",
+            "es": "['el','la','los','es','de','que']",
+            "fr": "['le','la','les','est','une','des']",
+        }.items()
+    )
+    text_quality = f"""
+WITH toksd AS (
+    SELECT doc_id, text, {_TOKENIZE_SQL} AS toks FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(floor(length(text) / 4.0) AS INTEGER) AS est_tokens,
+           {lang_fracs},
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio
+    FROM toksd
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, est_tokens,
+       CASE WHEN f_fr > greatest(0.01, f_en, f_de, f_es) THEN 'fr'
+            WHEN f_es > greatest(0.01, f_en, f_de) THEN 'es'
+            WHEN f_de > greatest(0.01, f_en) THEN 'de'
+            WHEN f_en > 0.01 THEN 'en'
+            ELSE 'und' END AS lang_guess,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             + least(distinct_ratio, 1.0) * 0.4, 6) AS quality
+FROM feats ORDER BY doc_id
+"""
+    fingerprint = f"""
+WITH toksd AS (
+    SELECT doc_id, text, {_TOKENIZE_SQL} AS toks FROM documents
+),
+fp AS (SELECT doc_id, md5({norm_sql}) AS fp FROM documents),
+wins AS (
+    SELECT doc_id,
+           unnest(range(0, greatest(CAST(floor((len(toks) - 32) / 16.0) AS BIGINT) + 1, 1))) AS pos,
+           toks
+    FROM toksd
+),
+roll AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(toks[pos*16+1 : pos*16+32], ' ')) AS wfp
+    FROM wins
+),
+agg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT wfp) AS BIGINT) AS n_distinct
+    FROM roll GROUP BY doc_id
+)
+SELECT fp.doc_id, fp.fp, agg.n_windows, agg.n_distinct
+FROM fp JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+    cosine_core = """
+v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings
+)
+"""
+    cosine_topk = f"""
+WITH {cosine_core},
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 5),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           list_dot_product(qv, ve)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cosine
+    FROM q CROSS JOIN v
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+    embedding_near_dup = f"""
+WITH {cosine_core}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.ve, b.ve)
+             / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
+FROM v a CROSS JOIN v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.ve, b.ve)
+        / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.5
+"""
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -347,6 +627,14 @@ FROM norm
         "jaccard_rerank": jaccard,
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,
+        "exact_dedup": exact_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard,
+        "simhash": simhash,
+        "minhash_sig": minhash_sig,
+        "text_quality": text_quality,
+        "fingerprint": fingerprint,
+        "cosine_topk": cosine_topk,
+        "embedding_near_dup": embedding_near_dup,
     }
 
 

@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference analogue (the reference is a serving loop); these are the
+table-scale companions a 100 TB corpus needs before indexing/training:
+
+- ``exact_dedup``          hash-groupBy on normalized text
+- ``ngram_jaccard_pairs``  n-gram shingle Jaccard between candidate pairs
+- ``minhash_lsh_dedup``    MinHash signatures + LSH banding -> near-dup
+                           candidate pairs with exact-Jaccard verify
+- ``simhash_dedup``        64-bit SimHash + Hamming-band buckets
+- ``embedding_near_dup``   cosine near-duplicates over a vector column
+
+Portability note: every hash below is built from md5 (``F.md5`` /
+DuckDB ``md5``) so the DuckDB oracles compute IDENTICAL buckets —
+xxhash64 exists in both engines but with different parameterizations.
+MinHash uses the lexicographic MIN of md5 hex digests per seed: a
+valid min-wise permutation family that needs no integer conversion.
+
+Scale notes:
+- exact dedup is one hash agg (map-side combinable).
+- LSH: shingling explodes ~|doc| rows but collapses immediately into
+  per-(seed) min aggregations (combinable); the band self-join joins
+  on (band_id, band_hash) — bounded bucket sizes, AQE-skew tolerant;
+  candidate verification only touches pairs sharing a bucket.
+- simhash: one pass to signatures, self-join on rotated band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import tokenize_for_scoring
+
+
+def normalized_text(col):
+    """Dedup normalization: lowercase, collapse whitespace runs."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One survivor (min id) per normalized-text group:
+    (doc_id, n_dups) for survivors only."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), normalized_text(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams of the tokenized text."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_for_scoring(F.col(text_col)).alias("toks")
+    )
+    # n-gram i -> join of toks[i..i+n); built-ins only
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+            )
+        ).alias("shingle"),
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+    return grams.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
+        "doc_a", "doc_b", "shingle"
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (a.doc_b == b.doc_b) & (a.shingle == b.shingle_b))
+        .groupBy("doc_a", a.doc_b)
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<string>): per-seed lexicographic-min md5 of
+    shingles — a min-wise family portable to the DuckDB oracle."""
+    sh = shingles(docs, shingle_n, id_col, text_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))).alias("h"),
+    )
+    per_seed = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    return per_seed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("s")
+    ).select("doc_id", F.transform("s", lambda x: x["minh"]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs sharing >=1 LSH band bucket."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), "|"
+            )
+        ).alias("bucket"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard
+    >= threshold. Returns (doc_a, doc_b, jaccard)."""
+    sig = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col)
+    cands = minhash_lsh_candidates(sig, n_bands, n_hashes // n_bands)
+    verified = ngram_jaccard_pairs(docs, cands, shingle_n, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash: bigint): sign-aggregated token hashes.
+
+    Token hash = first 16 hex chars of md5 (portable); bit b of the
+    signature is 1 when the tf-weighted sum of (bit set ? +1 : -1)
+    over tokens is positive."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_for_scoring(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    )
+    perbit = h.select(
+        "doc_id",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        (
+            F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias("w"),
+    )
+    bitsum = perbit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(bit as int))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within Hamming distance, found by
+    4-band bucketing (any pair with distance <= 3 shares at least one
+    16-bit band exactly — pigeonhole)."""
+    bands = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, cast(band * 16 as int)) & 65535").alias("band_key"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_key")
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Sandbox implementation is the exact O(n^2) pairs join (fine at test
+    scale); the scale path buckets by coarse LSH first — see
+    operators/similarity.py for the bucketed variant this composes with."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_survivors(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id of each near-dup cluster (union-find-lite:
+    a doc survives unless it appears as the larger side of any pair)."""
+    losers = dup_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

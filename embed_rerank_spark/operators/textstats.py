@@ -1,0 +1,151 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure JVM-side expressions (whole-stage codegen; no Python) —
+the per-row work a 100 TB ingest pipeline runs on every document.
+The token-count semantics mirror the reference's usage accounting
+(whitespace split, ``embedding_service.py:107``) and its ~4-chars-per-
+token estimate (``text_utils.py:63``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import tokenize_for_scoring
+
+# tiny per-language stopword signatures for the n-gram/stopword
+# heuristic language detector (deterministic, oracle-portable)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "es", "de", "que"],
+    "fr": ["le", "la", "les", "est", "une", "des"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (reference usage accounting)."""
+    return F.size(tokenize_for_scoring(col))
+
+
+def token_estimate(col: Column) -> Column:
+    """chars//4 token estimate (reference text_utils.py:63)."""
+    return (F.length(col) / 4).cast("int")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: split on whitespace AND punctuation/digit
+    boundaries — a regex stand-in for BPE fragment counting."""
+    pieces = F.split(
+        F.trim(F.lower(col)), r"(\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^\w\s])|(?<=[^\w\s]))"
+    )
+    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+
+
+def lang_scores(col: Column) -> Column:
+    """map<lang, double>: fraction of tokens matching each language's
+    stopword signature."""
+    toks = tokenize_for_scoring(col)
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        frac = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))) / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+        entries.extend([F.lit(lang), frac])
+    return F.create_map(*entries)
+
+
+def lang_id(col: Column, min_score: float = 0.01) -> Column:
+    """Best-scoring language or 'und' when nothing clears min_score."""
+    toks = tokenize_for_scoring(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(float(min_score))
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        frac = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))) / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+        is_better = frac > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, frac).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, punctuation/digit/upper
+    ratios, mean word length, stopword ratio, distinct-token ratio."""
+    c = F.col(text_col)
+    toks = tokenize_for_scoring(c)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    en = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / n_chars).alias("punct_ratio"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")) / n_chars).alias("digit_ratio"),
+        (F.length(F.regexp_replace(c, r"[^A-Z]", "")) / n_chars).alias("upper_ratio"),
+        (F.length(F.regexp_replace(c, r"\s", "")) / n_toks).alias("mean_word_len"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / n_toks).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct(toks)) / n_toks).alias("distinct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short/too-long docs,
+    reward moderate punctuation + high distinct ratio. Deterministic
+    arithmetic (oracle-portable)."""
+    f = quality_features(docs, id_col, text_col)
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000), 1.0).otherwise(0.3)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    return f.select(
+        "doc_id",
+        F.round(
+            len_ok * 0.4 + punct_ok * 0.2 + F.least(F.col("distinct_ratio"), F.lit(1.0)) * 0.4,
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): md5 of the dedup-normalized text — the content
+    fingerprint for exact-dup detection and lineage."""
+    from .dedup import normalized_text
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    window_tokens: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp): md5 fingerprints of overlapping token windows
+    — the building block for contained-duplicate (quote) detection."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_for_scoring(F.col(text_col)).alias("toks")
+    )
+    n_windows = F.greatest(
+        F.floor((F.size("toks") - window_tokens) / stride).cast("int") + 1, F.lit(1)
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("toks", F.col("pos") * stride + 1, window_tokens), " ")).alias(
+            "fp"
+        ),
+    )

@@ -1,0 +1,102 @@
+"""Dedup operator tests: exact, minhash-LSH, simhash, embedding
+near-dup — on a corpus with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators import dedup
+
+BASE = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "completely different content about spark query engines and shuffles"),
+    (2, "a third document mentioning embeddings rerank and retrieval stacks"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = list(BASE)
+    # exact dup of 0 (modulo case/whitespace)
+    rows.append((10, "The  quick brown fox JUMPS over the lazy dog again and again today "))
+    # near dup of 1: one word changed
+    rows.append((11, "completely different content about spark query engines and joins"))
+    # near dup of 2: word appended
+    rows.append((12, "a third document mentioning embeddings rerank and retrieval stacks yay"))
+    # unrelated
+    rows.append((13, "nothing in common with anything else whatsoever in this tiny corpus"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: r.n_dups for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2          # 0 and 10 collapse
+    assert 10 not in out
+    assert out[1] == 1 and out[11] == 1  # near-dup is NOT exact-dup
+
+
+def test_shingles(spark, docs):
+    sh = dedup.shingles(docs.filter(F.col("doc_id") == 0), n=3).collect()
+    texts = {r.shingle for r in sh}
+    assert "the quick brown" in texts
+    assert all(len(s.split(" ")) == 3 for s in texts)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame([(1, 11), (1, 13)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert 0.3 < out[(1, 11)] < 1.0     # one word changed -> high but <1
+    assert out[(1, 13)] == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.5, n_hashes=16, n_bands=8)
+    found = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (1, 11) in found
+    assert (2, 12) in found
+    assert all({a, b} != {0, 13} and {a, b} != {1, 13} for a, b in found)
+
+
+def test_minhash_exact_dup_jaccard_one(spark, docs):
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.99, n_hashes=16, n_bands=8)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert rows.get((0, 10)) == pytest.approx(1.0)  # identical after tokenize
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = dedup.simhash_signatures(docs)
+    out = dedup.simhash_near_dup_pairs(sig, max_hamming=10)
+    found = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert found.get((0, 10)) == 0       # exact dup -> identical simhash
+    assert all(0 <= h <= 10 for h in found.values())
+    # the 4x16-bit banding GUARANTEES recall only for hamming <= 3
+    # (pigeonhole); verify the guarantee against driver-side distances
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                assert (a, b) in found, (a, b, h)
+
+
+def test_embedding_near_dup(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # near dup of 0
+            (2, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_near_dup(vecs, 0.95).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert (0, 2) not in out
+
+
+def test_dedup_survivors(spark, docs):
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, n_hashes=16, n_bands=8)
+    kept = {r.doc_id for r in dedup.dedup_survivors(docs, pairs).collect()}
+    assert 11 not in kept and 12 not in kept
+    assert {0, 1, 2, 13} <= kept

@@ -1,0 +1,78 @@
+"""Similarity search: brute-force exactness vs a NumPy oracle, LSH
+bucket consistency + recall on the driver embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, vectors):
+    rows = vectors.orderBy("vec_id").limit(5).collect()
+    return spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rows], "query_id long, qvec array<float>"
+    )
+
+
+def test_bruteforce_matches_numpy_oracle(spark, vectors, queries):
+    got = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    vp = vectors.toPandas()
+    mat = np.array(vp.embedding.tolist(), dtype=np.float64)
+    ids = vp.vec_id.to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for q in queries.collect():
+        qv = np.array(q.qvec, dtype=np.float64)
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(zip(ids, cos), key=lambda x: (-round(x[1], 6), x[0]))[:10]
+        mine = sorted(
+            [(r.vec_id, r.cosine) for r in got if r.query_id == q.query_id],
+            key=lambda x: (-round(x[1], 6), x[0]),
+        )
+        assert [i for i, _ in mine] == [int(i) for i, _ in order]
+        for (_, a), (_, b) in zip(mine, order):
+            assert a == pytest.approx(b, abs=1e-9)
+        # self-match is rank 1 with cosine ~1
+        assert mine[0][0] == q.query_id and mine[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_self_match_and_recall(spark, vectors, queries):
+    exact = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    approx = similarity.lsh_cosine_topk(vectors, queries, k=10, bits=4).collect()
+    # identical vector always lands in the query's own bucket
+    for q in queries.collect():
+        mine = [r.vec_id for r in approx if r.query_id == q.query_id]
+        assert mine and mine[0] == q.query_id
+    # recall vs exact top-10 should be meaningful (4 bits -> 16 buckets)
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for r in approx:
+        total += 0  # count below
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.2
+
+
+def test_lsh_bucket_determinism(spark, vectors):
+    planes = similarity.hyperplanes(64, 8, seed=1)
+    a = similarity.add_lsh_bucket(vectors, planes, "embedding").select("vec_id", "bucket")
+    b = similarity.add_lsh_bucket(vectors, planes, "embedding").select("vec_id", "bucket")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    n_buckets = a.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 256

@@ -1,0 +1,117 @@
+"""Text-analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators import multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a house is in the garden"),
+            (1, "der hund und die katze ist nicht das problem"),
+            (2, "el perro es de la casa que los gatos"),
+            (3, "xxxxx yyyyy zzzzz qqqqq wwwww"),
+            (4, "Numbers 123 and punct!!! ... ??? mixed, content; here."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_counts(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select("doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    assert out[0] == 12 and out[3] == 5
+    est = docs.select(textstats.token_estimate(F.col("text")).alias("e")).collect()
+    assert all(r.e >= 0 for r in est)
+    bpe = {r.doc_id: r.n for r in docs.select("doc_id", textstats.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert bpe[4] > out[4]  # punctuation splits add fragments beyond whitespace count
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang for r in docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality(spark, docs):
+    q = {r.doc_id: r.quality for r in textstats.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    # short gibberish doc scores below the clean english doc
+    assert q[3] < q[0] or q[3] == pytest.approx(q[0])
+    feats = textstats.quality_features(docs).collect()
+    row4 = next(r for r in feats if r.doc_id == 4)
+    assert row4.punct_ratio > 0 and row4.digit_ratio > 0
+
+
+def test_fingerprints(spark, docs):
+    fp = textstats.fingerprint(docs).collect()
+    assert len({r.fp for r in fp}) == len(fp)  # all distinct texts
+    dup = spark.createDataFrame(
+        [(0, "THE cat and the dog   of a house is in the garden")],
+        "doc_id long, text string",
+    )
+    fp0 = textstats.fingerprint(docs.filter(F.col("doc_id") == 0)).first().fp
+    assert textstats.fingerprint(dup).first().fp == fp0  # normalization
+
+
+def test_rolling_fingerprints(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = textstats.rolling_fingerprints(docs, window_tokens=32, stride=16).collect()
+    assert len(out) == 5  # (100-32)/16+1
+    assert len({r.fp for r in out}) == 5
+
+
+# ---------------- multimodal ----------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.generate_fake_media(spark, 30).cache()
+
+
+def test_media_metadata_jvm_only(spark, media):
+    m = multimodal.media_metadata(media).collect()
+    assert len(m) == 30
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in m)
+    kinds = {r.kind for r in m}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction_deterministic(spark, media):
+    a = {r.media_id: tuple(r.features) for r in multimodal.extract_features(media).collect()}
+    b = {r.media_id: tuple(r.features) for r in multimodal.extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == multimodal.FEATURE_DIM for v in a.values())
+    # content-keyed: same bytes -> same features
+    import numpy as np
+
+    p = media.filter(F.col("media_id") == 0).first().payload
+    expect = multimodal.deterministic_fake_features(bytes(p))
+    np.testing.assert_allclose(np.array(a[0]), expect, rtol=1e-6)
+
+
+def test_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"xx")
+
+
+def test_frame_sampling_plan(spark, media):
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=16).collect()
+    assert frames
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(len(idxs)))
+        assert len(idxs) <= 16
+        assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
