@@ -250,6 +250,90 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(roll, "doc_id").orderBy("doc_id")
 
 
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact shingle-Jaccard verification (all
+    candidate pairs kept so the oracle checks banding + verification)."""
+    from embed_rerank_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.0)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_extract_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical extraction invariant, in the driver gate: all
+    three truncation strategies (T1 truncate / T2 extract / T3
+    smart_truncate, reference text_utils.py:52-141) at max_tokens=64
+    over a sentence-ful derivation of the documents table. The DuckDB
+    oracle re-implements every branch in SQL, so any byte drift in the
+    pandas-UDF kernels fails the hash compare."""
+    from embed_rerank_spark.functions.udfs import make_extract_udf
+
+    stext = F.expr("replace(text, ' value', '. value')")
+    docs = _docs(spark, sf_dir).select("doc_id", stext.alias("t"))
+    cols = {"trunc": "truncate", "extracted": "extract", "smart": "smart_truncate"}
+    out = docs
+    for name, strategy in cols.items():
+        udf = make_extract_udf(
+            max_tokens=64, absolute_max_tokens=10**6, strategy=strategy
+        )
+        out = out.withColumn(name, udf(F.col("t")).getField("text"))
+    return out.select("doc_id", "trunc", "extracted", "smart").orderBy("doc_id")
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window rollup per event_type over the events
+    table (F.window — identical code path under Structured Streaming)."""
+    from embed_rerank_spark.operators.events import tumbling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_counts(ev).orderBy("window_start", "event_type")
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (F.session_window, 30-min gap)."""
+    from embed_rerank_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev).orderBy("user_id", "session_start")
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on deterministic fake media:
+    metadata pass (JVM-only), mapInPandas feature extraction over the
+    binary column, video frame-sampling plan. Deterministic in content
+    but not SQL-expressible (sha256-seeded features) — rows-only."""
+    from embed_rerank_spark.operators.multimodal import (
+        extract_features,
+        generate_fake_media,
+        media_metadata,
+        sample_frames,
+    )
+
+    media = generate_fake_media(spark, 200, seed=7)
+    meta = media_metadata(media)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            ),
+            3,
+        ).alias("feat_sqnorm"),
+    )
+    frames = (
+        sample_frames(media)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        meta.join(feats, "media_id")
+        .join(frames, "media_id", "left")
+        .fillna({"n_frames": 0})
+        .orderBy("media_id")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 over the embeddings table (first 5 vectors
     as queries) — the similarity-search correctness baseline."""
@@ -302,6 +386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash": q_simhash,
         "minhash_sig": q_minhash_sig,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "extract_strategies": q_extract_strategies,
+        "events_tumbling": q_events_tumbling,
+        "events_session": q_events_session,
+        "media_pipeline": q_media_pipeline,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -586,6 +675,143 @@ agg AS (
 SELECT fp.doc_id, fp.fp, agg.n_windows, agg.n_distinct
 FROM fp JOIN agg USING (doc_id) ORDER BY doc_id
 """
+    minhash_lsh_dedup = f"""
+WITH {shingle_cte},
+seeded AS (
+    SELECT doc_id, seeds.seed,
+           md5(concat(CAST(seeds.seed AS VARCHAR), '#', shingle)) AS hv
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+),
+mins AS (SELECT doc_id, seed, min(hv) AS minh FROM seeded GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, b.band,
+           md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+    FROM banded a JOIN banded bb USING (band, bucket)
+    WHERE a.doc_id < bb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+    # extraction invariant oracle: every branch of T1/T2/T3 at
+    # max_tokens=64 (max_chars=256), over sentence-ful derived text
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    extract_strategies = f"""
+WITH base AS (
+    SELECT doc_id, replace(text, ' value', '. value') AS t FROM documents
+),
+core AS (
+    SELECT doc_id, t,
+           CAST(floor(length(t) / 4.0) AS BIGINT) AS est,
+           trim(t, {ws}) AS s
+    FROM base
+),
+core2 AS (
+    SELECT doc_id, t, est, s,
+           CAST(floor(length(s) / 4.0) AS BIGINT) AS ot,
+           substr(s, 1, 256) AS cut
+    FROM core
+),
+t1 AS (
+    SELECT doc_id,
+           CASE WHEN length(s) <= 256 THEN s
+                ELSE (CASE WHEN last_sp > 256 * 0.8
+                           THEN substr(cut, 1, last_sp) ELSE cut END) || '...'
+           END AS v
+    FROM (
+        SELECT doc_id, s, cut,
+               CASE WHEN strpos(reverse(cut), ' ') = 0 THEN -1
+                    ELSE length(cut) - strpos(reverse(cut), ' ')
+               END AS last_sp
+        FROM core2)
+),
+sent AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(s, '[.!?]+'),
+                                      x -> trim(x, {ws})),
+                       x -> x <> '') AS sents
+    FROM core2
+),
+t2 AS (
+    SELECT core2.doc_id,
+           CASE WHEN len(sents) <= 1 THEN s ELSE sents[1] || '.' END AS v
+    FROM core2 JOIN sent USING (doc_id)
+),
+smart_k AS (
+    SELECT doc_id, sents,
+           len(list_filter(
+               list_transform(range(1, len(sents) + 1),
+                   i -> list_sum(list_transform(sents[1:i], x -> length(x) + 2))),
+               c -> c <= 256)) AS k
+    FROM sent
+),
+t3 AS (
+    SELECT core2.doc_id,
+           CASE WHEN length(s) <= 256 THEN s
+                WHEN k >= 1 THEN array_to_string(sents[1:k], '. ') || '.'
+                ELSE t1.v
+           END AS v
+    FROM core2 JOIN smart_k USING (doc_id) JOIN t1 USING (doc_id)
+)
+SELECT core2.doc_id,
+       CASE WHEN est <= 64 THEN t WHEN ot <= 64 THEN s ELSE t1.v END AS trunc,
+       CASE WHEN est <= 64 THEN t WHEN ot <= 64 THEN s ELSE t2.v END AS extracted,
+       CASE WHEN est <= 64 THEN t WHEN ot <= 64 THEN s ELSE t3.v END AS smart
+FROM core2
+JOIN t1 USING (doc_id) JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+    # time_bucket keeps µs precision (no float epoch); 5-min buckets
+    # from the 2000-01-03 origin coincide with Spark's epoch-aligned
+    # windows (origin offset is an exact multiple of 300s)
+    events_tumbling = """
+SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # gap comparisons at µs precision (Spark's session_window merges
+    # iff next_start < prev_start + gap, exact in microseconds);
+    # reported boundaries are floor-seconds like Spark unix_timestamp
+    events_session = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS eus FROM events
+),
+lagged AS (
+    SELECT user_id, eus,
+           CASE WHEN lag(eus) OVER w IS NULL
+                  OR eus - lag(eus) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus)
+),
+sess AS (
+    SELECT user_id, eus,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY eus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM lagged
+)
+SELECT user_id, min(eus) // 1000000 AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events, max(eus) // 1000000 AS session_end
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
     cosine_core = """
 v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -631,6 +857,10 @@ WHERE a.vec_id < b.vec_id
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash": simhash,
         "minhash_sig": minhash_sig,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "extract_strategies": extract_strategies,
+        "events_tumbling": events_tumbling,
+        "events_session": events_session,
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
