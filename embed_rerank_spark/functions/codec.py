@@ -31,12 +31,15 @@ BLOCK_SIZE = 128
 _MAX_VB_BYTES = 10  # ceil(64/7)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """LEB128 varbyte encode of a uint64 array (high bit = continue)."""
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varbyte encode of a uint64 array (high bit = continue).
+    Returns (stream, per-value byte counts) — the counts let callers
+    slice one big encoded stream into per-block payloads without
+    re-encoding (the vectorized partition encoder relies on this)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     groups = np.empty((n, _MAX_VB_BYTES), dtype=np.uint8)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v.copy()
@@ -50,7 +53,12 @@ def vb_encode(values: np.ndarray) -> bytes:
     # continuation bit on every byte except the last of each value
     cont = cols[None, :] < (nbytes - 1)[:, None]
     groups = np.where(cont, groups | 0x80, groups)
-    return groups[used].tobytes()
+    return groups[used].tobytes(), nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """LEB128 varbyte encode of a uint64 array (high bit = continue)."""
+    return vb_encode_with_lengths(values)[0]
 
 
 def vb_decode(data: bytes, count: int | None = None) -> np.ndarray:
@@ -102,6 +110,25 @@ def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return _unbias(np.cumsum(deltas.astype(np.uint64), dtype=np.uint64))
+
+
+def delta_decode_blocks(deltas: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
+    """Decode a CONCATENATED delta stream holding many blocks (first
+    value of each block absolute-biased) in one vectorized pass.
+
+    Uses a global cumsum then subtracts, per block, the cumsum value
+    just before the block start — all arithmetic is modular uint64, so
+    wraparound cancels exactly.
+    """
+    d = np.ascontiguousarray(deltas, dtype=np.uint64)
+    starts = np.asarray(block_starts, dtype=np.int64)
+    if len(d) == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(d, dtype=np.uint64)
+    prior = np.where(starts > 0, c[np.maximum(starts, 1) - 1], np.uint64(0))
+    reps = np.diff(np.append(starts, len(d)))
+    u = c - np.repeat(prior, reps)
+    return _unbias(u)
 
 
 @dataclass

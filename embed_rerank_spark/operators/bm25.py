@@ -49,9 +49,36 @@ def term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def term_freqs_dl(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl) in ONE aggregation: dl (= size of the
+    token array) rides along on every exploded token row and survives
+    the map-side combine as ``first(dl)`` — this removes the
+    tf-join-doc_lengths shuffle that a separate dl table would cost
+    (one full extra shuffle of the tf table at 100 TB)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_for_scoring(F.col(text_col)).alias("toks")
+    )
+    return (
+        toks.select(
+            "doc_id", F.explode("toks").alias("term"), F.size("toks").alias("dl")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
 def doc_lengths(tf: DataFrame) -> DataFrame:
     """(doc_id, dl) from the tf table (dl = total token occurrences)."""
     return tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def doc_lengths_direct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) straight from the text — a shuffle-free projection
+    (docs with zero tokens are excluded, matching ``doc_lengths``)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_for_scoring(F.col(text_col))).alias("dl"),
+    ).filter(F.col("dl") > 0)
 
 
 def corpus_stats(dl: DataFrame) -> DataFrame:
@@ -88,10 +115,10 @@ def bm25_scores_bruteforce(
     query. Declarative plan: Catalyst broadcasts the query-term side
     (tiny) into the tf scan, so the only big shuffles are the two hash
     aggs building tf and df."""
-    tf = term_freqs(docs, id_col, text_col)
-    dl = doc_lengths(tf)
+    tfdl = term_freqs_dl(docs, id_col, text_col)
+    dl = doc_lengths_direct(docs, id_col, text_col)
     stats = corpus_stats(dl)
-    df = doc_freqs(tf)
+    df = doc_freqs(tfdl)
 
     idf = (
         df.crossJoin(F.broadcast(stats))
@@ -104,9 +131,8 @@ def bm25_scores_bruteforce(
 
     matched = (
         F.broadcast(qterms)
-        .join(tf, "term")
+        .join(tfdl, "term")
         .join(idf, "term")
-        .join(dl, "doc_id")
         .withColumn(
             "term_score",
             F.col("idf")

@@ -40,8 +40,8 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codec import BLOCK_SIZE, encode_posting_list
-from .bm25 import corpus_stats, doc_freqs, doc_lengths, term_freqs
+from ..functions.codec import BLOCK_SIZE
+from .bm25 import corpus_stats, doc_freqs, doc_lengths_direct, term_freqs_dl
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id int, first_doc long, last_doc long, "
@@ -66,88 +66,111 @@ _ARROW_OUT = pa.schema(
 )
 
 
+def encode_grouped_rows(
+    terms_dict: pa.Array,
+    tidx: np.ndarray,
+    shard: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    block_size: int,
+) -> Iterator[pa.RecordBatch]:
+    """Vectorized block encoder over grouped rows.
+
+    Input: one partition's rows with groups (term, shard) CONTIGUOUS
+    and doc_id strictly ascending within each group. ``terms_dict`` is
+    the partition's term dictionary; ``tidx`` maps each row to it —
+    term strings never round-trip through Python.
+
+    Everything is computed array-at-a-time: group/block boundaries via
+    change masks, per-block headers via ``np.{maximum,minimum}.reduceat``,
+    and ONE varbyte encode of the whole partition per stream, sliced
+    into per-block payloads by byte offsets (``vb_encode_with_lengths``).
+    """
+    from ..functions.codec import vb_encode_with_lengths  # noqa: PLC0415
+
+    n = len(doc)
+    if n == 0:
+        return
+    doc = np.ascontiguousarray(doc, dtype=np.int64)
+    tf = np.ascontiguousarray(tf, dtype=np.int64)
+    dl = np.ascontiguousarray(dl, dtype=np.int64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (tidx[1:] != tidx[:-1]) | (shard[1:] != shard[:-1])
+    gstart_idx = np.flatnonzero(change)
+    gid = np.cumsum(change) - 1
+    pos = np.arange(n, dtype=np.int64) - gstart_idx[gid]
+    bmask = (pos % block_size) == 0
+    bstarts = np.flatnonzero(bmask)
+    bends = np.append(bstarts[1:], n)
+
+    # strict ascending within groups (doc unique per (term, shard))
+    if n > 1:
+        viol = (doc[1:] <= doc[:-1]) & ~change[1:]
+        if viol.any():
+            raise ValueError("doc ids must be strictly ascending within groups")
+
+    from ..functions.codec import _bias  # noqa: PLC0415
+
+    u = _bias(doc)
+    delta = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        np.subtract(u[1:], u[:-1], out=delta[1:])
+    delta[bstarts] = u[bstarts]
+
+    docs_stream, docs_nb = vb_encode_with_lengths(delta)
+    tfs_stream, tfs_nb = vb_encode_with_lengths(tf.astype(np.uint64))
+    dls_stream, dls_nb = vb_encode_with_lengths(dl.astype(np.uint64))
+    docs_off = np.concatenate(([0], np.cumsum(docs_nb)))
+    tfs_off = np.concatenate(([0], np.cumsum(tfs_nb)))
+    dls_off = np.concatenate(([0], np.cumsum(dls_nb)))
+
+    docs_bin = [docs_stream[docs_off[s] : docs_off[e]] for s, e in zip(bstarts, bends)]
+    tfs_bin = [tfs_stream[tfs_off[s] : tfs_off[e]] for s, e in zip(bstarts, bends)]
+    dls_bin = [dls_stream[dls_off[s] : dls_off[e]] for s, e in zip(bstarts, bends)]
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            pc.take(terms_dict, pa.array(tidx[bstarts], type=pa.int64())),
+            pa.array(shard[bstarts].astype(np.int32)),
+            pa.array((pos[bstarts] // block_size).astype(np.int32)),
+            pa.array(doc[bstarts]),
+            pa.array(doc[bends - 1]),
+            pa.array((bends - bstarts).astype(np.int32)),
+            pa.array(np.maximum.reduceat(tf, bstarts).astype(np.int32)),
+            pa.array(np.minimum.reduceat(dl, bstarts).astype(np.int32)),
+            pa.array(docs_bin, type=pa.binary()),
+            pa.array(tfs_bin, type=pa.binary()),
+            pa.array(dls_bin, type=pa.binary()),
+        ],
+        schema=_ARROW_OUT,
+    )
+
+
 def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
-    """Streaming encoder over one partition of (shard, term, doc_id,
-    tf, dl) rows sorted by (shard, term, doc_id). Group runs can span
-    Arrow batches; a carry buffer holds the open group.
+    """Vectorized encoder over one partition of (shard, term, doc_id,
+    tf, dl) rows sorted by (term, shard, doc_id).
 
-    The carry MUST deep-copy its slices: ``to_numpy`` on Arrow columns
-    can be zero-copy views into stream buffers that are recycled on the
-    next batch (observed as corrupted doc ids when carried across)."""
-    carry: dict[str, np.ndarray] | None = None
-    carry_key: tuple[int, str] | None = None
-
-    def flush(shard, term, docs, tfs, dls, out):
-        for blk in encode_posting_list(docs, tfs, dls, block_size):
-            out["term"].append(term)
-            out["shard"].append(int(shard))
-            out["block_id"].append(blk.block_id)
-            out["first_doc"].append(blk.first_doc)
-            out["last_doc"].append(blk.last_doc)
-            out["n_docs"].append(blk.n_docs)
-            out["max_tf"].append(blk.max_tf)
-            out["min_dl"].append(blk.min_dl)
-            out["docs_bin"].append(blk.docs_bin)
-            out["tfs_bin"].append(blk.tfs_bin)
-            out["dls_bin"].append(blk.dls_bin)
-
-    def new_out():
-        return {name: [] for name in _ARROW_OUT.names}
-
-    for batch in batches:
-        shard = batch.column("shard").to_numpy(zero_copy_only=False)
-        term_col = batch.column("term")
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = batch.column("tf").to_numpy(zero_copy_only=False)
-        dl = batch.column("dl").to_numpy(zero_copy_only=False)
-        n = len(doc)
-        if n == 0:
-            continue
-        # group boundaries: change in (shard, term) — vectorized
-        if n > 1:
-            term_change = pc.not_equal(
-                term_col.slice(1), term_col.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
-            change = (shard[1:] != shard[:-1]) | term_change
-            bounds = [0, *list(np.flatnonzero(change) + 1), n]
-        else:
-            bounds = [0, n]
-
-        out = new_out()
-        first_key = (int(shard[0]), term_col[0].as_py())
-        if carry is not None and first_key != carry_key:
-            # previous batch ended exactly on a group boundary
-            flush(carry_key[0], carry_key[1], carry["doc"], carry["tf"], carry["dl"], out)
-            carry = None
-
-        last_gi = len(bounds) - 2
-        for gi in range(len(bounds) - 1):
-            s, e = bounds[gi], bounds[gi + 1]
-            key = (int(shard[s]), term_col[s].as_py())
-            g_doc, g_tf, g_dl = doc[s:e], tf[s:e], dl[s:e]
-            if gi == 0 and carry is not None:  # continuation of carry_key
-                g_doc = np.concatenate([carry["doc"], g_doc])
-                g_tf = np.concatenate([carry["tf"], g_tf])
-                g_dl = np.concatenate([carry["dl"], g_dl])
-                carry = None
-            if gi == last_gi:
-                # last group may continue into the next batch; COPY out
-                # of the Arrow-backed views (buffers get recycled)
-                carry = {
-                    "doc": np.array(g_doc, copy=True),
-                    "tf": np.array(g_tf, copy=True),
-                    "dl": np.array(g_dl, copy=True),
-                }
-                carry_key = key
-            else:
-                flush(key[0], key[1], g_doc, g_tf, g_dl, out)
-        if out["term"]:
-            yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
-
-    if carry is not None and carry_key is not None:
-        out = new_out()
-        flush(carry_key[0], carry_key[1], carry["doc"], carry["tf"], carry["dl"], out)
-        yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
+    The partition is materialized once (a shuffle partition is sized to
+    fit executor memory by construction — `spark.sql.shuffle.partitions`
+    / AQE own that invariant), then encoded array-at-a-time by
+    ``encode_grouped_rows``: no per-group Python, no per-row ``as_py``.
+    """
+    batch_list = [b for b in batches if b.num_rows > 0]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    dict_enc = pc.dictionary_encode(tbl.column("term").chunk(0))
+    tidx = dict_enc.indices.to_numpy(zero_copy_only=False)
+    terms_dict = dict_enc.dictionary
+    shard = tbl.column("shard").chunk(0).to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").chunk(0).to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False)
+    dl = tbl.column("dl").chunk(0).to_numpy(zero_copy_only=False)
+    yield from encode_grouped_rows(terms_dict, tidx, shard, doc, tf, dl, block_size)
 
 
 def shard_expr(doc_col, n_shards: int):
@@ -168,21 +191,26 @@ def build_postings(
     Returns dict of DataFrames: postings, term_stats, doc_stats,
     corpus_stats. Nothing is materialized until written/consumed.
     """
-    tf = term_freqs(docs, id_col, text_col)
-    dl = doc_lengths(tf)
-    tfdl = tf.join(dl, "doc_id").withColumn("shard", shard_expr(F.col("doc_id"), n_shards))
+    tfdl = term_freqs_dl(docs, id_col, text_col).withColumn(
+        "shard", shard_expr(F.col("doc_id"), n_shards)
+    )
 
     n_parts = num_partitions or max(
         n_shards, docs.sparkSession.sparkContext.defaultParallelism
     )
+    # hash by (shard, term) — a hot term still spreads over its doc
+    # shards — but SORT by (term, shard, doc_id): row groups in the
+    # written parquet are then term-ordered, so query-time
+    # ``term IN (...)`` pushdown skips row groups by min/max stats
     sorted_rows = tfdl.repartition(n_parts, "shard", "term").sortWithinPartitions(
-        "shard", "term", "doc_id"
+        "term", "shard", "doc_id"
     )
     postings = sorted_rows.mapInArrow(
         lambda it: _encode_partition(it, block_size), POSTINGS_SCHEMA
     )
 
-    term_stats = doc_freqs(tf)
+    term_stats = doc_freqs(tfdl)
+    dl = doc_lengths_direct(docs, id_col, text_col)
     doc_stats = dl.withColumn("shard", shard_expr(F.col("doc_id"), n_shards))
     cstats = corpus_stats(dl)
     return {
@@ -213,9 +241,7 @@ def lineage_manifest(postings: DataFrame, doc_stats: DataFrame) -> DataFrame:
 
 
 def write_index(index: dict[str, DataFrame], path: str) -> None:
-    index["postings"].write.mode("overwrite").partitionBy("shard").parquet(
-        f"{path}/postings"
-    )
+    index["postings"].write.mode("overwrite").parquet(f"{path}/postings")
     index["term_stats"].write.mode("overwrite").parquet(f"{path}/term_stats")
     index["doc_stats"].write.mode("overwrite").parquet(f"{path}/doc_stats")
     index["corpus_stats"].write.mode("overwrite").parquet(f"{path}/corpus_stats")

@@ -41,7 +41,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codec import BLOCK_SIZE, decode_block, encode_posting_list
+from ..functions.codec import BLOCK_SIZE
 from ..functions.udfs import make_extract_udf
 from ..operators.postings import (
     POSTINGS_SCHEMA,
@@ -118,7 +118,9 @@ def build_segment(
     n_quarantined = extracted.filter(F.col("error").isNotNull()).count()
 
     idx = build_postings(clean, n_shards=n_shards, block_size=block_size)
-    idx["postings"].write.mode("overwrite").partitionBy("shard").parquet(f"{seg}/postings")
+    # flat write (no partitionBy): queries filter by TERM, never shard —
+    # the shard column rides along; term-sorted row groups do the pruning
+    idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
     idx["doc_stats"].write.mode("overwrite").parquet(f"{seg}/doc_stats")
 
     written = spark.read.parquet(f"{seg}/postings")
@@ -188,46 +190,64 @@ _MERGE_IN = (
 )
 
 
+def _concat_binary(arr: pa.Array) -> tuple[memoryview, np.ndarray]:
+    """Zero-copy view of a BinaryArray's payload as one contiguous
+    stream + per-row byte offsets (the Arrow data buffer already IS
+    the row-order concatenation)."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = memoryview(arr.buffers()[2])
+    return data[offs[0] : offs[-1]], offs - offs[0]
+
+
 def _merge_partition(batches: Iterator[pa.RecordBatch], block_size: int):
-    """Decode -> merge-sort -> re-encode each (shard, term) group.
-    Input rows sorted by (shard, term); doc sets disjoint across
-    segments but interleaved in id space."""
-    from ..operators.postings import _ARROW_OUT  # noqa: PLC0415
+    """Decode -> merge-sort -> re-encode, fully vectorized.
 
-    groups: dict[tuple[int, str], list] = {}
-    for batch in batches:
-        shard = batch.column("shard").to_numpy(zero_copy_only=False)
-        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
-        term = batch.column("term")
-        docs_b = batch.column("docs_bin")
-        tfs_b = batch.column("tfs_bin")
-        dls_b = batch.column("dls_bin")
-        for i in range(batch.num_rows):
-            key = (int(shard[i]), term[i].as_py())
-            groups.setdefault(key, []).append(
-                decode_block(docs_b[i].as_py(), tfs_b[i].as_py(), dls_b[i].as_py(), int(nd[i]))
-            )
+    Input: one partition of encoded block rows hashed by (shard, term)
+    (doc sets disjoint across segments, interleaved in id space). All
+    blocks of the partition are decoded with ONE varbyte pass per
+    stream (payloads concatenated zero-copy from the Arrow buffers,
+    doc ids recovered by ``delta_decode_blocks``), merge-sorted with a
+    single ``np.lexsort`` on (group, doc), and re-encoded by the same
+    ``encode_grouped_rows`` the first build uses.
+    """
+    from ..functions.codec import delta_decode_blocks, vb_decode  # noqa: PLC0415
+    from ..operators.postings import encode_grouped_rows  # noqa: PLC0415
 
-    out = {name: [] for name in _ARROW_OUT.names}
-    for (shard, term), parts in groups.items():
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        order = np.argsort(docs, kind="stable")
-        for blk in encode_posting_list(docs[order], tfs[order], dls[order], block_size):
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["block_id"].append(blk.block_id)
-            out["first_doc"].append(blk.first_doc)
-            out["last_doc"].append(blk.last_doc)
-            out["n_docs"].append(blk.n_docs)
-            out["max_tf"].append(blk.max_tf)
-            out["min_dl"].append(blk.min_dl)
-            out["docs_bin"].append(blk.docs_bin)
-            out["tfs_bin"].append(blk.tfs_bin)
-            out["dls_bin"].append(blk.dls_bin)
-    if out["term"]:
-        yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
+    batch_list = [b for b in batches if b.num_rows > 0]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    dict_enc = pa.compute.dictionary_encode(tbl.column("term").chunk(0))
+    btidx = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms_dict = dict_enc.dictionary
+    bshard = tbl.column("shard").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    bnd = tbl.column("n_docs").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_values = int(bnd.sum())
+    value_starts = np.concatenate(([0], np.cumsum(bnd)))[:-1]
+
+    docs_stream, _ = _concat_binary(tbl.column("docs_bin").chunk(0))
+    tfs_stream, _ = _concat_binary(tbl.column("tfs_bin").chunk(0))
+    dls_stream, _ = _concat_binary(tbl.column("dls_bin").chunk(0))
+    doc = delta_decode_blocks(vb_decode(docs_stream, n_values), value_starts)
+    tf = vb_decode(tfs_stream, n_values).astype(np.int64)
+    dl = vb_decode(dls_stream, n_values).astype(np.int64)
+
+    # order groups by LEXICOGRAPHIC term (dictionary indices are
+    # appearance-ordered): keeps written row groups term-sorted so the
+    # merged index prunes on term min/max stats like the segment files
+    tsort = np.argsort(terms_dict.to_numpy(zero_copy_only=False))
+    trank = np.empty(len(tsort), dtype=np.int64)
+    trank[tsort] = np.arange(len(tsort))
+    shard_base = int(bshard.max()) + 1
+    row_key = np.repeat(trank[btidx] * shard_base + bshard, bnd)
+    perm = np.lexsort((doc, row_key))
+    tidx_rows = np.repeat(btidx, bnd)[perm]
+    shard_rows = np.repeat(bshard, bnd)[perm]
+    yield from encode_grouped_rows(
+        terms_dict, tidx_rows, shard_rows, doc[perm], tf[perm], dl[perm], block_size
+    )
 
 
 def merge_segments(
@@ -257,7 +277,7 @@ def merge_segments(
         .repartition(n_parts, "shard", "term")
         .mapInArrow(lambda it: _merge_partition(it, block_size), POSTINGS_SCHEMA)
     )
-    merged.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/postings")
+    merged.write.mode("overwrite").parquet(f"{path}/postings")
 
     doc_stats = seg_docstats  # snapshots hold disjoint docs
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
