@@ -334,6 +334,66 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k / nDCG@k of the BM25 ranking against a deterministic
+    judgment set (reference quality harness semantics,
+    quality-rerank-only.py:23-39, as pure window/agg plans)."""
+    from embed_rerank_spark.functions.quality import quality_summary
+
+    ranking = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    qids = ranking.select("query_id").distinct()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    judgments = (
+        qids.crossJoin(docs)
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(
+                (F.col("doc_id") + F.col("query_id")) % 5 == 0,
+                (F.col("doc_id") + F.col("query_id") * 3) % 3 + 1,
+            )
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    out = quality_summary(ranking, judgments, k=TOP_K)
+    return out.select(
+        "query_id",
+        F.round("rr", 6).alias("rr"),
+        F.round("ndcg", 6).alias("ndcg"),
+    ).orderBy("query_id")
+
+
+def q_embed_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding operator end-to-end (E1/E5/E6 + OpenAI dimensions +
+    base64): deterministic sha256-seeded embeddings — not
+    SQL-expressible, rows-only; exact semantics pinned in
+    tests/test_embed_quality_views.py."""
+    from embed_rerank_spark.operators.embed import (
+        base64_embedding_df,
+        embed_texts,
+        openai_dimensions,
+    )
+
+    emb = embed_texts(_docs(spark, sf_dir), hidden=48)
+    b64 = base64_embedding_df(openai_dimensions(emb, 32))
+    digest = emb.select(
+        "doc_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            5,
+        ).alias("sqnorm"),
+    )
+    lens = b64.select("doc_id", F.length("embedding_b64").alias("b64_len"))
+    return digest.join(lens, "doc_id").orderBy("doc_id")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 over the embeddings table (first 5 vectors
     as queries) — the similarity-search correctness baseline."""
@@ -391,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
         "media_pipeline": q_media_pipeline,
+        "quality_metrics": q_quality_metrics,
+        "embed_digest": q_embed_digest,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -778,6 +840,65 @@ FROM core2
 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
 ORDER BY doc_id
 """
+    quality_metrics = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+),
+topk AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}),
+qids AS (SELECT DISTINCT query_id FROM topk),
+jpos AS (
+    SELECT q.query_id, d.doc_id,
+           (d.doc_id + q.query_id * 3) % 3 + 1 AS rel
+    FROM qids q CROSS JOIN (SELECT doc_id FROM documents) d
+    WHERE (d.doc_id + q.query_id) % 5 = 0
+),
+rrq AS (
+    SELECT t.query_id, 1.0 / min(t.rank) AS rr
+    FROM topk t JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+    GROUP BY t.query_id
+),
+dcg AS (
+    SELECT t.query_id,
+           sum((pow(2.0, coalesce(j.rel, 0)) - 1.0) / log2(t.rank + 1.0)) AS dcg
+    FROM topk t
+    LEFT JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+    GROUP BY t.query_id
+),
+ideal AS (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM jpos
+),
+idcg AS (
+    SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+    FROM ideal WHERE irank <= {TOP_K} GROUP BY query_id
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       round(coalesce(rr, 0), 6) AS rr,
+       round(CASE WHEN coalesce(idcg, 0) > 0
+                  THEN coalesce(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg
+FROM qids q
+LEFT JOIN rrq USING (query_id)
+LEFT JOIN dcg USING (query_id)
+LEFT JOIN idcg USING (query_id)
+ORDER BY q.query_id
+"""
     # time_bucket keeps µs precision (no float epoch); 5-min buckets
     # from the 2000-01-03 origin coincide with Spark's epoch-aligned
     # windows (origin offset is an exact multiple of 300s)
@@ -861,6 +982,7 @@ WHERE a.vec_id < b.vec_id
         "extract_strategies": extract_strategies,
         "events_tumbling": events_tumbling,
         "events_session": events_session,
+        "quality_metrics": quality_metrics,
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,

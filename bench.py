@@ -37,8 +37,16 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_SHARDS = 8
+# shard count is a CLUSTER-size constant, not a data-size one: WAND
+# parallelism = shards, so it must be >= the largest core count tested
+# (thousands on a real cluster; 32 here)
+N_SHARDS = 32
 RERANK_HIDDEN = 1024
+N_QUERIES = 256
+# scaling mode needs a compute-bound workload: identical input at both
+# parallelism levels, big enough that per-job fixed costs (session,
+# task launch, file commits) are a small fraction of wall time
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "160000"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -50,11 +58,13 @@ def _sf_from_dir(d: str) -> float:
 
 
 SF = _sf_from_dir(SF_DIR)
-N_PAGES = max(2000, int(400_000 * SF))
+N_PAGES = int(
+    os.environ.get("SPARK_GRAFT_N_PAGES", str(max(2000, int(400_000 * SF))))
+)
 
 
-def query_batch(n: int = 64) -> list[tuple[int, str]]:
-    """Deterministic 64-query batch over the synthetic vocabulary:
+def query_batch(n: int = N_QUERIES) -> list[tuple[int, str]]:
+    """Deterministic query batch over the synthetic vocabulary:
     hot+mid, mid-only, and rare-term shapes."""
     qs = []
     for i in range(n):
@@ -150,20 +160,50 @@ def main() -> None:
         "sf": SF,
         "cpus": CPUS,
         "n_pages": N_PAGES,
-        "wand_qps": round(64 / timings["wand_topk"], 2),
+        "wand_qps": round(N_QUERIES / timings["wand_topk"], 2),
     }
     print(json.dumps(out))
 
 
+def _calib_burn(_: int) -> float:
+    import numpy as np
+
+    x = np.random.default_rng(1).standard_normal(200_000)
+    s = 0.0
+    for _i in range(40):
+        s += float(np.sin(x).sum())
+    return s
+
+
+def cpu_calibration(n_procs: int, n_tasks: int = 64) -> float:
+    """Wall time of an embarrassingly-parallel pure-NumPy workload at
+    ``n_procs`` processes — the HARDWARE scaling ceiling of this box.
+    Virtualized hosts derate per-core speed under full load (all-core
+    turbo / host contention), so even perfect software cannot reach
+    ideal N->4N speedup here; reporting raw AND hardware-normalized
+    efficiency separates the two effects."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        t0 = time.perf_counter()
+        p.map(_calib_burn, range(n_tasks))
+        return time.perf_counter() - t0
+
+
 def scaling_mode() -> None:
     """Same workload at two parallelism levels in fresh subprocesses;
-    prints throughput at both + scaling efficiency."""
+    prints throughput at both + scaling efficiency (raw and normalized
+    by the measured hardware ceiling)."""
     import subprocess
 
     lows, highs = 8, CPUS
     results = {}
     for cores in (lows, highs):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            SPARK_GRAFT_N_PAGES=str(SCALING_PAGES),
+        )
         p = subprocess.run(
             [sys.executable, __file__],
             env=env,
@@ -176,6 +216,9 @@ def scaling_mode() -> None:
     t_high = results[highs]["value"]
     speedup = t_low / t_high
     efficiency = speedup / (highs / lows)
+    calib_low = cpu_calibration(lows)
+    calib_high = cpu_calibration(highs)
+    calib_speedup = calib_low / calib_high
     print(
         json.dumps(
             {
@@ -187,10 +230,14 @@ def scaling_mode() -> None:
                 "sec_low": t_low,
                 "sec_high": t_high,
                 "speedup": round(speedup, 3),
+                "hw_ceiling_speedup": round(calib_speedup, 3),
+                "hw_normalized_efficiency": round(speedup / calib_speedup, 3),
+                "calib_sec_low": round(calib_low, 3),
+                "calib_sec_high": round(calib_high, 3),
                 "per_phase_low": results[lows]["queries"],
                 "per_phase_high": results[highs]["queries"],
                 "sf": SF,
-                "n_pages": N_PAGES,
+                "n_pages": SCALING_PAGES,
             }
         )
     )

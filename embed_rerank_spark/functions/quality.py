@@ -1,0 +1,91 @@
+"""Retrieval quality metrics: MRR@k and nDCG@k as DataFrame plans.
+
+The reference ships a quality harness computing MRR@k / nDCG@k over a
+judgment set (``tools/tests/quality-rerank-only.py:23-39``); here the
+same metrics are pure ``pyspark.sql`` window/aggregation plans over
+(ranking, judgments) tables — they run at any scale and are
+SQL-expressible for the DuckDB oracle.
+
+Inputs:
+- ``ranking``: (query_id, rank, doc_id) with rank starting at 1
+- ``judgments``: (query_id, doc_id, rel) graded relevance (rel > 0 =
+  relevant for MRR; graded for nDCG gains ``2^rel - 1``)
+
+Per-query metrics join then aggregate; queries with NO relevant docs
+score 0 (reference behavior: empty judgment -> 0 contribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mrr_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, rr): reciprocal rank of the FIRST relevant doc within
+    the top-k, 0 when none."""
+    hits = (
+        ranking.filter(F.col("rank") <= k)
+        .join(judgments.filter(F.col("rel") > 0), ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg((F.lit(1.0) / F.min("rank")).alias("rr"))
+    )
+    all_q = ranking.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("rr", F.lit(0.0)).alias("rr")
+    )
+
+
+def ndcg_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, ndcg): DCG with gains ``2^rel - 1`` and log2(rank+1)
+    discounts, normalized by the ideal DCG over that query's judgments
+    (reference ``quality-rerank-only.py:31-39`` semantics)."""
+    gains = (
+        ranking.filter(F.col("rank") <= k)
+        .join(judgments, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .withColumn(
+            "gain",
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0),
+        )
+    )
+    dcg = gains.groupBy("query_id").agg(F.sum("gain").alias("dcg"))
+
+    ideal_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    idcg = (
+        judgments.filter(F.col("rel") > 0)
+        .withColumn("irank", F.row_number().over(ideal_rank))
+        .filter(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    all_q = ranking.select("query_id").distinct()
+    return (
+        all_q.join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0.0,
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+
+
+def quality_summary(
+    ranking: DataFrame, judgments: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-query (query_id, rr, ndcg) — the reference harness's
+    headline numbers are the means of these columns."""
+    return mrr_at_k(ranking, judgments, k).join(
+        ndcg_at_k(ranking, judgments, k), "query_id"
+    )

@@ -63,9 +63,15 @@ def extract_pages(
     absolute_max_tokens: int = 8192,
     strategy: str = "smart_truncate",
 ) -> DataFrame:
-    """pages -> (url, doc_id, text, n_tokens, error). Byte-identical
-    extracted text per url; failures quarantined in ``error``."""
+    """pages -> (url, doc_id, text, n_tokens, dl, error). Byte-identical
+    extracted text per url; failures quarantined in ``error``.
+
+    ``dl`` (scoring-token count of the EXTRACTED text) is computed here
+    so every downstream consumer (doc stats, BM25 length norm) is a
+    projection of this table instead of a re-tokenize pass."""
     extract = make_extract_udf(max_tokens, absolute_max_tokens, strategy)
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+
     return pages.select(
         "url",
         F.xxhash64("url").alias("doc_id"),
@@ -75,6 +81,7 @@ def extract_pages(
         "doc_id",
         F.col("ex.text").alias("text"),
         F.col("ex.processed_tokens").alias("n_tokens"),
+        F.size(tokenize_for_scoring(F.col("ex.text"))).alias("dl"),
         F.col("ex.error").alias("error"),
     )
 
@@ -107,21 +114,31 @@ def build_segment(
     block_size: int = BLOCK_SIZE,
 ) -> dict:
     """Build + commit one snapshot segment. Returns its manifest dict."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     seg = f"{_segment_dirs(path)}/{snap}"
     # one extraction pass: persist the extracted table (it doubles as
     # the segment's forward index for rerank text lookup), then build
     # postings from the parquet — otherwise the UDF recomputes for the
-    # quarantine count, the tf build, and the doc-stats write
-    extract_pages(pages_snapshot).write.mode("overwrite").parquet(f"{seg}/extracted")
+    # tf build and the doc-stats write. The quarantine count piggybacks
+    # on the same write job via Observation (no extra scan).
+    obs = Observation(f"extract-{snap}")
+    extract_pages(pages_snapshot).observe(
+        obs, F.count(F.when(F.col("error").isNotNull(), 1)).alias("quarantined")
+    ).write.mode("overwrite").parquet(f"{seg}/extracted")
+    n_quarantined = int(obs.get["quarantined"])
     extracted = spark.read.parquet(f"{seg}/extracted")
     clean = extracted.filter(F.col("error").isNull())
-    n_quarantined = extracted.filter(F.col("error").isNotNull()).count()
 
     idx = build_postings(clean, n_shards=n_shards, block_size=block_size)
     # flat write (no partitionBy): queries filter by TERM, never shard —
     # the shard column rides along; term-sorted row groups do the pruning
     idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
-    idx["doc_stats"].write.mode("overwrite").parquet(f"{seg}/doc_stats")
+    # doc stats are a pure projection of the extracted table (dl was
+    # computed during extraction) — no re-tokenize, no aggregation
+    clean.select(
+        "doc_id", "dl", shard_expr(F.col("doc_id"), n_shards).alias("shard")
+    ).write.mode("overwrite").parquet(f"{seg}/doc_stats")
 
     written = spark.read.parquet(f"{seg}/postings")
     dstats = spark.read.parquet(f"{seg}/doc_stats")
@@ -163,26 +180,41 @@ def build_incremental(
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
+    max_concurrent: int = 4,
 ) -> list[str]:
     """Build every uncommitted snapshot segment; returns snapshots built.
 
     With ``resume=True`` (default), committed segments are skipped —
     restart-after-kill completes the build with identical bytes (the
-    generator/extraction are deterministic per url)."""
+    generator/extraction are deterministic per url).
+
+    Segments are INDEPENDENT (disjoint doc sets, own directories +
+    commit markers), so up to ``max_concurrent`` build concurrently
+    from driver threads: Spark interleaves their stages onto idle
+    cores, hiding each job's fixed scheduling/commit latency behind
+    another segment's compute — the same overlap a multi-tenant
+    cluster scheduler provides."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     os.makedirs(_segment_dirs(path), exist_ok=True)
     snaps = [
         r[0]
         for r in with_snapshot(pages).select(SNAPSHOT_COL).distinct().orderBy(SNAPSHOT_COL).collect()
     ]
     done = committed_snapshots(path) if resume else set()
-    built = []
-    for snap in snaps:
-        if snap in done:
-            continue
+    todo = [s for s in snaps if s not in done]
+    if not todo:
+        return []
+
+    def run(snap: str) -> str:
         snap_pages = with_snapshot(pages).filter(F.col(SNAPSHOT_COL) == snap)
         build_segment(spark, snap_pages, path, snap, n_shards, block_size)
-        built.append(snap)
-    return built
+        return snap
+
+    if max_concurrent <= 1 or len(todo) == 1:
+        return [run(s) for s in todo]
+    with ThreadPoolExecutor(max_workers=min(max_concurrent, len(todo))) as pool:
+        return list(pool.map(run, todo))
 
 
 _MERGE_IN = (
@@ -279,12 +311,18 @@ def merge_segments(
     )
     merged.write.mode("overwrite").parquet(f"{path}/postings")
 
-    doc_stats = seg_docstats  # snapshots hold disjoint docs
-    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    # corpus stats piggyback on the doc_stats write (one job, no rescan)
+    obs = Observation("merge-corpus-stats")
+    seg_docstats.observe(  # snapshots hold disjoint docs
+        obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/doc_stats")
+    stats = obs.get
+    spark.createDataFrame(
+        [(int(stats["n_docs"]), float(stats["avgdl"]))], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/corpus_stats")
     dl = spark.read.parquet(f"{path}/doc_stats")
-    dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/corpus_stats")
 
     written = spark.read.parquet(f"{path}/postings")
     written.groupBy("term").agg(F.sum("n_docs").alias("df")).write.mode(

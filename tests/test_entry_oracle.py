@@ -75,7 +75,12 @@ def test_query_matches_oracle(name, spark, duck):
 def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only entries are allowed but must be deliberate
-    documented_rows_only = {"rerank_topk", "lsh_ann_topk", "media_pipeline"}
+    documented_rows_only = {
+        "rerank_topk",
+        "lsh_ann_topk",
+        "media_pipeline",
+        "embed_digest",
+    }
     assert missing <= documented_rows_only, missing
 
 
