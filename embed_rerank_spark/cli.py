@@ -1,0 +1,119 @@
+"""spark-submit entrypoint for the engine's batch jobs.
+
+Usage (cluster):
+
+    spark-submit --py-files embed_rerank_spark.zip \
+        -m embed_rerank_spark.cli build-index \
+        --pages /data/pages --index /data/index --shards 4096
+
+    spark-submit ... query --index /data/index \
+        --queries queries.tsv --out /data/results --k 10
+
+    spark-submit ... rerank --index /data/index --corpus /data/extracted \
+        --queries queries.tsv --out /data/results --k-candidates 100 --k 10
+
+Local smoke (this sandbox): ``python -m embed_rerank_spark.cli ...`` —
+the session factory falls back to ``local[$SPARK_GRAFT_CPUS]``.
+
+This is the engine analogue of the reference's startup lifecycle
+(``app/main.py:51-160``): configuration comes from argparse/Spark conf
+(reference ``app/config.py``), the index build replaces model load,
+and the query/rerank jobs replace the serving endpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_queries(path: str) -> list[tuple[int, str]]:
+    """TSV ``query_id<TAB>query text`` (one per line)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            qid, q = line.split("\t", 1)
+            out.append((int(qid), q))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="embed-rerank-spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores (local mode only)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="pages table -> inverted index (resumable)")
+    b.add_argument("--pages", required=True, help="parquet/Iceberg pages table path")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--max-concurrent", type=int, default=4)
+
+    q = sub.add_parser("query", help="BM25 top-k via block-max WAND")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    q.add_argument("--out", required=True, help="output parquet path")
+    q.add_argument("--k", type=int, default=10)
+
+    r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
+    r.add_argument("--index", required=True)
+    r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
+    r.add_argument("--queries", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--k-candidates", type=int, default=50)
+    r.add_argument("--k", type=int, default=10)
+    r.add_argument("--method", default="cross_encoder_lite",
+                   choices=["cross_encoder_lite", "cosine", "jaccard"])
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"embed-rerank-{args.cmd}", cores=args.cores)
+    try:
+        if args.cmd == "build-index":
+            from .plans.build_index import build_index
+
+            pages = spark.read.parquet(args.pages)
+            idx = build_index(
+                spark,
+                pages,
+                args.index,
+                n_shards=args.shards,
+                block_size=args.block_size,
+                resume=not args.no_resume,
+            )
+            print(f"index ready: {idx.n_docs} docs, avgdl={idx.avgdl:.2f}")
+        elif args.cmd == "query":
+            from .operators.postings import InvertedIndex
+            from .operators.wand import wand_topk
+
+            idx = InvertedIndex.load(spark, args.index)
+            out = wand_topk(idx, _read_queries(args.queries), k=args.k)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "rerank":
+            from .operators.postings import InvertedIndex
+            from .operators.rerank import rerank_candidates
+            from .operators.wand import wand_topk
+
+            idx = InvertedIndex.load(spark, args.index)
+            queries = _read_queries(args.queries)
+            cands = wand_topk(idx, queries, k=args.k_candidates)
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = rerank_candidates(
+                cands, corpus, queries, top_k=args.k, method=args.method
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""spark-submit entrypoint: build-index -> query -> rerank end-to-end.
+
+Runs ``cli.main`` in-process (same code path spark-submit drives); the
+WAND results must match the brute-force scorer over the same corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def workspace(spark, tmp_path_factory):
+    from embed_rerank_spark.sources.pages import generate_pages
+
+    d = tmp_path_factory.mktemp("cli")
+    generate_pages(spark, 1200, seed=7, n_snapshots=2).write.mode("overwrite").parquet(
+        str(d / "pages")
+    )
+    (d / "queries.tsv").write_text("0\tthe w12 w700\n1\tw55 w1000\n")
+    return d
+
+
+def test_cli_end_to_end(spark, workspace):
+    # cli.main calls get_spark (returns the active session via
+    # getOrCreate) and spark.stop() at the end — run all three
+    # subcommands under one guard, then re-verify with a fresh handle
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    real_stop = type(spark).stop
+    type(spark).stop = lambda self: None  # keep the shared test session
+    try:
+        assert cli.main([
+            "build-index", "--pages", str(d / "pages"), "--index", str(d / "index"),
+            "--shards", "4", "--max-concurrent", "2",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"),
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "topk"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "rerank", "--index", str(d / "index"),
+            "--corpus", str(d / "index" / "segments" / "*" / "extracted"),
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "rr"),
+            "--k-candidates", "10", "--k", "5", "--method", "jaccard",
+        ]) == 0
+    finally:
+        type(spark).stop = real_stop
+
+    topk = spark.read.parquet(str(d / "topk"))
+    # rare-term queries may match fewer than k docs in a 1200-page corpus
+    assert topk.filter(F.col("query_id") == 0).count() == 5
+    assert topk.count() >= 6
+    assert set(topk.columns) == {"query_id", "rank", "doc_id", "score"}
+
+    # WAND-from-CLI must equal brute force over the merged corpus
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+
+    seg = str(d / "index" / "segments")
+    corpus = spark.read.parquet(f"{seg}/*/extracted").filter(
+        F.col("error").isNull()
+    ).select("doc_id", "text")
+    brute = bm25_topk_bruteforce(
+        spark, corpus, [(0, "the w12 w700"), (1, "w55 w1000")], k=5
+    )
+    got = {(r.query_id, r.rank, r.doc_id) for r in topk.collect()}
+    want = {(r.query_id, r.rank, r.doc_id) for r in brute.collect()}
+    assert got == want
+
+    rr = spark.read.parquet(str(d / "rr"))
+    assert rr.count() == topk.count()  # full corpus: every candidate has text
