@@ -234,6 +234,23 @@ def scaling_mode() -> None:
                 "hw_normalized_efficiency": round(speedup / calib_speedup, 3),
                 "calib_sec_low": round(calib_low, 3),
                 "calib_sec_high": round(calib_high, 3),
+                # the north-rule metric is QUERY THROUGHPUT: WAND QPS
+                # at both levels + its scaling efficiency
+                "wand_qps_low": round(N_QUERIES / results[lows]["queries"]["wand_topk"], 2),
+                "wand_qps_high": round(N_QUERIES / results[highs]["queries"]["wand_topk"], 2),
+                "wand_scaling_efficiency": round(
+                    (results[lows]["queries"]["wand_topk"]
+                     / results[highs]["queries"]["wand_topk"]) / (highs / lows),
+                    3,
+                ),
+                "per_phase_efficiency": {
+                    k: round(
+                        (results[lows]["queries"][k] / results[highs]["queries"][k])
+                        / (highs / lows),
+                        3,
+                    )
+                    for k in results[lows]["queries"]
+                },
                 "per_phase_low": results[lows]["queries"],
                 "per_phase_high": results[highs]["queries"],
                 "sf": SF,
