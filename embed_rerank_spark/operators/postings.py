@@ -74,6 +74,7 @@ def encode_grouped_rows(
     tf: np.ndarray,
     dl: np.ndarray,
     block_size: int,
+    salt: np.ndarray | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Vectorized block encoder over grouped rows.
 
@@ -100,6 +101,11 @@ def encode_grouped_rows(
     change[0] = True
     if n > 1:
         change[1:] = (tidx[1:] != tidx[:-1]) | (shard[1:] != shard[:-1])
+        if salt is not None:
+            # salt splits a hot (term, shard) into contiguous doc-id
+            # RANGES; each range encodes its own blocks (block_id
+            # restarts, consumers order blocks by first_doc)
+            change[1:] |= salt[1:] != salt[:-1]
     gstart_idx = np.flatnonzero(change)
     gid = np.cumsum(change) - 1
     pos = np.arange(n, dtype=np.int64) - gstart_idx[gid]
@@ -150,7 +156,9 @@ def encode_grouped_rows(
     )
 
 
-def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
+def _encode_partition(
+    batches: Iterator[pa.RecordBatch], block_size: int, n_salts: int = 1
+):
     """Vectorized encoder over one partition of (shard, term, doc_id,
     tf, dl) rows sorted by (term, shard, doc_id).
 
@@ -170,7 +178,12 @@ def _encode_partition(batches: Iterator[pa.RecordBatch], block_size: int):
     doc = tbl.column("doc_id").chunk(0).to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False)
     dl = tbl.column("dl").chunk(0).to_numpy(zero_copy_only=False)
-    yield from encode_grouped_rows(terms_dict, tidx, shard, doc, tf, dl, block_size)
+    salt = None
+    if n_salts > 1 and "salt" in tbl.schema.names:
+        salt = tbl.column("salt").chunk(0).to_numpy(zero_copy_only=False)
+    yield from encode_grouped_rows(
+        terms_dict, tidx, shard, doc, tf, dl, block_size, salt=salt
+    )
 
 
 def shard_expr(doc_col, n_shards: int):
@@ -178,11 +191,35 @@ def shard_expr(doc_col, n_shards: int):
     return F.pmod(doc_col, F.lit(n_shards)).cast("int")
 
 
+def pow2_salts(n_salts: int) -> int:
+    """Salt counts round UP to a power of two: each salt value must be
+    exactly one contiguous doc-id range, or encoded runs would overlap
+    and break WAND's ordered-block skipping."""
+    return 1 << max(0, (n_salts - 1).bit_length())
+
+
+def salt_expr(doc_col, n_salts: int):
+    """Hot-term salt = doc-id RANGE bucket (top bits of the
+    sign-biased id, so buckets ascend in signed doc order and each
+    bucket is one contiguous range). Splits a (term, shard) posting
+    list into independently-encoded runs: at 10^12 docs a df~N term
+    costs a task df/(n_shards*n_salts) postings instead of
+    df/n_shards. xxhash64 doc ids are uniform, so range buckets are
+    balanced. ``n_salts`` must come from ``pow2_salts``."""
+    bits = (n_salts - 1).bit_length()
+    if n_salts == 1:
+        return F.lit(0).cast("int")
+    biased = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    biased = biased.bitwiseXOR(F.lit(-(2**63)))
+    return F.shiftrightunsigned(biased, 64 - bits).cast("int")
+
+
 def build_postings(
     docs: DataFrame,
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     num_partitions: int | None = None,
+    n_salts: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict[str, DataFrame]:
@@ -190,23 +227,29 @@ def build_postings(
 
     Returns dict of DataFrames: postings, term_stats, doc_stats,
     corpus_stats. Nothing is materialized until written/consumed.
+    ``n_salts > 1`` (rounded up to a power of two) additionally
+    range-splits each (term, shard) group so no single encode task
+    owns more than df/(n_shards*n_salts) postings of a hot term.
     """
+    n_salts = pow2_salts(n_salts)
     tfdl = term_freqs_dl(docs, id_col, text_col).withColumn(
         "shard", shard_expr(F.col("doc_id"), n_shards)
-    )
+    ).withColumn("salt", salt_expr(F.col("doc_id"), n_salts))
 
     n_parts = num_partitions or max(
         n_shards, docs.sparkSession.sparkContext.defaultParallelism
     )
-    # hash by (shard, term) — a hot term still spreads over its doc
-    # shards — but SORT by (term, shard, doc_id): row groups in the
-    # written parquet are then term-ordered, so query-time
-    # ``term IN (...)`` pushdown skips row groups by min/max stats
-    sorted_rows = tfdl.repartition(n_parts, "shard", "term").sortWithinPartitions(
-        "term", "shard", "doc_id"
-    )
+    # hash by (shard, term, salt) — a hot term spreads over doc shards
+    # AND range salts — but SORT by (term, shard, doc_id): row groups
+    # in the written parquet are then term-ordered, so query-time
+    # ``term IN (...)`` pushdown skips row groups by min/max stats.
+    # (salt ranges ascend with doc_id, so the sort keeps each salt run
+    # contiguous without naming it.)
+    sorted_rows = tfdl.repartition(
+        n_parts, "shard", "term", "salt"
+    ).sortWithinPartitions("term", "shard", "doc_id")
     postings = sorted_rows.mapInArrow(
-        lambda it: _encode_partition(it, block_size), POSTINGS_SCHEMA
+        lambda it: _encode_partition(it, block_size, n_salts), POSTINGS_SCHEMA
     )
 
     term_stats = doc_freqs(tfdl)

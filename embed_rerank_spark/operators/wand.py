@@ -269,9 +269,12 @@ def _wand_partition(
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
-        # sort blocks by block_id, drop the sort key
+        # order blocks by doc RANGE (first_doc, block_id): salted hot
+        # terms restart block_id per range run, but ranges are disjoint
+        # and ascending, so first_doc is the true global order
         tb = {
-            t: [blk[1:] for blk in sorted(blocks)] for t, blocks in term_blocks.items()
+            t: [blk[1:] for blk in sorted(blocks, key=lambda b: (b[1], b[0]))]
+            for t, blocks in term_blocks.items()
         }
         for qid, qterms in queries:
             for doc_id, score in _wand_one_query(tb, qterms, k, avgdl, k1, b):

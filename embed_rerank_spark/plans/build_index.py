@@ -47,6 +47,8 @@ from ..operators.postings import (
     POSTINGS_SCHEMA,
     InvertedIndex,
     build_postings,
+    pow2_salts,
+    salt_expr,
     shard_expr,
 )
 
@@ -112,6 +114,7 @@ def build_segment(
     snap: str,
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
+    n_salts: int = 1,
 ) -> dict:
     """Build + commit one snapshot segment. Returns its manifest dict."""
     from pyspark.sql import Observation  # noqa: PLC0415
@@ -130,7 +133,7 @@ def build_segment(
     extracted = spark.read.parquet(f"{seg}/extracted")
     clean = extracted.filter(F.col("error").isNull())
 
-    idx = build_postings(clean, n_shards=n_shards, block_size=block_size)
+    idx = build_postings(clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts)
     # flat write (no partitionBy): queries filter by TERM, never shard —
     # the shard column rides along; term-sorted row groups do the pruning
     idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
@@ -181,6 +184,7 @@ def build_incremental(
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     max_concurrent: int = 4,
+    n_salts: int = 1,
 ) -> list[str]:
     """Build every uncommitted snapshot segment; returns snapshots built.
 
@@ -208,7 +212,7 @@ def build_incremental(
 
     def run(snap: str) -> str:
         snap_pages = with_snapshot(pages).filter(F.col(SNAPSHOT_COL) == snap)
-        build_segment(spark, snap_pages, path, snap, n_shards, block_size)
+        build_segment(spark, snap_pages, path, snap, n_shards, block_size, n_salts)
         return snap
 
     if max_concurrent <= 1 or len(todo) == 1:
@@ -233,7 +237,9 @@ def _concat_binary(arr: pa.Array) -> tuple[memoryview, np.ndarray]:
     return data[offs[0] : offs[-1]], offs - offs[0]
 
 
-def _merge_partition(batches: Iterator[pa.RecordBatch], block_size: int):
+def _merge_partition(
+    batches: Iterator[pa.RecordBatch], block_size: int, n_salts: int = 1
+):
     """Decode -> merge-sort -> re-encode, fully vectorized.
 
     Input: one partition of encoded block rows hashed by (shard, term)
@@ -277,13 +283,22 @@ def _merge_partition(batches: Iterator[pa.RecordBatch], block_size: int):
     perm = np.lexsort((doc, row_key))
     tidx_rows = np.repeat(btidx, bnd)[perm]
     shard_rows = np.repeat(bshard, bnd)[perm]
+    doc_s, tf_s, dl_s = doc[perm], tf[perm], dl[perm]
+    salt_rows = None
+    if n_salts > 1:
+        bits = (n_salts - 1).bit_length()
+        salt_rows = (
+            (doc_s.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63))
+            >> np.uint64(64 - bits)
+        ).astype(np.int64)
     yield from encode_grouped_rows(
-        terms_dict, tidx_rows, shard_rows, doc[perm], tf[perm], dl[perm], block_size
+        terms_dict, tidx_rows, shard_rows, doc_s, tf_s, dl_s, block_size,
+        salt=salt_rows,
     )
 
 
 def merge_segments(
-    spark: SparkSession, path: str, block_size: int = BLOCK_SIZE
+    spark: SparkSession, path: str, block_size: int = BLOCK_SIZE, n_salts: int = 1
 ) -> InvertedIndex:
     """Merge all committed segments into the final index at
     ``path/{postings,term_stats,doc_stats,corpus_stats,manifest}``."""
@@ -302,12 +317,20 @@ def merge_segments(
     )
 
     n_parts = max(8, spark.sparkContext.defaultParallelism)
+    # hash includes the block's RANGE salt (derived from first_doc —
+    # valid because build and merge must share n_salts, so block ranges
+    # align to salt buckets): a hot term's blocks spread over
+    # n_salts partitions instead of one
     merged = (
         seg_postings.select(
-            "term", "shard", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+            "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
         )
-        .repartition(n_parts, "shard", "term")
-        .mapInArrow(lambda it: _merge_partition(it, block_size), POSTINGS_SCHEMA)
+        .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
+        .repartition(n_parts, "shard", "term", "bsalt")
+        .mapInArrow(
+            lambda it: _merge_partition(it, block_size, pow2_salts(n_salts)),
+            POSTINGS_SCHEMA,
+        )
     )
     merged.write.mode("overwrite").parquet(f"{path}/postings")
 
@@ -342,7 +365,10 @@ def build_index(
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
+    n_salts: int = 1,
 ) -> InvertedIndex:
-    """Full job: incremental segment build (resumable) + merge."""
-    build_incremental(spark, pages, path, n_shards, block_size, resume)
-    return merge_segments(spark, path, block_size)
+    """Full job: incremental segment build (resumable) + merge.
+    ``n_salts`` MUST match between segment builds and merges (block
+    ranges align to salt buckets)."""
+    build_incremental(spark, pages, path, n_shards, block_size, resume, n_salts=n_salts)
+    return merge_segments(spark, path, block_size, n_salts=n_salts)

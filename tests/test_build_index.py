@@ -123,3 +123,23 @@ def test_resume_skips_committed_and_completes(spark, pages, tmp_path_factory):
     assert a == b
     assert idx_resumed.n_docs == idx_fresh.n_docs
     assert idx_resumed.avgdl == pytest.approx(idx_fresh.avgdl)
+
+
+def test_salted_build_and_merge_rank_identical(spark, pages, tmp_path_factory):
+    """Full build+merge with range salting: merged index must answer
+    rank-identically to the unsalted brute-force scorer."""
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    path = str(tmp_path_factory.mktemp("saltidx"))
+    idx = build_index(spark, pages, path, n_shards=4, block_size=32, n_salts=4)
+    corpus = spark.read.parquet(f"{path}/segments/*/extracted").filter(
+        F.col("error").isNull()
+    ).select("doc_id", "text")
+    queries = [(0, "the w3 w500"), (1, "w77 w901 w15")]
+    wand = [(r.query_id, r.rank, r.doc_id) for r in wand_topk(idx, queries, k=7).collect()]
+    brute = [
+        (r.query_id, r.rank, r.doc_id)
+        for r in bm25_topk_bruteforce(spark, corpus, queries, k=7).collect()
+    ]
+    assert sorted(wand) == sorted(brute) and len(wand) > 0

@@ -1,0 +1,47 @@
+"""Physical-plan guards: the scale-critical plan properties must not
+regress (term pushdown into the postings scan, broadcast of the tiny
+query side — SURVEY.md §2.5 joins / §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    from embed_rerank_spark.operators.postings import build_postings, write_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path_factory.mktemp("planidx"))
+    write_index(build_postings(docs, n_shards=4), path)
+    from embed_rerank_spark.operators.postings import InvertedIndex
+
+    return InvertedIndex.load(spark, path)
+
+
+def test_term_filter_pushed_into_postings_scan(spark, index):
+    plan = _plan(index.postings.filter(F.col("term").isin(["the", "data"])))
+    assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_postings_scan_prunes_columns(spark, index):
+    plan = _plan(index.postings.select("term", "n_docs"))
+    # ReadSchema should not include the binary payload columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "docs_bin" not in read_schema, read_schema
+
+
+def test_bm25_broadcasts_query_side(spark):
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bm25_topk_bruteforce(spark, docs, [(0, "the data")], k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

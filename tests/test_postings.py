@@ -95,3 +95,41 @@ def test_lineage_manifest(spark, index):
     assert (m.docs_tokenized > 0).all()
     # totals line up with the postings table
     assert m.postings_emitted.sum() == idx.postings.agg(F.sum("n_docs")).first()[0]
+
+
+def test_salted_build_same_content_and_ranking(spark, docs):
+    """n_salts>1 must not change decoded content, and WAND over a
+    salted index must stay rank-identical to brute force."""
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    salted = build_postings(docs, n_shards=4, block_size=16, n_salts=4)
+    postings = salted["postings"].toPandas()
+    decoded = _decode_all(postings)
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    expected = {
+        (r.term, r.doc_id, r.tf, r.dl) for r in tf.join(dl, "doc_id").collect()
+    }
+    assert decoded == expected
+
+    # salt runs: no overlapping doc ranges within (shard, term)
+    for (_s, _t), grp in postings.groupby(["shard", "term"]):
+        g = grp.sort_values("first_doc")
+        assert (g.first_doc.values[1:] > g.last_doc.values[:-1]).all()
+
+    cs = salted["corpus_stats"].collect()[0]
+    idx = InvertedIndex(
+        postings=salted["postings"],
+        term_stats=salted["term_stats"],
+        doc_stats=salted["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    queries = [(0, "the data table"), (1, "spark window")]
+    got = [(r.query_id, r.rank, r.doc_id) for r in wand_topk(idx, queries, k=8).collect()]
+    want = [
+        (r.query_id, r.rank, r.doc_id)
+        for r in bm25_topk_bruteforce(spark, docs, queries, k=8).collect()
+    ]
+    assert sorted(got) == sorted(want)
