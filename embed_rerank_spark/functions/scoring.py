@@ -186,12 +186,17 @@ def rerank_group(
     pooling: str = "mean",
     score_norm: str = "none",
     max_length: int = DEFAULT_MAX_LENGTH,
+    head: tuple[np.ndarray, float] | None = None,
 ) -> np.ndarray:
     """Full deterministic cross-encoder-lite scoring for ONE query's
     candidate set (reference ``mlx_reranker_backend.py:300-364``).
-    Returns raw scores aligned with ``passages`` order."""
+    Returns raw scores aligned with ``passages`` order.
+
+    ``head`` lets the caller pass a driver-computed (broadcast) weight
+    vector so executors don't re-derive it per group (SURVEY.md §2.1
+    S2: model weights -> broadcast variables)."""
     input_ids = tokenize_pairs([query] * len(passages), passages, max_length)
     pooled = pooled_pseudo_embeddings(input_ids, hidden, pooling)
-    w, b = linear_head(model_name, hidden)
+    w, b = head if head is not None else linear_head(model_name, hidden)
     scores = head_scores(pooled, w, b)
     return normalize_scores(scores, score_norm)

@@ -64,6 +64,14 @@ def rerank_candidates(
     (query_id, doc_id) with the chosen deterministic scorer."""
     spark = candidates.sparkSession
     qdf = spark.createDataFrame(queries, "query_id long, query string")
+    # S2: the deterministic scoring head is computed once on the driver
+    # and BROADCAST to executors (reference loads weights once at
+    # startup; re-deriving per group would repeat the sha256+rng work)
+    head_bc = (
+        spark.sparkContext.broadcast(scoring.linear_head(model_name, hidden))
+        if method == "cross_encoder_lite"
+        else None
+    )
     pool = (
         candidates.select("query_id", "doc_id")
         .join(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "doc_id")
@@ -76,7 +84,8 @@ def rerank_candidates(
         passages = pdf["text"].fillna("").tolist()
         if method == "cross_encoder_lite":
             s = scoring.rerank_group(
-                query, passages, model_name, hidden, pooling, score_norm, max_length
+                query, passages, model_name, hidden, pooling, score_norm,
+                max_length, head=head_bc.value,
             )
         elif method == "cosine":
             qv = scoring.text_pseudo_embeddings([query], hidden)[0]
