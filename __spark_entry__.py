@@ -334,6 +334,29 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming <= 3) via 4-band
+    bucketing — exact by pigeonhole, so the oracle is the full
+    pairwise Hamming scan."""
+    from embed_rerank_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sig = simhash_signatures(_docs(spark, sf_dir))
+    return simhash_near_dup_pairs(sig, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH near-dup pairs (jaccard >= 0.5)
+    remove the larger id of each pair; survivors listed."""
+    from embed_rerank_spark.operators.dedup import dedup_survivors, minhash_lsh_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    return dedup_survivors(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
 def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR@k / nDCG@k of the BM25 ranking against a deterministic
     judgment set (reference quality harness semantics,
@@ -447,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "dedup_survivors": q_dedup_survivors,
         "extract_strategies": q_extract_strategies,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
@@ -840,6 +865,20 @@ FROM core2
 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
 ORDER BY doc_id
 """
+    simhash_near_dup = f"""
+WITH s AS ({simhash})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.simhash AS UBIGINT), CAST(b.simhash AS UBIGINT))) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS UBIGINT), CAST(b.simhash AS UBIGINT))) <= 3
+ORDER BY doc_a, doc_b
+"""
+    dedup_survivors = f"""
+WITH pairs AS ({minhash_lsh_dedup})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= 0.5)
+ORDER BY doc_id
+"""
     quality_metrics = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -979,6 +1018,8 @@ WHERE a.vec_id < b.vec_id
         "simhash": simhash,
         "minhash_sig": minhash_sig,
         "minhash_lsh_dedup": minhash_lsh_dedup,
+        "simhash_near_dup": simhash_near_dup,
+        "dedup_survivors": dedup_survivors,
         "extract_strategies": extract_strategies,
         "events_tumbling": events_tumbling,
         "events_session": events_session,
