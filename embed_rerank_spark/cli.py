@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--pages", required=True, help="parquet/Iceberg pages table path")
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--salts", type=int, default=1,
+                   help="hot-term range salts (rounded up to a power of two)")
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--max-concurrent", type=int, default=4)
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.shards,
                 block_size=args.block_size,
                 resume=not args.no_resume,
+                n_salts=args.salts,
             )
             print(f"index ready: {idx.n_docs} docs, avgdl={idx.avgdl:.2f}")
         elif args.cmd == "query":
