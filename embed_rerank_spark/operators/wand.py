@@ -240,32 +240,26 @@ def _wand_partition(
     blocks, answer every query per shard."""
     shards: dict[int, dict[str, list]] = {}
     for batch in batches:
-        cols = [batch.column(i) for i in range(batch.num_columns)]
-        names = batch.schema.names
-        col = dict(zip(names, cols))
-        n = batch.num_rows
-        shard_v = col["shard"].to_numpy(zero_copy_only=False)
-        bid_v = col["block_id"].to_numpy(zero_copy_only=False)
-        first_v = col["first_doc"].to_numpy(zero_copy_only=False)
-        last_v = col["last_doc"].to_numpy(zero_copy_only=False)
-        nd_v = col["n_docs"].to_numpy(zero_copy_only=False)
-        mt_v = col["max_tf"].to_numpy(zero_copy_only=False)
-        ml_v = col["min_dl"].to_numpy(zero_copy_only=False)
-        for i in range(n):
-            tb = shards.setdefault(int(shard_v[i]), {})
-            tb.setdefault(col["term"][i].as_py(), []).append(
-                (
-                    int(bid_v[i]),
-                    int(first_v[i]),
-                    int(last_v[i]),
-                    int(nd_v[i]),
-                    int(mt_v[i]),
-                    int(ml_v[i]),
-                    col["docs_bin"][i].as_py(),
-                    col["tfs_bin"][i].as_py(),
-                    col["dls_bin"][i].as_py(),
-                )
-            )
+        col = dict(zip(batch.schema.names, batch.columns))
+        # bulk column conversion (C-speed), then one plain-list loop —
+        # no per-element Arrow accessor calls
+        term_l = col["term"].to_pylist()
+        shard_l = col["shard"].to_pylist()
+        bid_l = col["block_id"].to_pylist()
+        first_l = col["first_doc"].to_pylist()
+        last_l = col["last_doc"].to_pylist()
+        nd_l = col["n_docs"].to_pylist()
+        mt_l = col["max_tf"].to_pylist()
+        ml_l = col["min_dl"].to_pylist()
+        docs_l = col["docs_bin"].to_pylist()
+        tfs_l = col["tfs_bin"].to_pylist()
+        dls_l = col["dls_bin"].to_pylist()
+        for sh, tm, row in zip(
+            shard_l,
+            term_l,
+            zip(bid_l, first_l, last_l, nd_l, mt_l, ml_l, docs_l, tfs_l, dls_l),
+        ):
+            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
