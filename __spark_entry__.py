@@ -440,6 +440,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_centroids: exercises the full coarse-
+    quantize -> probe -> exact-rescoring path, and with every list
+    probed it must equal exact cosine — so it shares that oracle."""
+    from embed_rerank_spark.operators.similarity import ivf_cosine_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vectors.orderBy("vec_id").limit(5)
+    queries_df = qrows.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_cosine_topk(vectors, queries_df, k=10, n_centroids=16, nprobe=16)
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-10 (scale path; recall vs
     the exact baseline is pinned in tests/test_similarity.py —
@@ -481,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
@@ -1027,6 +1043,7 @@ WHERE a.vec_id < b.vec_id
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
+        "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "embedding_near_dup": embedding_near_dup,
     }
 

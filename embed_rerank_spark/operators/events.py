@@ -16,6 +16,7 @@ day(ts)) lets Catalyst prune scans to the queried range.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +45,86 @@ def tumbling_counts(
             "n_events",
             F.round("sum_value", 6).alias("sum_value"),
         )
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` —
+    the operator form needed when session semantics outgrow
+    ``F.session_window`` (per-key dynamic gaps, session caps, custom
+    emission). Streaming-only: requires a watermark on ``ts_col``.
+
+    State per user = the OPEN session (start, last, n). A batch's
+    events close any session whose gap is exceeded in-batch; idle
+    sessions close via event-time timeout when the watermark passes
+    ``last + gap``. Output rows are CLOSED sessions
+    (user_id, session_start, n_events, session_end) in epoch seconds —
+    identical tuples to the batch ``sessionize`` for every session the
+    watermark has sealed.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start long, n_events int, session_end long"
+    )
+    state_schema = "start long, last long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [start // 1_000_000],
+                    "n_events": [n],
+                    "session_end": [last // 1_000_000],
+                }
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            # pandas ns timestamps -> µs epoch
+            ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+        ts.sort()  # micro-batch order is not event order
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        gap_us = gap_seconds * 1_000_000
+        for t in ts:
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last >= gap_us:
+                closed.append((user, start // 1_000_000, n, last // 1_000_000))
+                start = last = t
+                n = 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((start, last, n))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "n_events", "session_end"],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

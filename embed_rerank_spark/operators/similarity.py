@@ -124,3 +124,115 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means (Lloyd) on a driver-side
+    sample. At 10^12 rows the sample is a `.sample(fraction).limit()`
+    — centroid count stays tiny (thousands at most), so training on
+    the driver is the right cost model; assignment is the distributed
+    part."""
+    rows = vectors.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _centroid_sims(vec_col, cent: np.ndarray):
+    """array<double> of cosine sims against every centroid (JVM fold;
+    centroids enter the plan as literals — the broadcast-variable
+    pattern for model state)."""
+    vd = _as_double(vec_col)
+    vn = _norm(vd)
+    sims = [
+        _dot(vd, F.array(*[F.lit(float(x)) for x in c])) / vn for c in cent
+    ]
+    return F.array(*sims)
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate cosine top-k: vectors live in their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and scores exactly inside them. Scale shape: the list id is
+    a plain groupable column (partition/bucket the table by it);
+    probed fraction ~= nprobe / n_centroids."""
+    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    v = v.withColumn(
+        "list_id",
+        F.array_position(
+            _centroid_sims(F.col("v"), cent).alias("s"),
+            F.array_max(_centroid_sims(F.col("v"), cent)),
+        ).cast("int"),
+    ).withColumn("vd", _as_double(F.col("v"))).withColumn("vnorm", _norm(F.col("vd")))
+
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+    # nprobe nearest lists per query: rank centroid sims, explode
+    probe = (
+        q.withColumn("sims", _centroid_sims(F.col("qv"), cent))
+        .withColumn(
+            "probes",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            F.col("sims"),
+                            lambda s, i: F.struct(s.alias("s"), (i + 1).alias("list_id")),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.transform(F.col("probes"), lambda p: p["list_id"])).alias("list_id"),
+        )
+        .withColumn("qd", _as_double(F.col("qv")))
+        .withColumn("qnorm", _norm(F.col("qd")))
+    )
+
+    scored = F.broadcast(probe).join(v, "list_id").select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qd"), F.col("vd")) / (F.col("qnorm") * F.col("vnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

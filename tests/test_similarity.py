@@ -76,3 +76,33 @@ def test_lsh_bucket_determinism(spark, vectors):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     n_buckets = a.select("bucket").distinct().count()
     assert 2 <= n_buckets <= 256
+
+
+def test_ivf_recall_and_determinism(spark):
+    from embed_rerank_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_cosine_topk,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        vectors.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    }
+    a = ivf_cosine_topk(vectors, queries, k=10, n_centroids=16, nprobe=4).collect()
+    b = ivf_cosine_topk(vectors, queries, k=10, n_centroids=16, nprobe=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    approx = {(r.query_id, r.vec_id) for r in a}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # probing every list must recover the exact result
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_cosine_topk(vectors, queries, k=10, n_centroids=16, nprobe=16).collect()
+    }
+    assert full == exact

@@ -80,3 +80,57 @@ def test_streaming_with_watermark_append(spark, events_schema, events_dir):
         .count()
     )
     assert 0 < n <= batch_windows
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark, events_schema, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted (closed)
+    session must be exactly a batch-sessionize session."""
+    import shutil
+
+    from embed_rerank_spark.operators.events import sessionize, sessionize_stateful
+
+    # two time-ordered files -> two micro-batches, so the second
+    # batch's watermark closes idle sessions from the first
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    half = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    d = tmp_path / "stream_in"
+    for name, part in (
+        ("a_first", ev.filter(F.col("ts") <= half)),
+        ("b_second", ev.filter(F.col("ts") > half)),
+    ):
+        staging = str(tmp_path / f"stage_{name}")
+        part.coalesce(1).write.parquet(staging)
+        src = next(p for p in __import__("pathlib").Path(staging).glob("*.parquet"))
+        d.mkdir(exist_ok=True)
+        shutil.copy(src, d / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_end)
+        for r in spark.sql("select * from sess_stateful").collect()
+    }
+    assert len(got) > 0
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.session_end)
+        for r in sessionize(batch).collect()
+    }
+    assert got <= want, sorted(got - want)[:5]
+    # the stream must have closed a substantial share of all sessions
+    assert len(got) >= len(want) // 4
