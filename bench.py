@@ -42,7 +42,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (thousands on a real cluster; 32 here)
 N_SHARDS = 32
 RERANK_HIDDEN = 1024
-N_QUERIES = 256
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_QUERIES", "256"))
 # scaling mode needs a compute-bound workload: identical input at both
 # parallelism levels, big enough that per-job fixed costs (session,
 # task launch, file commits) are a small fraction of wall time
@@ -211,6 +211,9 @@ def scaling_mode() -> None:
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_N_PAGES=str(SCALING_PAGES),
+            # larger query batch: the QPS phase must be compute-bound
+            # (256 queries at sf0.1 are ~60% fixed scan/collect cost)
+            SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES", "1024"),
         )
         p = subprocess.run(
             [sys.executable, __file__],
@@ -244,8 +247,8 @@ def scaling_mode() -> None:
                 "calib_sec_high": round(calib_high, 3),
                 # the north-rule metric is QUERY THROUGHPUT: WAND QPS
                 # at both levels + its scaling efficiency
-                "wand_qps_low": round(N_QUERIES / results[lows]["queries"]["wand_topk"], 2),
-                "wand_qps_high": round(N_QUERIES / results[highs]["queries"]["wand_topk"], 2),
+                "wand_qps_low": results[lows]["wand_qps"],
+                "wand_qps_high": results[highs]["wand_qps"],
                 "wand_scaling_efficiency": round(
                     (results[lows]["queries"]["wand_topk"]
                      / results[highs]["queries"]["wand_topk"]) / (highs / lows),
