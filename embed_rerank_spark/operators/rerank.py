@@ -102,6 +102,14 @@ def rerank_candidates(
             {"query_id": pdf["query_id"], "doc_id": pdf["doc_id"], "score": s}
         )
 
+    # explicit pre-partition by the group key: the pool is small in
+    # BYTES, so AQE would coalesce the groupBy shuffle to a couple of
+    # partitions and serialize the per-group scoring (the expensive
+    # part) onto as few cores; a sized HashPartitioning(query_id)
+    # already satisfies applyInPandas' clustering, so no second
+    # exchange is added
+    n_parts = spark.sparkContext.defaultParallelism
+    pool = pool.repartition(n_parts, "query_id")
     scored = pool.groupBy("query_id").applyInPandas(score_group, RERANK_SCHEMA)
     return topk(scored, top_k).select("query_id", "rank", "doc_id", "score")
 

@@ -228,6 +228,31 @@ def _wand_one_query(
     return [(-nd, raw) for _rs, nd, raw in heap]
 
 
+def _taat_topk(
+    term_cache: dict[str, tuple[np.ndarray, np.ndarray]],
+    qterms: list[tuple[str, float]],
+    k: int,
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time exact top-k for SHORT posting lists.
+
+    ``term_cache`` maps term -> (docs, tfpart) decoded ONCE per task
+    and shared by every query touching the term. Produces identical
+    (doc, score) results to the pivot WAND walk — same formula, same
+    rounded-score/doc-id tie order — just without skipping, which only
+    pays off when lists are long enough to skip."""
+    arrs = [term_cache[t] for t, _ in qterms if t in term_cache]
+    idfs = [idf for t, idf in qterms if t in term_cache]
+    if not arrs:
+        return []
+    all_docs = np.concatenate([a[0] for a in arrs])
+    all_scores = np.concatenate([idf * a[1] for a, idf in zip(arrs, idfs)])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.bincount(inv, weights=all_scores)
+    r = np.round(sums, _TIE_DECIMALS)
+    order = np.lexsort((uniq, -r))[:k]
+    return [(int(uniq[i]), float(sums[i])) for i in order]
+
+
 def _wand_partition(
     batches: Iterator[pa.RecordBatch],
     queries: list[tuple[int, list[tuple[str, float]]]],
@@ -235,6 +260,7 @@ def _wand_partition(
     avgdl: float,
     k1: float,
     b: float,
+    taat_threshold: int = 100_000,
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard."""
@@ -270,8 +296,41 @@ def _wand_partition(
             t: [blk[1:] for blk in sorted(blocks, key=lambda b: (b[1], b[0]))]
             for t, blocks in term_blocks.items()
         }
+        term_len = {t: sum(blk[2] for blk in blocks) for t, blocks in tb.items()}
+        # decode-once cache for the term-at-a-time path: (docs, tfpart)
+        taat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def cached(t: str) -> tuple[np.ndarray, np.ndarray]:
+            got = taat_cache.get(t)
+            if got is None:
+                ds, tfs, dls = [], [], []
+                for blk in tb[t]:
+                    d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
+                    ds.append(d)
+                    tfs.append(f)
+                    dls.append(l)
+                d = np.concatenate(ds)
+                tp = _tfpart(
+                    np.concatenate(tfs).astype(np.float64),
+                    np.concatenate(dls).astype(np.float64),
+                    avgdl,
+                    k1,
+                    b,
+                )
+                got = taat_cache[t] = (d, tp)
+            return got
+
         for qid, qterms in queries:
-            for doc_id, score in _wand_one_query(tb, qterms, k, avgdl, k1, b):
+            n_postings = sum(term_len.get(t, 0) for t, _ in qterms)
+            if n_postings == 0:
+                continue
+            if n_postings <= taat_threshold:
+                # short lists: vectorized scoring beats pointer-walking
+                cache = {t: cached(t) for t, _ in qterms if t in tb}
+                results = _taat_topk(cache, qterms, k)
+            else:
+                results = _wand_one_query(tb, qterms, k, avgdl, k1, b)
+            for doc_id, score in results:
                 out_q.append(qid)
                 out_d.append(doc_id)
                 out_s.append(score)
@@ -287,6 +346,7 @@ def wand_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    taat_threshold: int = 100_000,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
     WAND over the compressed index."""
@@ -320,9 +380,19 @@ def wand_topk(
 
     avgdl = index.avgdl
     filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
-    # one task owns whole shards -> shard-local exact top-k
-    per_shard = filtered.repartition("shard").mapInArrow(
-        lambda it: _wand_partition(it, query_plan, k, avgdl, k1, b),
+    # one task owns whole shards -> shard-local exact top-k. Two
+    # partitioning pitfalls matter here because the SCORING work per
+    # shard is large while the postings bytes are small:
+    # - an unsized repartition lets AQE coalesce tiny partitions and
+    #   serialize the scoring onto one core -> explicit count
+    # - HASH partitioning collides shard ids (32 values into 32
+    #   partitions leaves ~1/e empty and piles 3-4 shards on one
+    #   task) -> RANGE partitioning places each shard id in its own
+    #   interval, so per-task load is max ceil(n_shards/n_parts)
+    spark = index.postings.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+        lambda it: _wand_partition(it, query_plan, k, avgdl, k1, b, taat_threshold),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

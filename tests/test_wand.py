@@ -37,7 +37,7 @@ def _rows(df):
 def test_wand_matches_bruteforce_exactly(spark, docs, index):
     k = 10
     brute = _rows(bm25_topk_bruteforce(spark, docs, QUERY_SET, k=k))
-    wand = _rows(wand_topk(index, QUERY_SET, k=k))
+    wand = _rows(wand_topk(index, QUERY_SET, k=k, taat_threshold=0))
     assert len(brute) == len(wand) > 0
     for (bq, br, bd, bs), (wq, wr, wd, ws) in zip(brute, wand):
         assert (bq, br, bd) == (wq, wr, wd)
@@ -47,7 +47,7 @@ def test_wand_matches_bruteforce_exactly(spark, docs, index):
 def test_wand_various_k(spark, docs, index):
     for k in (1, 3, 25):
         brute = _rows(bm25_topk_bruteforce(spark, docs, QUERY_SET[:3], k=k))
-        wand = _rows(wand_topk(index, QUERY_SET[:3], k=k))
+        wand = _rows(wand_topk(index, QUERY_SET[:3], k=k, taat_threshold=0))
         assert [(q, r, d) for q, r, d, _ in brute] == [(q, r, d) for q, r, d, _ in wand]
 
 
@@ -55,7 +55,7 @@ def test_wand_rare_and_hot_terms(spark, docs, index):
     # rare term 'dup' (df~26) + hot stopwords
     qs = [(1, "dup"), (2, "the a the the")]
     brute = _rows(bm25_topk_bruteforce(spark, docs, qs, k=50))
-    wand = _rows(wand_topk(index, qs, k=50))
+    wand = _rows(wand_topk(index, qs, k=50, taat_threshold=0))
     assert [(q, r, d) for q, r, d, _ in brute] == [(q, r, d) for q, r, d, _ in wand]
 
 
@@ -90,3 +90,13 @@ def test_wand_single_doc_scores_match_formula(spark, docs, index):
         row.tf + BM25_K1 * (1 - BM25_B + BM25_B * d_len / avgdl)
     )
     assert top.score == pytest.approx(expect, rel=1e-12)
+
+
+def test_taat_path_equals_pivot_path(spark, docs, index):
+    """The vectorized term-at-a-time path (default for short lists)
+    must produce byte-identical results to the pivot WAND walk."""
+    taat = _rows(wand_topk(index, QUERY_SET, k=10))  # default: taat
+    pivot = _rows(wand_topk(index, QUERY_SET, k=10, taat_threshold=0))
+    assert [(q, r, d) for q, r, d, _ in taat] == [(q, r, d) for q, r, d, _ in pivot]
+    for (_, _, _, sa), (_, _, _, sb) in zip(taat, pivot):
+        assert abs(sa - sb) < 1e-9  # float summation order only
