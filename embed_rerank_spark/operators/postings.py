@@ -297,13 +297,33 @@ def write_index(index: dict[str, DataFrame], path: str) -> None:
 
 @dataclass
 class InvertedIndex:
-    """Handle over an on-disk index."""
+    """Handle over an on-disk index.
+
+    ``df_for_terms`` memoizes term -> document-frequency lookups on the
+    handle (the dictionary cache every query engine keeps): repeated /
+    overlapping query batches skip the term_stats scan for known terms.
+    Only QUERIED terms are cached — the full vocabulary never
+    materializes on the driver.
+    """
 
     postings: DataFrame
     term_stats: DataFrame
     doc_stats: DataFrame
     n_docs: int
     avgdl: float
+    _df_cache: dict = None  # term -> df (lazily populated)
+
+    def df_for_terms(self, terms: set[str]) -> dict[str, int]:
+        if self._df_cache is None:
+            self._df_cache = {}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = self.term_stats.filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                self._df_cache[r["term"]] = r["df"]
+            for t in missing:  # absent from vocab -> df 0, cached too
+                self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":

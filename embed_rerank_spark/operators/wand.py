@@ -362,11 +362,14 @@ def wand_topk(
         qterm_map[qid] = seen
         all_terms.update(seen)
 
-    # idf for query terms only: tiny driver-side collect
-    df_rows = index.term_stats.filter(F.col("term").isin(list(all_terms))).collect()
+    # idf for query terms only: tiny driver-side lookup, memoized on
+    # the index handle across batches (dictionary cache)
     n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
     idf = {
-        r["term"]: math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0) for r in df_rows
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+        if d > 0
     }
     query_plan = [
         (qid, [(t, idf[t]) for t in terms if t in idf])
