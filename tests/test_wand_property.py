@@ -82,6 +82,30 @@ def _run_case(seed, n_docs, n_terms, density, q_size, k, block_size, tie_heavy=F
     for (_, bs), (_, ws) in zip(brute, wand):
         assert abs(bs - ws) < 1e-9
 
+    # term-at-a-time path on the same corpus: identical ranking
+    from embed_rerank_spark.operators.wand import _taat_topk, _tfpart
+
+    cache = {}
+    for t in qterms:
+        docs, tfs = postings[t]
+        cache[t] = (
+            np.asarray(docs, dtype=np.int64),
+            _tfpart(
+                np.asarray(tfs, dtype=np.float64),
+                dls[docs].astype(np.float64),
+                avgdl,
+                BM25_K1,
+                BM25_B,
+            ),
+        )
+    taat = sorted(
+        _taat_topk(cache, [(t, idf[t]) for t in qterms], k),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )
+    assert [d for d, _ in brute] == [d for d, _ in taat]
+    for (_, bs), (_, ts) in zip(brute, taat):
+        assert abs(bs - ts) < 1e-9
+
 
 def test_wand_random_sweep():
     case = 0
