@@ -357,6 +357,17 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-preparation pipeline (exact dedup -> MinHash-LSH
+    near dedup -> quality filter) — the composed training-data path;
+    every stage is independently oracle-checked, and this entry checks
+    the composition."""
+    from embed_rerank_spark.plans.corpus_prep import prepare_corpus
+
+    out = prepare_corpus(_docs(spark, sf_dir), near_dup_threshold=0.5, min_quality=0.5)
+    return out.select("doc_id", F.round("quality", 6).alias("quality")).orderBy("doc_id")
+
+
 def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR@k / nDCG@k of the BM25 ranking against a deterministic
     judgment set (reference quality harness semantics,
@@ -492,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "media_pipeline": q_media_pipeline,
         "quality_metrics": q_quality_metrics,
+        "corpus_prep": q_corpus_prep,
         "embed_digest": q_embed_digest,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -881,6 +893,80 @@ FROM core2
 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
 ORDER BY doc_id
 """
+    tokenize_kept = _TOKENIZE_SQL  # operates on the row's `text` column
+    corpus_prep = f"""
+WITH norm AS (
+    SELECT doc_id, {norm_sql} AS nrm FROM documents
+),
+ex_surv AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY nrm),
+kept1 AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN ex_surv USING (doc_id)
+),
+toksd AS (
+    SELECT doc_id, {tokenize_kept} AS toks FROM kept1
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+    FROM toksd WHERE len(toks) >= 3
+),
+seeded AS (
+    SELECT doc_id, seeds.seed,
+           md5(concat(CAST(seeds.seed AS VARCHAR), '#', shingle)) AS hv
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+),
+mins AS (SELECT doc_id, seed, min(hv) AS minh FROM seeded GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, b.band,
+           md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+    FROM banded a JOIN banded bb USING (band, bucket)
+    WHERE a.doc_id < bb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+kept2 AS (
+    SELECT k.doc_id, k.text FROM kept1 k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+feats AS (
+    SELECT doc_id,
+           len({tokenize_kept}) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_distinct({tokenize_kept})) AS DOUBLE)
+             / greatest(len({tokenize_kept}), 1) AS distinct_ratio
+    FROM kept2
+),
+scored AS (
+    SELECT doc_id,
+           (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+           + least(distinct_ratio, 1.0) * 0.4 AS quality
+    FROM feats
+)
+SELECT doc_id, round(quality, 6) AS quality
+FROM scored WHERE quality >= 0.5 ORDER BY doc_id
+"""
     simhash_near_dup = f"""
 WITH s AS ({simhash})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1040,6 +1126,7 @@ WHERE a.vec_id < b.vec_id
         "events_tumbling": events_tumbling,
         "events_session": events_session,
         "quality_metrics": quality_metrics,
+        "corpus_prep": corpus_prep,
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,

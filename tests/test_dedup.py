@@ -100,3 +100,32 @@ def test_dedup_survivors(spark, docs):
     kept = {r.doc_id for r in dedup.dedup_survivors(docs, pairs).collect()}
     assert 11 not in kept and 12 not in kept
     assert {0, 1, 2, 13} <= kept
+
+
+def test_prepare_corpus_composition(spark):
+    """Pipeline = exact-survivors minus near-dup losers, quality-filtered."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.dedup import (
+        dedup_survivors,
+        exact_dedup,
+        minhash_lsh_dedup,
+    )
+    from embed_rerank_spark.operators.textstats import quality_score
+    from embed_rerank_spark.plans.corpus_prep import prepare_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prepare_corpus(docs, near_dup_threshold=0.5, min_quality=0.5)
+    got = {r.doc_id for r in out.collect()}
+
+    base = docs.select("doc_id", "text")
+    kept = base.join(exact_dedup(base).select("doc_id"), "doc_id", "left_semi")
+    kept = dedup_survivors(kept, minhash_lsh_dedup(kept, threshold=0.5))
+    want = {
+        r.doc_id
+        for r in kept.join(quality_score(kept), "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert set(out.columns) == {"doc_id", "text", "quality"}
