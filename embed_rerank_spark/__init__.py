@@ -11,11 +11,16 @@ Layout:
   tokenization, scoring heads) as plain Python oracles + pandas UDFs
 - ``operators/``  relational/domain operators (postings, BM25, WAND,
   rerank, dedup, similarity, text stats)
-- ``sources/``    synthetic deterministic ``pages`` corpus + query set
-- ``plans/``      end-to-end jobs (index build, query run) with
-  checkpoint/lineage manifests
-- ``streaming/``  snapshot-incremental index merge (batch over
-  snapshot ranges; the reference has no streaming semantics)
+- ``sources/``    pages-table adapters (parquet/Iceberg) + synthetic
+  deterministic ``pages`` corpus and query set
+- ``plans/``      end-to-end jobs (snapshot-incremental index build +
+  merge with checkpoint/lineage manifests, corpus preparation)
+
+Streaming operators live in ``operators/events.py`` (tumbling/session
+windows run unchanged over ``readStream``; custom stateful
+sessionization via ``applyInPandasWithState``); the index itself is
+batch-incremental over snapshot ranges — the reference has no
+streaming semantics to reproduce.
 """
 
 __version__ = "0.1.0"
