@@ -167,6 +167,7 @@ def build_segment(
         "snapshot": snap,
         "n_shards": n_shards,
         "block_size": block_size,
+        "n_salts": pow2_salts(n_salts),
         "quarantined": n_quarantined,
         "shards": [r.asDict() for r in per_shard],
     }
@@ -298,13 +299,37 @@ def _merge_partition(
 
 
 def merge_segments(
-    spark: SparkSession, path: str, block_size: int = BLOCK_SIZE, n_salts: int = 1
+    spark: SparkSession,
+    path: str,
+    block_size: int = BLOCK_SIZE,
+    n_salts: int | None = None,
 ) -> InvertedIndex:
     """Merge all committed segments into the final index at
-    ``path/{postings,term_stats,doc_stats,corpus_stats,manifest}``."""
+    ``path/{postings,term_stats,doc_stats,corpus_stats,manifest}``.
+
+    ``n_salts`` defaults to the value recorded in the segment
+    manifests; passing a DIFFERENT value than the segments were built
+    with is rejected — salt buckets are derived from each block's
+    first_doc, which is only range-aligned when build and merge agree,
+    and a mismatch could produce overlapping block runs (silent WAND
+    corruption)."""
     snaps = sorted(committed_snapshots(path))
     if not snaps:
         raise ValueError(f"no committed segments under {path}")
+    built_salts = set()
+    for s in snaps:
+        with open(_manifest_file(path, s)) as f:
+            built_salts.add(json.load(f).get("n_salts", 1))
+    if len(built_salts) > 1:
+        raise ValueError(f"segments built with mixed n_salts: {sorted(built_salts)}")
+    built = built_salts.pop()
+    if n_salts is None:
+        n_salts = built
+    elif pow2_salts(n_salts) != built:
+        raise ValueError(
+            f"merge n_salts={pow2_salts(n_salts)} != build n_salts={built}; "
+            "salt range buckets must match the segment layout"
+        )
     from functools import reduce  # noqa: PLC0415
 
     seg_postings = reduce(

@@ -143,3 +143,13 @@ def test_salted_build_and_merge_rank_identical(spark, pages, tmp_path_factory):
         for r in bm25_topk_bruteforce(spark, corpus, queries, k=7).collect()
     ]
     assert sorted(wand) == sorted(brute) and len(wand) > 0
+
+
+def test_merge_rejects_mismatched_salts(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("saltguard"))
+    build_incremental(spark, pages, path, n_shards=4, block_size=32, n_salts=2)
+    with pytest.raises(ValueError, match="must match the segment layout"):
+        merge_segments(spark, path, block_size=32, n_salts=8)
+    # defaulting to the manifest value works
+    idx = merge_segments(spark, path, block_size=32)
+    assert idx.n_docs > 0
