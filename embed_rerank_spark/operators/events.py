@@ -59,60 +59,88 @@ def sessionize_stateful(
     ``F.session_window`` (per-key dynamic gaps, session caps, custom
     emission). Streaming-only: requires a watermark on ``ts_col``.
 
-    State per user = the OPEN session (start, last, n). A batch's
-    events close any session whose gap is exceeded in-batch; idle
-    sessions close via event-time timeout when the watermark passes
-    ``last + gap``. Output rows are CLOSED sessions
-    (user_id, session_start, n_events, session_end) in epoch seconds —
-    identical tuples to the batch ``sessionize`` for every session the
-    watermark has sealed.
+    State per user = the int64-µs timestamps of every event not yet
+    inside an EMITTED session, kept raw (one binary blob) so that
+    in-watermark out-of-order arrivals re-split sessions exactly: an
+    event older than the open session's start re-derives session_start
+    (and can split one buffered session into two) because the
+    sessionization always reruns over the full buffer. A session is
+    emitted only once it is SEALED — ``end + gap <= watermark`` — at
+    which point no admissible event (Spark drops rows below the
+    watermark before this operator) can extend, join, or re-split it.
+    Idle users close via event-time timeout at ``max(buffer) + gap``.
+
+    Output rows are CLOSED sessions (user_id, session_start, n_events,
+    session_end) in epoch seconds — identical tuples to the batch
+    ``sessionize`` regardless of micro-batch arrival order, for every
+    session the watermark has sealed.
+
+    State size: events of unsealed sessions only — bounded by the
+    watermark delay plus the open session's history. A pathological
+    never-idle key grows its buffer like any exact sessionizer's state;
+    cap with a max-session-length policy upstream if that matters.
     """
+    import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
         "user_id long, session_start long, n_events int, session_end long"
     )
-    state_schema = "start long, last long, n int"
+    state_schema = "buf binary"
+    gap_us = gap_seconds * 1_000_000
+
+    def _sessions(ts: np.ndarray) -> list[tuple[int, int, int]]:
+        """Sorted µs timestamps -> [(start, end, n)] gap-split sessions."""
+        breaks = np.flatnonzero(np.diff(ts) >= gap_us) + 1
+        bounds = np.concatenate(([0], breaks, [len(ts)]))
+        return [
+            (int(ts[s]), int(ts[e - 1]), int(e - s))
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
         if state.hasTimedOut:
-            start, last, n = state.get
+            # watermark >= max(buffer) + gap: every buffered session is
+            # sealed — emit them all and drop the state
+            (blob,) = state.get
+            ts = np.sort(np.frombuffer(blob, dtype=np.int64))
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user],
-                    "session_start": [start // 1_000_000],
-                    "n_events": [n],
-                    "session_end": [last // 1_000_000],
-                }
-            )
+            closed = [
+                (user, s // 1_000_000, n, e // 1_000_000)
+                for s, e, n in _sessions(ts)
+            ]
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_start", "n_events", "session_end"],
+                )
             return
-        ts = []
+        new_ts = []
         for pdf in pdfs:
             # pandas ns timestamps -> µs epoch
-            ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
-        ts.sort()  # micro-batch order is not event order
-        start = last = None
-        n = 0
+            new_ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+        buf = np.array(new_ts, dtype=np.int64)
         if state.exists:
-            start, last, n = state.get
+            (blob,) = state.get
+            buf = np.concatenate([np.frombuffer(blob, dtype=np.int64), buf])
+        buf = np.sort(buf)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         closed = []
-        gap_us = gap_seconds * 1_000_000
-        for t in ts:
-            if start is None:
-                start = last = t
-                n = 1
-            elif t - last >= gap_us:
-                closed.append((user, start // 1_000_000, n, last // 1_000_000))
-                start = last = t
-                n = 1
-            else:
-                last = max(last, t)
-                n += 1
-        state.update((start, last, n))
-        # close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms
+        kept_from = 0
+        sessions = _sessions(buf)
+        pos = 0
+        for s, e, n in sessions:
+            if e + gap_us <= wm_us:
+                closed.append((user, s // 1_000_000, n, e // 1_000_000))
+                kept_from = pos + n
+            pos += n
+        buf = buf[kept_from:]
+        if len(buf):
+            state.update((buf.tobytes(),))
+            state.setTimeoutTimestamp((int(buf[-1]) + gap_us) // 1000)  # ms
+        else:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -66,6 +66,65 @@ _ARROW_OUT = pa.schema(
 )
 
 
+def combined_table(batches: list[pa.RecordBatch]) -> pa.Table:
+    """One contiguous-chunk table from a partition's record batches.
+
+    String/binary columns are cast to their LARGE (int64-offset)
+    variants first: ``pa.binary()``/``pa.string()`` carry int32
+    offsets, so a hot shuffle partition whose combined payload exceeds
+    2 GiB would overflow in ``combine_chunks`` — real at 10^12-doc
+    scale even though sandbox partitions never get close."""
+    fields = []
+    for f in batches[0].schema:
+        t = f.type
+        if t == pa.binary():
+            t = pa.large_binary()
+        elif t == pa.string():
+            t = pa.large_string()
+        fields.append(pa.field(f.name, t))
+    tbl = pa.Table.from_batches(batches)
+    return tbl.cast(pa.schema(fields)).combine_chunks()
+
+
+def _collapse_duplicate_docs(
+    change: np.ndarray,
+    tidx: np.ndarray,
+    shard: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    salt: np.ndarray | None,
+):
+    """Collapse duplicate (term, shard, doc_id) rows to ONE posting,
+    keeping the (tf, dl) pair with the largest tf (ties: largest dl).
+
+    Duplicates are statistically EXPECTED input, not corruption:
+    ``doc_id = xxhash64(url)`` collides at 10^12 docs, and the same
+    url re-crawled in two snapshots meets itself at merge. A
+    fail-stop here would kill the whole build on routine data, so the
+    encoder deduplicates instead (max-tf = keep the richest crawl of
+    the page)."""
+    n = len(doc)
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = (doc[1:] == doc[:-1]) & ~change[1:]
+    if not dup.any():
+        return change, tidx, shard, doc, tf, dl, salt
+    starts = np.flatnonzero(~dup)
+    # one combined key keeps (tf, dl) from the SAME source row
+    key = tf.astype(np.int64) * (1 << 31) + dl.astype(np.int64)
+    kmax = np.maximum.reduceat(key, starts)
+    keep = (
+        change[starts],
+        tidx[starts],
+        shard[starts],
+        doc[starts],
+        kmax >> 31,
+        kmax & ((1 << 31) - 1),
+        salt[starts] if salt is not None else None,
+    )
+    return keep
+
+
 def encode_grouped_rows(
     terms_dict: pa.Array,
     tidx: np.ndarray,
@@ -106,6 +165,13 @@ def encode_grouped_rows(
             # RANGES; each range encodes its own blocks (block_id
             # restarts, consumers order blocks by first_doc)
             change[1:] |= salt[1:] != salt[:-1]
+
+    # duplicate (group, doc) rows -> one posting (max tf); expected at
+    # scale (hash collisions, re-crawled urls meeting at merge)
+    change, tidx, shard, doc, tf, dl, salt = _collapse_duplicate_docs(
+        change, tidx, shard, doc, tf, dl, salt
+    )
+    n = len(doc)
     gstart_idx = np.flatnonzero(change)
     gid = np.cumsum(change) - 1
     pos = np.arange(n, dtype=np.int64) - gstart_idx[gid]
@@ -113,7 +179,8 @@ def encode_grouped_rows(
     bstarts = np.flatnonzero(bmask)
     bends = np.append(bstarts[1:], n)
 
-    # strict ascending within groups (doc unique per (term, shard))
+    # ascending within groups (duplicates already collapsed above, so
+    # a violation here means the input sort itself is broken)
     if n > 1:
         viol = (doc[1:] <= doc[:-1]) & ~change[1:]
         if viol.any():
@@ -140,7 +207,9 @@ def encode_grouped_rows(
 
     yield pa.RecordBatch.from_arrays(
         [
-            pc.take(terms_dict, pa.array(tidx[bstarts], type=pa.int64())),
+            # header rows are ~1/block_size of the input, so they fit
+            # int32 offsets even when the input needed large_string
+            pc.take(terms_dict, pa.array(tidx[bstarts], type=pa.int64())).cast(pa.string()),
             pa.array(shard[bstarts].astype(np.int32)),
             pa.array((pos[bstarts] // block_size).astype(np.int32)),
             pa.array(doc[bstarts]),
@@ -170,7 +239,7 @@ def _encode_partition(
     batch_list = [b for b in batches if b.num_rows > 0]
     if not batch_list:
         return
-    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    tbl = combined_table(batch_list)
     dict_enc = pc.dictionary_encode(tbl.column("term").chunk(0))
     tidx = dict_enc.indices.to_numpy(zero_copy_only=False)
     terms_dict = dict_enc.dictionary

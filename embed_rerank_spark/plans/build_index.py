@@ -138,8 +138,13 @@ def build_segment(
     # the shard column rides along; term-sorted row groups do the pruning
     idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
     # doc stats are a pure projection of the extracted table (dl was
-    # computed during extraction) — no re-tokenize, no aggregation
-    clean.select(
+    # computed during extraction) — no re-tokenize, no aggregation.
+    # dl=0 docs (whitespace-only text that extraction passes with
+    # error=None) are EXCLUDED, matching doc_lengths/doc_lengths_direct
+    # semantics: every corpus-stats path (n_docs, avgdl -> idf, BM25
+    # length norm) must count the same doc set or WAND-vs-bruteforce
+    # exactness breaks on corpora containing such docs.
+    clean.filter(F.col("dl") > 0).select(
         "doc_id", "dl", shard_expr(F.col("doc_id"), n_shards).alias("shard")
     ).write.mode("overwrite").parquet(f"{seg}/doc_stats")
 
@@ -228,10 +233,13 @@ _MERGE_IN = (
 
 
 def _concat_binary(arr: pa.Array) -> tuple[memoryview, np.ndarray]:
-    """Zero-copy view of a BinaryArray's payload as one contiguous
-    stream + per-row byte offsets (the Arrow data buffer already IS
-    the row-order concatenation)."""
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    """Zero-copy view of a Binary/LargeBinaryArray's payload as one
+    contiguous stream + per-row byte offsets (the Arrow data buffer
+    already IS the row-order concatenation). large_binary (int64
+    offsets) is the normal case here — ``combined_table`` upcasts so
+    >2 GiB partition payloads can't overflow int32 offsets."""
+    off_dtype = np.int64 if arr.type in (pa.large_binary(), pa.large_string()) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data = memoryview(arr.buffers()[2])
@@ -252,12 +260,12 @@ def _merge_partition(
     ``encode_grouped_rows`` the first build uses.
     """
     from ..functions.codec import delta_decode_blocks, vb_decode  # noqa: PLC0415
-    from ..operators.postings import encode_grouped_rows  # noqa: PLC0415
+    from ..operators.postings import combined_table, encode_grouped_rows  # noqa: PLC0415
 
     batch_list = [b for b in batches if b.num_rows > 0]
     if not batch_list:
         return
-    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    tbl = combined_table(batch_list)
     dict_enc = pa.compute.dictionary_encode(tbl.column("term").chunk(0))
     btidx = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     terms_dict = dict_enc.dictionary
@@ -361,9 +369,16 @@ def merge_segments(
 
     from pyspark.sql import Observation  # noqa: PLC0415
 
+    # one doc_stats row per UNIQUE doc: the same url re-crawled in two
+    # snapshots (or an xxhash64 collision) must not double-count
+    # n_docs/avgdl — max(dl) mirrors the encoder's max-tf collapse.
+    # Cost: one map-side-combinable hash agg per merge.
+    uniq_docstats = seg_docstats.groupBy("doc_id", "shard").agg(F.max("dl").alias("dl")).select(
+        "doc_id", "dl", "shard"
+    )
     # corpus stats piggyback on the doc_stats write (one job, no rescan)
     obs = Observation("merge-corpus-stats")
-    seg_docstats.observe(  # snapshots hold disjoint docs
+    uniq_docstats.observe(
         obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/doc_stats")
     stats = obs.get

@@ -153,3 +153,74 @@ def test_merge_rejects_mismatched_salts(spark, pages, tmp_path_factory):
     # defaulting to the manifest value works
     idx = merge_segments(spark, path, block_size=32)
     assert idx.n_docs > 0
+
+
+def test_zero_token_docs_excluded_from_corpus_stats(spark, tmp_path_factory):
+    """Whitespace-only pages pass extraction (error=None) with dl=0;
+    they must not count toward n_docs/avgdl or idf/length-norm drift
+    breaks WAND-vs-bruteforce exactness on such corpora."""
+    import datetime as dt
+
+    from embed_rerank_spark.sources.pages import PAGES_SCHEMA
+
+    base = generate_pages(spark, 150, seed=11, n_snapshots=2)
+    day = dt.datetime(2025, 6, 1, 12)
+    blanks = spark.createDataFrame(
+        [(f"https://blank.example/{i}", day, None, "   \t  \n ", "en") for i in range(7)],
+        PAGES_SCHEMA,
+    )
+    corpus_pages = base.unionByName(blanks)
+    path = str(tmp_path_factory.mktemp("zerotok"))
+    idx = build_index(spark, corpus_pages, path, n_shards=4, block_size=32)
+
+    extracted = extract_pages(corpus_pages).filter(F.col("error").isNull())
+    n_with_tokens = extracted.filter(F.col("dl") > 0).count()
+    assert extracted.count() == n_with_tokens + 7
+    assert idx.n_docs == n_with_tokens
+
+    corpus = extracted.select("doc_id", "text")
+    queries = [(1, "the w3"), (2, "w10 w55 data")]
+    brute = [
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in bm25_topk_bruteforce(spark, corpus, queries, k=9).collect()
+    ]
+    wand = [
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in wand_topk(idx, queries, k=9).collect()
+    ]
+    assert sorted(brute) == sorted(wand) and len(wand) > 0
+
+
+def test_duplicate_urls_across_snapshots_collapse_at_merge(spark, tmp_path_factory):
+    """A url re-crawled in a later snapshot meets itself at merge
+    (same xxhash64 doc_id in two segments): the merge must collapse to
+    one posting per (term, doc) keeping max tf — not fail-stop, not
+    double-count n_docs."""
+    import datetime as dt
+
+    from embed_rerank_spark.sources.pages import PAGES_SCHEMA
+
+    d1, d2 = dt.datetime(2025, 6, 1, 9), dt.datetime(2025, 6, 2, 9)
+    rows = []
+    for i in range(30):
+        url = f"https://recrawl.example/{i}"
+        rows.append((url, d1, None, "alpha beta gamma", "en"))
+        rows.append((url, d2, None, "alpha alpha beta", "en"))
+    pages2 = spark.createDataFrame(rows, PAGES_SCHEMA)
+    path = str(tmp_path_factory.mktemp("recrawl"))
+    idx = build_index(spark, pages2, path, n_shards=2, block_size=8)
+
+    assert idx.n_docs == 30  # unique docs, not 60
+    out = wand_topk(idx, [(0, "alpha")], k=60).collect()
+    assert len(out) == 30  # one hit per doc, no duplicates
+
+    # scores must equal brute force over the collapsed corpus (max-tf
+    # row survives: tf(alpha)=2 from the second crawl, dl=3 either way)
+    collapsed = spark.createDataFrame(
+        [(f"https://recrawl.example/{i}", "alpha alpha beta") for i in range(30)],
+        "url string, text string",
+    ).select(F.xxhash64("url").alias("doc_id"), "text")
+    brute = bm25_topk_bruteforce(spark, collapsed, [(0, "alpha")], k=60).collect()
+    assert sorted((r.doc_id, round(r.score, 6)) for r in out) == sorted(
+        (r.doc_id, round(r.score, 6)) for r in brute
+    )

@@ -133,3 +133,60 @@ def test_salted_build_same_content_and_ranking(spark, docs):
         for r in bm25_topk_bruteforce(spark, docs, queries, k=8).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_encoder_collapses_duplicate_doc_ids():
+    """Duplicate (term, shard, doc_id) rows — xxhash64(url) collisions
+    or re-crawled urls meeting at merge — must collapse to ONE posting
+    keeping the max-tf row (ties: max dl), never raise."""
+    import pyarrow as pa
+
+    from embed_rerank_spark.operators.postings import _ARROW_OUT, encode_grouped_rows
+
+    terms_dict = pa.array(["t"])
+    tidx = np.zeros(5, dtype=np.int64)
+    shard = np.zeros(5, dtype=np.int64)
+    #            unique | dup pair (keep tf=4,dl=9) | tf-tie pair (keep dl=7)
+    doc = np.array([10, 20, 20, 30, 30], dtype=np.int64)
+    tf = np.array([1, 2, 4, 3, 3], dtype=np.int64)
+    dl = np.array([5, 8, 9, 6, 7], dtype=np.int64)
+    batches = list(encode_grouped_rows(terms_dict, tidx, shard, doc, tf, dl, 128))
+    assert len(batches) == 1 and batches[0].schema == _ARROW_OUT
+    row = batches[0].to_pylist()[0]
+    d, f, l = decode_block(row["docs_bin"], row["tfs_bin"], row["dls_bin"], row["n_docs"])
+    assert d.tolist() == [10, 20, 30]
+    assert f.tolist() == [1, 4, 3]
+    assert l.tolist() == [5, 9, 7]
+    # genuinely unsorted input (descending) still fail-stops
+    with pytest.raises(ValueError, match="strictly ascending"):
+        list(
+            encode_grouped_rows(
+                terms_dict,
+                np.zeros(2, dtype=np.int64),
+                np.zeros(2, dtype=np.int64),
+                np.array([20, 10], dtype=np.int64),
+                np.array([1, 1], dtype=np.int64),
+                np.array([5, 5], dtype=np.int64),
+                128,
+            )
+        )
+
+
+def test_combined_table_large_offsets_and_chunking():
+    """combined_table upcasts string/binary to 64-bit-offset types (the
+    2 GiB int32 overflow guard) and merges multi-batch partitions into
+    one contiguous chunk per column."""
+    import pyarrow as pa
+
+    from embed_rerank_spark.operators.postings import combined_table
+
+    batch = pa.RecordBatch.from_pydict(
+        {"term": ["a", "b"], "payload": [b"\x01", b"\x02\x03"], "n": [1, 2]}
+    )
+    tbl = combined_table([batch, batch])
+    assert tbl.schema.field("term").type == pa.large_string()
+    assert tbl.schema.field("payload").type == pa.large_binary()
+    assert tbl.schema.field("n").type == pa.int64()
+    for name in tbl.schema.names:
+        assert tbl.column(name).num_chunks == 1
+    assert tbl.column("term").to_pylist() == ["a", "b", "a", "b"]

@@ -134,3 +134,59 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, events_schema
     assert got <= want, sorted(got - want)[:5]
     # the stream must have closed a substantial share of all sessions
     assert len(got) >= len(want) // 4
+
+
+def test_stateful_sessionizer_out_of_order_within_watermark(spark, tmp_path):
+    """An in-watermark event OLDER than the open session's start must
+    re-derive session_start (the raw-event buffer re-sessionizes), so
+    emitted sessions match batch sessionize even when micro-batches
+    arrive out of event-time order."""
+    import datetime as dt
+    import shutil
+
+    from embed_rerank_spark.operators.events import sessionize, sessionize_stateful
+
+    t = lambda h, m: dt.datetime(2025, 6, 1, h, m)  # noqa: E731
+    batches = [
+        [(1, t(12, 0)), (1, t(12, 5))],   # wm after: 11:55
+        [(1, t(11, 58)), (1, t(14, 0))],  # 11:58 admissible, < open start
+        [(1, t(15, 30))],                 # advances wm to seal session 1
+    ]
+    schema = "user_id long, ts timestamp"
+    d = tmp_path / "ooo_stream"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"ooo_stage_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        src = next(p for p in __import__("pathlib").Path(staging).glob("*.parquet"))
+        shutil.copy(src, d / f"{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_end)
+        for r in spark.sql("select * from sess_ooo").collect()
+    }
+    all_events = spark.createDataFrame(sum(batches, []), schema)
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.session_end)
+        for r in sessionize(all_events).collect()
+    }
+    # the first session (11:58 start — re-derived from the late event,
+    # 3 events) must be emitted and exactly match batch semantics
+    first = (1, int(t(11, 58).timestamp()), 3, int(t(12, 5).timestamp()))
+    assert first in got, sorted(got)
+    assert got <= want, sorted(got - want)
