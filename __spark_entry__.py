@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from embed_rerank_spark.operators.dedup import (  # noqa: E402
+    MAX_BUCKET_SIZE as _MAX_BUCKET_SIZE,
+)
+from embed_rerank_spark.operators.dedup import (  # noqa: E402
+    MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
+)
 from embed_rerank_spark.queryset import (  # noqa: E402
     QUERY_SET,
     TOP_K,
@@ -184,19 +190,21 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram shingle Jaccard over all doc pairs sharing >= 1
-    shingle (the verification kernel of MinHash-LSH dedup)."""
-    from embed_rerank_spark.operators.dedup import ngram_jaccard_pairs, shingles
+    """Exact 3-gram shingle Jaccard over doc pairs sharing >= 1
+    NON-HOT shingle (the verification kernel of MinHash-LSH dedup).
+    Candidate generation caps shingle document frequency at
+    MAX_SHINGLE_DF — a boilerplate shingle with df ~ N would make the
+    self-join quadratic; the Jaccard verify still uses FULL shingle
+    sets. The oracle mirrors the cap."""
+    from embed_rerank_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_candidate_pairs,
+        shingles,
+    )
 
     docs = _docs(spark, sf_dir)
     sh = shingles(docs, 3)
-    pairs = (
-        sh.withColumnRenamed("doc_id", "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = shingle_candidate_pairs(sh)
     out = ngram_jaccard_pairs(docs, pairs, 3)
     return out.filter(F.col("jaccard") > 0).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -681,13 +689,22 @@ sh AS (
     FROM toksd WHERE len(toks) >= 3
 )
 """
+    # candidate generation mirrors MAX_SHINGLE_DF (hot-shingle cap);
+    # the Jaccard itself is computed on FULL shingle sets
     ngram_jaccard = f"""
 WITH {shingle_cte},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b USING (shingle) JOIN shdf USING (shingle)
+    WHERE a.doc_id < b.doc_id AND shdf.df <= {_MAX_SHINGLE_DF}
+),
 inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM sh a JOIN sh b USING (shingle)
-    WHERE a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -804,9 +821,14 @@ banded AS (
            md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bucket
     FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
+bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket),
+kept AS (
+    SELECT banded.* FROM banded JOIN bsz USING (band, bucket)
+    WHERE bsz.n <= {_MAX_BUCKET_SIZE}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
-    FROM banded a JOIN banded bb USING (band, bucket)
+    FROM kept a JOIN kept bb USING (band, bucket)
     WHERE a.doc_id < bb.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -923,9 +945,14 @@ banded AS (
            md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bucket
     FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
+bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket),
+kept_b AS (
+    SELECT banded.* FROM banded JOIN bsz USING (band, bucket)
+    WHERE bsz.n <= {_MAX_BUCKET_SIZE}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
-    FROM banded a JOIN banded bb USING (band, bucket)
+    FROM kept_b a JOIN kept_b bb USING (band, bucket)
     WHERE a.doc_id < bb.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -33,6 +33,20 @@ from pyspark.sql import functions as F
 from ..functions.udfs import tokenize_for_scoring
 
 
+# Hot-key caps (engine semantics, mirrored verbatim in the DuckDB
+# oracles). A shingle present in more docs than MAX_SHINGLE_DF is
+# boilerplate ("the the the", nav chrome): it cannot distinguish
+# near-dups — true near-dups share MANY shingles, so dropping the hot
+# ones from CANDIDATE GENERATION (never from the Jaccard verify, which
+# always uses full shingle sets) keeps recall while bounding the
+# self-join at |pairs| <= df_cap * n_shingles instead of quadratic in
+# the hottest key. Same logic for LSH band buckets: a bucket larger
+# than MAX_BUCKET_SIZE is a degenerate boilerplate cluster whose
+# pair-set is quadratic; standard LSH practice drops it.
+MAX_SHINGLE_DF = 128
+MAX_BUCKET_SIZE = 64
+
+
 def normalized_text(col):
     """Dedup normalization: lowercase, collapse whitespace runs."""
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
@@ -65,6 +79,28 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         ).alias("shingle"),
     ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
     return grams.distinct()
+
+
+def shingle_candidate_pairs(
+    sh: DataFrame, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_a < doc_b) pairs sharing >= 1 NON-HOT shingle.
+
+    The document-frequency cap bounds the self-join: without it one
+    boilerplate shingle with df ~ N yields N^2/2 pairs. Capped, a
+    shingle contributes <= max_df^2/2 pairs, so the pair set is linear
+    in corpus size for fixed max_df."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    return (
+        kept.withColumnRenamed("doc_id", "doc_a")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -128,9 +164,17 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """(doc_a < doc_b) candidate pairs sharing >=1 LSH band bucket."""
+    """(doc_a < doc_b) candidate pairs sharing >=1 LSH band bucket.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (boilerplate clusters: their pair set is quadratic in
+    bucket size); every surviving bucket contributes a bounded
+    <= max_bucket_size^2/2 pairs."""
     banded = signatures.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
@@ -143,6 +187,11 @@ def minhash_lsh_candidates(
                 F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), "|"
             )
         ).alias("bucket"),
+    )
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket"),
+        ["band", "bucket"],
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
@@ -160,13 +209,15 @@ def minhash_lsh_dedup(
     n_hashes: int = 16,
     n_bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard
-    >= threshold. Returns (doc_a, doc_b, jaccard)."""
+    """Near-dup pairs: LSH candidates (bucket-size-capped) verified by
+    exact FULL-set shingle Jaccard >= threshold.
+    Returns (doc_a, doc_b, jaccard)."""
     sig = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col)
-    cands = minhash_lsh_candidates(sig, n_bands, n_hashes // n_bands)
+    cands = minhash_lsh_candidates(sig, n_bands, n_hashes // n_bands, max_bucket_size)
     verified = ngram_jaccard_pairs(docs, cands, shingle_n, id_col, text_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -187,27 +238,29 @@ def simhash_signatures(
     h = tf.withColumn(
         "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
     )
-    perbit = h.select(
-        "doc_id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        (
-            F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
-        ).alias("w"),
+    # one groupBy(doc_id) with `bits` sum-aggregate columns replaces the
+    # old bits× row explosion: same shuffle key, 1/bits the shuffle rows,
+    # all expressions whole-stage-codegen'd JVM (at 10^12×avg-terms rows
+    # the ×64 intermediate was the build's dominant shuffle)
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {bb}) & 1") == 1, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"s{bb}")
+            for bb in range(bits)
+        ]
     )
-    bitsum = perbit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(bit as int))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    # two's-complement fold: bit 63's weight wraps negative, exactly
+    # like the previous shiftleft(1L, 63)
+    sig = F.lit(0).cast("long")
+    for bb in range(bits):
+        weight = (1 << bb) if bb < 63 else -(2**63)
+        sig = sig + F.when(F.col(f"s{bb}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:

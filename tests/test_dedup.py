@@ -129,3 +129,45 @@ def test_prepare_corpus_composition(spark):
     }
     assert got == want and len(got) > 0
     assert set(out.columns) == {"doc_id", "text", "quality"}
+
+
+def test_hot_shingle_df_cap_bounds_candidate_pairs(spark):
+    """A boilerplate shingle present in every doc must NOT generate a
+    quadratic candidate set; genuine near-dups (sharing many non-hot
+    shingles) are still found with full-set Jaccard."""
+    n = 300
+    rows = []
+    for i in range(n):
+        # every doc shares the hot prefix; unique tail shingles
+        rows.append((i, f"the the the the x{i}a x{i}b x{i}c x{i}d"))
+    # one genuine near-dup pair sharing a long distinctive tail
+    rows.append((1000, "the the the the alpha beta gamma delta epsilon zeta"))
+    rows.append((1001, "the the the the alpha beta gamma delta epsilon eta"))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles(docs2, 3)
+    pairs = dedup.shingle_candidate_pairs(sh)  # df cap = MAX_SHINGLE_DF
+    n_pairs = pairs.count()
+    # uncapped would be >= C(302, 2) = 45451 pairs via the hot shingle
+    assert n_pairs < 50, n_pairs
+    verified = dedup.ngram_jaccard_pairs(docs2, pairs, 3)
+    top = verified.orderBy(F.desc("jaccard")).first()
+    assert (top.doc_a, top.doc_b) == (1000, 1001) and top.jaccard > 0.4
+
+
+def test_lsh_bucket_size_cap_bounds_candidates(spark):
+    """A degenerate LSH bucket (hundreds of identical boilerplate docs)
+    is dropped from candidate generation; pairs in normal buckets
+    survive."""
+    n = 200
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing") for i in range(n)]
+    rows.append((1000, "completely different words one two three four five six"))
+    rows.append((1001, "completely different words one two three four five seven"))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(docs2, n_hashes=16, shingle_n=3)
+    cands = dedup.minhash_lsh_candidates(sig, n_bands=4, rows_per_band=4)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    # the 200-doc identical cluster (one bucket > MAX_BUCKET_SIZE) is
+    # dropped — C(200,2) = 19900 pairs would otherwise dominate
+    assert (1000, 1001) in got
+    assert len(got) == 1, len(got)
