@@ -475,9 +475,12 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-10 (scale path; recall vs
-    the exact baseline is pinned in tests/test_similarity.py —
-    approximate by design, so rows-only here)."""
+    """LSH-bucketed approximate cosine top-10 in its FULL-PROBE
+    configuration (bits=0 -> one bucket): exercises the whole
+    band -> candidate -> exact-rescoring path and must equal exact
+    cosine, so it shares the cosine_topk oracle (the same trick that
+    oracles IVF). Recall at bits>0 stays a pytest
+    (tests/test_similarity.py)."""
     from embed_rerank_spark.operators.similarity import lsh_cosine_topk
 
     vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -485,7 +488,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = qrows.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    out = lsh_cosine_topk(vectors, queries_df, k=10, bits=4)
+    out = lsh_cosine_topk(vectors, queries_df, k=10, bits=0)
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1158,6 +1161,7 @@ WHERE a.vec_id < b.vec_id
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
+        "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
         "embedding_near_dup": embedding_near_dup,
     }
 

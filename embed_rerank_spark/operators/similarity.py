@@ -90,28 +90,57 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int = 10,
     bits: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only the query's LSH bucket,
-    exact cosine within it. Recall measured in tests; raise recall by
-    lowering ``bits`` or running multiple seeds and unioning."""
+    """Approximate cosine top-k: probe only the query's LSH bucket(s),
+    exact cosine within the probed candidate set.
+
+    Recall levers: MORE ``n_tables`` (a vector is a candidate if it
+    shares a bucket in ANY table — miss prob decays geometrically) and
+    FEWER ``bits`` (bigger buckets). ``bits=0`` degenerates to one
+    bucket = exact brute force, which is the oracle configuration the
+    driver contract pins (full-probe == ``cosine_topk_bruteforce``).
+    Recall at bits>0 is pinned in tests/test_similarity.py."""
     dim = len(vectors.select(vec_col).first()[0])
-    planes = hyperplanes(dim, bits, seed)
-    v = add_lsh_bucket(
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
-        planes,
-        "v",
-    ).withColumn("vd", _as_double(F.col("v"))).withColumn("vnorm", _norm(F.col("vd")))
-    q = add_lsh_bucket(
-        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")),
-        planes,
-        "qv",
+    # table 0 keeps the caller's seed (single-table behavior is
+    # unchanged); extra tables derive independent plane sets
+    tables = [
+        hyperplanes(dim, bits, seed if t == 0 else seed * 1000 + t)
+        for t in range(n_tables)
+    ]
+
+    def banded(df, idc, vcol):
+        out = df
+        for t, planes in enumerate(tables):
+            out = add_lsh_bucket(out, planes, vcol, out_col=f"b{t}")
+        return out.select(
+            idc,
+            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+                "table", "bucket"
+            ),
+        )
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).withColumn(
+        "vd", _as_double(F.col("v"))
+    ).withColumn("vnorm", _norm(F.col("vd")))
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
     ).withColumn("qd", _as_double(F.col("qv"))).withColumn("qnorm", _norm(F.col("qd")))
-    scored = F.broadcast(q).join(v, "bucket").select(
+
+    cand = (
+        F.broadcast(banded(q, "query_id", "qv"))
+        .join(banded(v, "vec_id", "v"), ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = cand.join(v.select("vec_id", "vd", "vnorm"), "vec_id").join(
+        F.broadcast(q.select("query_id", "qd", "qnorm")), "query_id"
+    ).select(
         "query_id",
         "vec_id",
         (_dot(F.col("qd"), F.col("vd")) / (F.col("qnorm") * F.col("vnorm"))).alias("cosine"),

@@ -77,7 +77,6 @@ def test_every_query_has_oracle_or_is_documented():
     # rows-only entries are allowed but must be deliberate
     documented_rows_only = {
         "rerank_topk",
-        "lsh_ann_topk",
         "media_pipeline",
         "embed_digest",
     }

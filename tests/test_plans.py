@@ -45,3 +45,15 @@ def test_bm25_broadcasts_query_side(spark):
     plan = _plan(bm25_topk_bruteforce(spark, docs, [(0, "the data")], k=5))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_near_dup_has_no_allpairs_join(spark):
+    """The LSH-bucketed near-dup must plan as equi-joins on
+    (table, bucket) / ids — never a CartesianProduct or
+    BroadcastNestedLoopJoin (the O(n^2) shapes)."""
+    from embed_rerank_spark.operators.dedup import embedding_near_dup
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup(vectors, threshold=0.5, bits=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

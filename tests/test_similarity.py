@@ -106,3 +106,27 @@ def test_ivf_recall_and_determinism(spark):
         for r in ivf_cosine_topk(vectors, queries, k=10, n_centroids=16, nprobe=16).collect()
     }
     assert full == exact
+
+
+def test_lsh_multi_table_recall_beats_single(spark, vectors, queries):
+    """More tables -> monotonically larger candidate set; at 4 tables
+    the top-1 self-match is always found."""
+    from embed_rerank_spark.operators import similarity
+
+    multi = similarity.lsh_cosine_topk(vectors, queries, k=10, bits=4, n_tables=4).collect()
+    single = similarity.lsh_cosine_topk(vectors, queries, k=10, bits=4, n_tables=1).collect()
+    assert len(multi) >= len(single)
+    top1 = {r.query_id: r.vec_id for r in multi if r.rank == 1}
+    assert all(q == v for q, v in top1.items())
+
+
+def test_lsh_zero_bits_equals_exact(spark, vectors, queries):
+    """bits=0 (full probe) must equal exact brute-force cosine — the
+    configuration the driver oracle pins."""
+    from embed_rerank_spark.operators import similarity
+
+    exact = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    lsh = similarity.lsh_cosine_topk(vectors, queries, k=10, bits=0).collect()
+    assert sorted((r.query_id, r.rank, r.vec_id, round(r.cosine, 6)) for r in lsh) == sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.cosine, 6)) for r in exact
+    )
