@@ -30,6 +30,14 @@ so this engine seeds with sha256 over the little-endian int64 id
 sequence, the same construction the reference itself uses for its
 linear head (``mlx_reranker_backend.py:183-184``). Pinned by unit
 tests; ordering semantics (not bit-level seeds) are the parity target.
+
+Second documented deviation (same rationale): the per-row Gaussian
+draw is a counter-based splitmix64 + Box-Muller kernel
+(``gaussian_rows``) instead of ``np.random.default_rng(seed)`` —
+value (row, j) is a pure function of (seed, j), so it is vectorizable
+across a whole Arrow batch and independent of any RNG library's
+stream layout. The driver-side linear head keeps NumPy's generator
+(it runs once, and its exact values are pinned by a unit test).
 """
 
 from __future__ import annotations
@@ -43,6 +51,48 @@ DEFAULT_MAX_LENGTH = 512
 PAD_ID = 0
 UNK_ID = 1
 SEP_ID = 2
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set):
+    uint64 counter -> well-mixed uint64. Deliberate wrapping
+    arithmetic."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def gaussian_rows(seeds: np.ndarray, hidden: int) -> np.ndarray:
+    """(n, hidden) float32 standard normals where value (i, j) depends
+    ONLY on (seeds[i], j): counter-based Box-Muller over a splitmix64
+    stream, fully vectorized across the whole matrix.
+
+    This replaces the per-row ``np.random.default_rng(seed)
+    .standard_normal(hidden)`` construction (engine-semantics change,
+    documented in the module docstring): a distributed engine should
+    not pin its scores to one RNG library's internal stream layout,
+    and the per-row generator construction was the rerank stage's
+    inner-loop cost. Counters are ``seed * 2^32 + j`` so rows never
+    overlap (seeds < 2^32)."""
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    n = len(seeds)
+    half = (hidden + 1) // 2
+    with np.errstate(over="ignore"):
+        ctr = (seeds[:, None] << np.uint64(32)) + np.arange(
+            2 * half, dtype=np.uint64
+        )[None, :]
+        h = _splitmix64(ctr)
+    # top 24 bits -> float32 uniform in (0, 1] (the +1 keeps log finite);
+    # the whole pipeline stays float32 — scores are float32 anyway and
+    # the SIMD transcendentals are ~40% cheaper than float64
+    u = ((h >> np.uint64(40)).astype(np.float32) + np.float32(1.0)) * np.float32(2.0**-24)
+    r = np.sqrt(np.float32(-2.0) * np.log(u[:, :half]))
+    theta = np.float32(2.0 * np.pi) * u[:, half:]
+    out = np.empty((n, 2 * half), dtype=np.float32)
+    out[:, 0::2] = r * np.cos(theta)
+    out[:, 1::2] = r * np.sin(theta)
+    return out[:, :hidden]
 
 
 def stable_seed_from_ids(ids: np.ndarray | list[int]) -> int:
@@ -93,29 +143,35 @@ def pooled_pseudo_embeddings(
     is part of the semantics, as in the reference).
     pooling="cls": seed from the first token id only
     (``mlx_reranker_backend.py:262-264``).
+
+    Gaussian generation is the counter-based ``gaussian_rows`` kernel
+    (one vectorized pass over the whole batch); only the sha256 row
+    seeds remain per-row, and they are a few percent of the old
+    per-row generator cost.
     """
-    out = np.empty((input_ids.shape[0], hidden), dtype=np.float32)
-    for i, row in enumerate(input_ids):
-        if pooling == "cls":
-            seed = (int(row[0]) if row.size > 0 else 0) % (2**32 - 1)
-        else:
-            seed = stable_seed_from_ids(row)
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(hidden).astype(np.float32)
-        v /= np.linalg.norm(v) + 1e-8
-        out[i] = v
+    n = input_ids.shape[0]
+    if pooling == "cls":
+        first = input_ids[:, 0] if input_ids.shape[1] > 0 else np.zeros(n, dtype=np.int64)
+        seeds = (first.astype(np.int64) % (2**32 - 1)).astype(np.uint64)
+    else:
+        seeds = np.fromiter(
+            (stable_seed_from_ids(row) for row in input_ids), dtype=np.uint64, count=n
+        )
+    out = gaussian_rows(seeds, hidden)
+    out /= np.linalg.norm(out, axis=1, keepdims=True) + 1e-8
     return out
 
 
 def text_pseudo_embeddings(texts: list[str], hidden: int = DEFAULT_HIDDEN) -> np.ndarray:
     """Per-text deterministic embedding (reference placeholder path,
-    ``mlx_backend.py:543-555``): seeded standard normal, L2-normalized
-    with NO epsilon guard (that path divides by the exact norm)."""
-    out = np.empty((len(texts), hidden), dtype=np.float32)
-    for i, t in enumerate(texts):
-        rng = np.random.default_rng(stable_seed_from_text(t))
-        v = rng.standard_normal(hidden).astype(np.float32)
-        out[i] = v / np.linalg.norm(v)
+    ``mlx_backend.py:543-555``): seeded standard normal
+    (counter-based ``gaussian_rows``), L2-normalized with NO epsilon
+    guard (that path divides by the exact norm)."""
+    seeds = np.fromiter(
+        (stable_seed_from_text(t) for t in texts), dtype=np.uint64, count=len(texts)
+    )
+    out = gaussian_rows(seeds, hidden)
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
     return out
 
 

@@ -105,3 +105,19 @@ def test_rerank_group_end_to_end_determinism():
     # scores only via padding width — verify group scoping is real
     s3 = scoring.rerank_group(q, passages[:1], hidden=256)
     assert s3.shape == (1,)
+
+
+def test_gaussian_rows_batch_independent_and_deterministic():
+    """gaussian_rows value (i, j) is a pure function of (seed_i, j):
+    the same seed yields the same row regardless of batch composition
+    or position — the property that makes per-partition scoring
+    independent of how Spark batches the rows."""
+    import numpy as np
+
+    a = scoring.gaussian_rows(np.array([7, 99, 7], dtype=np.uint64), 64)
+    b = scoring.gaussian_rows(np.array([99], dtype=np.uint64), 64)
+    np.testing.assert_array_equal(a[1], b[0])
+    np.testing.assert_array_equal(a[0], a[2])
+    # approximately standard normal
+    big = scoring.gaussian_rows(np.arange(200, dtype=np.uint64), 256)
+    assert abs(float(big.mean())) < 0.02 and abs(float(big.std()) - 1.0) < 0.02
