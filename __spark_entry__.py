@@ -170,6 +170,33 @@ def q_score_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dialect_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-dialect output views over one rerank result (SURVEY.md §1.1
+    S3): Cohere relevance_score, TEI score, OpenAI auto-sigmoid score
+    — thin projections the oracle reproduces as renames + sigmoid."""
+    from embed_rerank_spark.functions.views import (
+        cohere_rerank_view,
+        openai_rerank_view,
+        tei_rerank_view,
+    )
+
+    base = q_jaccard_rerank(spark, sf_dir).select("query_id", "doc_id", "score")
+    cohere = cohere_rerank_view(base).select(
+        "query_id", "index", F.round("relevance_score", 6).alias("relevance_score")
+    )
+    tei = tei_rerank_view(base).select(
+        "query_id", "index", F.round("score", 6).alias("tei_score")
+    )
+    oai = openai_rerank_view(base).select(
+        "query_id", F.col("doc_id").alias("index"), F.round("score", 6).alias("openai_score")
+    )
+    return (
+        cohere.join(tei, ["query_id", "index"])
+        .join(oai, ["query_id", "index"])
+        .orderBy("query_id", "index")
+    )
+
+
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic cross-encoder-lite rerank of the BM25 pool
     (sha256-seeded pooled pseudo-embeddings + linear head — not
@@ -501,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_rerank": q_jaccard_rerank,
         "bm25_jaccard_rerank": q_bm25_jaccard_rerank,
         "score_norm": q_score_norm,
+        "dialect_views": q_dialect_views,
         "rerank_topk": q_rerank_topk,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -645,6 +673,25 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    dialect_views = f"""
+WITH {jaccard_core},
+scored AS (
+    SELECT q.query_id, d.doc_id,
+           CAST(len(list_intersect(qtoks, ptoks)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(qtoks, ptoks))), 1) AS raw
+    FROM q CROSS JOIN d
+),
+ranked AS (
+    SELECT query_id, doc_id, round(raw, 6) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS "index",
+       score AS relevance_score,
+       score AS tei_score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS openai_score
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, "index"
 """
     score_norm = f"""
 WITH {jaccard_core},
@@ -1145,6 +1192,7 @@ WHERE a.vec_id < b.vec_id
         "jaccard_rerank": jaccard,
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,
+        "dialect_views": dialect_views,
         "exact_dedup": exact_dedup,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash": simhash,

@@ -59,6 +59,15 @@ class ProcessingInfo:
     warnings: list[str] = field(default_factory=list)
 
 
+
+def token_limits(max_position_embeddings: int) -> tuple[int, int]:
+    """(recommended_max_tokens, absolute_max_tokens) derived from model
+    metadata, reference semantics (``app/utils/model_metadata.py:245-247``):
+    recommended = min(max_pos // 4, 2048), absolute = max_pos. The
+    engine's 2048/8192 defaults are exactly this formula applied to the
+    reference's default ``max_position_embeddings = 8192``."""
+    return min(max_position_embeddings // 4, 2048), max_position_embeddings
+
 def estimate_tokens(text: str) -> int:
     """Token estimate: 1 token ~= 4 chars (reference ``text_utils.py:63,167``)."""
     return len(text) // CHARS_PER_TOKEN

@@ -45,6 +45,75 @@ from .bm25 import topk
 
 RERANK_SCHEMA = "query_id long, doc_id long, score double"
 
+# Reference request caps (app/models/requests.py:92-121,173-190):
+# query 1..2048 chars, <= 1000 passages per request, each passage
+# non-blank and <= 4096 chars. The reference 422s the WHOLE request on
+# any violation; the batch mirror quarantines the whole query's pool.
+MAX_PASSAGES_PER_QUERY = 1000
+MAX_PASSAGE_CHARS = 4096
+MAX_QUERY_CHARS = 2048
+
+
+def validate_rerank_pool(
+    pool: DataFrame,
+    max_passages: int = MAX_PASSAGES_PER_QUERY,
+    max_passage_chars: int = MAX_PASSAGE_CHARS,
+    max_query_chars: int = MAX_QUERY_CHARS,
+) -> tuple[DataFrame, DataFrame]:
+    """Request-cap validation of a joined candidate pool
+    (query_id, doc_id, text, query) before rerank scoring.
+
+    Returns (clean_pool, quarantine) where quarantine is
+    (query_id, reason, n_rows): one row per violated cap per query —
+    the batch analogue of the reference's per-request 422
+    (``requests.py:92-121,173-190``). A query with ANY violation is
+    quarantined whole, mirroring request-level rejection; its
+    passages never reach the scorer. ``n_rows`` counts the offending
+    passages (pool size for pool-level caps), surfacing the same
+    information the reference's error message carries."""
+    per_query = pool.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.first("query").alias("query"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
+            ).otherwise(0)
+        ).alias("n_empty_passage"),
+        F.sum(
+            F.when(F.length("text") > max_passage_chars, 1).otherwise(0)
+        ).alias("n_passage_too_long"),
+    )
+    def reason(cond, name, n_col):
+        return per_query.filter(cond).select(
+            "query_id", F.lit(name).alias("reason"), n_col.cast("int").alias("n_rows")
+        )
+
+    quarantine = (
+        reason(F.length(F.trim("query")) == 0, "empty_query", F.lit(1))
+        .unionByName(
+            reason(
+                (F.length(F.trim("query")) > 0) & (F.length("query") > max_query_chars),
+                "query_too_long",
+                F.lit(1),
+            )
+        )
+        .unionByName(
+            reason(F.col("n_passages") > max_passages, "pool_too_large", F.col("n_passages"))
+        )
+        .unionByName(
+            reason(F.col("n_empty_passage") > 0, "empty_passage", F.col("n_empty_passage"))
+        )
+        .unionByName(
+            reason(
+                F.col("n_passage_too_long") > 0,
+                "passage_too_long",
+                F.col("n_passage_too_long"),
+            )
+        )
+    )
+    clean = pool.join(quarantine.select("query_id").distinct(), "query_id", "left_anti")
+    return clean, quarantine
+
 
 def rerank_candidates(
     candidates: DataFrame,
@@ -59,9 +128,38 @@ def rerank_candidates(
     max_length: int = scoring.DEFAULT_MAX_LENGTH,
     id_col: str = "doc_id",
     text_col: str = "text",
+    enforce_limits: bool = True,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): rerank ``candidates``
-    (query_id, doc_id) with the chosen deterministic scorer."""
+    (query_id, doc_id) with the chosen deterministic scorer.
+    ``enforce_limits`` applies the reference request caps
+    (``validate_rerank_pool``); use ``rerank_candidates_with_metrics``
+    to also get the quarantine counts."""
+    out, _ = rerank_candidates_with_metrics(
+        candidates, docs, queries, top_k, method, model_name, hidden,
+        pooling, score_norm, max_length, id_col, text_col, enforce_limits,
+    )
+    return out
+
+
+def rerank_candidates_with_metrics(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    method: str = "cross_encoder_lite",
+    model_name: str = "embed-rerank-spark",
+    hidden: int = scoring.DEFAULT_HIDDEN,
+    pooling: str = "mean",
+    score_norm: str = "none",
+    max_length: int = scoring.DEFAULT_MAX_LENGTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    enforce_limits: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Like ``rerank_candidates`` but also returns the quarantine
+    DataFrame (query_id, reason, n_rows) from the request-cap
+    validation stage — the rerank metrics surface."""
     spark = candidates.sparkSession
     qdf = spark.createDataFrame(queries, "query_id long, query string")
     # S2: the deterministic scoring head is computed once on the driver
@@ -77,6 +175,10 @@ def rerank_candidates(
         .join(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "doc_id")
         .join(F.broadcast(qdf), "query_id")
     )
+    if enforce_limits:
+        pool, quarantine = validate_rerank_pool(pool)
+    else:
+        quarantine = spark.createDataFrame([], "query_id long, reason string, n_rows int")
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -111,7 +213,8 @@ def rerank_candidates(
     n_parts = spark.sparkContext.defaultParallelism
     pool = pool.repartition(n_parts, "query_id")
     scored = pool.groupBy("query_id").applyInPandas(score_group, RERANK_SCHEMA)
-    return topk(scored, top_k).select("query_id", "rank", "doc_id", "score")
+    out = topk(scored, top_k).select("query_id", "rank", "doc_id", "score")
+    return out, quarantine
 
 
 def retrieve_and_rerank(

@@ -64,13 +64,25 @@ def extract_pages(
     max_tokens: int = 2048,
     absolute_max_tokens: int = 8192,
     strategy: str = "smart_truncate",
+    max_position_embeddings: int | None = None,
 ) -> DataFrame:
     """pages -> (url, doc_id, text, n_tokens, dl, error). Byte-identical
     extracted text per url; failures quarantined in ``error``.
 
+    ``max_position_embeddings`` derives both limits from model metadata
+    (``functions.text_processing.token_limits``: recommended =
+    min(max_pos // 4, 2048), absolute = max_pos — reference
+    ``model_metadata.py:245-247``), overriding the explicit values.
+    The 2048/8192 defaults are that formula at the reference's default
+    max_pos = 8192.
+
     ``dl`` (scoring-token count of the EXTRACTED text) is computed here
     so every downstream consumer (doc stats, BM25 length norm) is a
     projection of this table instead of a re-tokenize pass."""
+    if max_position_embeddings is not None:
+        from ..functions.text_processing import token_limits  # noqa: PLC0415
+
+        max_tokens, absolute_max_tokens = token_limits(max_position_embeddings)
     extract = make_extract_udf(max_tokens, absolute_max_tokens, strategy)
     from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
 

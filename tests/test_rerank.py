@@ -95,3 +95,55 @@ def test_full_pipeline(spark, docs):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pool_caps_quarantine(spark, docs):
+    """Reference request caps (requests.py:92-121,173-190) as a batch
+    quarantine stage: oversized pools / overlong passages or queries
+    knock out the whole query (request-level 422 mirror) with counted
+    reasons; clean queries rerank untouched."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.rerank import (
+        rerank_candidates_with_metrics,
+        validate_rerank_pool,
+    )
+
+    # unit-level: synthetic pool exercising every cap
+    rows = []
+    rows += [(1, i, "fine text", "ok query") for i in range(5)]          # clean
+    rows += [(2, i, "fine text", "q" * 3000) for i in range(3)]          # query_too_long
+    rows += [(3, i, "x" * 5000 if i == 0 else "fine", "ok") for i in range(3)]  # passage_too_long
+    rows += [(4, i, "   " if i == 1 else "fine", "ok") for i in range(3)]       # empty_passage
+    rows += [(5, i, "fine", "ok") for i in range(12)]                    # pool_too_large (cap 10)
+    pool = spark.createDataFrame(rows, "query_id long, doc_id long, text string, query string")
+    clean, quarantine = validate_rerank_pool(pool, max_passages=10)
+    q = {(r.query_id, r.reason): r.n_rows for r in quarantine.collect()}
+    assert q == {
+        (2, "query_too_long"): 1,
+        (3, "passage_too_long"): 1,
+        (4, "empty_passage"): 1,
+        (5, "pool_too_large"): 12,
+    }
+    assert sorted(r.query_id for r in clean.select("query_id").distinct().collect()) == [1]
+
+    # pipeline-level: an overlong query is dropped from rerank output
+    cands = bm25_topk_bruteforce(spark, docs, QUERY_SET[:2], k=10)
+    long_query = [(QUERY_SET[0][0], QUERY_SET[0][1]), (QUERY_SET[1][0], "z " * 2000)]
+    out, metrics = rerank_candidates_with_metrics(
+        cands, docs, long_query, top_k=5, hidden=HIDDEN
+    )
+    got_q = {r.query_id for r in out.collect()}
+    assert got_q == {QUERY_SET[0][0]}
+    m = {(r.query_id, r.reason) for r in metrics.collect()}
+    assert (QUERY_SET[1][0], "query_too_long") in m
+
+
+def test_token_limits_from_model_metadata():
+    """recommended = min(max_pos // 4, 2048), absolute = max_pos
+    (reference model_metadata.py:245-247)."""
+    from embed_rerank_spark.functions.text_processing import token_limits
+
+    assert token_limits(512) == (128, 512)
+    assert token_limits(8192) == (2048, 8192)
+    assert token_limits(32768) == (2048, 32768)
