@@ -151,11 +151,16 @@ def _wand_one_query(
     k1: float,
     b: float,
 ) -> list[tuple[int, float]]:
-    """Exact top-k (doc_id, score) for one query over one shard."""
+    """Exact top-k (doc_id, score) for one query over one shard.
+    ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
+    gets its own cursor — the pivot/prefix logic already sums every
+    cursor sitting on the pivot doc, so multiple same-term cursors
+    with disjoint doc sets score exactly."""
     its = [
-        _TermIterator(term_blocks[t], idf, avgdl, k1, b)
+        _TermIterator(run, idf, avgdl, k1, b)
         for t, idf in qterms
         if t in term_blocks
+        for run in term_blocks[t]
     ]
     its = [it for it in its if it.cur != _INF]
     if not its:
@@ -263,8 +268,16 @@ def _wand_partition(
     taat_threshold: int = 100_000,
 ):
     """One task: materialize its shards' (query-term-only) posting
-    blocks, answer every query per shard."""
-    shards: dict[int, dict[str, list]] = {}
+    blocks, answer every query per shard.
+
+    Postings may carry a ``seg`` column (multi-unit tiered index): a
+    term's blocks then form one RUN per unit — runs have disjoint,
+    ascending block ranges WITHIN a unit but interleave ACROSS units,
+    so the pivot walk gets one independent cursor per (term, run)
+    (WAND is agnostic to several cursors sharing a term), and the
+    term-at-a-time path concatenates runs before the unique/bincount
+    accumulation."""
+    shards: dict[int, dict[str, dict[int, list]]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
         # bulk column conversion (C-speed), then one plain-list loop —
@@ -280,23 +293,32 @@ def _wand_partition(
         docs_l = col["docs_bin"].to_pylist()
         tfs_l = col["tfs_bin"].to_pylist()
         dls_l = col["dls_bin"].to_pylist()
-        for sh, tm, row in zip(
+        seg_l = col["seg"].to_pylist() if "seg" in col else [0] * len(term_l)
+        for sh, tm, seg, row in zip(
             shard_l,
             term_l,
+            seg_l,
             zip(bid_l, first_l, last_l, nd_l, mt_l, ml_l, docs_l, tfs_l, dls_l),
         ):
-            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
+            shards.setdefault(sh, {}).setdefault(tm, {}).setdefault(seg, []).append(row)
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
-        # order blocks by doc RANGE (first_doc, block_id): salted hot
-        # terms restart block_id per range run, but ranges are disjoint
-        # and ascending, so first_doc is the true global order
+        # order blocks by doc RANGE (first_doc, block_id) within each
+        # run: salted hot terms restart block_id per range run, but
+        # ranges are disjoint and ascending inside one unit, so
+        # first_doc is the true order there; across units, runs stay
+        # separate cursors
         tb = {
-            t: [blk[1:] for blk in sorted(blocks, key=lambda b: (b[1], b[0]))]
-            for t, blocks in term_blocks.items()
+            t: [
+                [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))]
+                for run in runs.values()
+            ]
+            for t, runs in term_blocks.items()
         }
-        term_len = {t: sum(blk[2] for blk in blocks) for t, blocks in tb.items()}
+        term_len = {
+            t: sum(blk[2] for run in runs for blk in run) for t, runs in tb.items()
+        }
         # decode-once cache for the term-at-a-time path: (docs, tfpart)
         taat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -304,11 +326,12 @@ def _wand_partition(
             got = taat_cache.get(t)
             if got is None:
                 ds, tfs, dls = [], [], []
-                for blk in tb[t]:
-                    d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
-                    ds.append(d)
-                    tfs.append(f)
-                    dls.append(l)
+                for run in tb[t]:
+                    for blk in run:
+                        d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
+                        ds.append(d)
+                        tfs.append(f)
+                        dls.append(l)
                 d = np.concatenate(ds)
                 tp = _tfpart(
                     np.concatenate(tfs).astype(np.float64),

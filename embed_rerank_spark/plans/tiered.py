@@ -1,0 +1,221 @@
+"""Tiered (log-structured) index compaction + multi-unit query view.
+
+``merge_segments`` (build_index.py) rewrites the WHOLE index on every
+merge — correct, but at 10^12 docs a daily snapshot would re-encode
+every posting. This module gives the build the LSM shape real engines
+use:
+
+- level-0 units are the per-snapshot segments the incremental build
+  already writes (``path/segments/<snap>``);
+- ``compact`` merges ``fanout`` SAME-LEVEL units into one unit at the
+  next level (``path/tiers/L<k>/<first>__<last>``), promoting upward
+  until no level has ``fanout`` live units. A new snapshot therefore
+  costs O(segment) immediately and amortized O(segment * log_fanout n)
+  over its lifetime — higher-level tiers are NOT rewritten (pinned by
+  a mtime/bytes test);
+- ``load_tiered`` exposes the LIVE units (those not absorbed by any
+  tier) as one ``InvertedIndex``: postings union with a ``seg`` column
+  so the WAND reader walks one independent cursor per (term, unit) —
+  runs overlap in doc-id range across units, never within one.
+
+Absorption is tracked in tier manifests (``inputs`` list), NOT by
+deleting inputs: the snapshot segments double as the build's
+checkpoint/resume record (their commit markers are what
+``build_incremental`` skips), so they stay on disk; a production
+deployment would garbage-collect absorbed units once a retention
+window passes.
+
+Duplicate-doc caveat: units hold disjoint doc sets per the snapshot
+contract; a url re-crawled across snapshots is collapsed (max tf) when
+compaction merges the two units, but until then the query view scores
+both postings — the standard LSM visibility trade; newest-wins at
+query time would need a doc-level tombstone/version column, recorded
+here as the known gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import BLOCK_SIZE
+from ..operators.postings import POSTINGS_SCHEMA, InvertedIndex, pow2_salts, salt_expr
+from .build_index import _manifest_file, _merge_partition, committed_snapshots
+
+DEFAULT_FANOUT = 4
+
+
+def _tier_root(path: str) -> str:
+    return f"{path}/tiers"
+
+
+def _unit_dir(path: str, unit: str) -> str:
+    """unit id is a path relative to the index root:
+    ``segments/<snap>`` or ``tiers/L<k>/<name>``."""
+    return f"{path}/{unit}"
+
+
+def _tier_units(path: str) -> list[tuple[int, str, dict]]:
+    """[(level, unit_id, manifest)] for every committed tier."""
+    out = []
+    root = _tier_root(path)
+    if not os.path.isdir(root):
+        return out
+    for lvl_name in sorted(os.listdir(root)):
+        if not lvl_name.startswith("L"):
+            continue
+        level = int(lvl_name[1:])
+        for name in sorted(os.listdir(f"{root}/{lvl_name}")):
+            mf = f"{root}/{lvl_name}/{name}/MANIFEST.json"
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    out.append((level, f"tiers/{lvl_name}/{name}", json.load(f)))
+    return out
+
+
+def live_units(path: str) -> list[tuple[int, str]]:
+    """[(level, unit_id)] of units not absorbed by any committed tier,
+    ordered (level asc, name asc)."""
+    tiers = _tier_units(path)
+    absorbed = {u for _, _, m in tiers for u in m["inputs"]}
+    units = [(0, f"segments/{s}") for s in sorted(committed_snapshots(path))]
+    units += [(lvl, uid) for lvl, uid, _ in tiers]
+    return sorted((lvl, uid) for lvl, uid in units if uid not in absorbed)
+
+
+def _build_salts(path: str) -> int:
+    """The n_salts every unit was built with (must be uniform — same
+    guard as merge_segments)."""
+    salts = set()
+    for s in committed_snapshots(path):
+        with open(_manifest_file(path, s)) as f:
+            salts.add(json.load(f).get("n_salts", 1))
+    for _, _, m in _tier_units(path):
+        salts.add(m.get("n_salts", 1))
+    if len(salts) > 1:
+        raise ValueError(f"units built with mixed n_salts: {sorted(salts)}")
+    return salts.pop() if salts else 1
+
+
+def _merge_units(
+    spark: SparkSession,
+    path: str,
+    inputs: list[str],
+    out_unit: str,
+    level: int,
+    block_size: int,
+    n_salts: int,
+) -> None:
+    """Merge the input units' postings + doc stats into one committed
+    unit (manifest written last = commit marker). Same vectorized
+    decode -> lexsort -> re-encode kernel as the full merge."""
+    from functools import reduce  # noqa: PLC0415
+
+    out_dir = _unit_dir(path, out_unit)
+    posts = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_unit_dir(path, u)}/postings") for u in inputs],
+    )
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    merged = (
+        posts.select(
+            "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+        )
+        .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
+        .repartition(n_parts, "shard", "term", "bsalt")
+        .mapInArrow(
+            lambda it: _merge_partition(it, block_size, pow2_salts(n_salts)),
+            POSTINGS_SCHEMA,
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{out_dir}/postings")
+
+    dstats = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_unit_dir(path, u)}/doc_stats") for u in inputs],
+    )
+    # unique docs across inputs (re-crawl collapse, mirrors the
+    # encoder's max-tf rule)
+    dstats.groupBy("doc_id", "shard").agg(F.max("dl").alias("dl")).select(
+        "doc_id", "dl", "shard"
+    ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+
+    manifest = {
+        "level": level,
+        "inputs": inputs,
+        "n_salts": pow2_salts(n_salts),
+        "block_size": block_size,
+    }
+    with open(f"{out_dir}/MANIFEST.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    fanout: int = DEFAULT_FANOUT,
+    block_size: int = BLOCK_SIZE,
+) -> list[str]:
+    """Tiered compaction: while any level holds >= fanout live units,
+    merge the OLDEST fanout of them into one unit at the next level.
+    Only same-level units ever merge, so a new snapshot never rewrites
+    a higher tier. Returns the tier unit ids created."""
+    n_salts = _build_salts(path)
+    created = []
+    while True:
+        by_level: dict[int, list[str]] = {}
+        for lvl, uid in live_units(path):
+            by_level.setdefault(lvl, []).append(uid)
+        lvl = next(
+            (lv for lv in sorted(by_level) if len(by_level[lv]) >= fanout), None
+        )
+        if lvl is None:
+            return created
+        victims = sorted(by_level[lvl])[:fanout]
+        first = victims[0].rsplit("/", 1)[-1]
+        last = victims[-1].rsplit("/", 1)[-1]
+        out_unit = f"tiers/L{lvl + 1}/{first}__{last}"
+        os.makedirs(_unit_dir(path, out_unit), exist_ok=True)
+        _merge_units(spark, path, victims, out_unit, lvl + 1, block_size, n_salts)
+        created.append(out_unit)
+
+
+def load_tiered(spark: SparkSession, path: str) -> InvertedIndex:
+    """One queryable ``InvertedIndex`` over all live units.
+
+    postings carry a ``seg`` column (unit ordinal) so the WAND reader
+    builds one cursor per (term, unit); term/corpus stats are derived
+    lazily from the unioned tables (df lookups stay term-filtered
+    scans — the handle's dictionary cache memoizes them)."""
+    from functools import reduce  # noqa: PLC0415
+
+    units = live_units(path)
+    if not units:
+        raise ValueError(f"no live units under {path}")
+    posts = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(f"{_unit_dir(path, uid)}/postings").withColumn(
+                "seg", F.lit(i)
+            )
+            for i, (_, uid) in enumerate(units)
+        ],
+    )
+    dstats = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_unit_dir(path, uid)}/doc_stats") for _, uid in units],
+    )
+    cs = dstats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    term_stats = posts.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    return InvertedIndex(
+        postings=posts,
+        term_stats=term_stats,
+        doc_stats=dstats,
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )

@@ -16,6 +16,19 @@ engine only sees a DataFrame with the pages schema:
 Partition-pruning note (SURVEY.md §4): an Iceberg pages table should
 be partitioned by ``days(warc_ts)``; the segment build's per-snapshot
 filter then prunes manifests/files before any scan.
+
+Real-cluster recipe (the sandbox has no Iceberg runtime; exercised
+here through a reader-capture contract test instead):
+
+    spark-submit --py-files embed_rerank_spark.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.catalog.web=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.web.type=hive \
+      job.py --pages web.crawl.pages --format iceberg \
+             --start-snapshot-id <prev> --end-snapshot-id <curr>
+
+Snapshot ids come from the table's ``.snapshots`` metadata table; one
+(start, end] range is exactly one build segment's input.
 """
 
 from __future__ import annotations
@@ -43,6 +56,21 @@ PAGES_SCHEMA = StructType(
 PAGES_COLUMNS = [f.name for f in PAGES_SCHEMA.fields]
 
 
+def iceberg_read_options(
+    start_snapshot_id: int | None = None, end_snapshot_id: int | None = None
+) -> dict[str, str]:
+    """Reader options selecting an Iceberg incremental snapshot range
+    (one build segment's input). Option names are the public Iceberg
+    Spark-read options; kept pure so the contract test can pin them
+    without an Iceberg runtime."""
+    opts: dict[str, str] = {}
+    if start_snapshot_id is not None:
+        opts["start-snapshot-id"] = str(start_snapshot_id)
+    if end_snapshot_id is not None:
+        opts["end-snapshot-id"] = str(end_snapshot_id)
+    return opts
+
+
 def read_pages(
     spark: SparkSession,
     source: str,
@@ -60,10 +88,8 @@ def read_pages(
         df = spark.read.parquet(source)
     elif format == "iceberg":
         reader = spark.read.format("iceberg")
-        if start_snapshot_id is not None:
-            reader = reader.option("start-snapshot-id", str(start_snapshot_id))
-        if end_snapshot_id is not None:
-            reader = reader.option("end-snapshot-id", str(end_snapshot_id))
+        for k, v in iceberg_read_options(start_snapshot_id, end_snapshot_id).items():
+            reader = reader.option(k, v)
         df = reader.load(source)
     else:
         raise ValueError(f"unknown pages format: {format}")

@@ -62,25 +62,45 @@ def _run_case(seed, n_docs, n_terms, density, q_size, k, block_size, tie_heavy=F
     # engine tie semantics: rank on round(score, 6), then doc_id asc
     brute = sorted(scores.items(), key=lambda x: (-round(x[1], 6), x[0]))[:k]
 
-    term_blocks = {}
-    for t in qterms:
-        docs, tfs = postings[t]
-        blks = encode_posting_list(docs, tfs, dls[docs], block_size)
-        term_blocks[t] = [
-            (b.first_doc, b.last_doc, b.n_docs, b.max_tf, b.min_dl,
-             b.docs_bin, b.tfs_bin, b.dls_bin)
-            for b in blks
-        ]
-    wand = sorted(
-        _wand_one_query(term_blocks, [(t, idf[t]) for t in qterms], k, avgdl, BM25_K1, BM25_B),
-        key=lambda x: (-round(x[1], 6), x[0]),
-    )
-    assert [d for d, _ in brute] == [d for d, _ in wand], (
-        seed, n_docs, density, q_size, k, block_size,
-        brute[:5], wand[:5],
-    )
-    for (_, bs), (_, ws) in zip(brute, wand):
-        assert abs(bs - ws) < 1e-9
+    def encode_runs(split_runs: bool):
+        """term -> list of runs; optionally split each posting list
+        into two interleaved runs (the multi-unit tiered-index shape:
+        disjoint docs, overlapping ranges)."""
+        term_blocks = {}
+        for t in qterms:
+            docs, tfs = postings[t]
+            parts = (
+                [(docs[0::2], tfs[0::2]), (docs[1::2], tfs[1::2])]
+                if split_runs and len(docs) > 1
+                else [(docs, tfs)]
+            )
+            runs = []
+            for d_r, tf_r in parts:
+                blks = encode_posting_list(d_r, tf_r, dls[d_r], block_size)
+                runs.append(
+                    [
+                        (b.first_doc, b.last_doc, b.n_docs, b.max_tf, b.min_dl,
+                         b.docs_bin, b.tfs_bin, b.dls_bin)
+                        for b in blks
+                    ]
+                )
+            term_blocks[t] = runs
+        return term_blocks
+
+    for split_runs in (False, True):
+        wand = sorted(
+            _wand_one_query(
+                encode_runs(split_runs), [(t, idf[t]) for t in qterms], k, avgdl,
+                BM25_K1, BM25_B,
+            ),
+            key=lambda x: (-round(x[1], 6), x[0]),
+        )
+        assert [d for d, _ in brute] == [d for d, _ in wand], (
+            seed, n_docs, density, q_size, k, block_size, split_runs,
+            brute[:5], wand[:5],
+        )
+        for (_, bs), (_, ws) in zip(brute, wand):
+            assert abs(bs - ws) < 1e-9
 
     # term-at-a-time path on the same corpus: identical ranking
     from embed_rerank_spark.operators.wand import _taat_topk, _tfpart
