@@ -148,6 +148,42 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             "overwrite"
         ).parquet(f"{tmp}/docs_bm25")
         timings["docs_bm25"] = time.perf_counter() - t0
+
+        # --- tiered-compaction side metrics (reported under "tiered",
+        # NOT in the headline suite total, to keep rounds comparable):
+        # the marginal cost of snapshot N+1 under the LSM layout is one
+        # SEGMENT build + (usually) zero merge, vs merge_segments'
+        # full-index rewrite measured above as index_merge.
+        if os.environ.get("SPARK_GRAFT_TIERED", "1") == "0":
+            return timings  # scaling mode: skip side metrics (cost!)
+        import datetime as dt  # noqa: PLC0415
+
+        from embed_rerank_spark.plans.build_index import build_segment  # noqa: PLC0415
+        from embed_rerank_spark.plans.tiered import compact, load_tiered  # noqa: PLC0415
+        from embed_rerank_spark.sources.pages import BASE_DAY  # noqa: PLC0415
+
+        tiered: dict[str, float] = {}
+        t0 = time.perf_counter()
+        compact(spark, f"{tmp}/index", fanout=4)  # 4 L0 -> one L1 tier
+        tiered["compact_4_segments"] = round(time.perf_counter() - t0, 3)
+
+        extra = generate_pages(
+            spark, int(n_pages * 1.25), seed=42, n_snapshots=4
+        ).filter(F.substring("url", -12, 12).cast("long") >= n_pages).withColumn(
+            "warc_ts", F.lit(BASE_DAY + dt.timedelta(days=4))
+        )
+        t0 = time.perf_counter()
+        build_segment(spark, extra, f"{tmp}/index", "2025-06-05", n_shards=N_SHARDS)
+        tiered["snap5_segment_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        compact(spark, f"{tmp}/index", fanout=4)  # below fanout: no-op
+        tiered["snap5_compact"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        wand_topk(load_tiered(spark, f"{tmp}/index"), qb, k=10).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/wand_tiered")
+        tiered["wand_tiered_topk"] = round(time.perf_counter() - t0, 3)
+        timings["_tiered"] = tiered  # side-channel, popped by main()
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -159,6 +195,7 @@ def main() -> None:
         scaling_mode()
         return
     timings = run_suite(CPUS, N_PAGES)
+    tiered = timings.pop("_tiered", {})
     total = sum(timings.values())
     out = {
         "metric": "e2e_suite_sec",
@@ -169,6 +206,7 @@ def main() -> None:
         "cpus": CPUS,
         "n_pages": N_PAGES,
         "wand_qps": round(N_QUERIES / timings["wand_topk"], 2),
+        "tiered": tiered,
     }
     print(json.dumps(out))
 
@@ -211,6 +249,7 @@ def scaling_mode() -> None:
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_N_PAGES=str(SCALING_PAGES),
+            SPARK_GRAFT_TIERED="0",  # side metrics would skew the ratio
             # larger query batch: the QPS phase must be compute-bound
             # (256 queries at sf0.1 are ~60% fixed scan/collect cost)
             SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES", "1024"),
