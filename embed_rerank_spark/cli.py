@@ -55,11 +55,24 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--max-concurrent", type=int, default=4)
 
+    c = sub.add_parser(
+        "compact",
+        help="tiered (LSM) compaction: merge same-level units, promote upward",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--fanout", type=int, default=4)
+    c.add_argument("--block-size", type=int, default=128)
+
     q = sub.add_parser("query", help="BM25 top-k via block-max WAND")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
     q.add_argument("--out", required=True, help="output parquet path")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument(
+        "--tiered",
+        action="store_true",
+        help="query the live tiered units instead of a fully merged index",
+    )
 
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
@@ -91,11 +104,23 @@ def main(argv: list[str] | None = None) -> int:
                 n_salts=args.salts,
             )
             print(f"index ready: {idx.n_docs} docs, avgdl={idx.avgdl:.2f}")
+        elif args.cmd == "compact":
+            from .plans.tiered import compact, live_units
+
+            created = compact(
+                spark, args.index, fanout=args.fanout, block_size=args.block_size
+            )
+            print(f"created tiers: {created or 'none'}; live units: {live_units(args.index)}")
         elif args.cmd == "query":
             from .operators.postings import InvertedIndex
             from .operators.wand import wand_topk
 
-            idx = InvertedIndex.load(spark, args.index)
+            if args.tiered:
+                from .plans.tiered import load_tiered
+
+                idx = load_tiered(spark, args.index)
+            else:
+                idx = InvertedIndex.load(spark, args.index)
             out = wand_topk(idx, _read_queries(args.queries), k=args.k)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -71,3 +71,34 @@ def test_cli_end_to_end(spark, workspace):
 
     rr = spark.read.parquet(str(d / "rr"))
     assert rr.count() == topk.count()  # full corpus: every candidate has text
+
+
+def test_cli_compact_and_tiered_query(spark, workspace):
+    """compact + query --tiered drive the LSM path from the CLI; the
+    tiered answer must equal the merged-index answer."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    real_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        assert cli.main([
+            "compact", "--index", str(d / "index"), "--fanout", "2",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"), "--tiered",
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "topk_tiered"),
+            "--k", "5",
+        ]) == 0
+    finally:
+        type(spark).stop = real_stop
+
+    merged = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in spark.read.parquet(str(d / "topk")).collect()
+    }
+    tiered = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in spark.read.parquet(str(d / "topk_tiered")).collect()
+    }
+    assert merged == tiered and len(tiered) > 0
