@@ -70,19 +70,41 @@ def validate_rerank_pool(
     quarantined whole, mirroring request-level rejection; its
     passages never reach the scorer. ``n_rows`` counts the offending
     passages (pool size for pool-level caps), surfacing the same
-    information the reference's error message carries."""
+    information the reference's error message carries.
+
+    Plan shape matters here: ``clean`` is ONE windowed pass over the
+    pool plus a filter — no join back against an aggregated branch,
+    which would re-evaluate the (possibly expensive: a WAND run)
+    candidate subtree once per branch. The window's query_id hash
+    clustering is what the downstream rerank groupBy needs anyway.
+    ``quarantine`` is a separate lazy branch evaluated only when the
+    caller consumes the metrics."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    empty_p = (F.col("text").isNull() | (F.length(F.trim("text")) == 0)).cast("int")
+    long_p = (F.length("text") > max_passage_chars).cast("int")
+    w = Window.partitionBy("query_id")
+    flagged = (
+        pool.withColumn("_n_pass", F.count(F.lit(1)).over(w))
+        .withColumn("_n_empty", F.sum(empty_p).over(w))
+        .withColumn("_n_long", F.sum(long_p).over(w))
+    )
+    ok = (
+        (F.length(F.trim("query")) > 0)
+        & (F.length("query") <= max_query_chars)
+        & (F.col("_n_pass") <= max_passages)
+        & (F.col("_n_empty") == 0)
+        & (F.col("_n_long") == 0)
+    )
+    clean = flagged.filter(ok).drop("_n_pass", "_n_empty", "_n_long")
+
     per_query = pool.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_passages"),
         F.first("query").alias("query"),
-        F.sum(
-            F.when(
-                F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
-            ).otherwise(0)
-        ).alias("n_empty_passage"),
-        F.sum(
-            F.when(F.length("text") > max_passage_chars, 1).otherwise(0)
-        ).alias("n_passage_too_long"),
+        F.sum(empty_p).alias("n_empty_passage"),
+        F.sum(long_p).alias("n_passage_too_long"),
     )
+
     def reason(cond, name, n_col):
         return per_query.filter(cond).select(
             "query_id", F.lit(name).alias("reason"), n_col.cast("int").alias("n_rows")
@@ -111,7 +133,6 @@ def validate_rerank_pool(
             )
         )
     )
-    clean = pool.join(quarantine.select("query_id").distinct(), "query_id", "left_anti")
     return clean, quarantine
 
 
