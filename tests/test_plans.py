@@ -57,3 +57,24 @@ def test_embedding_near_dup_has_no_allpairs_join(spark):
     plan = _plan(embedding_near_dup(vectors, threshold=0.5, bits=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rerank_validation_scans_candidates_once(spark, tmp_path):
+    """The cap-validation stage must not multiply the candidate
+    subtree: the rerank output plan reads the candidates source exactly
+    once (the quarantine metrics branch is separate and lazy)."""
+    from embed_rerank_spark.operators.rerank import rerank_candidates
+    from embed_rerank_spark.sources.pages import generate_pages
+    from embed_rerank_spark.plans.build_index import extract_pages
+
+    docs = extract_pages(generate_pages(spark, 60, seed=2, n_snapshots=1)).select(
+        "doc_id", "text"
+    )
+    cands_path = str(tmp_path / "cands")
+    docs.select("doc_id").limit(20).crossJoin(
+        spark.range(2).withColumnRenamed("id", "query_id")
+    ).write.parquet(cands_path)
+    cands = spark.read.parquet(cands_path)
+    out = rerank_candidates(cands, docs, [(0, "q one"), (1, "q two")], top_k=5, hidden=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("cands") == 1, plan
