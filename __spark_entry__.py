@@ -25,8 +25,11 @@ from embed_rerank_spark.operators.dedup import (  # noqa: E402
     MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
 from embed_rerank_spark.queryset import (  # noqa: E402
+    PHRASE_SET,
     QUERY_SET,
     TOP_K,
+    phrase_needles_values_sql,
+    phrase_terms_values_sql,
     query_terms_values_sql,
 )
 
@@ -134,6 +137,25 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select("query_id", "rank", "doc_id", SF.round("score", 6).alias("score"))
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase top-k over the POSITIONAL compressed index: docs
+    containing the phrase tokens consecutively, BM25-scored over the
+    phrase's unique terms (operators/positions.py)."""
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        phrase_topk,
+    )
+
+    index = load_positional_index(
+        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
+    )
+    out = phrase_topk(index, PHRASE_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
+        "phrase_topk": q_phrase_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -588,6 +611,39 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    phrase = f"""
+WITH {_TOKS_CTE},
+joined AS (
+    SELECT doc_id, ' ' || array_to_string({_TOKENIZE_SQL}, ' ') || ' ' AS s
+    FROM documents
+),
+matched AS (
+    SELECT ph.query_id, j.doc_id
+    FROM {phrase_needles_values_sql()} CROSS JOIN joined j
+    WHERE strpos(j.s, ph.needle) > 0
+),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {phrase_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1187,6 +1243,7 @@ WHERE a.vec_id < b.vec_id
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
+        "phrase_topk": phrase,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

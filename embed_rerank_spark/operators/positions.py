@@ -1,0 +1,580 @@
+"""Positional inverted index + exact phrase top-k retrieval.
+
+Extends the block-compressed posting format (``operators/postings.py``)
+with a fourth payload stream per block: token POSITIONS. Layout:
+
+- per posting (term, doc), the term's occurrence positions (0-based
+  token indexes from ``tokenize_for_scoring``) are strictly ascending;
+  they are delta-encoded (first value absolute) and varbyte-compressed
+  into one stream per block, concatenated in posting order. The
+  per-posting slice widths are the tf values already stored in
+  ``tfs_bin``, so positions add ZERO header overhead — decoding tfs
+  first yields the offsets.
+- everything else (block headers, doc-delta encoding, sharding, salt
+  ranges, sort order) is identical to the non-positional index, so the
+  positional postings remain a valid input to ``wand_topk`` (the extra
+  ``pos_bin`` column is simply ignored there).
+
+Phrase semantics (the engine's pinned contract, mirrored by the DuckDB
+oracle in ``__spark_entry__.py``):
+
+- a document MATCHES phrase [t0..tm-1] iff its token stream contains
+  the tokens consecutively, i.e. exists p with pos(ti) ∋ p+i for all i
+  — equivalently the single-space-joined token string contains
+  ``" t0 t1 .. tm-1 "`` (tokens carry no whitespace), which is what
+  the oracle checks with LIKE.
+- matching docs are scored with the standard Okapi BM25 sum over the
+  phrase's UNIQUE terms (same formula/constants as ``operators/bm25``)
+  and ranked with the engine tie semantics (rounded score desc,
+  doc_id asc).
+
+Scale notes (100 TB): the postings scan is filtered to the phrase's
+terms (parquet predicate pushdown — only those blocks are read); each
+doc-shard resolves phrases locally inside one ``mapInArrow`` stage
+(candidate intersection starts from the rarest term, so the composite
+(doc, pos-i) key sets stay bounded by the rarest term's postings), and
+the shard-local top-k rows that reach the global window are tiny
+(n_shards x n_queries x k). No reference analogue (the reference has
+no index; SURVEY.md §2.6 extension).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..functions.codec import BLOCK_SIZE, _bias, vb_decode, vb_encode_with_lengths
+from ..functions.udfs import tokenize_for_scoring
+from .bm25 import corpus_stats, doc_freqs, doc_lengths_direct, topk
+from .postings import InvertedIndex, combined_table, pow2_salts, salt_expr, shard_expr
+
+POSITIONAL_SCHEMA = (
+    "term string, shard int, block_id int, first_doc long, last_doc long, "
+    "n_docs int, max_tf int, min_dl int, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
+)
+
+_ARROW_OUT_POS = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("block_id", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("n_docs", pa.int32()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
+        ("docs_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary()),
+        ("pos_bin", pa.binary()),
+    ]
+)
+
+
+def term_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, dl, positions) in ONE aggregation — the
+    positional analogue of ``bm25.term_freqs_dl``: dl rides along on
+    every exploded row, positions collect per (doc, term) and sort
+    (``collect_list`` order is shuffle-nondeterministic; ``sort_array``
+    pins it). Position = 0-based index in the scoring-token stream."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def segment_cumsum(vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Decode a concatenated delta stream holding many segments (first
+    value of each segment absolute, NO sign bias — positions are small
+    non-negative ints) in one vectorized pass."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    s = np.asarray(starts, dtype=np.int64)
+    if len(v) == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(v, dtype=np.uint64)
+    prior = np.where(s > 0, c[np.maximum(s, 1) - 1], np.uint64(0))
+    reps = np.diff(np.append(s, len(v)))
+    return (c - np.repeat(prior, reps)).astype(np.int64)
+
+
+def _winner_rows(change: np.ndarray, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray):
+    """When duplicate (group, doc_id) rows exist, pick one row per
+    duplicate run — the row with the largest (tf, dl) — the same
+    max-tf collapse the non-positional encoder applies
+    (``postings._collapse_duplicate_docs``), but returning INDEXES so
+    the ragged positions column can be gathered too.
+
+    Returns (starts, winners): ``starts`` are run-start indexes (whose
+    change/term/shard/doc/salt values identify the run), ``winners``
+    the same-length indexes of the max-(tf, dl) row within each run
+    (source of tf, dl, positions). Identical arrays when no dups."""
+    n = len(doc)
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = (doc[1:] == doc[:-1]) & ~change[1:]
+    idx = np.arange(n, dtype=np.int64)
+    if not dup.any():
+        return idx, idx
+    seg = np.cumsum(~dup) - 1  # duplicate-run id per row
+    key = tf.astype(np.int64) * (1 << 31) + dl.astype(np.int64)
+    starts = np.flatnonzero(~dup)
+    kmax = np.maximum.reduceat(key, starts)
+    cand = np.flatnonzero(key == kmax[seg])  # rows attaining their run max
+    _, first = np.unique(seg[cand], return_index=True)
+    return starts, cand[first]
+
+
+def encode_grouped_rows_pos(
+    terms_dict: pa.Array,
+    tidx: np.ndarray,
+    shard: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    pos_flat: np.ndarray,
+    pos_offsets: np.ndarray,
+    block_size: int,
+    salt: np.ndarray | None = None,
+) -> Iterator[pa.RecordBatch]:
+    """Vectorized positional block encoder: the positional counterpart
+    of ``postings.encode_grouped_rows`` — identical group/block logic
+    plus one positions stream per block. ``pos_flat``/``pos_offsets``
+    are the ragged positions column (offsets length n+1)."""
+    n = len(doc)
+    if n == 0:
+        return
+    doc = np.ascontiguousarray(doc, dtype=np.int64)
+    tf = np.ascontiguousarray(tf, dtype=np.int64)
+    dl = np.ascontiguousarray(dl, dtype=np.int64)
+    pos_flat = np.ascontiguousarray(pos_flat, dtype=np.int64)
+    pos_offsets = np.ascontiguousarray(pos_offsets, dtype=np.int64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (tidx[1:] != tidx[:-1]) | (shard[1:] != shard[:-1])
+        if salt is not None:
+            change[1:] |= salt[1:] != salt[:-1]
+
+    starts, winners = _winner_rows(change, doc, tf, dl)
+    if len(starts) != n:
+        # run identity (group flags, term, shard, doc) comes from the
+        # run START; tf/dl/positions from the max-(tf, dl) WINNER row
+        counts = pos_offsets[winners + 1] - pos_offsets[winners]
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        flat_idx = np.repeat(pos_offsets[winners], counts) + (
+            np.arange(int(counts.sum())) - np.repeat(cum[:-1], counts)
+        )
+        pos_flat = pos_flat[flat_idx]
+        pos_offsets = cum
+        change, tidx, shard, doc = (
+            change[starts], tidx[starts], shard[starts], doc[starts]
+        )
+        tf, dl = tf[winners], dl[winners]
+        if salt is not None:
+            salt = salt[starts]
+        n = len(doc)
+
+    if (pos_offsets[1:] - pos_offsets[:-1] != tf).any():
+        raise ValueError("positions count must equal tf per posting")
+
+    gstart_idx = np.flatnonzero(change)
+    gid = np.cumsum(change) - 1
+    pos_in_group = np.arange(n, dtype=np.int64) - gstart_idx[gid]
+    bmask = (pos_in_group % block_size) == 0
+    bstarts = np.flatnonzero(bmask)
+    bends = np.append(bstarts[1:], n)
+
+    if n > 1:
+        viol = (doc[1:] <= doc[:-1]) & ~change[1:]
+        if viol.any():
+            raise ValueError("doc ids must be strictly ascending within groups")
+
+    u = _bias(doc)
+    delta = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        np.subtract(u[1:], u[:-1], out=delta[1:])
+    delta[bstarts] = u[bstarts]
+
+    # positions: delta within each POSTING (reset at every row start)
+    npos = len(pos_flat)
+    pdelta = np.empty(npos, dtype=np.uint64)
+    if npos:
+        pf = pos_flat.astype(np.uint64)
+        pdelta[1:] = pf[1:] - pf[:-1]
+        row_starts = pos_offsets[:-1][tf > 0]
+        pdelta[row_starts] = pf[row_starts]
+
+    docs_stream, docs_nb = vb_encode_with_lengths(delta)
+    tfs_stream, tfs_nb = vb_encode_with_lengths(tf.astype(np.uint64))
+    dls_stream, dls_nb = vb_encode_with_lengths(dl.astype(np.uint64))
+    pos_stream, pos_nb = vb_encode_with_lengths(pdelta)
+    docs_off = np.concatenate(([0], np.cumsum(docs_nb)))
+    tfs_off = np.concatenate(([0], np.cumsum(tfs_nb)))
+    dls_off = np.concatenate(([0], np.cumsum(dls_nb)))
+    pos_byte_off = np.concatenate(([0], np.cumsum(pos_nb)))
+
+    docs_bin = [docs_stream[docs_off[s] : docs_off[e]] for s, e in zip(bstarts, bends)]
+    tfs_bin = [tfs_stream[tfs_off[s] : tfs_off[e]] for s, e in zip(bstarts, bends)]
+    dls_bin = [dls_stream[dls_off[s] : dls_off[e]] for s, e in zip(bstarts, bends)]
+    # block b's positions span value range [pos_offsets[bstart], pos_offsets[bend])
+    pos_bin = [
+        pos_stream[pos_byte_off[pos_offsets[s]] : pos_byte_off[pos_offsets[e]]]
+        for s, e in zip(bstarts, bends)
+    ]
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            pc.take(terms_dict, pa.array(tidx[bstarts], type=pa.int64())).cast(pa.string()),
+            pa.array(shard[bstarts].astype(np.int32)),
+            pa.array((pos_in_group[bstarts] // block_size).astype(np.int32)),
+            pa.array(doc[bstarts]),
+            pa.array(doc[bends - 1]),
+            pa.array((bends - bstarts).astype(np.int32)),
+            pa.array(np.maximum.reduceat(tf, bstarts).astype(np.int32)),
+            pa.array(np.minimum.reduceat(dl, bstarts).astype(np.int32)),
+            pa.array(docs_bin, type=pa.binary()),
+            pa.array(tfs_bin, type=pa.binary()),
+            pa.array(dls_bin, type=pa.binary()),
+            pa.array(pos_bin, type=pa.binary()),
+        ],
+        schema=_ARROW_OUT_POS,
+    )
+
+
+def _encode_partition_pos(
+    batches: Iterator[pa.RecordBatch], block_size: int, n_salts: int = 1
+):
+    batch_list = [b for b in batches if b.num_rows > 0]
+    if not batch_list:
+        return
+    tbl = combined_table(batch_list)
+    dict_enc = pc.dictionary_encode(tbl.column("term").chunk(0))
+    tidx = dict_enc.indices.to_numpy(zero_copy_only=False)
+    terms_dict = dict_enc.dictionary
+    shard = tbl.column("shard").chunk(0).to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").chunk(0).to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False)
+    dl = tbl.column("dl").chunk(0).to_numpy(zero_copy_only=False)
+    plist = tbl.column("positions").chunk(0)
+    # large_list after combined_table's cast? positions is list<int>;
+    # ListArray/LargeListArray both expose offsets + values
+    pos_offsets = np.asarray(plist.offsets)
+    pos_flat = np.asarray(plist.values)
+    # offsets may not start at 0 after slicing; normalize
+    base = pos_offsets[0]
+    if base != 0:
+        pos_offsets = pos_offsets - base
+        pos_flat = pos_flat[base : base + pos_offsets[-1]]
+    salt = None
+    if n_salts > 1 and "salt" in tbl.schema.names:
+        salt = tbl.column("salt").chunk(0).to_numpy(zero_copy_only=False)
+    yield from encode_grouped_rows_pos(
+        terms_dict, tidx, shard, doc, tf, dl,
+        pos_flat.astype(np.int64), pos_offsets.astype(np.int64),
+        block_size, salt=salt,
+    )
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+    n_salts: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Positional analogue of ``postings.build_postings``: same plan
+    shape (one tf hash-agg -> repartition (shard, term, salt) -> sort
+    (term, shard, doc_id) -> one Arrow encode stage), one extra ragged
+    column through the shuffle and one extra payload stream per block."""
+    n_salts = pow2_salts(n_salts)
+    tp = term_positions(docs, id_col, text_col).withColumn(
+        "shard", shard_expr(F.col("doc_id"), n_shards)
+    ).withColumn("salt", salt_expr(F.col("doc_id"), n_salts))
+
+    n_parts = num_partitions or max(
+        n_shards, docs.sparkSession.sparkContext.defaultParallelism
+    )
+    sorted_rows = tp.repartition(
+        n_parts, "shard", "term", "salt"
+    ).sortWithinPartitions("term", "shard", "doc_id")
+    postings = sorted_rows.mapInArrow(
+        lambda it: _encode_partition_pos(it, block_size, n_salts), POSITIONAL_SCHEMA
+    )
+
+    term_stats = doc_freqs(tp)
+    dl = doc_lengths_direct(docs, id_col, text_col)
+    doc_stats = dl.withColumn("shard", shard_expr(F.col("doc_id"), n_shards))
+    cstats = corpus_stats(dl)
+    return {
+        "postings": postings,
+        "term_stats": term_stats,
+        "doc_stats": doc_stats,
+        "corpus_stats": cstats,
+    }
+
+
+def load_positional_index(built: dict[str, DataFrame]) -> InvertedIndex:
+    """InvertedIndex handle over positional postings (the extra
+    ``pos_bin`` column is carried along; WAND ignores it)."""
+    cs = built["corpus_stats"].collect()[0]
+    return InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+
+
+def decode_positional_block(
+    docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes, pos_bin: bytes, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (docs, tfs, dls, pos_flat, pos_offsets[len n_docs+1])."""
+    from ..functions.codec import decode_block  # noqa: PLC0415
+
+    docs, tfs, dls = decode_block(docs_bin, tfs_bin, dls_bin, n_docs)
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    deltas = vb_decode(pos_bin, int(offsets[-1]))
+    pos_flat = segment_cumsum(deltas, offsets[:-1][tfs > 0])
+    return docs, tfs, dls, pos_flat, offsets
+
+
+_MAXPOS = 1 << 32  # composite (candidate, adjusted-position) key radix
+
+
+def _ragged_gather(
+    starts: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat indexes selecting ragged runs [starts_i, starts_i+counts_i)
+    plus each selected element's run id — the standard vectorized
+    ragged gather."""
+    total = int(counts.sum())
+    run_id = np.repeat(np.arange(len(counts)), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    flat = np.repeat(starts, counts) + (np.arange(total) - np.repeat(cum[:-1], counts))
+    return flat, run_id
+
+
+def _phrase_match_score(
+    termdata: dict[str, tuple],
+    tokens: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One shard, one phrase: -> (matching doc_ids, BM25 scores).
+
+    ``termdata[t]`` = (docs asc, tfs, dls, pos_flat, pos_offsets).
+    Intersects candidate docs across the phrase's unique terms
+    (rarest-first keeps intermediate sets bounded by the rarest term),
+    then verifies adjacency with composite (candidate, pos - i) keys —
+    all NumPy set ops, no per-doc Python loop."""
+    uniq = list(dict.fromkeys(tokens))
+    if any(t not in termdata for t in uniq):
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    # candidate docs: intersection over unique terms, smallest first
+    order = sorted(uniq, key=lambda t: len(termdata[t][0]))
+    cand = termdata[order[0]][0]
+    for t in order[1:]:
+        cand = np.intersect1d(cand, termdata[t][0], assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+
+    keys: np.ndarray | None = None
+    for i, t in enumerate(tokens):
+        docs_t, tfs_t, _dls_t, pf, po = termdata[t]
+        rows = np.searchsorted(docs_t, cand)
+        flat_idx, ci = _ragged_gather(po[rows], tfs_t[rows])
+        adj = pf[flat_idx] - i
+        ok = adj >= 0
+        k_i = ci[ok] * _MAXPOS + adj[ok]
+        keys = k_i if keys is None else np.intersect1d(keys, k_i, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+
+    match_ci = np.unique(keys // _MAXPOS)
+    match_docs = cand[match_ci]
+    # BM25 over the phrase's unique terms, restricted to matching docs
+    scores = np.zeros(len(match_docs))
+    for t in uniq:
+        docs_t, tfs_t, dls_t, _pf, _po = termdata[t]
+        rows = np.searchsorted(docs_t, match_docs)
+        tf = tfs_t[rows].astype(np.float64)
+        dl = dls_t[rows].astype(np.float64)
+        scores += idf[t] * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+    return match_docs, scores
+
+
+def _phrase_partition(
+    batches: Iterator[pa.RecordBatch],
+    phrases: list[tuple[int, list[str]]],
+    k: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """One task: decode its shards' (phrase-term-only) positional
+    postings once per (shard, term), answer every phrase per shard."""
+    shards: dict[int, dict[str, list]] = {}
+    for batch in batches:
+        col = dict(zip(batch.schema.names, batch.columns))
+        term_l = col["term"].to_pylist()
+        shard_l = col["shard"].to_pylist()
+        first_l = col["first_doc"].to_pylist()
+        bid_l = col["block_id"].to_pylist()
+        nd_l = col["n_docs"].to_pylist()
+        docs_l = col["docs_bin"].to_pylist()
+        tfs_l = col["tfs_bin"].to_pylist()
+        dls_l = col["dls_bin"].to_pylist()
+        pos_l = col["pos_bin"].to_pylist()
+        for sh, tm, row in zip(
+            shard_l, term_l, zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l)
+        ):
+            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, term_blocks in shards.items():
+        termdata: dict[str, tuple] = {}
+        for t, blks in term_blocks.items():
+            blks.sort(key=lambda r: (r[0], r[1]))  # (first_doc, block_id)
+            ds, tfs, dls, pfs = [], [], [], []
+            for _fd, _bid, nd, db, tb_, lb, pb in blks:
+                d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
+                ds.append(d)
+                tfs.append(f)
+                dls.append(l)
+                pfs.append(pflat)
+            docs = np.concatenate(ds)
+            tf = np.concatenate(tfs)
+            dl = np.concatenate(dls)
+            pf = np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64)
+            po = np.concatenate(([0], np.cumsum(tf)))
+            termdata[t] = (docs, tf, dl, pf, po)
+
+        for qid, tokens in phrases:
+            docs, scores = _phrase_match_score(termdata, tokens, idf, avgdl, k1, b)
+            if docs.size == 0:
+                continue
+            # shard-local top-k (engine tie order) caps emitted rows
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def phrase_topk(
+    index: InvertedIndex,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): exact phrase top-k over a
+    POSITIONAL index (``build_positional_postings``). Docs containing
+    the phrase's tokens consecutively, BM25-scored over the phrase's
+    unique terms, engine tie semantics."""
+    phrase_plan: list[tuple[int, list[str]]] = []
+    all_terms: set[str] = set()
+    for qid, q in phrases:
+        toks = [t for t in q.strip().lower().split() if t]
+        if toks:
+            phrase_plan.append((qid, toks))
+            all_terms.update(toks)
+
+    spark = index.postings.sparkSession
+    if not phrase_plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    avgdl = index.avgdl
+    filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
+    n_parts = spark.sparkContext.defaultParallelism
+    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+        lambda it: _phrase_partition(it, phrase_plan, k, idf, avgdl, k1, b),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def phrase_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Oracle-grade declarative phrase top-k: phrase containment via
+    the normalized token-join LIKE trick (exactly the DuckDB oracle's
+    formulation), BM25 over unique phrase terms via the existing
+    brute-force scorer. Pure JVM plan — used to pin ``phrase_topk``."""
+    from .bm25 import bm25_scores_bruteforce, query_terms  # noqa: PLC0415
+
+    qt = query_terms(spark, phrases)
+    scored = bm25_scores_bruteforce(docs, qt, k1, b, id_col, text_col)
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokenize_for_scoring(F.col(text_col))),
+            F.lit(" "),
+        ).alias("joined"),
+    )
+    pdf = spark.createDataFrame(phrases, "query_id long, phrase string").select(
+        "query_id",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokenize_for_scoring(F.col("phrase"))),
+            F.lit(" "),
+        ).alias("needle"),
+    )
+    matched = norm.crossJoin(F.broadcast(pdf)).filter(
+        F.contains(F.col("joined"), F.col("needle"))
+    ).select("query_id", "doc_id")
+    return topk(scored.join(matched, ["query_id", "doc_id"]), k).select(
+        "query_id", "rank", "doc_id", "score"
+    )

@@ -81,6 +81,9 @@ def combined_table(batches: list[pa.RecordBatch]) -> pa.Table:
             t = pa.large_binary()
         elif t == pa.string():
             t = pa.large_string()
+        elif pa.types.is_list(t):
+            # ragged columns (positional index) carry int32 offsets too
+            t = pa.large_list(t.value_type)
         fields.append(pa.field(f.name, t))
     tbl = pa.Table.from_batches(batches)
     return tbl.cast(pa.schema(fields)).combine_chunks()

@@ -405,7 +405,18 @@ def wand_topk(
         return empty
 
     avgdl = index.avgdl
-    filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
+    # prune to the columns WAND consumes: a POSITIONAL index carries a
+    # pos_bin payload stream the BM25 path must not read (column
+    # pruning reaches the parquet scan)
+    needed = [
+        "term", "shard", "block_id", "first_doc", "last_doc",
+        "n_docs", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin",
+    ]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(
+        F.col("term").isin(list(all_terms))
+    )
     # one task owns whole shards -> shard-local exact top-k. Two
     # partitioning pitfalls matter here because the SCORING work per
     # shard is large while the postings bytes are small:

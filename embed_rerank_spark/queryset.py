@@ -27,6 +27,48 @@ QUERY_SET: list[tuple[int, str]] = [
 
 TOP_K = 10
 
+# Phrase-query set for the positional index (exact consecutive-token
+# match, BM25-scored over the phrase's unique terms). Shapes: common
+# 2-grams, a hot-stopword 2-gram, a single-word degenerate phrase, and
+# a phrase with an out-of-vocabulary term (must return zero rows).
+PHRASE_SET: list[tuple[int, str]] = [
+    (1, "fast table"),
+    (2, "sort merge"),
+    (3, "the a"),
+    (4, "hash join"),
+    (5, "slow scan"),
+    (6, "scan"),
+    (7, "zyzzyva missing"),
+]
+
+
+def phrase_terms_literal() -> list[tuple[int, str]]:
+    """(query_id, term) rows with unique lowercased terms per PHRASE —
+    same tokenization contract as ``query_terms_literal``."""
+    out = []
+    for qid, q in PHRASE_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    return out
+
+
+def phrase_terms_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in phrase_terms_literal())
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def phrase_needles_values_sql() -> str:
+    """DuckDB VALUES of (query_id, needle) where needle is the
+    single-space-joined phrase wrapped in spaces — the substring whose
+    presence in the space-wrapped token join IS phrase containment."""
+    rows = ", ".join(
+        f"({qid}, ' {' '.join(q.strip().lower().split())} ')" for qid, q in PHRASE_SET
+    )
+    return f"(VALUES {rows}) AS ph(query_id, needle)"
+
 
 def query_terms_literal() -> list[tuple[int, str]]:
     """(query_id, term) rows with unique lowercased terms per query —

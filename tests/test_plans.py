@@ -78,3 +78,27 @@ def test_rerank_validation_scans_candidates_once(spark, tmp_path):
     out = rerank_candidates(cands, docs, [(0, "q one"), (1, "q two")], top_k=5, hidden=32)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("cands") == 1, plan
+
+
+def test_positional_scan_pushes_term_filter_and_wand_prunes_pos(
+    spark, tmp_path_factory
+):
+    """Phrase retrieval reads only the phrase terms' blocks (term
+    pushdown reaches the parquet scan of the positional postings), and
+    the BM25/WAND path over the SAME positional index never reads the
+    pos_bin payload (column pruning)."""
+    from embed_rerank_spark.operators.positions import build_positional_postings
+    from embed_rerank_spark.operators.postings import InvertedIndex, write_index
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path_factory.mktemp("posidx"))
+    write_index(build_positional_postings(docs, n_shards=4), path)
+    index = InvertedIndex.load(spark, path)
+
+    plan = _plan(index.postings.filter(F.col("term").isin(["fast", "table"])))
+    assert "PushedFilters: [In(term" in plan, plan
+
+    wplan = _plan(wand_topk(index, [(0, "fast table")], k=5))
+    read_schema = [l for l in wplan.splitlines() if "ReadSchema" in l and "docs_bin" in l]
+    assert read_schema and all("pos_bin" not in l for l in read_schema), wplan

@@ -1,0 +1,164 @@
+"""Positional index + phrase retrieval: codec round-trip, duplicate
+collapse, and phrase_topk pinned against the declarative brute-force
+plan (which is itself the shape of the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embed_rerank_spark.operators.positions import (
+    build_positional_postings,
+    decode_positional_block,
+    encode_grouped_rows_pos,
+    load_positional_index,
+    phrase_topk,
+    phrase_topk_bruteforce,
+    segment_cumsum,
+)
+
+PHRASES = [
+    (1, "fast table"),
+    (2, "sort merge"),
+    (3, "the a"),
+    (4, "hash join"),
+    (5, "value fast slow"),  # 3-gram, may be rare/absent
+    (6, "zyzzyva missing"),  # term absent from corpus -> empty
+    (7, "the the"),  # duplicated token
+    (8, "scan"),  # single-word phrase == term match
+]
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_segment_cumsum_roundtrip():
+    rng = np.random.default_rng(7)
+    segs = [np.sort(rng.choice(5000, size=n, replace=False)) for n in (1, 5, 17, 3)]
+    flat = np.concatenate(segs)
+    starts = np.concatenate(([0], np.cumsum([len(s) for s in segs])[:-1]))
+    deltas = flat.astype(np.uint64).copy()
+    deltas[1:] = flat[1:].astype(np.uint64) - flat[:-1].astype(np.uint64)
+    deltas[starts] = flat[starts].astype(np.uint64)
+    out = segment_cumsum(deltas, starts)
+    assert (out == flat).all()
+
+
+def _encode_rows(rows):
+    """rows: (term, shard, doc, tf, dl, positions list). Pre-sorted by
+    (term, shard, doc)."""
+    terms = sorted({r[0] for r in rows})
+    tdict = pa.array(terms)
+    tmap = {t: i for i, t in enumerate(terms)}
+    tidx = np.array([tmap[r[0]] for r in rows], dtype=np.int64)
+    shard = np.array([r[1] for r in rows], dtype=np.int64)
+    doc = np.array([r[2] for r in rows], dtype=np.int64)
+    tf = np.array([r[3] for r in rows], dtype=np.int64)
+    dl = np.array([r[4] for r in rows], dtype=np.int64)
+    flat = np.array([p for r in rows for p in r[5]], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum([len(r[5]) for r in rows]))).astype(np.int64)
+    return list(
+        encode_grouped_rows_pos(tdict, tidx, shard, doc, tf, dl, flat, offs, 4)
+    )
+
+
+def test_positional_encode_decode_roundtrip():
+    rows = [
+        ("a", 0, 10, 2, 9, [1, 5]),
+        ("a", 0, 20, 1, 4, [0]),
+        ("a", 0, 30, 3, 12, [2, 3, 11]),
+        ("a", 0, 40, 1, 5, [4]),
+        ("a", 0, 55, 2, 7, [0, 6]),  # second block (block_size=4)
+        ("b", 1, 20, 1, 4, [3]),
+    ]
+    batches = _encode_rows(rows)
+    tbl = pa.Table.from_batches(batches).to_pylist()
+    # group (a, 0) spans 2 blocks; (b, 1) one block
+    assert [(r["term"], r["shard"], r["block_id"]) for r in tbl] == [
+        ("a", 0, 0), ("a", 0, 1), ("b", 1, 0)
+    ]
+    docs, tfs, dls, pf, po = decode_positional_block(
+        tbl[0]["docs_bin"], tbl[0]["tfs_bin"], tbl[0]["dls_bin"],
+        tbl[0]["pos_bin"], tbl[0]["n_docs"],
+    )
+    assert list(docs) == [10, 20, 30, 40]
+    assert list(tfs) == [2, 1, 3, 1]
+    assert [list(pf[po[i] : po[i + 1]]) for i in range(4)] == [
+        [1, 5], [0], [2, 3, 11], [4]
+    ]
+    docs2, tfs2, _dls2, pf2, po2 = decode_positional_block(
+        tbl[1]["docs_bin"], tbl[1]["tfs_bin"], tbl[1]["dls_bin"],
+        tbl[1]["pos_bin"], tbl[1]["n_docs"],
+    )
+    assert list(docs2) == [55] and list(pf2) == [0, 6]
+
+
+def test_positional_duplicate_docs_collapse_to_winner():
+    """Duplicate (term, shard, doc) rows keep the max-(tf, dl) row's
+    tf AND its positions — consistent with the non-positional
+    encoder's max-tf collapse."""
+    rows = [
+        ("a", 0, 10, 1, 4, [2]),
+        ("a", 0, 10, 3, 9, [0, 1, 7]),  # winner
+        ("a", 0, 10, 2, 9, [5, 6]),
+        ("a", 0, 20, 1, 4, [3]),
+    ]
+    batches = _encode_rows(rows)
+    tbl = pa.Table.from_batches(batches).to_pylist()
+    assert len(tbl) == 1
+    docs, tfs, dls, pf, po = decode_positional_block(
+        tbl[0]["docs_bin"], tbl[0]["tfs_bin"], tbl[0]["dls_bin"],
+        tbl[0]["pos_bin"], tbl[0]["n_docs"],
+    )
+    assert list(docs) == [10, 20]
+    assert list(tfs) == [3, 1]
+    assert list(dls) == [9, 4]
+    assert [list(pf[po[i] : po[i + 1]]) for i in range(2)] == [[0, 1, 7], [3]]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    built = build_positional_postings(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), n_shards=4
+    )
+    return load_positional_index(built)
+
+
+def test_phrase_topk_matches_bruteforce(spark, pos_index):
+    docs = _docs(spark)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in phrase_topk(pos_index, PHRASES, k=10).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in phrase_topk_bruteforce(spark, docs, PHRASES, k=10).collect()
+    }
+    assert got == want
+    assert want, "phrase fixture produced no matches at all"
+    assert not any(q == 6 for q, _ in want)  # absent term -> no rows
+
+
+def test_phrase_match_is_true_consecutiveness(spark, pos_index):
+    """Every returned doc really contains the phrase consecutively;
+    single-word phrase degenerates to plain term match."""
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    out = phrase_topk(pos_index, PHRASES, k=10).collect()
+    assert out
+    for r in out:
+        phrase = dict(PHRASES)[r["query_id"]]
+        needle = " " + " ".join(phrase.strip().lower().split()) + " "
+        joined = " " + " ".join(docs[r["doc_id"]].strip().lower().split()) + " "
+        assert needle in joined
+
+
+def test_positional_postings_salted_build_same_results(spark):
+    """Range salts split hot-term runs; phrase results must not change."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = load_positional_index(build_positional_postings(docs, n_shards=4, n_salts=1))
+    b = load_positional_index(build_positional_postings(docs, n_shards=4, n_salts=4))
+    ra = sorted(map(tuple, phrase_topk(a, PHRASES, k=10).collect()))
+    rb = sorted(map(tuple, phrase_topk(b, PHRASES, k=10).collect()))
+    assert ra == rb
