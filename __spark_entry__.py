@@ -158,6 +158,28 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k over the compressed index:
+    leapfrog intersection with block-max skipping (operators/wand.py
+    conjunctive_topk); docs must contain every unique query term."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import conjunctive_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = conjunctive_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage pipeline, fully SQL-expressible: BM25 top-20 candidate
     pool -> word-set Jaccard rerank -> top-10 (reference fallback chain
@@ -546,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
         "phrase_topk": q_phrase_topk,
+        "conjunctive_topk": q_conjunctive_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -644,6 +667,34 @@ ranked AS (
     SELECT s.query_id, s.doc_id, s.score,
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
     FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    conjunctive = f"""
+WITH {_TOKS_CTE},
+qtc AS (
+    SELECT query_id, count(*) AS n_terms FROM {qt} GROUP BY query_id
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score, count(*) AS matched_terms
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN qtc USING (query_id)
+    WHERE s.matched_terms = qtc.n_terms
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1244,6 +1295,7 @@ WHERE a.vec_id < b.vec_id
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "phrase_topk": phrase,
+        "conjunctive_topk": conjunctive,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

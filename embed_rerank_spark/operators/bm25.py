@@ -178,3 +178,54 @@ def bm25_topk_bruteforce(
     qt = query_terms(spark, queries)
     scored = bm25_scores_bruteforce(docs, qt, k1, b)
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def bm25_topk_conjunctive_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k, oracle-grade declarative plan:
+    only documents containing EVERY unique query term qualify (a query
+    holding an out-of-vocabulary term returns zero rows — Lucene
+    MUST-clause semantics); qualifying docs score with the same Okapi
+    sum as the disjunctive scorer. The AND constraint is one extra
+    aggregate condition on the existing plan: matched-term count per
+    (query, doc) must equal the query's unique-term count — no new
+    shuffle (the count rides the same groupBy as the score sum)."""
+    qt = query_terms(spark, queries)
+    qcounts = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    tfdl = term_freqs_dl(docs)
+    dl = doc_lengths_direct(docs)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf", "avgdl")
+    )
+    matched = (
+        F.broadcast(qt)
+        .join(tfdl, "term")
+        .join(idf, "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+    conj = scored.join(F.broadcast(qcounts), "query_id").filter(
+        F.col("matched_terms") == F.col("n_terms")
+    )
+    return topk(conj, k).select("query_id", "rank", "doc_id", "score")

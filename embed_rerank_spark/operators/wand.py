@@ -258,30 +258,16 @@ def _taat_topk(
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
 
-def _wand_partition(
+def _parse_shards(
     batches: Iterator[pa.RecordBatch],
-    queries: list[tuple[int, list[tuple[str, float]]]],
-    k: int,
-    avgdl: float,
-    k1: float,
-    b: float,
-    taat_threshold: int = 100_000,
-):
-    """One task: materialize its shards' (query-term-only) posting
-    blocks, answer every query per shard.
-
-    Postings may carry a ``seg`` column (multi-unit tiered index): a
-    term's blocks then form one RUN per unit — runs have disjoint,
-    ascending block ranges WITHIN a unit but interleave ACROSS units,
-    so the pivot walk gets one independent cursor per (term, run)
-    (WAND is agnostic to several cursors sharing a term), and the
-    term-at-a-time path concatenates runs before the unique/bincount
-    accumulation."""
+) -> dict[int, dict[str, dict[int, list]]]:
+    """Materialize a task's posting blocks as
+    shard -> term -> seg -> [block rows]. Bulk column conversion
+    (C-speed), then one plain-list loop — no per-element Arrow
+    accessor calls."""
     shards: dict[int, dict[str, dict[int, list]]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
-        # bulk column conversion (C-speed), then one plain-list loop —
-        # no per-element Arrow accessor calls
         term_l = col["term"].to_pylist()
         shard_l = col["shard"].to_pylist()
         bid_l = col["block_id"].to_pylist()
@@ -301,6 +287,29 @@ def _wand_partition(
             zip(bid_l, first_l, last_l, nd_l, mt_l, ml_l, docs_l, tfs_l, dls_l),
         ):
             shards.setdefault(sh, {}).setdefault(tm, {}).setdefault(seg, []).append(row)
+    return shards
+
+
+def _wand_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, list[tuple[str, float]]]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    taat_threshold: int = 100_000,
+):
+    """One task: materialize its shards' (query-term-only) posting
+    blocks, answer every query per shard.
+
+    Postings may carry a ``seg`` column (multi-unit tiered index): a
+    term's blocks then form one RUN per unit — runs have disjoint,
+    ascending block ranges WITHIN a unit but interleave ACROSS units,
+    so the pivot walk gets one independent cursor per (term, run)
+    (WAND is agnostic to several cursors sharing a term), and the
+    term-at-a-time path concatenates runs before the unique/bincount
+    accumulation."""
+    shards = _parse_shards(batches)
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
@@ -430,6 +439,214 @@ def wand_topk(
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _wand_partition(it, query_plan, k, avgdl, k1, b, taat_threshold),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def _leapfrog_one_query(
+    its: list[_TermIterator], k: int, avgdl: float, k1: float, b: float
+) -> list[tuple[int, float]]:
+    """Conjunctive (AND) top-k via leapfrog intersection: cursors
+    repeatedly advance to the max current doc with ``next_geq`` — which
+    skips whole BLOCKS via headers without decoding them — and a doc
+    scores only when every cursor lands on it. The classic adaptive
+    intersection; cost is driven by the rarest term's list, with
+    block-level skipping on the dense ones."""
+    import heapq
+
+    heap: list[tuple[float, int, float]] = []
+    while True:
+        if any(it.cur == _INF for it in its):
+            break
+        target = max(it.cur for it in its)
+        aligned = True
+        for it in its:
+            if it.cur < target:
+                it.next_geq(target)
+                aligned = False
+        if not aligned:
+            continue  # re-evaluate: someone may have overshot target
+        score = 0.0
+        for it in its:
+            score += it.score(avgdl, k1, b)
+        entry = (round(score, _TIE_DECIMALS), -target, score)
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry[:2] > heap[0][:2]:
+            heapq.heapreplace(heap, entry)
+        for it in its:
+            it.advance()
+    return [(-nd, raw) for _rs, nd, raw in heap]
+
+
+def _conj_vectorized(
+    term_cache: dict[str, tuple[np.ndarray, np.ndarray]],
+    qterms: list[tuple[str, float]],
+    k: int,
+) -> list[tuple[int, float]]:
+    """Vectorized conjunctive top-k for short lists / multi-run terms:
+    successive sorted-array intersection (rarest first), then one
+    searchsorted gather per term for the score sum. Identical results
+    to the leapfrog walk."""
+    data = []
+    for t, idf in qterms:
+        got = term_cache.get(t)
+        if got is None:
+            return []
+        d, tp = got
+        order = np.argsort(d, kind="stable")
+        d, tp = d[order], tp[order]
+        # duplicate docs across index units: keep the first occurrence
+        # (merged indexes have none; tiered units hold disjoint docs)
+        uniq_mask = np.empty(len(d), dtype=bool)
+        uniq_mask[:1] = True
+        uniq_mask[1:] = d[1:] != d[:-1]
+        data.append((d[uniq_mask], idf * tp[uniq_mask]))
+    data.sort(key=lambda x: len(x[0]))
+    cand = data[0][0]
+    for d, _s in data[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return []
+    scores = np.zeros(len(cand))
+    for d, s in data:
+        scores += s[np.searchsorted(d, cand)]
+    r = np.round(scores, _TIE_DECIMALS)
+    order = np.lexsort((cand, -r))[:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
+def _conj_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, list[tuple[str, float]]]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    taat_threshold: int = 100_000,
+):
+    """Conjunctive counterpart of ``_wand_partition``: every query
+    term must be present in the shard (docs are whole within a shard,
+    so a shard missing a term contributes no matches); long single-run
+    lists use the block-skipping leapfrog, short or multi-run ones the
+    vectorized set path."""
+    shards = _parse_shards(batches)
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, term_blocks in shards.items():
+        tb = {
+            t: [
+                [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))]
+                for run in runs.values()
+            ]
+            for t, runs in term_blocks.items()
+        }
+        term_len = {
+            t: sum(blk[2] for run in runs for blk in run) for t, runs in tb.items()
+        }
+        taat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def cached(t: str) -> tuple[np.ndarray, np.ndarray]:
+            got = taat_cache.get(t)
+            if got is None:
+                ds, tfs, dls = [], [], []
+                for run in tb[t]:
+                    for blk in run:
+                        d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
+                        ds.append(d)
+                        tfs.append(f)
+                        dls.append(l)
+                d = np.concatenate(ds)
+                tp = _tfpart(
+                    np.concatenate(tfs).astype(np.float64),
+                    np.concatenate(dls).astype(np.float64),
+                    avgdl,
+                    k1,
+                    b,
+                )
+                got = taat_cache[t] = (d, tp)
+            return got
+
+        for qid, qterms in queries:
+            if any(t not in tb for t, _ in qterms):
+                continue
+            n_postings = sum(term_len[t] for t, _ in qterms)
+            single_run = all(len(tb[t]) == 1 for t, _ in qterms)
+            if single_run and n_postings > taat_threshold:
+                its = [
+                    _TermIterator(tb[t][0], idf, avgdl, k1, b) for t, idf in qterms
+                ]
+                results = _leapfrog_one_query(its, k, avgdl, k1, b)
+            else:
+                cache = {t: cached(t) for t, _ in qterms}
+                results = _conj_vectorized(cache, qterms, k)
+            for doc_id, score in results:
+                out_q.append(qid)
+                out_d.append(doc_id)
+                out_s.append(score)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}, schema=_OUT_SCHEMA
+        )
+
+
+def conjunctive_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): conjunctive (AND) BM25 top-k
+    over the compressed index — docs containing EVERY unique query
+    term (a query with an out-of-vocabulary term returns zero rows),
+    scored with the same Okapi sum and tie semantics as ``wand_topk``.
+    Must match ``bm25.bm25_topk_conjunctive_bruteforce`` exactly."""
+    qterm_map: dict[int, list[str]] = {}
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.append(tok)
+        qterm_map[qid] = seen
+        all_terms.update(seen)
+
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+        if d > 0
+    }
+    # AND semantics: drop queries with no terms or any zero-df term
+    query_plan = [
+        (qid, [(t, idf[t]) for t in terms])
+        for qid, terms in qterm_map.items()
+        if terms and all(t in idf for t in terms)
+    ]
+    spark = index.postings.sparkSession
+    if not query_plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+
+    avgdl = index.avgdl
+    live_terms = {t for _qid, qt in query_plan for t, _ in qt}
+    needed = [
+        "term", "shard", "block_id", "first_doc", "last_doc",
+        "n_docs", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin",
+    ]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(
+        F.col("term").isin(list(live_terms))
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+        lambda it: _conj_partition(it, query_plan, k, avgdl, k1, b, taat_threshold),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -1,0 +1,78 @@
+"""Conjunctive (AND) retrieval: the index-side leapfrog/vectorized
+paths must match the declarative brute-force plan exactly, and the two
+index paths must match each other."""
+
+from __future__ import annotations
+
+import pytest
+
+from embed_rerank_spark.operators.bm25 import bm25_topk_conjunctive_bruteforce
+from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+from embed_rerank_spark.operators.wand import conjunctive_topk
+from embed_rerank_spark.queryset import QUERY_SET
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    built = build_postings(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), n_shards=4
+    )
+    cs = built["corpus_stats"].collect()[0]
+    return InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+
+
+def _canon(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+def test_conjunctive_index_matches_bruteforce(spark, index):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = _canon(conjunctive_topk(index, QUERY_SET, k=10))
+    want = _canon(bm25_topk_conjunctive_bruteforce(spark, docs, QUERY_SET, k=10))
+    assert got == want
+    assert want, "conjunctive fixture produced no matches at all"
+    # q2 contains 'strategy' (out of vocabulary) -> AND semantics: empty
+    assert not any(q == 2 for q, _r, _d, _s in want)
+    # q7 ('the a') is all-hot-terms: AND of stopwords must match many docs
+    assert sum(1 for q, _r, _d, _s in want if q == 7) == 10
+
+
+def test_leapfrog_and_vectorized_paths_identical(spark, index):
+    """Force each path via the taat threshold; results must be
+    bit-identical (same formula, same tie order)."""
+    leap = _canon(conjunctive_topk(index, QUERY_SET, k=10, taat_threshold=0))
+    vect = _canon(conjunctive_topk(index, QUERY_SET, k=10, taat_threshold=10**9))
+    assert leap == vect
+
+
+def test_conjunctive_salted_index_same_results(spark):
+    """Salt runs are contiguous doc ranges of one term: ordered by
+    first_doc they form ONE ascending run, so the leapfrog cursor must
+    return identical results on a salted build."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def mk(n_salts):
+        built = build_postings(docs, n_shards=4, n_salts=n_salts)
+        cs = built["corpus_stats"].collect()[0]
+        return InvertedIndex(
+            postings=built["postings"],
+            term_stats=built["term_stats"],
+            doc_stats=built["doc_stats"],
+            n_docs=cs["n_docs"],
+            avgdl=float(cs["avgdl"]),
+        )
+
+    a = _canon(conjunctive_topk(mk(1), QUERY_SET, k=10, taat_threshold=0))
+    b = _canon(conjunctive_topk(mk(4), QUERY_SET, k=10, taat_threshold=0))
+    assert a == b
