@@ -180,6 +180,34 @@ def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_mask_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k under LSM deletion tombstones (plans/tiered.py):
+    docs with doc_id % 7 == 0 are deleted; before compaction folds
+    them in, queries mask them from results while corpus/term stats
+    still count them (the deleted-docs visibility model)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    built = build_postings(docs, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    deleted = frozenset(
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    )
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+        tombstones=deleted,
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage pipeline, fully SQL-expressible: BM25 top-20 candidate
     pool -> word-set Jaccard rerank -> top-10 (reference fallback chain
@@ -569,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "phrase_topk": q_phrase_topk,
         "conjunctive_topk": q_conjunctive_topk,
+        "delete_mask_topk": q_delete_mask_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -695,6 +724,31 @@ ranked AS (
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
     FROM scored s JOIN qtc USING (query_id)
     WHERE s.matched_terms = qtc.n_terms
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    delete_mask = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    -- tombstone mask: deleted docs leave the RESULT set, not the stats
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored WHERE doc_id % 7 <> 0
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1296,6 +1350,7 @@ WHERE a.vec_id < b.vec_id
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "phrase_topk": phrase,
         "conjunctive_topk": conjunctive,
+        "delete_mask_topk": delete_mask,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

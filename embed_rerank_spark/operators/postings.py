@@ -384,6 +384,11 @@ class InvertedIndex:
     n_docs: int
     avgdl: float
     _df_cache: dict = None  # term -> df (lazily populated)
+    # deletion tombstones (LSM deletes not yet folded in by compaction):
+    # query operators mask these doc ids from results; corpus/term
+    # stats keep counting them until compaction physically removes the
+    # postings (the standard deleted-docs visibility model)
+    tombstones: frozenset = None
 
     def df_for_terms(self, terms: set[str]) -> dict[str, int]:
         if self._df_cache is None:

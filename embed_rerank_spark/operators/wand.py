@@ -150,12 +150,17 @@ def _wand_one_query(
     avgdl: float,
     k1: float,
     b: float,
+    excl: set | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) for one query over one shard.
     ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
     gets its own cursor — the pivot/prefix logic already sums every
     cursor sitting on the pivot doc, so multiple same-term cursors
-    with disjoint doc sets score exactly."""
+    with disjoint doc sets score exactly.
+
+    ``excl`` (deletion tombstones) masks docs from the result set:
+    a masked doc never enters the heap, so theta only ever comes from
+    live docs and pruning stays exact for the masked corpus."""
     its = [
         _TermIterator(run, idf, avgdl, k1, b)
         for t, idf in qterms
@@ -202,7 +207,10 @@ def _wand_one_query(
                 end += 1
             prefix = its[: end + 1]
             bub = sum(it.block_ub(avgdl, k1, b) for it in prefix)
-            if bub > th - _SLACK:
+            if excl is not None and pivot_doc in excl:
+                for it in prefix:
+                    it.advance()
+            elif bub > th - _SLACK:
                 score = 0.0
                 for it in prefix:
                     score += it.score(avgdl, k1, b)
@@ -237,6 +245,7 @@ def _taat_topk(
     term_cache: dict[str, tuple[np.ndarray, np.ndarray]],
     qterms: list[tuple[str, float]],
     k: int,
+    excl_arr: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exact top-k for SHORT posting lists.
 
@@ -244,13 +253,19 @@ def _taat_topk(
     and shared by every query touching the term. Produces identical
     (doc, score) results to the pivot WAND walk — same formula, same
     rounded-score/doc-id tie order — just without skipping, which only
-    pays off when lists are long enough to skip."""
+    pays off when lists are long enough to skip. ``excl_arr`` (sorted
+    tombstoned doc ids) masks deleted docs before accumulation."""
     arrs = [term_cache[t] for t, _ in qterms if t in term_cache]
     idfs = [idf for t, idf in qterms if t in term_cache]
     if not arrs:
         return []
     all_docs = np.concatenate([a[0] for a in arrs])
     all_scores = np.concatenate([idf * a[1] for a, idf in zip(arrs, idfs)])
+    if excl_arr is not None and len(excl_arr):
+        live = ~np.isin(all_docs, excl_arr)
+        all_docs, all_scores = all_docs[live], all_scores[live]
+        if not len(all_docs):
+            return []
     uniq, inv = np.unique(all_docs, return_inverse=True)
     sums = np.bincount(inv, weights=all_scores)
     r = np.round(sums, _TIE_DECIMALS)
@@ -298,6 +313,7 @@ def _wand_partition(
     k1: float,
     b: float,
     taat_threshold: int = 100_000,
+    excl: tuple[int, ...] = (),
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard.
@@ -308,8 +324,13 @@ def _wand_partition(
     so the pivot walk gets one independent cursor per (term, run)
     (WAND is agnostic to several cursors sharing a term), and the
     term-at-a-time path concatenates runs before the unique/bincount
-    accumulation."""
+    accumulation.
+
+    ``excl``: tombstoned doc ids (deletes not yet folded in by
+    compaction) — masked from results in both paths."""
     shards = _parse_shards(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    excl_set = set(excl) if excl else None
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
@@ -359,9 +380,9 @@ def _wand_partition(
             if n_postings <= taat_threshold:
                 # short lists: vectorized scoring beats pointer-walking
                 cache = {t: cached(t) for t, _ in qterms if t in tb}
-                results = _taat_topk(cache, qterms, k)
+                results = _taat_topk(cache, qterms, k, excl_arr)
             else:
-                results = _wand_one_query(tb, qterms, k, avgdl, k1, b)
+                results = _wand_one_query(tb, qterms, k, avgdl, k1, b, excl_set)
             for doc_id, score in results:
                 out_q.append(qid)
                 out_d.append(doc_id)
@@ -381,7 +402,13 @@ def wand_topk(
     taat_threshold: int = 100_000,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
-    WAND over the compressed index."""
+    WAND over the compressed index.
+
+    If the handle carries deletion tombstones (``index.tombstones``,
+    LSM deletes not yet folded in by compaction), those docs are
+    masked from results; corpus/term stats intentionally still count
+    them until a compaction physically removes the postings — the
+    standard deleted-docs visibility model (e.g. Lucene)."""
     # unique lowercased whitespace terms per query (engine semantics,
     # same as bm25.query_terms)
     qterm_map: dict[int, list[str]] = {}
@@ -437,15 +464,23 @@ def wand_topk(
     #   interval, so per-task load is max ceil(n_shards/n_parts)
     spark = index.postings.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _wand_partition(it, query_plan, k, avgdl, k1, b, taat_threshold),
+        lambda it: _wand_partition(
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl
+        ),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
 
 
 def _leapfrog_one_query(
-    its: list[_TermIterator], k: int, avgdl: float, k1: float, b: float
+    its: list[_TermIterator],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: set | None = None,
 ) -> list[tuple[int, float]]:
     """Conjunctive (AND) top-k via leapfrog intersection: cursors
     repeatedly advance to the max current doc with ``next_geq`` — which
@@ -467,14 +502,15 @@ def _leapfrog_one_query(
                 aligned = False
         if not aligned:
             continue  # re-evaluate: someone may have overshot target
-        score = 0.0
-        for it in its:
-            score += it.score(avgdl, k1, b)
-        entry = (round(score, _TIE_DECIMALS), -target, score)
-        if len(heap) < k:
-            heapq.heappush(heap, entry)
-        elif entry[:2] > heap[0][:2]:
-            heapq.heapreplace(heap, entry)
+        if excl is None or target not in excl:
+            score = 0.0
+            for it in its:
+                score += it.score(avgdl, k1, b)
+            entry = (round(score, _TIE_DECIMALS), -target, score)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry[:2] > heap[0][:2]:
+                heapq.heapreplace(heap, entry)
         for it in its:
             it.advance()
     return [(-nd, raw) for _rs, nd, raw in heap]
@@ -484,6 +520,7 @@ def _conj_vectorized(
     term_cache: dict[str, tuple[np.ndarray, np.ndarray]],
     qterms: list[tuple[str, float]],
     k: int,
+    excl_arr: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized conjunctive top-k for short lists / multi-run terms:
     successive sorted-array intersection (rarest first), then one
@@ -509,6 +546,10 @@ def _conj_vectorized(
         cand = np.intersect1d(cand, d, assume_unique=True)
         if cand.size == 0:
             return []
+    if excl_arr is not None and len(excl_arr):
+        cand = cand[~np.isin(cand, excl_arr)]
+        if cand.size == 0:
+            return []
     scores = np.zeros(len(cand))
     for d, s in data:
         scores += s[np.searchsorted(d, cand)]
@@ -525,6 +566,7 @@ def _conj_partition(
     k1: float,
     b: float,
     taat_threshold: int = 100_000,
+    excl: tuple[int, ...] = (),
 ):
     """Conjunctive counterpart of ``_wand_partition``: every query
     term must be present in the shard (docs are whole within a shard,
@@ -532,6 +574,8 @@ def _conj_partition(
     lists use the block-skipping leapfrog, short or multi-run ones the
     vectorized set path."""
     shards = _parse_shards(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    excl_set = set(excl) if excl else None
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
@@ -577,10 +621,10 @@ def _conj_partition(
                 its = [
                     _TermIterator(tb[t][0], idf, avgdl, k1, b) for t, idf in qterms
                 ]
-                results = _leapfrog_one_query(its, k, avgdl, k1, b)
+                results = _leapfrog_one_query(its, k, avgdl, k1, b, excl_set)
             else:
                 cache = {t: cached(t) for t, _ in qterms}
-                results = _conj_vectorized(cache, qterms, k)
+                results = _conj_vectorized(cache, qterms, k, excl_arr)
             for doc_id, score in results:
                 out_q.append(qid)
                 out_d.append(doc_id)
@@ -645,8 +689,11 @@ def conjunctive_topk(
         F.col("term").isin(list(live_terms))
     )
     n_parts = spark.sparkContext.defaultParallelism
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _conj_partition(it, query_plan, k, avgdl, k1, b, taat_threshold),
+        lambda it: _conj_partition(
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl
+        ),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -259,9 +259,16 @@ def _concat_binary(arr: pa.Array) -> tuple[memoryview, np.ndarray]:
 
 
 def _merge_partition(
-    batches: Iterator[pa.RecordBatch], block_size: int, n_salts: int = 1
+    batches: Iterator[pa.RecordBatch],
+    block_size: int,
+    n_salts: int = 1,
+    excluded: tuple[int, ...] = (),
 ):
     """Decode -> merge-sort -> re-encode, fully vectorized.
+
+    ``excluded`` (deletion tombstones) physically drops those docs'
+    postings during the rewrite — how LSM deletes are folded in at
+    compaction.
 
     Input: one partition of encoded block rows hashed by (shard, term)
     (doc sets disjoint across segments, interleaved in id space). All
@@ -305,6 +312,12 @@ def _merge_partition(
     tidx_rows = np.repeat(btidx, bnd)[perm]
     shard_rows = np.repeat(bshard, bnd)[perm]
     doc_s, tf_s, dl_s = doc[perm], tf[perm], dl[perm]
+    if excluded:
+        live = ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+        tidx_rows, shard_rows = tidx_rows[live], shard_rows[live]
+        doc_s, tf_s, dl_s = doc_s[live], tf_s[live], dl_s[live]
+        if len(doc_s) == 0:
+            return
     salt_rows = None
     if n_salts > 1:
         bits = (n_salts - 1).bit_length()

@@ -100,6 +100,43 @@ def _build_salts(path: str) -> int:
     return salts.pop() if salts else 1
 
 
+def _tombstone_dir(path: str) -> str:
+    return f"{path}/tombstones"
+
+
+def delete_docs(path: str, doc_ids) -> str:
+    """Record deletion tombstones for ``doc_ids`` (the LSM delete
+    path): queries mask them immediately (``load_tiered`` puts them on
+    the handle), and the next ``compact`` that rewrites a unit drops
+    their postings physically. Tombstone sets between compactions play
+    the memtable-delete role — they stay small relative to the corpus
+    and ride the task closure; the durable record is one tiny JSON
+    file per delete batch."""
+    os.makedirs(_tombstone_dir(path), exist_ok=True)
+    existing = [
+        f for f in os.listdir(_tombstone_dir(path))
+        if f.startswith("ts-") and f.endswith(".json")
+    ]
+    name = f"ts-{len(existing):06d}.json"
+    out = f"{_tombstone_dir(path)}/{name}"
+    with open(out, "w") as f:
+        json.dump({"doc_ids": sorted(int(d) for d in doc_ids)}, f)
+    return out
+
+
+def load_tombstones(path: str) -> frozenset:
+    """Union of all recorded tombstone sets."""
+    root = _tombstone_dir(path)
+    if not os.path.isdir(root):
+        return frozenset()
+    ids: set[int] = set()
+    for fname in sorted(os.listdir(root)):
+        if fname.startswith("ts-") and fname.endswith(".json"):
+            with open(f"{root}/{fname}") as f:
+                ids.update(json.load(f)["doc_ids"])
+    return frozenset(ids)
+
+
 def _merge_units(
     spark: SparkSession,
     path: str,
@@ -111,10 +148,14 @@ def _merge_units(
 ) -> None:
     """Merge the input units' postings + doc stats into one committed
     unit (manifest written last = commit marker). Same vectorized
-    decode -> lexsort -> re-encode kernel as the full merge."""
+    decode -> lexsort -> re-encode kernel as the full merge.
+    Recorded tombstones are applied PHYSICALLY here: the rewritten
+    unit carries neither the deleted docs' postings nor their doc
+    stats (so corpus stats fold the deletes in as units compact)."""
     from functools import reduce  # noqa: PLC0415
 
     out_dir = _unit_dir(path, out_unit)
+    excluded = tuple(sorted(load_tombstones(path)))
     posts = reduce(
         DataFrame.unionByName,
         [spark.read.parquet(f"{_unit_dir(path, u)}/postings") for u in inputs],
@@ -127,7 +168,9 @@ def _merge_units(
         .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
         .repartition(n_parts, "shard", "term", "bsalt")
         .mapInArrow(
-            lambda it: _merge_partition(it, block_size, pow2_salts(n_salts)),
+            lambda it: _merge_partition(
+                it, block_size, pow2_salts(n_salts), excluded
+            ),
             POSTINGS_SCHEMA,
         )
     )
@@ -137,6 +180,8 @@ def _merge_units(
         DataFrame.unionByName,
         [spark.read.parquet(f"{_unit_dir(path, u)}/doc_stats") for u in inputs],
     )
+    if excluded:
+        dstats = dstats.filter(~F.col("doc_id").isin(list(excluded)))
     # unique docs across inputs (re-crawl collapse, mirrors the
     # encoder's max-tf rule)
     dstats.groupBy("doc_id", "shard").agg(F.max("dl").alias("dl")).select(
@@ -148,6 +193,7 @@ def _merge_units(
         "inputs": inputs,
         "n_salts": pow2_salts(n_salts),
         "block_size": block_size,
+        "tombstones_applied": len(excluded),
     }
     with open(f"{out_dir}/MANIFEST.json", "w") as f:
         json.dump(manifest, f, indent=1)
@@ -212,10 +258,15 @@ def load_tiered(spark: SparkSession, path: str) -> InvertedIndex:
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     term_stats = posts.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    # tombstoned docs still PRESENT in a live unit's doc_stats count
+    # toward the stats (deleted-docs visibility model); once compaction
+    # rewrites their units the stats shrink with the postings. The mask
+    # on the handle removes them from every query's result set now.
     return InvertedIndex(
         postings=posts,
         term_stats=term_stats,
         doc_stats=dstats,
         n_docs=cs["n_docs"],
         avgdl=float(cs["avgdl"]),
+        tombstones=load_tombstones(path) or None,
     )

