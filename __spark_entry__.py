@@ -281,6 +281,48 @@ def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling at 100/1000 — reproducible,
+    growth-stable corpus subsampling (operators/sampling.py)."""
+    from embed_rerank_spark.operators.sampling import hash_sample, sample_bucket
+
+    return (
+        hash_sample(_docs(spark, sf_dir), rate_permille=100)
+        .select("doc_id", "source", sample_bucket("doc_id").alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (source) sampling rates — training-mixture
+    weighting as a stateless deterministic filter."""
+    from embed_rerank_spark.operators.sampling import stratified_hash_sample
+
+    return (
+        stratified_hash_sample(
+            _docs(spark, sf_dir),
+            {"src0": 500, "src1": 250, "src2": 0},
+            stratum_col="source",
+            default_permille=100,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most 10 docs per source, preferring
+    longest n_chars (doc_id asc tiebreak) — the anti-monoculture cap
+    of web-corpus pipelines."""
+    from embed_rerank_spark.operators.sampling import cap_per_domain
+
+    return (
+        cap_per_domain(_docs(spark, sf_dir), n=10, domain_col="source")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors by normalized-text hash group."""
     from embed_rerank_spark.operators.dedup import exact_dedup
@@ -605,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm": q_score_norm,
         "dialect_views": q_dialect_views,
         "rerank_topk": q_rerank_topk,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "domain_cap": q_domain_cap,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash": q_simhash,
@@ -753,6 +798,27 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    bucket_sql = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+    )
+    hash_sample = f"""
+SELECT doc_id, source, CAST({bucket_sql} AS BIGINT) AS bucket
+FROM documents WHERE {bucket_sql} < 100 ORDER BY doc_id
+"""
+    stratified_sample = f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket_sql} < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250
+                      WHEN 'src2' THEN 0 ELSE 100 END)
+ORDER BY doc_id
+"""
+    domain_cap = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 10 ORDER BY doc_id
 """
     doc_stats = (
         f"WITH {_TOKS_CTE} SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dl ORDER BY doc_id"
@@ -1357,6 +1423,9 @@ WHERE a.vec_id < b.vec_id
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,
         "dialect_views": dialect_views,
+        "hash_sample": hash_sample,
+        "stratified_sample": stratified_sample,
+        "domain_cap": domain_cap,
         "exact_dedup": exact_dedup,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash": simhash,

@@ -1,0 +1,119 @@
+"""Deterministic corpus sampling + per-domain capping — the two
+selection operators every large-scale training-data pipeline runs
+between dedup and training (cf. the C4/Gopher/RefinedWeb pipelines:
+hash-bucket subsampling for mixture weights, per-domain caps so no
+single host dominates the corpus).
+
+Both are pure JVM-side DataFrame plans (whole-stage codegen, no
+Python) and deterministic: re-running on the same input yields the
+same sample — the property that makes pipeline re-runs reproducible
+and lets a DuckDB oracle verify row-identical output.
+
+Portability note: the sample bucket is md5-derived (like
+``operators/dedup.py``'s hash family) so the oracle computes IDENTICAL
+buckets — xxhash64/crc32 would be Spark-only.
+
+Scale notes (100 TB):
+- ``hash_sample`` is a stateless filter on a scan — embarrassingly
+  parallel, no shuffle at all.
+- ``cap_per_domain`` is one shuffle by domain + a window; a pathological
+  domain holding a large corpus fraction makes that window's partition
+  hot — AQE skew-join splitting does not apply to windows, so the
+  standard mitigation is a pre-filter: domains with <= n docs (the
+  overwhelming majority by count) can skip the window entirely via a
+  broadcast of over-cap domains. ``cap_per_domain`` applies that
+  pre-filter when ``prefilter=True`` (default): the expensive ranked
+  path runs only over docs of over-cap domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 1000
+
+
+def sample_bucket(key_col, buckets: int = SAMPLE_BUCKETS):
+    """Deterministic bucket in [0, buckets) from md5 of the key's
+    string form (portable across engines: DuckDB computes the same
+    md5 hex, so ``CAST(concat('0x', substr(md5(k), 1, 15)) AS BIGINT)
+    % buckets`` matches bit-for-bit)."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_permille: int,
+    key_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """Keep rows whose deterministic hash bucket < rate_permille —
+    a reproducible ~rate_permille/buckets sample. A pure filter: no
+    shuffle, fully pushdown-friendly, and STABLE under corpus growth
+    (a row's membership never changes when other rows appear — the
+    property random `.sample()` lacks)."""
+    return df.filter(sample_bucket(key_col, buckets) < rate_permille)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    stratum_col: str,
+    default_permille: int = 0,
+    key_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-mixture weights):
+    each stratum keeps its own rate; unlisted strata keep
+    ``default_permille``. Still a stateless filter — the rate lookup
+    is a literal CASE chain (tiny mixture tables are engine constants,
+    not data)."""
+    rate = F.lit(default_permille)
+    expr = None
+    for stratum, permille in sorted(rates_permille.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, permille) if expr is None else expr.when(cond, permille)
+    rate = expr.otherwise(default_permille) if expr is not None else rate
+    return df.filter(sample_bucket(key_col, buckets) < rate)
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    order_cols: tuple[str, ...] = ("n_chars",),
+    id_col: str = "doc_id",
+    prefilter: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` docs per domain, preferring the largest
+    ``order_cols`` (desc) with ``id_col`` asc as the deterministic
+    tiebreak — the anti-monoculture cap of web-corpus pipelines.
+
+    ``prefilter=True`` splits the plan: domains already within the cap
+    bypass the window (no per-row ranking cost); only docs of over-cap
+    domains shuffle into the ranked path. The over-cap domain list is
+    a tiny aggregate broadcast back onto the scan."""
+    order = [F.desc(c) for c in order_cols] + [F.asc(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    ranked = docs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= n
+    )
+    if not prefilter:
+        return ranked
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    over = counts.filter(F.col("n_docs") > n).select(domain_col)
+    under_docs = docs.join(F.broadcast(over), domain_col, "left_anti").withColumn(
+        "rk", F.lit(None).cast("int")
+    )
+    over_docs = docs.join(F.broadcast(over), domain_col, "left_semi")
+    over_ranked = over_docs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= n
+    )
+    return under_docs.unionByName(over_ranked.select(*under_docs.columns))
