@@ -158,6 +158,29 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-k with highlight snippets: first occurrence position
+    comes free from the positional index's adjacency keys; the snippet
+    is a token-array slice on the (tiny) result-side doc join."""
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        phrase_snippets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = load_positional_index(build_positional_postings(docs, n_shards=8))
+    out = phrase_snippets(index, docs, PHRASE_SET, k=TOP_K, context=3)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "first_pos",
+        "snippet",
+    )
+
+
 def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k over the compressed index:
     leapfrog intersection with block-max skipping (operators/wand.py
@@ -638,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
         "phrase_topk": q_phrase_topk,
+        "phrase_snippets": q_phrase_snippets,
         "conjunctive_topk": q_conjunctive_topk,
         "delete_mask_topk": q_delete_mask_topk,
         "doc_stats": q_doc_stats,
@@ -744,6 +768,47 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    phrase_snip = f"""
+WITH {_TOKS_CTE},
+joined AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks,
+           ' ' || array_to_string({_TOKENIZE_SQL}, ' ') || ' ' AS s
+    FROM documents
+),
+hits AS (
+    SELECT ph.query_id, j.doc_id, j.toks,
+           len(string_split(ph.needle, ' ')) - 2 AS plen,
+           length(substr(j.s, 1, strpos(j.s, ph.needle)))
+             - length(replace(substr(j.s, 1, strpos(j.s, ph.needle)), ' ', ''))
+             - 1 AS first_pos
+    FROM {phrase_needles_values_sql()} CROSS JOIN joined j
+    WHERE strpos(j.s, ph.needle) > 0
+),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {phrase_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT h.query_id, h.doc_id, s.score, h.first_pos, h.plen, h.toks,
+           row_number() OVER (PARTITION BY h.query_id ORDER BY round(s.score, 6) DESC, h.doc_id ASC) AS rank
+    FROM hits h JOIN scored s USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score, CAST(first_pos AS BIGINT) AS first_pos,
+       array_to_string(
+           toks[greatest(1, first_pos + 1 - 3) : least(len(toks), first_pos + plen + 3)],
+           ' ') AS snippet
 FROM ranked WHERE rank <= {TOP_K}
 """
     conjunctive = f"""
@@ -1415,6 +1480,7 @@ WHERE a.vec_id < b.vec_id
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "phrase_topk": phrase,
+        "phrase_snippets": phrase_snip,
         "conjunctive_topk": conjunctive,
         "delete_mask_topk": delete_mask,
         "doc_stats": doc_stats,

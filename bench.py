@@ -149,6 +149,42 @@ def run_suite(cpus: int, n_pages: int) -> dict:
         ).parquet(f"{tmp}/docs_bm25")
         timings["docs_bm25"] = time.perf_counter() - t0
 
+        # --- round-2 query-mode side metrics (reported under "extra",
+        # NOT in the headline suite total, to keep rounds comparable):
+        # conjunctive AND retrieval (leapfrog + block skipping) and
+        # exact phrase retrieval over a positional index.
+        if os.environ.get("SPARK_GRAFT_TIERED", "1") != "0":
+            from embed_rerank_spark.operators.positions import (  # noqa: PLC0415
+                build_positional_postings,
+                load_positional_index,
+                phrase_topk,
+            )
+            from embed_rerank_spark.operators.wand import conjunctive_topk  # noqa: PLC0415
+
+            extra: dict[str, float] = {}
+            t0 = time.perf_counter()
+            conjunctive_topk(index, qb, k=10).write.mode("overwrite").parquet(
+                f"{tmp}/conj"
+            )
+            extra["conjunctive_topk"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            pos_index = load_positional_index(
+                build_positional_postings(
+                    spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text"),
+                    n_shards=N_SHARDS,
+                )
+            )
+            extra["positional_build"] = round(time.perf_counter() - t0, 3)
+            phrases = [
+                (i, f"w{(i * 7) % 9973} w{(i * 131 + 17) % 9973}") for i in range(64)
+            ]
+            t0 = time.perf_counter()
+            phrase_topk(pos_index, phrases, k=10).write.mode("overwrite").parquet(
+                f"{tmp}/phrase"
+            )
+            extra["phrase_topk_64"] = round(time.perf_counter() - t0, 3)
+            timings["_extra"] = extra
+
         # --- tiered-compaction side metrics (reported under "tiered",
         # NOT in the headline suite total, to keep rounds comparable):
         # the marginal cost of snapshot N+1 under the LSM layout is one
@@ -196,6 +232,7 @@ def main() -> None:
         return
     timings = run_suite(CPUS, N_PAGES)
     tiered = timings.pop("_tiered", {})
+    extra = timings.pop("_extra", {})
     total = sum(timings.values())
     out = {
         "metric": "e2e_suite_sec",
@@ -207,6 +244,7 @@ def main() -> None:
         "n_pages": N_PAGES,
         "wand_qps": round(N_QUERIES / timings["wand_topk"], 2),
         "tiered": tiered,
+        "extra": extra,
     }
     print(json.dumps(out))
 

@@ -387,24 +387,26 @@ def _phrase_match_score(
     avgdl: float,
     k1: float,
     b: float,
-) -> tuple[np.ndarray, np.ndarray]:
-    """One shard, one phrase: -> (matching doc_ids, BM25 scores).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One shard, one phrase: -> (matching doc_ids, BM25 scores,
+    first occurrence positions).
 
     ``termdata[t]`` = (docs asc, tfs, dls, pos_flat, pos_offsets).
     Intersects candidate docs across the phrase's unique terms
     (rarest-first keeps intermediate sets bounded by the rarest term),
     then verifies adjacency with composite (candidate, pos - i) keys —
     all NumPy set ops, no per-doc Python loop."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0), np.empty(0, dtype=np.int64))
     uniq = list(dict.fromkeys(tokens))
     if any(t not in termdata for t in uniq):
-        return np.empty(0, dtype=np.int64), np.empty(0)
+        return empty
     # candidate docs: intersection over unique terms, smallest first
     order = sorted(uniq, key=lambda t: len(termdata[t][0]))
     cand = termdata[order[0]][0]
     for t in order[1:]:
         cand = np.intersect1d(cand, termdata[t][0], assume_unique=True)
         if cand.size == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return empty
 
     keys: np.ndarray | None = None
     for i, t in enumerate(tokens):
@@ -416,9 +418,16 @@ def _phrase_match_score(
         k_i = ci[ok] * _MAXPOS + adj[ok]
         keys = k_i if keys is None else np.intersect1d(keys, k_i, assume_unique=True)
         if keys.size == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return empty
 
-    match_ci = np.unique(keys // _MAXPOS)
+    # keys are sorted composite (ci, start-pos) pairs: the FIRST key of
+    # each ci run is that doc's earliest phrase occurrence
+    kci = keys // _MAXPOS
+    run_start = np.empty(len(kci), dtype=bool)
+    run_start[:1] = True
+    run_start[1:] = kci[1:] != kci[:-1]
+    match_ci = kci[run_start]
+    first_pos = (keys % _MAXPOS)[run_start]
     match_docs = cand[match_ci]
     # BM25 over the phrase's unique terms, restricted to matching docs
     scores = np.zeros(len(match_docs))
@@ -430,7 +439,7 @@ def _phrase_match_score(
         scores += idf[t] * (tf * (k1 + 1.0)) / (
             tf + k1 * (1.0 - b + b * dl / avgdl)
         )
-    return match_docs, scores
+    return match_docs, scores, first_pos
 
 
 def _phrase_partition(
@@ -461,7 +470,7 @@ def _phrase_partition(
         ):
             shards.setdefault(sh, {}).setdefault(tm, []).append(row)
 
-    out_q, out_d, out_s = [], [], []
+    out_q, out_d, out_s, out_p = [], [], [], []
     for _shard, term_blocks in shards.items():
         termdata: dict[str, tuple] = {}
         for t, blks in term_blocks.items():
@@ -481,7 +490,9 @@ def _phrase_partition(
             termdata[t] = (docs, tf, dl, pf, po)
 
         for qid, tokens in phrases:
-            docs, scores = _phrase_match_score(termdata, tokens, idf, avgdl, k1, b)
+            docs, scores, fpos = _phrase_match_score(
+                termdata, tokens, idf, avgdl, k1, b
+            )
             if docs.size == 0:
                 continue
             # shard-local top-k (engine tie order) caps emitted rows
@@ -490,11 +501,22 @@ def _phrase_partition(
             out_q.extend([qid] * len(order))
             out_d.extend(int(docs[i]) for i in order)
             out_s.extend(float(scores[i]) for i in order)
+            out_p.extend(int(fpos[i]) for i in order)
     if out_q:
         yield pa.RecordBatch.from_pydict(
-            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            {
+                "query_id": out_q,
+                "doc_id": out_d,
+                "score": out_s,
+                "first_pos": out_p,
+            },
             schema=pa.schema(
-                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+                [
+                    ("query_id", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("score", pa.float64()),
+                    ("first_pos", pa.int64()),
+                ]
             ),
         )
 
@@ -521,7 +543,7 @@ def phrase_topk(
     spark = index.postings.sparkSession
     if not phrase_plan:
         return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, score double"
+            [], "query_id long, rank int, doc_id long, score double, first_pos long"
         )
     n = index.n_docs
     dfs = index.df_for_terms(all_terms)
@@ -533,9 +555,11 @@ def phrase_topk(
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _phrase_partition(it, phrase_plan, k, idf, avgdl, k1, b),
-        "query_id long, doc_id long, score double",
+        "query_id long, doc_id long, score double, first_pos long",
     )
-    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+    return topk(per_shard, k).select(
+        "query_id", "rank", "doc_id", "score", "first_pos"
+    )
 
 
 def phrase_topk_bruteforce(
@@ -577,4 +601,54 @@ def phrase_topk_bruteforce(
     ).select("query_id", "doc_id")
     return topk(scored.join(matched, ["query_id", "doc_id"]), k).select(
         "query_id", "rank", "doc_id", "score"
+    )
+
+
+def phrase_snippets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    context: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase top-k WITH highlight snippets: the positional index
+    supplies each hit's first occurrence position for free (the
+    adjacency keys are already sorted by position), so the snippet is
+    one token-array slice on the doc join — ``context`` tokens either
+    side of the phrase, single-space joined.
+
+    Scale shape: the doc join touches only the k result rows per query
+    (tiny side broadcast into the docs scan), never the corpus."""
+    hits = phrase_topk(index, phrases, k, k1, b)
+    phrase_len = {
+        qid: len([t for t in q.strip().lower().split() if t]) for qid, q in phrases
+    }
+    plen = F.create_map(
+        [F.lit(x) for kv in phrase_len.items() for x in kv]
+    )[F.col("query_id")]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    )
+    start = F.greatest(F.lit(1), F.col("first_pos") + 1 - context)
+    end = F.least(
+        F.size("toks"), F.col("first_pos") + plen + context
+    )
+    return (
+        F.broadcast(hits)
+        .join(toks, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "first_pos",
+            F.concat_ws(
+                " ", F.slice("toks", start, end - start + 1)
+            ).alias("snippet"),
+        )
     )

@@ -162,3 +162,24 @@ def test_positional_postings_salted_build_same_results(spark):
     ra = sorted(map(tuple, phrase_topk(a, PHRASES, k=10).collect()))
     rb = sorted(map(tuple, phrase_topk(b, PHRASES, k=10).collect()))
     assert ra == rb
+
+
+def test_phrase_snippets_contain_phrase(spark, pos_index):
+    """Every snippet contains the phrase; first_pos is the EARLIEST
+    occurrence (token before it, if any, does not start the phrase)."""
+    from embed_rerank_spark.operators.positions import phrase_snippets
+
+    docs = _docs(spark)
+    out = phrase_snippets(pos_index, docs, PHRASES, k=10, context=3).collect()
+    assert out
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        phrase = " ".join(dict(PHRASES)[r["query_id"]].strip().lower().split())
+        assert phrase in r["snippet"], (phrase, r["snippet"])
+        toks = texts[r["doc_id"]].strip().lower().split()
+        p = r["first_pos"]
+        plen = len(phrase.split())
+        assert toks[p : p + plen] == phrase.split()
+        joined = " " + " ".join(toks) + " "
+        first = joined.index(" " + phrase + " ")
+        assert joined[:first].count(" ") == p  # earliest hit
