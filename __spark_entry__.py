@@ -26,10 +26,14 @@ from embed_rerank_spark.operators.dedup import (  # noqa: E402
 )
 from embed_rerank_spark.queryset import (  # noqa: E402
     PHRASE_SET,
+    PROXIMITY_SET,
+    PROXIMITY_WINDOW,
     QUERY_SET,
     TOP_K,
     phrase_needles_values_sql,
     phrase_terms_values_sql,
+    proximity_pairs_values_sql,
+    proximity_terms_values_sql,
     query_terms_values_sql,
 )
 
@@ -178,6 +182,25 @@ def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         "first_pos",
         "snippet",
+    )
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/W retrieval over the positional index: docs where the two
+    terms occur within 3 tokens of each other (distinct occurrences,
+    either order), BM25-scored over the pair's unique terms."""
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        proximity_topk,
+    )
+
+    index = load_positional_index(
+        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
+    )
+    out = proximity_topk(index, PROXIMITY_SET, k=TOP_K, window=PROXIMITY_WINDOW)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
 
 
@@ -662,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_snippets": q_phrase_snippets,
+        "proximity_topk": q_proximity_topk,
         "conjunctive_topk": q_conjunctive_topk,
         "delete_mask_topk": q_delete_mask_topk,
         "doc_stats": q_doc_stats,
@@ -809,6 +833,41 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        array_to_string(
            toks[greatest(1, first_pos + 1 - 3) : least(len(toks), first_pos + plen + 3)],
            ' ') AS snippet
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    proximity = f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+matched AS (
+    SELECT DISTINCT pr.query_id, a.doc_id
+    FROM {proximity_pairs_values_sql()}
+    JOIN posn a ON a.term = pr.t1
+    JOIN posn b2 ON b2.doc_id = a.doc_id AND b2.term = pr.t2
+    WHERE a.pos <> b2.pos AND abs(a.pos - b2.pos) <= {PROXIMITY_WINDOW}
+),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {proximity_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
     conjunctive = f"""
@@ -1481,6 +1540,7 @@ WHERE a.vec_id < b.vec_id
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "phrase_topk": phrase,
         "phrase_snippets": phrase_snip,
+        "proximity_topk": proximity,
         "conjunctive_topk": conjunctive,
         "delete_mask_topk": delete_mask,
         "doc_stats": doc_stats,

@@ -652,3 +652,170 @@ def phrase_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def _proximity_match(
+    termdata: dict[str, tuple], t1: str, t2: str, window: int
+) -> np.ndarray:
+    """Docs where some occurrence of ``t1`` and ``t2`` lie within
+    ``window`` tokens of each other (0 < |p1 - p2| <= window).
+    Vectorized: for each co-occurrence doc, the minimum gap between
+    the two sorted position lists comes from one merged searchsorted
+    pass — no per-doc Python loop."""
+    if t1 not in termdata or t2 not in termdata:
+        return np.empty(0, dtype=np.int64)
+    d1, tf1, _dl1, pf1, po1 = termdata[t1]
+    d2, tf2, _dl2, pf2, po2 = termdata[t2]
+    cand = np.intersect1d(d1, d2, assume_unique=True)
+    if cand.size == 0:
+        return cand
+    r1 = np.searchsorted(d1, cand)
+    r2 = np.searchsorted(d2, cand)
+    # flatten t1's positions for candidate docs, tagged by candidate id
+    f1, c1 = _ragged_gather(po1[r1], tf1[r1])
+    p1 = pf1[f1]
+    # for each (cand, p1) find the nearest t2 position in that doc via
+    # searchsorted into a per-doc offset space: shift each doc's t2
+    # positions into a disjoint range so one global searchsorted works
+    SPAN = np.int64(1) << 32
+    f2, c2 = _ragged_gather(po2[r2], tf2[r2])
+    key2 = c2.astype(np.int64) * SPAN + pf2[f2]
+    key1 = c1.astype(np.int64) * SPAN + p1
+    idx = np.searchsorted(key2, key1)
+    ok = np.zeros(len(key1), dtype=bool)
+    # nearest-on-the-right within the same doc
+    right = np.minimum(idx, len(key2) - 1)
+    if len(key2):
+        same_doc = key2[right] // SPAN == c1
+        gap = key2[right] % SPAN - p1
+        ok |= same_doc & (gap != 0) & (np.abs(gap) <= window)
+        # nearest-on-the-left
+        left = np.maximum(idx - 1, 0)
+        same_doc = key2[left] // SPAN == c1
+        gap = p1 - key2[left] % SPAN
+        ok |= same_doc & (gap != 0) & (np.abs(gap) <= window)
+    return cand[np.unique(c1[ok])]
+
+
+def _proximity_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, str, str]],
+    k: int,
+    window: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    shards: dict[int, dict[str, list]] = {}
+    for batch in batches:
+        col = dict(zip(batch.schema.names, batch.columns))
+        term_l = col["term"].to_pylist()
+        shard_l = col["shard"].to_pylist()
+        first_l = col["first_doc"].to_pylist()
+        bid_l = col["block_id"].to_pylist()
+        nd_l = col["n_docs"].to_pylist()
+        docs_l = col["docs_bin"].to_pylist()
+        tfs_l = col["tfs_bin"].to_pylist()
+        dls_l = col["dls_bin"].to_pylist()
+        pos_l = col["pos_bin"].to_pylist()
+        for sh, tm, row in zip(
+            shard_l, term_l, zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l)
+        ):
+            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, term_blocks in shards.items():
+        termdata: dict[str, tuple] = {}
+        for t, blks in term_blocks.items():
+            blks.sort(key=lambda r: (r[0], r[1]))
+            ds, tfs, dls, pfs = [], [], [], []
+            for _fd, _bid, nd, db, tb_, lb, pb in blks:
+                d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
+                ds.append(d)
+                tfs.append(f)
+                dls.append(l)
+                pfs.append(pflat)
+            tf = np.concatenate(tfs)
+            termdata[t] = (
+                np.concatenate(ds),
+                tf,
+                np.concatenate(dls),
+                np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
+                np.concatenate(([0], np.cumsum(tf))),
+            )
+
+        for qid, t1, t2 in queries:
+            docs = _proximity_match(termdata, t1, t2, window)
+            if docs.size == 0:
+                continue
+            scores = np.zeros(len(docs))
+            for t in dict.fromkeys((t1, t2)):
+                dt, tft, dlt, _pf, _po = termdata[t]
+                rows = np.searchsorted(dt, docs)
+                tfv = tft[rows].astype(np.float64)
+                dlv = dlt[rows].astype(np.float64)
+                scores += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlv / avgdl)
+                )
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def proximity_topk(
+    index: InvertedIndex,
+    pairs: list[tuple[int, str, str]],
+    k: int = 10,
+    window: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): NEAR/W retrieval over the
+    positional index — docs where the two terms occur within ``window``
+    tokens of each other (distinct occurrences, either order),
+    BM25-scored over the pair's unique terms, engine tie semantics.
+    The SQL-oracle shape is a per-doc positions self-join with
+    ``0 < abs(p1 - p2) <= window``."""
+    plan: list[tuple[int, str, str]] = []
+    all_terms: set[str] = set()
+    for qid, a_raw, b_raw in pairs:
+        ta = a_raw.strip().lower()
+        tb = b_raw.strip().lower()
+        if ta and tb:
+            plan.append((qid, ta, tb))
+            all_terms.update((ta, tb))
+
+    spark = index.postings.sparkSession
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [(qid, a, c) for qid, a, c in plan if a in idf and c in idf]
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    live = {t for _q, a, c in plan for t in (a, c)}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+        lambda it: _proximity_partition(it, plan, k, window, idf, avgdl, k1, b),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -42,6 +42,44 @@ PHRASE_SET: list[tuple[int, str]] = [
 ]
 
 
+# Proximity (NEAR/W) pair set: docs where the two terms occur within
+# W tokens of each other (distinct occurrences, either order). Shapes:
+# common pairs, a pair with an out-of-vocabulary term (zero rows), and
+# a same-term pair (two distinct occurrences required).
+PROXIMITY_SET: list[tuple[int, str, str]] = [
+    (1, "fast", "table"),
+    (2, "hash", "join"),
+    (3, "sort", "merge"),
+    (4, "the", "zyzzyva"),
+    (5, "scan", "scan"),
+]
+PROXIMITY_WINDOW = 3
+
+
+def proximity_terms_literal() -> list[tuple[int, str]]:
+    out = []
+    for qid, a, b in PROXIMITY_SET:
+        seen = set()
+        for tok in (a.strip().lower(), b.strip().lower()):
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    return out
+
+
+def proximity_terms_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in proximity_terms_literal())
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def proximity_pairs_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{a.strip().lower()}', '{b.strip().lower()}')"
+        for qid, a, b in PROXIMITY_SET
+    )
+    return f"(VALUES {rows}) AS pr(query_id, t1, t2)"
+
+
 def phrase_terms_literal() -> list[tuple[int, str]]:
     """(query_id, term) rows with unique lowercased terms per PHRASE —
     same tokenization contract as ``query_terms_literal``."""

@@ -183,3 +183,60 @@ def test_phrase_snippets_contain_phrase(spark, pos_index):
         joined = " " + " ".join(toks) + " "
         first = joined.index(" " + phrase + " ")
         assert joined[:first].count(" ") == p  # earliest hit
+
+
+def test_proximity_topk_matches_python_bruteforce(spark, pos_index):
+    """NEAR/W semantics pinned against a pure-Python check: docs where
+    the two terms occur within W tokens (distinct occurrences, either
+    order), BM25 over the pair's unique terms, engine tie order."""
+    import math
+
+    from embed_rerank_spark.operators.positions import proximity_topk
+
+    PAIRS = [
+        (1, "fast", "table"),
+        (2, "hash", "join"),
+        (3, "the", "zyzzyva"),  # OOV -> empty
+        (4, "scan", "scan"),  # same term: needs two occurrences
+    ]
+    W = 3
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in proximity_topk(pos_index, PAIRS, k=10, window=W).collect()
+    }
+
+    docs = [(r["doc_id"], r["text"].strip().lower().split()) for r in _docs(spark).collect()]
+    docs = [(d, t) for d, t in docs if t]
+    n = len(docs)
+    avgdl = sum(len(t) for _d, t in docs) / n
+    from collections import Counter
+
+    dfs: Counter = Counter()
+    for _d, t in docs:
+        dfs.update(set(t))
+
+    want = {}
+    for qid, a, b in PAIRS:
+        if dfs[a] == 0 or dfs[b] == 0:
+            continue
+        scored = []
+        for d, toks in docs:
+            pa_ = [i for i, t in enumerate(toks) if t == a]
+            pb_ = [i for i, t in enumerate(toks) if t == b]
+            if not any(
+                p1 != p2 and abs(p1 - p2) <= W for p1 in pa_ for p2 in pb_
+            ):
+                continue
+            score = 0.0
+            for t in dict.fromkeys((a, b)):
+                tf = toks.count(t)
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            scored.append((d, score))
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        for rk, (d, s) in enumerate(scored[:10], 1):
+            want[(qid, rk)] = (d, round(s, 6))
+
+    assert got == want
+    assert any(q == 4 for q, _ in got), "same-term proximity found no docs"
+    assert not any(q == 3 for q, _ in got)
