@@ -69,10 +69,33 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", required=True, help="output parquet path")
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
+        "--mode",
+        default="or",
+        choices=["or", "and", "phrase"],
+        help="or = disjunctive WAND; and = conjunctive leapfrog; "
+        "phrase = exact phrase over a POSITIONAL index",
+    )
+    q.add_argument(
         "--tiered",
         action="store_true",
         help="query the live tiered units instead of a fully merged index",
     )
+
+    bp = sub.add_parser(
+        "build-positional-index",
+        help="corpus (doc_id, text) -> positional index (phrase/proximity-capable)",
+    )
+    bp.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--shards", type=int, default=32)
+    bp.add_argument("--salts", type=int, default=1)
+    bp.add_argument("--block-size", type=int, default=128)
+
+    d = sub.add_parser(
+        "delete", help="record deletion tombstones (masked now, folded in at compact)"
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", required=True, help="file: one doc_id per line")
 
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
@@ -113,7 +136,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"created tiers: {created or 'none'}; live units: {live_units(args.index)}")
         elif args.cmd == "query":
             from .operators.postings import InvertedIndex
-            from .operators.wand import wand_topk
 
             if args.tiered:
                 from .plans.tiered import load_tiered
@@ -121,9 +143,49 @@ def main(argv: list[str] | None = None) -> int:
                 idx = load_tiered(spark, args.index)
             else:
                 idx = InvertedIndex.load(spark, args.index)
-            out = wand_topk(idx, _read_queries(args.queries), k=args.k)
+                from .plans.tiered import load_tombstones
+
+                idx.tombstones = load_tombstones(args.index) or None
+            queries = _read_queries(args.queries)
+            if args.mode == "and":
+                from .operators.wand import conjunctive_topk
+
+                out = conjunctive_topk(idx, queries, k=args.k)
+            elif args.mode == "phrase":
+                from .operators.positions import phrase_topk
+
+                out = phrase_topk(idx, queries, k=args.k)
+            else:
+                from .operators.wand import wand_topk
+
+                out = wand_topk(idx, queries, k=args.k)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
+        elif args.cmd == "build-positional-index":
+            from .operators.positions import build_positional_postings
+            from .operators.postings import write_index
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            write_index(
+                build_positional_postings(
+                    corpus,
+                    n_shards=args.shards,
+                    block_size=args.block_size,
+                    n_salts=args.salts,
+                ),
+                args.index,
+            )
+            print(f"positional index ready: {args.index}")
+        elif args.cmd == "delete":
+            from .plans.tiered import delete_docs, load_tombstones
+
+            with open(args.doc_ids) as f:
+                ids = [int(line) for line in f if line.strip()]
+            out_file = delete_docs(args.index, ids)
+            print(
+                f"recorded {len(ids)} tombstones in {out_file}; "
+                f"total live tombstones: {len(load_tombstones(args.index))}"
+            )
         elif args.cmd == "rerank":
             from .operators.postings import InvertedIndex
             from .operators.rerank import rerank_candidates

@@ -102,3 +102,49 @@ def test_cli_compact_and_tiered_query(spark, workspace):
         for r in spark.read.parquet(str(d / "topk_tiered")).collect()
     }
     assert merged == tiered and len(tiered) > 0
+
+
+def test_cli_new_query_modes_and_delete(spark, workspace, tmp_path):
+    """and/phrase query modes, positional build, and tombstone deletes
+    through the spark-submit surface."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    (d / "phrases.tsv").write_text("0\tthe w12\n")
+    real_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        assert cli.main([
+            "query", "--index", str(d / "index"), "--mode", "and",
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "andk"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "build-positional-index",
+            "--corpus", str(d / "index" / "segments" / "*" / "extracted"),
+            "--index", str(d / "posidx"), "--shards", "4",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "posidx"), "--mode", "phrase",
+            "--queries", str(d / "phrases.tsv"), "--out", str(d / "ph"), "--k", "5",
+        ]) == 0
+        # delete the top doc and re-query: it must disappear
+        top = spark.read.parquet(str(d / "topk")).filter(
+            "query_id = 0 and rank = 1"
+        ).collect()[0]["doc_id"]
+        (d / "dead.txt").write_text(f"{top}\n")
+        assert cli.main([
+            "delete", "--index", str(d / "index"), "--doc-ids", str(d / "dead.txt"),
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"),
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "topk2"), "--k", "5",
+        ]) == 0
+    finally:
+        type(spark).stop = real_stop
+
+    andk = spark.read.parquet(str(d / "andk"))
+    assert andk.count() > 0
+    ph = spark.read.parquet(str(d / "ph"))
+    assert set(ph.columns) == {"query_id", "rank", "doc_id", "score", "first_pos"}
+    topk2 = spark.read.parquet(str(d / "topk2"))
+    assert top not in {r["doc_id"] for r in topk2.collect()}
