@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--max-concurrent", type=int, default=4)
+    b.add_argument(
+        "--positional",
+        action="store_true",
+        help="encode per-posting position streams (phrase/proximity queries)",
+    )
 
     c = sub.add_parser(
         "compact",
@@ -125,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
                 block_size=args.block_size,
                 resume=not args.no_resume,
                 n_salts=args.salts,
+                positional=args.positional,
             )
             print(f"index ready: {idx.n_docs} docs, avgdl={idx.avgdl:.2f}")
         elif args.cmd == "compact":

@@ -819,3 +819,86 @@ def proximity_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+_MERGE_IN_POS = (
+    "term string, shard int, n_docs int, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
+)
+
+
+def merge_partition_pos(
+    batches: Iterator[pa.RecordBatch],
+    block_size: int,
+    n_salts: int = 1,
+    excluded: tuple[int, ...] = (),
+):
+    """Positional counterpart of ``build_index._merge_partition``:
+    decode -> merge-sort -> re-encode with the positions stream riding
+    along. Positions are delta-encoded per POSTING (reset at each
+    posting start), so the concatenated streams decode with ONE varbyte
+    pass + one segment-cumsum keyed by the decoded tf values; the
+    row permutation becomes a ragged gather on the positions."""
+    from ..functions.codec import delta_decode_blocks, vb_decode  # noqa: PLC0415
+    from ..plans.build_index import _concat_binary  # noqa: PLC0415
+
+    batch_list = [b for b in batches if b.num_rows > 0]
+    if not batch_list:
+        return
+    tbl = combined_table(batch_list)
+    dict_enc = pc.dictionary_encode(tbl.column("term").chunk(0))
+    btidx = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms_dict = dict_enc.dictionary
+    bshard = tbl.column("shard").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    bnd = tbl.column("n_docs").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_values = int(bnd.sum())
+    value_starts = np.concatenate(([0], np.cumsum(bnd)))[:-1]
+
+    docs_stream, _ = _concat_binary(tbl.column("docs_bin").chunk(0))
+    tfs_stream, _ = _concat_binary(tbl.column("tfs_bin").chunk(0))
+    dls_stream, _ = _concat_binary(tbl.column("dls_bin").chunk(0))
+    pos_stream, _ = _concat_binary(tbl.column("pos_bin").chunk(0))
+    doc = delta_decode_blocks(vb_decode(docs_stream, n_values), value_starts)
+    tf = vb_decode(tfs_stream, n_values).astype(np.int64)
+    dl = vb_decode(dls_stream, n_values).astype(np.int64)
+    total_tf = int(tf.sum())
+    pvals = vb_decode(pos_stream, total_tf)
+    posting_offsets = np.concatenate(([0], np.cumsum(tf)))
+    pos_flat = segment_cumsum(pvals, posting_offsets[:-1][tf > 0])
+
+    tsort = np.argsort(terms_dict.to_numpy(zero_copy_only=False))
+    trank = np.empty(len(tsort), dtype=np.int64)
+    trank[tsort] = np.arange(len(tsort))
+    shard_base = int(bshard.max()) + 1
+    row_key = np.repeat(trank[btidx] * shard_base + bshard, bnd)
+    perm = np.lexsort((doc, row_key))
+    tidx_rows = np.repeat(btidx, bnd)[perm]
+    shard_rows = np.repeat(bshard, bnd)[perm]
+    doc_s, tf_s, dl_s = doc[perm], tf[perm], dl[perm]
+    flat_idx, _rid = _ragged_gather(posting_offsets[:-1][perm], tf_s)
+    pos_s = pos_flat[flat_idx]
+    off_s = np.concatenate(([0], np.cumsum(tf_s)))
+
+    if excluded:
+        live = ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+        counts = tf_s.copy()
+        counts[~live] = 0
+        keep_flat, _ = _ragged_gather(off_s[:-1][live], tf_s[live])
+        pos_s = pos_s[keep_flat]
+        tidx_rows, shard_rows = tidx_rows[live], shard_rows[live]
+        doc_s, tf_s, dl_s = doc_s[live], tf_s[live], dl_s[live]
+        off_s = np.concatenate(([0], np.cumsum(tf_s)))
+        if len(doc_s) == 0:
+            return
+
+    salt_rows = None
+    if n_salts > 1:
+        bits = (n_salts - 1).bit_length()
+        salt_rows = (
+            (doc_s.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63))
+            >> np.uint64(64 - bits)
+        ).astype(np.int64)
+    yield from encode_grouped_rows_pos(
+        terms_dict, tidx_rows, shard_rows, doc_s, tf_s, dl_s,
+        pos_s, off_s, block_size, salt=salt_rows,
+    )

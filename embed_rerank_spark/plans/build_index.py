@@ -127,8 +127,11 @@ def build_segment(
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     n_salts: int = 1,
+    positional: bool = False,
 ) -> dict:
-    """Build + commit one snapshot segment. Returns its manifest dict."""
+    """Build + commit one snapshot segment. Returns its manifest dict.
+    ``positional=True`` encodes per-posting position streams too (the
+    segment then serves phrase/proximity queries after merge)."""
     from pyspark.sql import Observation  # noqa: PLC0415
 
     seg = f"{_segment_dirs(path)}/{snap}"
@@ -145,7 +148,16 @@ def build_segment(
     extracted = spark.read.parquet(f"{seg}/extracted")
     clean = extracted.filter(F.col("error").isNull())
 
-    idx = build_postings(clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts)
+    if positional:
+        from ..operators.positions import build_positional_postings  # noqa: PLC0415
+
+        idx = build_positional_postings(
+            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts
+        )
+    else:
+        idx = build_postings(
+            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts
+        )
     # flat write (no partitionBy): queries filter by TERM, never shard —
     # the shard column rides along; term-sorted row groups do the pruning
     idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
@@ -185,6 +197,7 @@ def build_segment(
         "n_shards": n_shards,
         "block_size": block_size,
         "n_salts": pow2_salts(n_salts),
+        "positional": positional,
         "quarantined": n_quarantined,
         "shards": [r.asDict() for r in per_shard],
     }
@@ -203,6 +216,7 @@ def build_incremental(
     resume: bool = True,
     max_concurrent: int = 4,
     n_salts: int = 1,
+    positional: bool = False,
 ) -> list[str]:
     """Build every uncommitted snapshot segment; returns snapshots built.
 
@@ -230,7 +244,9 @@ def build_incremental(
 
     def run(snap: str) -> str:
         snap_pages = with_snapshot(pages).filter(F.col(SNAPSHOT_COL) == snap)
-        build_segment(spark, snap_pages, path, snap, n_shards, block_size, n_salts)
+        build_segment(
+            spark, snap_pages, path, snap, n_shards, block_size, n_salts, positional
+        )
         return snap
 
     if max_concurrent <= 1 or len(todo) == 1:
@@ -350,11 +366,17 @@ def merge_segments(
     if not snaps:
         raise ValueError(f"no committed segments under {path}")
     built_salts = set()
+    built_positional = set()
     for s in snaps:
         with open(_manifest_file(path, s)) as f:
-            built_salts.add(json.load(f).get("n_salts", 1))
+            m = json.load(f)
+            built_salts.add(m.get("n_salts", 1))
+            built_positional.add(bool(m.get("positional", False)))
     if len(built_salts) > 1:
         raise ValueError(f"segments built with mixed n_salts: {sorted(built_salts)}")
+    if len(built_positional) > 1:
+        raise ValueError("segments mix positional and non-positional builds")
+    positional = built_positional.pop()
     built = built_salts.pop()
     if n_salts is None:
         n_salts = built
@@ -379,15 +401,24 @@ def merge_segments(
     # valid because build and merge must share n_salts, so block ranges
     # align to salt buckets): a hot term's blocks spread over
     # n_salts partitions instead of one
-    merged = (
-        seg_postings.select(
-            "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+    merge_cols = ["term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    if positional:
+        from ..operators.positions import (  # noqa: PLC0415
+            POSITIONAL_SCHEMA,
+            merge_partition_pos,
         )
+
+        merge_cols.append("pos_bin")
+        kernel, out_schema = merge_partition_pos, POSITIONAL_SCHEMA
+    else:
+        kernel, out_schema = _merge_partition, POSTINGS_SCHEMA
+    merged = (
+        seg_postings.select(*merge_cols)
         .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
         .repartition(n_parts, "shard", "term", "bsalt")
         .mapInArrow(
-            lambda it: _merge_partition(it, block_size, pow2_salts(n_salts)),
-            POSTINGS_SCHEMA,
+            lambda it: kernel(it, block_size, pow2_salts(n_salts)),
+            out_schema,
         )
     )
     merged.write.mode("overwrite").parquet(f"{path}/postings")
@@ -431,9 +462,15 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     n_salts: int = 1,
+    positional: bool = False,
 ) -> InvertedIndex:
     """Full job: incremental segment build (resumable) + merge.
     ``n_salts`` MUST match between segment builds and merges (block
-    ranges align to salt buckets)."""
-    build_incremental(spark, pages, path, n_shards, block_size, resume, n_salts=n_salts)
+    ranges align to salt buckets). ``positional=True`` builds the
+    phrase/proximity-capable index (position streams ride every
+    segment and the merge)."""
+    build_incremental(
+        spark, pages, path, n_shards, block_size, resume, n_salts=n_salts,
+        positional=positional,
+    )
     return merge_segments(spark, path, block_size, n_salts=n_salts)

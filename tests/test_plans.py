@@ -102,3 +102,13 @@ def test_positional_scan_pushes_term_filter_and_wand_prunes_pos(
     wplan = _plan(wand_topk(index, [(0, "fast table")], k=5))
     read_schema = [l for l in wplan.splitlines() if "ReadSchema" in l and "docs_bin" in l]
     assert read_schema and all("pos_bin" not in l for l in read_schema), wplan
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """Deterministic sampling must stay a stateless filter: no
+    Exchange in the plan (embarrassingly parallel at any scale)."""
+    from embed_rerank_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(hash_sample(docs, 100))
+    assert "Exchange" not in plan, plan

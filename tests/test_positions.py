@@ -240,3 +240,64 @@ def test_proximity_topk_matches_python_bruteforce(spark, pos_index):
     assert got == want
     assert any(q == 4 for q, _ in got), "same-term proximity found no docs"
     assert not any(q == 3 for q, _ in got)
+
+
+def test_incremental_positional_build_and_merge(spark, tmp_path_factory):
+    """Snapshot-segment positional build + vectorized positional merge:
+    the merged index answers phrase AND WAND queries identically to a
+    one-shot positional build over the same corpus (merge kernel must
+    preserve positions through the permutation), and mixing positional
+    with plain segments is rejected."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.plans.build_index import (
+        build_index,
+        build_segment,
+        extract_pages,
+    )
+    from embed_rerank_spark.sources.pages import generate_pages
+
+    path = str(tmp_path_factory.mktemp("posinc"))
+    pages = generate_pages(spark, 900, seed=31, n_snapshots=3).cache()
+    idx = build_index(
+        spark, pages, path, n_shards=4, block_size=32, n_salts=2, positional=True
+    )
+    assert "pos_bin" in idx.postings.columns
+
+    corpus = (
+        extract_pages(pages).filter(F.col("error").isNull()).select("doc_id", "text")
+    )
+    oneshot = load_positional_index(
+        build_positional_postings(corpus, n_shards=4, block_size=32, n_salts=2)
+    )
+    PH = [(1, "the w12"), (2, "w7 w40"), (3, "w3")]
+    got = sorted(map(tuple, phrase_topk(idx, PH, k=8).collect()))
+    want = sorted(map(tuple, phrase_topk(oneshot, PH, k=8).collect()))
+    assert got == want and got
+
+    QW = [(1, "the w12 w700"), (2, "w55 w1000")]
+    gw = sorted(map(tuple, wand_topk(idx, QW, k=8).collect()))
+    ww = sorted(map(tuple, wand_topk(oneshot, QW, k=8).collect()))
+    assert gw == ww and gw
+
+    # mixing positional and plain segments must be rejected at merge
+    import pytest as _pytest
+
+    day = "2099-01-01"
+    build_segment(
+        spark,
+        generate_pages(spark, 50, seed=32, n_snapshots=1).withColumn(
+            "warc_ts", F.to_timestamp(F.lit(day))
+        ),
+        path,
+        day,
+        n_shards=4,
+        block_size=32,
+        n_salts=2,
+        positional=False,
+    )
+    from embed_rerank_spark.plans.build_index import merge_segments
+
+    with _pytest.raises(ValueError, match="mix positional"):
+        merge_segments(spark, path, block_size=32, n_salts=2)
