@@ -254,6 +254,33 @@ def q_delete_mask_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval (collection-search / doc-ACL case): WAND
+    top-k restricted to an allowed doc set (docs with lang='de'),
+    corpus stats unchanged (operators/wand.py allowed_docs)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    built = build_postings(docs, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    allowed = [
+        r["doc_id"]
+        for r in docs.filter(F.col("lang") == "de").select("doc_id").collect()
+    ]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K, allowed_docs=allowed)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage pipeline, fully SQL-expressible: BM25 top-20 candidate
     pool -> word-set Jaccard rerank -> top-10 (reference fallback chain
@@ -688,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": q_proximity_topk,
         "conjunctive_topk": q_conjunctive_topk,
         "delete_mask_topk": q_delete_mask_topk,
+        "filtered_topk": q_filtered_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -918,6 +946,32 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored WHERE doc_id % 7 <> 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    filtered_topk = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    -- filtered retrieval: result set restricted, stats unchanged
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.lang = 'de'
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1543,6 +1597,7 @@ WHERE a.vec_id < b.vec_id
         "proximity_topk": proximity,
         "conjunctive_topk": conjunctive,
         "delete_mask_topk": delete_mask,
+        "filtered_topk": filtered_topk,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

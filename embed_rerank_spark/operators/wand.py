@@ -151,6 +151,7 @@ def _wand_one_query(
     k1: float,
     b: float,
     excl: set | None = None,
+    allowed: set | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) for one query over one shard.
     ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
@@ -158,9 +159,10 @@ def _wand_one_query(
     cursor sitting on the pivot doc, so multiple same-term cursors
     with disjoint doc sets score exactly.
 
-    ``excl`` (deletion tombstones) masks docs from the result set:
-    a masked doc never enters the heap, so theta only ever comes from
-    live docs and pruning stays exact for the masked corpus."""
+    ``excl`` (deletion tombstones) / ``allowed`` (filtered retrieval)
+    mask docs from the result set: a masked doc never enters the heap,
+    so theta only ever comes from eligible docs and pruning stays
+    exact for the masked corpus."""
     its = [
         _TermIterator(run, idf, avgdl, k1, b)
         for t, idf in qterms
@@ -207,7 +209,9 @@ def _wand_one_query(
                 end += 1
             prefix = its[: end + 1]
             bub = sum(it.block_ub(avgdl, k1, b) for it in prefix)
-            if excl is not None and pivot_doc in excl:
+            if (excl is not None and pivot_doc in excl) or (
+                allowed is not None and pivot_doc not in allowed
+            ):
                 for it in prefix:
                     it.advance()
             elif bub > th - _SLACK:
@@ -246,6 +250,7 @@ def _taat_topk(
     qterms: list[tuple[str, float]],
     k: int,
     excl_arr: np.ndarray | None = None,
+    allowed_arr: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exact top-k for SHORT posting lists.
 
@@ -254,7 +259,9 @@ def _taat_topk(
     (doc, score) results to the pivot WAND walk — same formula, same
     rounded-score/doc-id tie order — just without skipping, which only
     pays off when lists are long enough to skip. ``excl_arr`` (sorted
-    tombstoned doc ids) masks deleted docs before accumulation."""
+    tombstoned doc ids) masks deleted docs before accumulation;
+    ``allowed_arr`` (sorted, filtered retrieval) restricts to a doc
+    set."""
     arrs = [term_cache[t] for t, _ in qterms if t in term_cache]
     idfs = [idf for t, idf in qterms if t in term_cache]
     if not arrs:
@@ -263,6 +270,11 @@ def _taat_topk(
     all_scores = np.concatenate([idf * a[1] for a, idf in zip(arrs, idfs)])
     if excl_arr is not None and len(excl_arr):
         live = ~np.isin(all_docs, excl_arr)
+        all_docs, all_scores = all_docs[live], all_scores[live]
+        if not len(all_docs):
+            return []
+    if allowed_arr is not None:
+        live = np.isin(all_docs, allowed_arr)
         all_docs, all_scores = all_docs[live], all_scores[live]
         if not len(all_docs):
             return []
@@ -314,6 +326,7 @@ def _wand_partition(
     b: float,
     taat_threshold: int = 100_000,
     excl: tuple[int, ...] = (),
+    allowed: tuple[int, ...] | None = None,
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard.
@@ -327,10 +340,15 @@ def _wand_partition(
     accumulation.
 
     ``excl``: tombstoned doc ids (deletes not yet folded in by
-    compaction) — masked from results in both paths."""
+    compaction); ``allowed``: filtered-retrieval doc set (None = all)
+    — masked from results in both paths."""
     shards = _parse_shards(batches)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
     excl_set = set(excl) if excl else None
+    allowed_arr = (
+        np.sort(np.asarray(allowed, dtype=np.int64)) if allowed is not None else None
+    )
+    allowed_set = set(allowed) if allowed is not None else None
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
@@ -380,9 +398,11 @@ def _wand_partition(
             if n_postings <= taat_threshold:
                 # short lists: vectorized scoring beats pointer-walking
                 cache = {t: cached(t) for t, _ in qterms if t in tb}
-                results = _taat_topk(cache, qterms, k, excl_arr)
+                results = _taat_topk(cache, qterms, k, excl_arr, allowed_arr)
             else:
-                results = _wand_one_query(tb, qterms, k, avgdl, k1, b, excl_set)
+                results = _wand_one_query(
+                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set
+                )
             for doc_id, score in results:
                 out_q.append(qid)
                 out_d.append(doc_id)
@@ -400,6 +420,7 @@ def wand_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     taat_threshold: int = 100_000,
+    allowed_docs=None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
     WAND over the compressed index.
@@ -408,7 +429,15 @@ def wand_topk(
     LSM deletes not yet folded in by compaction), those docs are
     masked from results; corpus/term stats intentionally still count
     them until a compaction physically removes the postings — the
-    standard deleted-docs visibility model (e.g. Lucene)."""
+    standard deleted-docs visibility model (e.g. Lucene).
+
+    ``allowed_docs`` (iterable of doc ids) = FILTERED retrieval:
+    results restricted to the set, stats unchanged — the
+    collection-search / doc-ACL case, where the allowed set is small
+    relative to the corpus (it ships in the task closure; a broad
+    categorical filter like language should instead be a partitioned
+    index per category, or the declarative brute-force scorer with a
+    WHERE clause — one scan, exact, no set to ship)."""
     # unique lowercased whitespace terms per query (engine semantics,
     # same as bm25.query_terms)
     qterm_map: dict[int, list[str]] = {}
@@ -465,9 +494,10 @@ def wand_topk(
     spark = index.postings.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    allowed = tuple(sorted(allowed_docs)) if allowed_docs is not None else None
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _wand_partition(
-            it, query_plan, k, avgdl, k1, b, taat_threshold, excl
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed
         ),
         "query_id long, doc_id long, score double",
     )

@@ -104,3 +104,39 @@ def test_compaction_applies_tombstones_physically(spark, setup):
     got = _canon(wand_topk(idx, QUERIES, k=8))
     want = _canon(bm25_topk_bruteforce(spark, reduced, QUERIES, k=8))
     assert got == want and got
+
+
+def test_filtered_retrieval_both_paths_and_with_tombstones(spark, setup):
+    """allowed_docs masks BOTH query paths identically (force each via
+    taat_threshold) and composes with tombstones: allowed minus
+    deleted."""
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_scores_bruteforce,
+        query_terms,
+        topk,
+    )
+
+    path, _pages, corpus, victims = setup
+    idx = load_tiered(spark, path)
+    allowed = [
+        r["doc_id"] for r in corpus.select("doc_id").limit(120).collect()
+    ]
+
+    taat = _canon(wand_topk(idx, QUERIES, k=8, taat_threshold=10**9,
+                            allowed_docs=allowed))
+    walk = _canon(wand_topk(idx, QUERIES, k=8, taat_threshold=0,
+                            allowed_docs=allowed))
+    assert taat == walk and taat
+
+    # this test runs after the compaction test: deletes are already
+    # folded into the index's corpus stats, so the brute-force
+    # reference scores over the REDUCED corpus
+    reduced = corpus.filter(~F.col("doc_id").isin(victims))
+    scored = bm25_scores_bruteforce(reduced, query_terms(spark, QUERIES))
+    want = _canon(
+        topk(scored.filter(F.col("doc_id").isin(allowed)), 8).select(
+            "query_id", "rank", "doc_id", "score"
+        )
+    )
+    assert taat == want
+    assert not any(d in victims for _q, _r, d, _s in taat)
