@@ -396,6 +396,20 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence with PMI (collocation
+    mining). The synthetic corpus concentrates co-occurrence in its
+    ~30 core-vocabulary terms, so the contract config pairs them all
+    (no df cap) with a high min count; the df-cap path (the scale
+    guard) is pinned by pytest on a skewed corpus instead."""
+    from embed_rerank_spark.operators.textstats import cooccurrence_pmi
+
+    out = cooccurrence_pmi(_docs(spark, sf_dir), min_pair_count=300)
+    return out.select(
+        "term_a", "term_b", "pair_count", F.round("pmi", 6).alias("pmi")
+    ).orderBy("term_a", "term_b")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors by normalized-text hash group."""
     from embed_rerank_spark.operators.dedup import exact_dedup
@@ -723,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm": q_score_norm,
         "dialect_views": q_dialect_views,
         "rerank_topk": q_rerank_topk,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
@@ -976,6 +991,30 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    cooccurrence_pmi = f"""
+WITH dterms AS (
+    SELECT doc_id, unnest(list_distinct({_TOKENIZE_SQL})) AS term
+    FROM documents
+),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dft AS (
+    SELECT term, count(*) AS df FROM dterms GROUP BY term
+),
+kept AS (SELECT dterms.doc_id, dterms.term FROM dterms JOIN dft USING (term)),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS pair_count
+    FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    HAVING count(*) >= 300
+)
+SELECT term_a, term_b, CAST(pair_count AS BIGINT) AS pair_count,
+       round(ln(pair_count * (SELECT n FROM ndocs)
+                / (fa.df * fb.df)), 6) AS pmi
+FROM pairs
+JOIN dft fa ON fa.term = pairs.term_a
+JOIN dft fb ON fb.term = pairs.term_b
+ORDER BY term_a, term_b
 """
     bucket_sql = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
@@ -1604,6 +1643,7 @@ WHERE a.vec_id < b.vec_id
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,
         "dialect_views": dialect_views,
+        "cooccurrence_pmi": cooccurrence_pmi,
         "hash_sample": hash_sample,
         "stratified_sample": stratified_sample,
         "domain_cap": domain_cap,

@@ -149,3 +149,61 @@ def rolling_fingerprints(
             "fp"
         ),
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    min_pair_count: int = 5,
+    max_term_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term_a, term_b, pair_count, pmi): document-level co-occurrence
+    with pointwise mutual information — the corpus-analytics operator
+    behind collocation mining and topic drift checks.
+
+    pmi = ln( (pair_count * n_docs) / (df_a * df_b) ), computed over
+    DISTINCT per-doc terms with term_a < term_b (unordered pairs).
+
+    Scale shape: the pair space is the quadratic hazard — a doc with
+    m distinct terms emits m^2/2 pairs. Two caps bound it:
+    ``max_term_df`` drops corpus-hot terms BEFORE pairing (same
+    df-cap pattern as the dedup shingle pipeline — hot terms carry no
+    collocation signal and dominate the pair count), and
+    ``min_pair_count`` prunes the long tail after one map-side
+    combinable count. The pair build is a per-doc self-join on the
+    distinct-terms table — co-partitioned on doc_id, so it shuffles
+    the term table twice and nothing else."""
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_for_scoring(F.col(text_col)))).alias(
+            "term"
+        ),
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_term_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_term_df)
+        terms = terms.join(F.broadcast(df_tbl.select("term")), "term")
+    a = terms.select("doc_id", F.col("term").alias("term_a"))
+    b = terms.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    dfa = df_tbl.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    dfb = df_tbl.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return pairs.join(F.broadcast(dfa), "term_a").join(
+        F.broadcast(dfb), "term_b"
+    ).select(
+        "term_a",
+        "term_b",
+        "pair_count",
+        F.log(
+            F.col("pair_count") * F.lit(float(n_docs))
+            / (F.col("df_a") * F.col("df_b"))
+        ).alias("pmi"),
+    )

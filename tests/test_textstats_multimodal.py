@@ -115,3 +115,28 @@ def test_frame_sampling_plan(spark, media):
         assert idxs == list(range(len(idxs)))
         assert len(idxs) <= 16
         assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
+
+
+def test_cooccurrence_pmi_caps_and_values(spark):
+    """PMI operator: df cap bounds the pair space on a skewed corpus,
+    and values match a hand computation."""
+    import math
+
+    from embed_rerank_spark.operators.textstats import cooccurrence_pmi
+
+    rows = [(i, "hot " + ("alpha beta " if i % 2 == 0 else "gamma ")) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # no cap: 'hot' (df=40) pairs with everything
+    out = {
+        (r["term_a"], r["term_b"]): (r["pair_count"], round(r["pmi"], 6))
+        for r in cooccurrence_pmi(docs, min_pair_count=1).collect()
+    }
+    assert ("alpha", "hot") in out and out[("alpha", "beta")][0] == 20
+    # pmi(alpha, beta) = ln(20*40/(20*20)) = ln(2)
+    assert out[("alpha", "beta")][1] == round(math.log(2.0), 6)
+    # df cap 25 drops 'hot' from the pair space entirely
+    capped = {
+        (r["term_a"], r["term_b"])
+        for r in cooccurrence_pmi(docs, min_pair_count=1, max_term_df=25).collect()
+    }
+    assert capped == {("alpha", "beta")}
