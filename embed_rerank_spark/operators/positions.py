@@ -442,6 +442,39 @@ def _phrase_match_score(
     return match_docs, scores, first_pos
 
 
+def _sort_dedupe_termdata(
+    docs: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    pf: np.ndarray,
+    po: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Restore the sorted-unique-docs invariant after concatenating a
+    term's blocks from MULTIPLE index units (tiered query view): unit
+    doc ranges interleave, and a re-crawled url can appear in two
+    units. Sort by doc (stable), then collapse duplicate docs to the
+    max-(tf, dl) row — the same winner rule as the merge encoder —
+    gathering each winner's ragged positions."""
+    n = len(docs)
+    if n > 1 and (docs[1:] <= docs[:-1]).any():
+        perm = np.argsort(docs, kind="stable")
+        docs, tf, dl = docs[perm], tf[perm], dl[perm]
+        flat_idx, _ = _ragged_gather(po[:-1][perm], tf)
+        pf = pf[flat_idx]
+        po = np.concatenate(([0], np.cumsum(tf)))
+        change = np.ones(n, dtype=bool)  # single (term, shard) group
+        change[1:] = False
+        change[0] = True
+        starts, winners = _winner_rows(change, docs, tf, dl)
+        if len(starts) != n:
+            counts = po[winners + 1] - po[winners]
+            flat_idx, _ = _ragged_gather(po[winners], counts)
+            pf = pf[flat_idx]
+            docs, tf, dl = docs[starts], tf[winners], dl[winners]
+            po = np.concatenate(([0], np.cumsum(tf)))
+    return docs, tf, dl, pf, po
+
+
 def _phrase_partition(
     batches: Iterator[pa.RecordBatch],
     phrases: list[tuple[int, list[str]]],
@@ -452,7 +485,9 @@ def _phrase_partition(
     b: float,
 ):
     """One task: decode its shards' (phrase-term-only) positional
-    postings once per (shard, term), answer every phrase per shard."""
+    postings once per (shard, term), answer every phrase per shard.
+    Multi-unit (tiered) inputs are handled by re-sorting and
+    deduplicating each term's concatenated postings."""
     shards: dict[int, dict[str, list]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
@@ -487,7 +522,7 @@ def _phrase_partition(
             dl = np.concatenate(dls)
             pf = np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64)
             po = np.concatenate(([0], np.cumsum(tf)))
-            termdata[t] = (docs, tf, dl, pf, po)
+            termdata[t] = _sort_dedupe_termdata(docs, tf, dl, pf, po)
 
         for qid, tokens in phrases:
             docs, scores, fpos = _phrase_match_score(
@@ -737,7 +772,7 @@ def _proximity_partition(
                 dls.append(l)
                 pfs.append(pflat)
             tf = np.concatenate(tfs)
-            termdata[t] = (
+            termdata[t] = _sort_dedupe_termdata(
                 np.concatenate(ds),
                 tf,
                 np.concatenate(dls),

@@ -100,6 +100,20 @@ def _build_salts(path: str) -> int:
     return salts.pop() if salts else 1
 
 
+def _build_positional(path: str) -> bool:
+    """Whether the units carry position streams (must be uniform —
+    compaction and the query view need one schema)."""
+    flags = set()
+    for s in committed_snapshots(path):
+        with open(_manifest_file(path, s)) as f:
+            flags.add(bool(json.load(f).get("positional", False)))
+    for _, _, m in _tier_units(path):
+        flags.add(bool(m.get("positional", False)))
+    if len(flags) > 1:
+        raise ValueError("units mix positional and non-positional builds")
+    return flags.pop() if flags else False
+
+
 def _tombstone_dir(path: str) -> str:
     return f"{path}/tombstones"
 
@@ -156,22 +170,30 @@ def _merge_units(
 
     out_dir = _unit_dir(path, out_unit)
     excluded = tuple(sorted(load_tombstones(path)))
+    positional = _build_positional(path)
     posts = reduce(
         DataFrame.unionByName,
         [spark.read.parquet(f"{_unit_dir(path, u)}/postings") for u in inputs],
     )
     n_parts = max(8, spark.sparkContext.defaultParallelism)
-    merged = (
-        posts.select(
-            "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+    merge_cols = ["term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    if positional:
+        from ..operators.positions import (  # noqa: PLC0415
+            POSITIONAL_SCHEMA,
+            merge_partition_pos,
         )
+
+        merge_cols.append("pos_bin")
+        kernel, out_schema = merge_partition_pos, POSITIONAL_SCHEMA
+    else:
+        kernel, out_schema = _merge_partition, POSTINGS_SCHEMA
+    merged = (
+        posts.select(*merge_cols)
         .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
         .repartition(n_parts, "shard", "term", "bsalt")
         .mapInArrow(
-            lambda it: _merge_partition(
-                it, block_size, pow2_salts(n_salts), excluded
-            ),
-            POSTINGS_SCHEMA,
+            lambda it: kernel(it, block_size, pow2_salts(n_salts), excluded),
+            out_schema,
         )
     )
     merged.write.mode("overwrite").parquet(f"{out_dir}/postings")
@@ -193,6 +215,7 @@ def _merge_units(
         "inputs": inputs,
         "n_salts": pow2_salts(n_salts),
         "block_size": block_size,
+        "positional": positional,
         "tombstones_applied": len(excluded),
     }
     with open(f"{out_dir}/MANIFEST.json", "w") as f:

@@ -301,3 +301,46 @@ def test_incremental_positional_build_and_merge(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="mix positional"):
         merge_segments(spark, path, block_size=32, n_salts=2)
+
+
+def test_phrase_over_tiered_units_and_positional_compaction(
+    spark, tmp_path_factory
+):
+    """Phrase retrieval over the LIVE multi-unit (tiered) view must
+    equal a one-shot positional build (per-term re-sort + dedupe of
+    interleaved unit runs), and tiered compaction of positional units
+    keeps pos_bin (positional-aware kernel) so results are unchanged
+    after compacting."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.plans.build_index import (
+        build_incremental,
+        extract_pages,
+    )
+    from embed_rerank_spark.plans.tiered import compact, load_tiered
+    from embed_rerank_spark.sources.pages import generate_pages
+
+    path = str(tmp_path_factory.mktemp("postier"))
+    pages = generate_pages(spark, 900, seed=37, n_snapshots=4).cache()
+    build_incremental(
+        spark, pages, path, n_shards=4, block_size=32, positional=True
+    )
+    corpus = (
+        extract_pages(pages).filter(F.col("error").isNull()).select("doc_id", "text")
+    )
+    oneshot = load_positional_index(
+        build_positional_postings(corpus, n_shards=4, block_size=32)
+    )
+    PH = [(1, "the w12"), (2, "w7 w40"), (3, "w3")]
+
+    tiered_idx = load_tiered(spark, path)  # 4 live L0 units
+    got = sorted(map(tuple, phrase_topk(tiered_idx, PH, k=8).collect()))
+    want = sorted(map(tuple, phrase_topk(oneshot, PH, k=8).collect()))
+    assert got == want and got
+
+    created = compact(spark, path, fanout=4)  # -> one positional L1
+    assert created
+    compacted_idx = load_tiered(spark, path)
+    assert "pos_bin" in compacted_idx.postings.columns
+    got2 = sorted(map(tuple, phrase_topk(compacted_idx, PH, k=8).collect()))
+    assert got2 == want
