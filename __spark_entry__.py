@@ -281,6 +281,28 @@ def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result diversification: deep BM25 candidates (top-30),
+    at most 2 results per source per query, top-10 of the survivors
+    (the SERP host-crowding rule)."""
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_topk_bruteforce,
+        diversify_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    deep = bm25_topk_bruteforce(spark, docs, QUERY_SET, k=30)
+    out = diversify_topk(
+        deep.select("query_id", "doc_id", "score"),
+        docs.select("doc_id", "source"),
+        n_per_group=2,
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score"), "source"
+    )
+
+
 def q_bm25_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage pipeline, fully SQL-expressible: BM25 top-20 candidate
     pool -> word-set Jaccard rerank -> top-10 (reference fallback chain
@@ -730,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": q_conjunctive_topk,
         "delete_mask_topk": q_delete_mask_topk,
         "filtered_topk": q_filtered_topk,
+        "diversified_topk": q_diversified_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -991,6 +1014,41 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    diversified = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+deep AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored QUALIFY rank <= 30
+),
+meta AS (
+    SELECT d.query_id, d.doc_id, d.score, doc.source,
+           row_number() OVER (PARTITION BY d.query_id, doc.source
+                              ORDER BY round(d.score, 6) DESC, d.doc_id ASC) AS grp_rank
+    FROM deep d JOIN documents doc USING (doc_id)
+),
+final AS (
+    SELECT query_id, doc_id, score, source,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM meta WHERE grp_rank <= 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score, source
+FROM final WHERE rank <= {TOP_K}
 """
     cooccurrence_pmi = f"""
 WITH dterms AS (
@@ -1637,6 +1695,7 @@ WHERE a.vec_id < b.vec_id
         "conjunctive_topk": conjunctive,
         "delete_mask_topk": delete_mask,
         "filtered_topk": filtered_topk,
+        "diversified_topk": diversified,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

@@ -180,6 +180,37 @@ def bm25_topk_bruteforce(
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
 
 
+def diversify_topk(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    n_per_group: int,
+    k: int,
+    group_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """Search-result diversification: re-rank per query keeping at
+    most ``n_per_group`` results from any one group (domain/source),
+    then take the top-k of the survivors — the standard SERP
+    host-crowding rule, as two windows over the (tiny) scored result
+    set. ``scored``: (query_id, doc_id, score) candidates (typically a
+    deep-k retrieval); ``doc_meta``: (doc_id, group_col). Engine tie
+    semantics throughout. Scale shape: windows partition by query over
+    candidate rows only (n_queries x deep_k), never the corpus; the
+    meta join broadcasts the candidate side into the meta scan."""
+    w_group = Window.partitionBy("query_id", group_col).orderBy(
+        F.desc(F.round(F.col(score_col), TIE_DECIMALS)), F.asc("doc_id")
+    )
+    cands = F.broadcast(scored).join(
+        doc_meta.select("doc_id", group_col), "doc_id"
+    )
+    surviving = cands.withColumn("grp_rank", F.row_number().over(w_group)).filter(
+        F.col("grp_rank") <= n_per_group
+    )
+    return topk(surviving.drop("rank"), k).select(
+        "query_id", "rank", "doc_id", score_col, group_col
+    )
+
+
 def bm25_topk_conjunctive_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

@@ -76,3 +76,33 @@ def test_conjunctive_salted_index_same_results(spark):
     a = _canon(conjunctive_topk(mk(1), QUERY_SET, k=10, taat_threshold=0))
     b = _canon(conjunctive_topk(mk(4), QUERY_SET, k=10, taat_threshold=0))
     assert a == b
+
+
+def test_diversify_topk_caps_per_group(spark):
+    """Host-crowding rule: at most n results per source per query,
+    and survivors keep relative score order."""
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_topk_bruteforce,
+        diversify_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    deep = bm25_topk_bruteforce(spark, docs, QUERY_SET, k=30)
+    out = diversify_topk(
+        deep.select("query_id", "doc_id", "score"),
+        docs.select("doc_id", "source"),
+        n_per_group=2,
+        k=10,
+    ).collect()
+    assert out
+    from collections import Counter
+
+    per = Counter((r["query_id"], r["source"]) for r in out)
+    assert max(per.values()) <= 2
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], round(r["score"], 6)))
+    for rows in by_q.values():
+        rows.sort()
+        scores = [s for _r, s in rows]
+        assert scores == sorted(scores, reverse=True)
