@@ -26,12 +26,15 @@ from embed_rerank_spark.operators.dedup import (  # noqa: E402
 )
 from embed_rerank_spark.queryset import (  # noqa: E402
     PHRASE_SET,
+    PREFIX_MAX_EXPANSION,
+    PREFIX_SET,
     PROXIMITY_SET,
     PROXIMITY_WINDOW,
     QUERY_SET,
     TOP_K,
     phrase_needles_values_sql,
     phrase_terms_values_sql,
+    prefixes_values_sql,
     proximity_pairs_values_sql,
     proximity_terms_values_sql,
     query_terms_values_sql,
@@ -276,6 +279,28 @@ def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         avgdl=float(cs["avgdl"]),
     )
     out = wand_topk(index, QUERY_SET, k=TOP_K, allowed_docs=allowed)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard (prefix*) retrieval: dictionary expansion (df-desc,
+    capped at 64 terms) scored as the disjunctive BM25 of the
+    expansion via the WAND machinery."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import prefix_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = prefix_topk(index, PREFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -753,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_mask_topk": q_delete_mask_topk,
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
+        "prefix_topk": q_prefix_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -1010,6 +1036,37 @@ ranked AS (
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
     FROM scored s JOIN documents d ON d.doc_id = s.doc_id
     WHERE d.lang = 'de'
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    prefix_topk = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT pfx.query_id, df.term,
+           row_number() OVER (PARTITION BY pfx.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {prefixes_values_sql()} JOIN df ON starts_with(df.term, pfx.pfx)
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {PREFIX_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1696,6 +1753,7 @@ WHERE a.vec_id < b.vec_id
         "delete_mask_topk": delete_mask,
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
+        "prefix_topk": prefix_topk,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

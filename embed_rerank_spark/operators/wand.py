@@ -727,3 +727,50 @@ def conjunctive_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def expand_prefix(
+    index: InvertedIndex, prefix: str, max_expansion: int = 64
+) -> list[str]:
+    """Dictionary expansion for a wildcard query ``prefix*``: matching
+    vocabulary terms, highest-df first (df desc, term asc), capped at
+    ``max_expansion`` — the Lucene-style rewrite bound that keeps a
+    hot prefix ("t*") from exploding into the whole dictionary. The
+    term_stats scan is filtered by ``startswith`` (string-prefix
+    pushdown-friendly) and returns only the capped list to the
+    driver."""
+    rows = (
+        index.term_stats.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): wildcard retrieval — each
+    query string is a TERM PREFIX; it expands to the matching
+    vocabulary terms (df-desc capped) and scores as the disjunctive
+    BM25 of the expansion, sharing the WAND machinery. Equivalent to
+    an OR query over the expanded terms, so the brute-force oracle is
+    the standard BM25 with the expansion as the query's term set."""
+    expansions = {qid: expand_prefix(index, q.strip().lower(), max_expansion)
+                  for qid, q in queries}
+    synth: list[tuple[int, str]] = [
+        (qid, " ".join(terms)) for qid, terms in expansions.items() if terms
+    ]
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)

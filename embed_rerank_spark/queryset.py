@@ -42,6 +42,22 @@ PHRASE_SET: list[tuple[int, str]] = [
 ]
 
 
+# Wildcard (prefix*) query set: each entry expands to the matching
+# vocabulary terms (df-desc, capped) and scores as their OR query.
+PREFIX_SET: list[tuple[int, str]] = [
+    (1, "s"),     # scan, slow, small, sort, spark, stream, ...
+    (2, "c"),     # column, customer, ...
+    (3, "jo"),    # join
+    (4, "zzz"),   # no matching terms -> empty
+]
+PREFIX_MAX_EXPANSION = 64
+
+
+def prefixes_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_SET)
+    return f"(VALUES {rows}) AS pfx(query_id, pfx)"
+
+
 # Proximity (NEAR/W) pair set: docs where the two terms occur within
 # W tokens of each other (distinct occurrences, either order). Shapes:
 # common pairs, a pair with an out-of-vocabulary term (zero rows), and

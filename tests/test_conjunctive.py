@@ -106,3 +106,21 @@ def test_diversify_topk_caps_per_group(spark):
         rows.sort()
         scores = [s for _r, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_prefix_topk_expansion_and_cap(spark, index):
+    """Wildcard retrieval: expansion is df-desc capped; an unmatched
+    prefix returns nothing; results equal an explicit OR query over
+    the expansion."""
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.wand import expand_prefix, prefix_topk
+
+    exp = expand_prefix(index, "s", max_expansion=4)
+    assert len(exp) == 4 and all(t.startswith("s") for t in exp)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = _canon(prefix_topk(index, [(1, "sca"), (2, "zzz")], k=10))
+    full = expand_prefix(index, "sca", max_expansion=64)
+    want = _canon(bm25_topk_bruteforce(spark, docs, [(1, " ".join(full))], k=10))
+    assert got == want and got
+    assert not any(q == 2 for q, _r, _d, _s in got)
