@@ -25,6 +25,7 @@ from embed_rerank_spark.operators.dedup import (  # noqa: E402
     MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
 from embed_rerank_spark.queryset import (  # noqa: E402
+    BOOLEAN_SET,
     PHRASE_SET,
     PREFIX_MAX_EXPANSION,
     PREFIX_SET,
@@ -301,6 +302,25 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         avgdl=float(cs["avgdl"]),
     )
     out = prefix_topk(index, PREFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/structured retrieval (operators/boolean.py): +must,
+    -not, "exact phrase", prefix*, and should clauses resolved in one
+    pass over the positional index."""
+    from embed_rerank_spark.operators.boolean import boolean_topk
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+    )
+
+    index = load_positional_index(
+        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
+    )
+    out = boolean_topk(index, BOOLEAN_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -779,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "boolean_topk": q_boolean_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
         "jaccard_rerank": q_jaccard_rerank,
@@ -1036,6 +1057,68 @@ ranked AS (
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
     FROM scored s JOIN documents d ON d.doc_id = s.doc_id
     WHERE d.lang = 'de'
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    def _bool_query_sql(qid: int, bq) -> str:
+        """One boolean query's eligible-and-scored doc set. Positive
+        terms score; must/phrase/not clauses gate via subqueries —
+        same BM25 literal form (association order matters for float
+        identity) as every other oracle here."""
+        explicit = ", ".join(f"'{t}'" for t in bq.positive_terms())
+        if bq.prefixes:
+            pfx_conds = " OR ".join(
+                f"starts_with(term, '{p}')" for p in bq.prefixes
+            )
+            positives = f"(SELECT term FROM df WHERE {pfx_conds}"
+            if explicit:
+                positives += f" UNION SELECT unnest([{explicit}])"
+            positives += ")"
+        else:
+            positives = f"({explicit})"
+        conds = []
+        for m in bq.musts:
+            conds.append(f"s.doc_id IN (SELECT doc_id FROM tf WHERE term = '{m}')")
+        for ph in bq.phrases:
+            needle = " " + " ".join(ph) + " "
+            conds.append(
+                f"s.doc_id IN (SELECT doc_id FROM joined2 WHERE strpos(js, '{needle}') > 0)"
+            )
+        for nt in bq.nots:
+            conds.append(
+                f"s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{nt}')"
+            )
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        return f"""
+SELECT {qid} AS query_id, s.doc_id, s.score FROM (
+    SELECT tf.doc_id, sum(
+        ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * (tf.tf * (1.2 + 1.0))
+          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+    ) AS score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    WHERE tf.term IN {positives}
+    GROUP BY tf.doc_id
+) s{where}"""
+
+    from embed_rerank_spark.operators.boolean import parse_query as _parse_bool
+
+    bool_frags = " UNION ALL ".join(
+        _bool_query_sql(qid, _parse_bool(q)) for qid, q in BOOLEAN_SET
+    )
+    boolean_topk_sql = f"""
+WITH {_TOKS_CTE},
+joined2 AS (
+    SELECT doc_id, ' ' || array_to_string({_TOKENIZE_SQL}, ' ') || ' ' AS js
+    FROM documents
+),
+allq AS ({bool_frags}),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM allq
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1754,6 +1837,7 @@ WHERE a.vec_id < b.vec_id
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "boolean_topk": boolean_topk_sql,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,
         "jaccard_rerank": jaccard,

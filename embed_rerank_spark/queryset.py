@@ -42,6 +42,18 @@ PHRASE_SET: list[tuple[int, str]] = [
 ]
 
 
+# Boolean / structured query set (operators/boolean.py grammar):
+# +must  -not  "exact phrase"  prefix*  should
+BOOLEAN_SET: list[tuple[int, str]] = [
+    (1, '+fast +table -slow'),
+    (2, '+hash "sort merge"'),
+    (3, "customer order line"),
+    (4, '+scan "the a" -dup'),
+    (5, "+strategy fast"),  # out-of-vocabulary MUST -> empty
+    (6, "s* -scan"),  # prefix clause with an exclusion
+]
+
+
 # Wildcard (prefix*) query set: each entry expands to the matching
 # vocabulary terms (df-desc, capped) and scores as their OR query.
 PREFIX_SET: list[tuple[int, str]] = [
