@@ -76,9 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         default="or",
-        choices=["or", "and", "phrase"],
+        choices=["or", "and", "phrase", "boolean"],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
-        "phrase = exact phrase over a POSITIONAL index",
+        "phrase = exact phrase over a POSITIONAL index; boolean = "
+        '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index',
     )
     q.add_argument(
         "--tiered",
@@ -161,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.positions import phrase_topk
 
                 out = phrase_topk(idx, queries, k=args.k)
+            elif args.mode == "boolean":
+                from .operators.boolean import boolean_topk
+
+                out = boolean_topk(idx, queries, k=args.k)
             else:
                 from .operators.wand import wand_topk
 
