@@ -463,6 +463,24 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_BENCHMARK = [
+    "fast table scan",
+    "sort merge join",
+    "customer order line value",
+]
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word 2-gram
+    with a (fixed literal) evaluation set — the train/test-leak guard
+    of every LLM data pipeline (operators/dedup.py::decontaminate)."""
+    from embed_rerank_spark.operators.dedup import decontaminate
+
+    return decontaminate(
+        _docs(spark, sf_dir), _DECONTAM_BENCHMARK, n=2
+    ).orderBy("doc_id")
+
+
 def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level term co-occurrence with PMI (collocation
     mining). The synthetic corpus concentrates co-occurrence in its
@@ -807,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_norm": q_score_norm,
         "dialect_views": q_dialect_views,
         "rerank_topk": q_rerank_topk,
+        "decontaminate": q_decontaminate,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1189,6 +1208,34 @@ final AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score, source
 FROM final WHERE rank <= {TOP_K}
+"""
+    bench_values = ", ".join(f"('{t}')" for t in _DECONTAM_BENCHMARK)
+    decontaminate = f"""
+WITH corpus_toks AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+),
+csh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                                 i -> array_to_string(toks[i+1:i+2], ' '))) AS shingle
+    FROM corpus_toks WHERE len(toks) >= 2
+),
+btoks AS (
+    SELECT {_TOKENIZE_SQL} AS toks FROM (VALUES {bench_values}) AS bt(text)
+),
+bsh AS (
+    SELECT DISTINCT
+           unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                                 i -> array_to_string(toks[i+1:i+2], ' '))) AS shingle
+    FROM btoks WHERE len(toks) >= 2
+),
+hits AS (
+    SELECT doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (shingle)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_hits > 0, false) AS contaminated,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY doc_id
 """
     cooccurrence_pmi = f"""
 WITH dterms AS (
@@ -1844,6 +1891,7 @@ WHERE a.vec_id < b.vec_id
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,
         "dialect_views": dialect_views,
+        "decontaminate": decontaminate,
         "cooccurrence_pmi": cooccurrence_pmi,
         "hash_sample": hash_sample,
         "stratified_sample": stratified_sample,

@@ -371,3 +371,45 @@ def dedup_survivors(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id
     a doc survives unless it appears as the larger side of any pair)."""
     losers = dup_pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_texts: list[str],
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with an evaluation set — the standard train/test-leak
+    guard (GPT-3-style 13-gram check, scaled to the corpus's token
+    granularity by ``n``).
+
+    -> (doc_id, contaminated, n_hits): ``n_hits`` = number of DISTINCT
+    benchmark n-grams the doc contains.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    set, not a corpus), so its distinct shingles BROADCAST into the
+    corpus shingle stream — one scan of the corpus, a broadcast hash
+    join, one map-side-combinable count; no corpus self-join anywhere.
+    """
+    spark = docs.sparkSession
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(benchmark_texts)], "bid long, text string"
+    )
+    bench_sh = shingles(bench, n=n, id_col="bid").select("shingle").distinct()
+    corpus_sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )

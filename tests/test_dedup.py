@@ -171,3 +171,28 @@ def test_lsh_bucket_size_cap_bounds_candidates(spark):
     # dropped — C(200,2) = 19900 pairs would otherwise dominate
     assert (1000, 1001) in got
     assert len(got) == 1, len(got)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing a benchmark n-gram are flagged; hit counts are
+    distinct-shingle counts; clean docs pass."""
+    from embed_rerank_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # contains 'alpha beta'
+            (2, "gamma alpha beta"),          # contains 'alpha beta'
+            (3, "delta epsilon zeta"),        # clean
+            (4, "beta alpha"),                # reversed: clean at n=2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in decontaminate(docs, ["alpha beta qq"], n=2).collect()
+    }
+    # benchmark bigrams: {'alpha beta', 'beta qq'}
+    assert out[1] == (True, 1)
+    assert out[2] == (True, 1)
+    assert out[3] == (False, 0)
+    assert out[4] == (False, 0)
