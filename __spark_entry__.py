@@ -495,6 +495,23 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term_a", "term_b")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset sizing: greedily pack a 10k-token budget with the best
+    docs (n_chars desc, doc_id asc) via the distributed prefix-sum
+    (operators/sampling.py::select_token_budget)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.sampling import select_token_budget
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "dl", F.size(tokenize_for_scoring(F.col("text")))
+    )
+    out = select_token_budget(docs, budget_tokens=10_000)
+    return out.select(
+        "doc_id", F.col("dl").cast("long").alias("dl"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+    ).orderBy("doc_id")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors by normalized-text hash group."""
     from embed_rerank_spark.operators.dedup import exact_dedup
@@ -826,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_views": q_dialect_views,
         "rerank_topk": q_rerank_topk,
         "decontaminate": q_decontaminate,
+        "token_budget": q_token_budget,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1208,6 +1226,18 @@ final AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score, source
 FROM final WHERE rank <= {TOP_K}
+"""
+    token_budget = f"""
+WITH {_TOKS_CTE},
+cums AS (
+    SELECT d.doc_id, dl.dl,
+           coalesce(sum(dl.dl) OVER (
+               ORDER BY d.n_chars DESC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM dl JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(cum_before AS BIGINT) AS cum_before
+FROM cums WHERE cum_before < 10000 ORDER BY doc_id
 """
     bench_values = ", ".join(f"('{t}')" for t in _DECONTAM_BENCHMARK)
     decontaminate = f"""
@@ -1892,6 +1922,7 @@ WHERE a.vec_id < b.vec_id
         "score_norm": score_norm,
         "dialect_views": dialect_views,
         "decontaminate": decontaminate,
+        "token_budget": token_budget,
         "cooccurrence_pmi": cooccurrence_pmi,
         "hash_sample": hash_sample,
         "stratified_sample": stratified_sample,

@@ -117,3 +117,56 @@ def cap_per_domain(
         F.col("rk") <= n
     )
     return under_docs.unionByName(over_ranked.select(*under_docs.columns))
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: str = "dl",
+    order_cols: tuple[str, ...] = ("n_chars",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset sizing: keep the best docs (``order_cols`` desc,
+    ``id_col`` asc tiebreak) whose CUMULATIVE token count stays within
+    ``budget_tokens`` — a doc is kept iff the tokens BEFORE it (in
+    preference order) leave room for at least one of its tokens
+    (greedy prefix rule: kept iff cum_before < budget).
+
+    Scale shape — the global ordered cumsum is the classic
+    single-partition-window trap; this is the two-phase distributed
+    prefix sum instead: range-partition by the preference key and PIN
+    the partitioning with ``persist`` (range boundaries are re-sampled
+    per job, so the offsets pass and the final pass MUST see identical
+    partitions), aggregate per-partition totals (tiny, driver-side
+    prefix), then an in-partition cumsum plus the broadcast offset.
+    Every partition works independently; nothing global except the
+    per-partition totals row set."""
+    key_cols = [F.desc(c) for c in order_cols] + [F.asc(id_col)]
+    # persist PINS the range partitioning: boundaries are re-sampled
+    # per job, so without it the offsets pass and the final pass could
+    # disagree on which partition a row lands in (rows would silently
+    # get the wrong prefix offset). The handle stays cached until the
+    # session drops it — the result is consumed immediately by callers.
+    parts = docs.repartitionByRange(*key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    totals = parts.groupBy("_pid").agg(F.sum(token_col).alias("ptot")).collect()
+    offsets = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = run
+        run += r["ptot"]
+    off_expr = F.create_map(
+        [F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(*key_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        parts.withColumn(
+            "cum_before",
+            F.coalesce(F.sum(token_col).over(w), F.lit(0)) + off_expr,
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+        .drop("_pid")
+    )

@@ -62,3 +62,33 @@ def test_cap_per_domain_prefilter_matches_plain_window(spark):
     for r in j.collect():
         if r["drop_max"] is not None:
             assert r["kept_min"] >= r["drop_max"]
+
+
+def test_select_token_budget_prefix_rule(spark):
+    """Distributed prefix-sum selection equals the single-machine
+    greedy prefix: ordered by (n_chars desc, doc_id asc), kept iff
+    tokens before it < budget."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.sampling import select_token_budget
+
+    docs = _docs(spark).withColumn(
+        "dl", F.size(tokenize_for_scoring(F.col("text")))
+    )
+    budget = 7000
+    out = {
+        r["doc_id"]: r["cum_before"]
+        for r in select_token_budget(docs, budget).collect()
+    }
+    rows = sorted(
+        ((r["n_chars"], r["doc_id"], r["dl"]) for r in docs.collect()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    want = {}
+    cum = 0
+    for _nc, did, dl in rows:
+        if cum < budget:
+            want[did] = cum
+        cum += dl
+    assert out == want and out
+    # budget respected up to one doc of overshoot (greedy prefix rule)
+    assert max(out.values()) < budget
