@@ -1106,10 +1106,14 @@ FROM ranked WHERE rank <= {TOP_K}
         identity) as every other oracle here."""
         explicit = ", ".join(f"'{t}'" for t in bq.positive_terms())
         if bq.prefixes:
-            pfx_conds = " OR ".join(
-                f"starts_with(term, '{p}')" for p in bq.prefixes
-            )
-            positives = f"(SELECT term FROM df WHERE {pfx_conds}"
+            # per-prefix df-desc cap mirrors expand_prefix exactly
+            pfx_subqs = [
+                f"(SELECT term FROM df WHERE starts_with(term, '{p}') "
+                f"ORDER BY df DESC, term ASC LIMIT {PREFIX_MAX_EXPANSION})"
+                for p in bq.prefixes
+            ]
+            union = " UNION SELECT term FROM ".join(pfx_subqs)
+            positives = f"(SELECT term FROM {union}"
             if explicit:
                 positives += f" UNION SELECT unnest([{explicit}])"
             positives += ")"

@@ -43,11 +43,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from .bm25 import topk
-from .positions import (
-    _phrase_match_score,
-    _sort_dedupe_termdata,
-    decode_positional_block,
-)
+from .positions import _phrase_match_score, load_termdata
 from .postings import InvertedIndex
 from .wand import expand_prefix
 
@@ -92,7 +88,16 @@ def parse_query(q: str) -> BooleanQuery:
             sign, tok = m.group(3), m.group(4)
             if not tok:
                 continue
-            if tok.endswith("*") and len(tok) > 1 and sign != "-":
+            if tok.endswith("*") and len(tok) > 1:
+                # signed prefixes are rejected loudly: silently turning
+                # '+data*' into an optional clause (or '-chem*' into a
+                # literal never-matching term) would drop the user's
+                # operator without a trace
+                if sign:
+                    raise ValueError(
+                        f"signed prefix clause '{sign}{tok}' is not supported; "
+                        "prefixes are SHOULD clauses"
+                    )
                 bq.prefixes.append(tok[:-1])
             elif sign == "+":
                 bq.musts.append(tok)
@@ -103,51 +108,6 @@ def parse_query(q: str) -> BooleanQuery:
     return bq
 
 
-def _load_termdata(batches: Iterator[pa.RecordBatch]) -> dict[int, dict[str, tuple]]:
-    """shard -> term -> (docs asc unique, tf, dl, pos_flat, pos_offs)
-    from positional posting blocks (multi-unit runs re-sorted and
-    deduplicated)."""
-    shards: dict[int, dict[str, list]] = {}
-    for batch in batches:
-        col = dict(zip(batch.schema.names, batch.columns))
-        term_l = col["term"].to_pylist()
-        shard_l = col["shard"].to_pylist()
-        first_l = col["first_doc"].to_pylist()
-        bid_l = col["block_id"].to_pylist()
-        nd_l = col["n_docs"].to_pylist()
-        docs_l = col["docs_bin"].to_pylist()
-        tfs_l = col["tfs_bin"].to_pylist()
-        dls_l = col["dls_bin"].to_pylist()
-        pos_l = col["pos_bin"].to_pylist()
-        for sh, tm, row in zip(
-            shard_l, term_l, zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l)
-        ):
-            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
-
-    out: dict[int, dict[str, tuple]] = {}
-    for sh, term_blocks in shards.items():
-        termdata: dict[str, tuple] = {}
-        for t, blks in term_blocks.items():
-            blks.sort(key=lambda r: (r[0], r[1]))
-            ds, tfs, dls, pfs = [], [], [], []
-            for _fd, _bid, nd, db, tb_, lb, pb in blks:
-                d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
-                ds.append(d)
-                tfs.append(f)
-                dls.append(l)
-                pfs.append(pflat)
-            tf = np.concatenate(tfs)
-            termdata[t] = _sort_dedupe_termdata(
-                np.concatenate(ds),
-                tf,
-                np.concatenate(dls),
-                np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
-                np.concatenate(([0], np.cumsum(tf))),
-            )
-        out[sh] = termdata
-    return out
-
-
 def _boolean_partition(
     batches: Iterator[pa.RecordBatch],
     queries: list[tuple[int, BooleanQuery, list[str]]],
@@ -156,9 +116,12 @@ def _boolean_partition(
     avgdl: float,
     k1: float,
     b: float,
+    excl: tuple[int, ...] = (),
 ):
-    """queries: (qid, parsed query, positive scoring terms)."""
-    shards = _load_termdata(batches)
+    """queries: (qid, parsed query, positive scoring terms); ``excl``
+    (deletion tombstones) masks docs from results."""
+    shards = load_termdata(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s = [], [], []
     for _sh, td in shards.items():
@@ -196,6 +159,8 @@ def _boolean_partition(
             for t in bq.nots:
                 if t in td and cand.size:
                     cand = cand[~np.isin(cand, td[t][0], assume_unique=True)]
+            if excl_arr is not None and cand.size:
+                cand = cand[~np.isin(cand, excl_arr)]
             if cand.size == 0:
                 continue
 
@@ -276,10 +241,11 @@ def boolean_topk(
     live = {t for _qid, bq, positives in plan for t in positives} | {
         t for _qid, bq, _p in plan for t in bq.nots
     }
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _boolean_partition(it, plan, k, idf, avgdl, k1, b),
+        lambda it: _boolean_partition(it, plan, k, idf, avgdl, k1, b, excl),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

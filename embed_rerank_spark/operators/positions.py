@@ -475,19 +475,14 @@ def _sort_dedupe_termdata(
     return docs, tf, dl, pf, po
 
 
-def _phrase_partition(
+def load_termdata(
     batches: Iterator[pa.RecordBatch],
-    phrases: list[tuple[int, list[str]]],
-    k: int,
-    idf: dict[str, float],
-    avgdl: float,
-    k1: float,
-    b: float,
-):
-    """One task: decode its shards' (phrase-term-only) positional
-    postings once per (shard, term), answer every phrase per shard.
-    Multi-unit (tiered) inputs are handled by re-sorting and
-    deduplicating each term's concatenated postings."""
+) -> dict[int, dict[str, tuple]]:
+    """shard -> term -> (docs asc unique, tf, dl, pos_flat, pos_offs)
+    from positional posting blocks: the shared decode/sort/dedupe
+    loader behind the phrase, proximity, and boolean readers.
+    Multi-unit (tiered) runs are re-sorted and duplicate docs
+    collapsed to the max-(tf, dl) winner by ``_sort_dedupe_termdata``."""
     shards: dict[int, dict[str, list]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
@@ -505,8 +500,8 @@ def _phrase_partition(
         ):
             shards.setdefault(sh, {}).setdefault(tm, []).append(row)
 
-    out_q, out_d, out_s, out_p = [], [], [], []
-    for _shard, term_blocks in shards.items():
+    out: dict[int, dict[str, tuple]] = {}
+    for sh, term_blocks in shards.items():
         termdata: dict[str, tuple] = {}
         for t, blks in term_blocks.items():
             blks.sort(key=lambda r: (r[0], r[1]))  # (first_doc, block_id)
@@ -517,17 +512,43 @@ def _phrase_partition(
                 tfs.append(f)
                 dls.append(l)
                 pfs.append(pflat)
-            docs = np.concatenate(ds)
             tf = np.concatenate(tfs)
-            dl = np.concatenate(dls)
-            pf = np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64)
-            po = np.concatenate(([0], np.cumsum(tf)))
-            termdata[t] = _sort_dedupe_termdata(docs, tf, dl, pf, po)
+            termdata[t] = _sort_dedupe_termdata(
+                np.concatenate(ds),
+                tf,
+                np.concatenate(dls),
+                np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
+                np.concatenate(([0], np.cumsum(tf))),
+            )
+        out[sh] = termdata
+    return out
 
+
+def _phrase_partition(
+    batches: Iterator[pa.RecordBatch],
+    phrases: list[tuple[int, list[str]]],
+    k: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+):
+    """One task: decode its shards' (phrase-term-only) positional
+    postings once per (shard, term), answer every phrase per shard.
+    ``excl`` (deletion tombstones) masks docs from results."""
+    shards = load_termdata(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+
+    out_q, out_d, out_s, out_p = [], [], [], []
+    for _shard, termdata in shards.items():
         for qid, tokens in phrases:
             docs, scores, fpos = _phrase_match_score(
                 termdata, tokens, idf, avgdl, k1, b
             )
+            if docs.size and excl_arr is not None:
+                live = ~np.isin(docs, excl_arr)
+                docs, scores, fpos = docs[live], scores[live], fpos[live]
             if docs.size == 0:
                 continue
             # shard-local top-k (engine tie order) caps emitted rows
@@ -586,10 +607,11 @@ def phrase_topk(
         t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
     }
     avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _phrase_partition(it, phrase_plan, k, idf, avgdl, k1, b),
+        lambda it: _phrase_partition(it, phrase_plan, k, idf, avgdl, k1, b, excl),
         "query_id long, doc_id long, score double, first_pos long",
     )
     return topk(per_shard, k).select(
@@ -741,47 +763,17 @@ def _proximity_partition(
     avgdl: float,
     k1: float,
     b: float,
+    excl: tuple[int, ...] = (),
 ):
-    shards: dict[int, dict[str, list]] = {}
-    for batch in batches:
-        col = dict(zip(batch.schema.names, batch.columns))
-        term_l = col["term"].to_pylist()
-        shard_l = col["shard"].to_pylist()
-        first_l = col["first_doc"].to_pylist()
-        bid_l = col["block_id"].to_pylist()
-        nd_l = col["n_docs"].to_pylist()
-        docs_l = col["docs_bin"].to_pylist()
-        tfs_l = col["tfs_bin"].to_pylist()
-        dls_l = col["dls_bin"].to_pylist()
-        pos_l = col["pos_bin"].to_pylist()
-        for sh, tm, row in zip(
-            shard_l, term_l, zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l)
-        ):
-            shards.setdefault(sh, {}).setdefault(tm, []).append(row)
+    shards = load_termdata(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s = [], [], []
-    for _shard, term_blocks in shards.items():
-        termdata: dict[str, tuple] = {}
-        for t, blks in term_blocks.items():
-            blks.sort(key=lambda r: (r[0], r[1]))
-            ds, tfs, dls, pfs = [], [], [], []
-            for _fd, _bid, nd, db, tb_, lb, pb in blks:
-                d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
-                ds.append(d)
-                tfs.append(f)
-                dls.append(l)
-                pfs.append(pflat)
-            tf = np.concatenate(tfs)
-            termdata[t] = _sort_dedupe_termdata(
-                np.concatenate(ds),
-                tf,
-                np.concatenate(dls),
-                np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
-                np.concatenate(([0], np.cumsum(tf))),
-            )
-
+    for _shard, termdata in shards.items():
         for qid, t1, t2 in queries:
             docs = _proximity_match(termdata, t1, t2, window)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
             if docs.size == 0:
                 continue
             scores = np.zeros(len(docs))
@@ -846,11 +838,12 @@ def proximity_topk(
             [], "query_id long, rank int, doc_id long, score double"
         )
     avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     live = {t for _q, a, c in plan for t in (a, c)}
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _proximity_partition(it, plan, k, window, idf, avgdl, k1, b),
+        lambda it: _proximity_partition(it, plan, k, window, idf, avgdl, k1, b, excl),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
@@ -916,8 +909,6 @@ def merge_partition_pos(
 
     if excluded:
         live = ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
-        counts = tf_s.copy()
-        counts[~live] = 0
         keep_flat, _ = _ragged_gather(off_s[:-1][live], tf_s[live])
         pos_s = pos_s[keep_flat]
         tidx_rows, shard_rows = tidx_rows[live], shard_rows[live]

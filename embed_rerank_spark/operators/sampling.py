@@ -145,28 +145,34 @@ def select_token_budget(
     # persist PINS the range partitioning: boundaries are re-sampled
     # per job, so without it the offsets pass and the final pass could
     # disagree on which partition a row lands in (rows would silently
-    # get the wrong prefix offset). The handle stays cached until the
-    # session drops it — the result is consumed immediately by callers.
+    # get the wrong prefix offset)
     parts = docs.repartitionByRange(*key_cols).withColumn(
         "_pid", F.spark_partition_id()
     ).persist()
-    totals = parts.groupBy("_pid").agg(F.sum(token_col).alias("ptot")).collect()
-    offsets = {}
-    run = 0
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = run
-        run += r["ptot"]
-    off_expr = F.create_map(
-        [F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )[F.col("_pid")]
-    w = Window.partitionBy("_pid").orderBy(*key_cols).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        parts.withColumn(
-            "cum_before",
-            F.coalesce(F.sum(token_col).over(w), F.lit(0)) + off_expr,
+    try:
+        totals = parts.groupBy("_pid").agg(F.sum(token_col).alias("ptot")).collect()
+        offsets = {}
+        run = 0
+        for r in sorted(totals, key=lambda r: r["_pid"]):
+            offsets[r["_pid"]] = run
+            run += r["ptot"]
+        off_expr = F.create_map(
+            [F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )[F.col("_pid")]
+        w = Window.partitionBy("_pid").orderBy(*key_cols).rowsBetween(
+            Window.unboundedPreceding, -1
         )
-        .filter(F.col("cum_before") < budget_tokens)
-        .drop("_pid")
-    )
+        out = (
+            parts.withColumn(
+                "cum_before",
+                F.coalesce(F.sum(token_col).over(w), F.lit(0)) + off_expr,
+            )
+            .filter(F.col("cum_before") < budget_tokens)
+            .drop("_pid")
+        )
+        # eagerly materialize the (budget-bounded) result and cut its
+        # lineage: the pinned partitioning can then be released, and
+        # the output no longer depends on cache blocks surviving
+        return out.localCheckpoint(eager=True)
+    finally:
+        parts.unpersist()

@@ -547,29 +547,39 @@ def _leapfrog_one_query(
 
 
 def _conj_vectorized(
-    term_cache: dict[str, tuple[np.ndarray, np.ndarray]],
+    term_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     qterms: list[tuple[str, float]],
     k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
     excl_arr: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized conjunctive top-k for short lists / multi-run terms:
     successive sorted-array intersection (rarest first), then one
     searchsorted gather per term for the score sum. Identical results
-    to the leapfrog walk."""
+    to the leapfrog walk. ``term_cache[t]`` = raw (docs, tf, dl)."""
     data = []
     for t, idf in qterms:
         got = term_cache.get(t)
         if got is None:
             return []
-        d, tp = got
-        order = np.argsort(d, kind="stable")
-        d, tp = d[order], tp[order]
-        # duplicate docs across index units: keep the first occurrence
-        # (merged indexes have none; tiered units hold disjoint docs)
-        uniq_mask = np.empty(len(d), dtype=bool)
-        uniq_mask[:1] = True
-        uniq_mask[1:] = d[1:] != d[:-1]
-        data.append((d[uniq_mask], idf * tp[uniq_mask]))
+        d, tf, dl = got
+        # duplicate docs across index units (a re-crawled url meeting
+        # itself): sort by (doc, tf, dl) and keep the LAST row per doc
+        # — the max-(tf, dl) winner, the same deterministic collapse
+        # the merge encoder applies, so scores match the compacted
+        # index and the phrase/boolean readers
+        order = np.lexsort((dl, tf, d))
+        d, tf, dl = d[order], tf[order], dl[order]
+        last = np.empty(len(d), dtype=bool)
+        last[-1:] = True
+        last[:-1] = d[1:] != d[:-1]
+        d, tf, dl = d[last], tf[last], dl[last]
+        tp = _tfpart(
+            tf.astype(np.float64), dl.astype(np.float64), avgdl, k1, b
+        )
+        data.append((d, idf * tp))
     data.sort(key=lambda x: len(x[0]))
     cand = data[0][0]
     for d, _s in data[1:]:
@@ -619,10 +629,13 @@ def _conj_partition(
         term_len = {
             t: sum(blk[2] for run in runs for blk in run) for t, runs in tb.items()
         }
-        taat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # decode-once cache of RAW (docs, tf, dl) per term: the
+        # vectorized path needs tf/dl to collapse duplicate docs to
+        # the max-(tf, dl) winner before scoring
+        conj_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-        def cached(t: str) -> tuple[np.ndarray, np.ndarray]:
-            got = taat_cache.get(t)
+        def cached(t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            got = conj_cache.get(t)
             if got is None:
                 ds, tfs, dls = [], [], []
                 for run in tb[t]:
@@ -631,15 +644,11 @@ def _conj_partition(
                         ds.append(d)
                         tfs.append(f)
                         dls.append(l)
-                d = np.concatenate(ds)
-                tp = _tfpart(
-                    np.concatenate(tfs).astype(np.float64),
-                    np.concatenate(dls).astype(np.float64),
-                    avgdl,
-                    k1,
-                    b,
+                got = conj_cache[t] = (
+                    np.concatenate(ds),
+                    np.concatenate(tfs),
+                    np.concatenate(dls),
                 )
-                got = taat_cache[t] = (d, tp)
             return got
 
         for qid, qterms in queries:
@@ -654,7 +663,9 @@ def _conj_partition(
                 results = _leapfrog_one_query(its, k, avgdl, k1, b, excl_set)
             else:
                 cache = {t: cached(t) for t, _ in qterms}
-                results = _conj_vectorized(cache, qterms, k, excl_arr)
+                results = _conj_vectorized(
+                    cache, qterms, k, avgdl, k1, b, excl_arr
+                )
             for doc_id, score in results:
                 out_q.append(qid)
                 out_d.append(doc_id)

@@ -127,15 +127,59 @@ def delete_docs(path: str, doc_ids) -> str:
     and ride the task closure; the durable record is one tiny JSON
     file per delete batch."""
     os.makedirs(_tombstone_dir(path), exist_ok=True)
+    # next = max existing suffix + 1 (never len(): a numbering gap or a
+    # concurrent writer would silently overwrite a prior batch), and
+    # exclusive-create retries the race away
     existing = [
-        f for f in os.listdir(_tombstone_dir(path))
-        if f.startswith("ts-") and f.endswith(".json")
+        int(f[3:-5])
+        for f in os.listdir(_tombstone_dir(path))
+        if f.startswith("ts-") and f.endswith(".json") and f[3:-5].isdigit()
     ]
-    name = f"ts-{len(existing):06d}.json"
-    out = f"{_tombstone_dir(path)}/{name}"
-    with open(out, "w") as f:
-        json.dump({"doc_ids": sorted(int(d) for d in doc_ids)}, f)
-    return out
+    seq = (max(existing) + 1) if existing else 0
+    while True:
+        out = f"{_tombstone_dir(path)}/ts-{seq:06d}.json"
+        try:
+            with open(out, "x") as f:
+                json.dump({"doc_ids": sorted(int(d) for d in doc_ids)}, f)
+            return out
+        except FileExistsError:
+            seq += 1
+
+
+def retire_tombstones(spark: SparkSession, path: str) -> list[str]:
+    """Remove tombstone files whose doc ids no longer appear in ANY
+    live unit's doc_stats — compaction has physically applied them
+    everywhere. Retiring restores correct LSM shadowing: a tombstone
+    masks its doc id only until the physical delete completes, so a
+    LATER re-crawl of the same url (same doc_id) becomes visible again
+    instead of being shadowed forever. ``compact`` calls this
+    automatically; the membership check is one tiny isin-filtered scan
+    of the unioned doc stats per tombstone file."""
+    from functools import reduce  # noqa: PLC0415
+
+    root = _tombstone_dir(path)
+    if not os.path.isdir(root):
+        return []
+    files = sorted(
+        f for f in os.listdir(root) if f.startswith("ts-") and f.endswith(".json")
+    )
+    if not files:
+        return []
+    units = live_units(path)
+    if not units:
+        return []
+    dstats = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{_unit_dir(path, u)}/doc_stats") for _, u in units],
+    )
+    retired = []
+    for fname in files:
+        with open(f"{root}/{fname}") as f:
+            ids = json.load(f)["doc_ids"]
+        if not ids or dstats.filter(F.col("doc_id").isin(ids)).limit(1).count() == 0:
+            os.remove(f"{root}/{fname}")
+            retired.append(fname)
+    return retired
 
 
 def load_tombstones(path: str) -> frozenset:
@@ -242,6 +286,10 @@ def compact(
             (lv for lv in sorted(by_level) if len(by_level[lv]) >= fanout), None
         )
         if lvl is None:
+            if created:
+                # fully-applied tombstones retire so later re-crawls
+                # of the same doc id are not shadowed forever
+                retire_tombstones(spark, path)
             return created
         victims = sorted(by_level[lvl])[:fanout]
         first = victims[0].rsplit("/", 1)[-1]

@@ -124,3 +124,23 @@ def test_prefix_topk_expansion_and_cap(spark, index):
     want = _canon(bm25_topk_bruteforce(spark, docs, [(1, " ".join(full))], k=10))
     assert got == want and got
     assert not any(q == 2 for q, _r, _d, _s in got)
+
+
+def test_conj_vectorized_duplicate_docs_keep_max_tf_dl_winner():
+    """A re-crawled doc appearing in two tiered units collapses to the
+    max-(tf, dl) posting — deterministic and identical to the merge
+    encoder's rule, regardless of unit concatenation order."""
+    import numpy as np
+
+    from embed_rerank_spark.operators.wand import _conj_vectorized, _tfpart
+
+    for order in ([0, 1], [1, 0]):
+        docs = np.array([5, 5], dtype=np.int64)[order]
+        tf = np.array([2, 3], dtype=np.int64)[order]
+        dl = np.array([10, 9], dtype=np.int64)[order]
+        cache = {"a": (docs, tf, dl)}
+        out = _conj_vectorized(cache, [("a", 1.0)], k=5, avgdl=9.5, k1=1.2, b=0.75)
+        assert len(out) == 1
+        d, s = out[0]
+        assert d == 5
+        assert s == float(_tfpart(3.0, 9.0, 9.5, 1.2, 0.75))

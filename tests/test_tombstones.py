@@ -80,10 +80,11 @@ def test_conjunctive_masks_tombstones(spark, setup):
     path, _pages, _corpus, victims = setup
     idx = load_tiered(spark, path)
     out = _canon(conjunctive_topk(idx, QUERIES, k=8))
-    assert not any(d in victims for _q, _r, d, _s in out)
+    assert out and not any(d in victims for _q, _r, d, _s in out)
     # both conjunctive paths agree under the mask
     leap = _canon(conjunctive_topk(idx, QUERIES, k=8, taat_threshold=0))
-    assert out == leap or out == _canon(conjunctive_topk(idx, QUERIES, k=8))
+    vect = _canon(conjunctive_topk(idx, QUERIES, k=8, taat_threshold=10**9))
+    assert leap == vect == out
 
 
 def test_compaction_applies_tombstones_physically(spark, setup):
@@ -140,3 +141,55 @@ def test_filtered_retrieval_both_paths_and_with_tombstones(spark, setup):
     )
     assert taat == want
     assert not any(d in victims for _q, _r, d, _s in taat)
+
+
+def test_positional_readers_mask_tombstones(spark, tmp_path_factory):
+    """Phrase, proximity, and boolean readers honor the handle's
+    tombstones (same contract as WAND/conjunctive)."""
+    from embed_rerank_spark.operators.boolean import boolean_topk
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        phrase_topk,
+        proximity_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = load_positional_index(build_positional_postings(docs, n_shards=4))
+    PH = [(1, "fast table")]
+    top = phrase_topk(idx, PH, k=1).collect()[0]["doc_id"]
+    idx.tombstones = frozenset([top])
+    assert top not in {r["doc_id"] for r in phrase_topk(idx, PH, k=10).collect()}
+    assert top not in {
+        r["doc_id"]
+        for r in proximity_topk(idx, [(1, "fast", "table")], k=50, window=3).collect()
+    }
+    assert top not in {
+        r["doc_id"] for r in boolean_topk(idx, [(1, '"fast table"')], k=50).collect()
+    }
+
+
+def test_retire_tombstones_after_full_compaction(spark, tmp_path_factory):
+    """A tombstone whose docs are physically gone from every live unit
+    retires at compaction, so a later re-ingest of the same doc id is
+    visible again (correct LSM shadowing)."""
+    import os
+
+    from embed_rerank_spark.plans.tiered import _tombstone_dir
+
+    path = str(tmp_path_factory.mktemp("retire"))
+    pages = generate_pages(spark, 400, seed=29, n_snapshots=4).cache()
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    victim = wand_topk(load_tiered(spark, path), QUERIES, k=1).collect()[0]["doc_id"]
+    delete_docs(path, [victim])
+    assert load_tombstones(path) == frozenset([victim])
+
+    compact(spark, path, fanout=4)  # applies the delete everywhere
+    assert load_tombstones(path) == frozenset()  # retired
+    assert os.listdir(_tombstone_dir(path)) == []
+
+    idx = load_tiered(spark, path)
+    assert idx.tombstones is None
+    assert victim not in {
+        r["doc_id"] for r in wand_topk(idx, QUERIES, k=10).collect()
+    }  # physically gone from the compacted unit
