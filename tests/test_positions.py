@@ -344,3 +344,67 @@ def test_phrase_over_tiered_units_and_positional_compaction(
     assert "pos_bin" in compacted_idx.postings.columns
     got2 = sorted(map(tuple, phrase_topk(compacted_idx, PH, k=8).collect()))
     assert got2 == want
+
+
+def test_positional_codec_randomized_roundtrip():
+    """Randomized positional encode/decode: arbitrary group shapes,
+    doc gaps spanning the int64 range, tf up to 50, positions sparse
+    over large documents — every block must round-trip exactly."""
+    rng = np.random.default_rng(101)
+    for _trial in range(25):
+        n_groups = rng.integers(1, 5)
+        rows = []
+        for g in range(int(n_groups)):
+            term = f"t{g % 3}"
+            shard = int(g // 3)
+            n_docs_g = int(rng.integers(1, 40))
+            # doc ids spanning the signed-int64 range, strictly asc
+            docs = np.unique(
+                rng.integers(-(2**62), 2**62, size=n_docs_g, dtype=np.int64)
+            )
+            for d in docs:
+                tf = int(rng.integers(1, 50))
+                dl = int(rng.integers(tf, tf + 5000))
+                pos = np.sort(
+                    rng.choice(np.arange(dl, dtype=np.int64), size=tf, replace=False)
+                )
+                rows.append((term, shard, int(d), tf, dl, pos.tolist()))
+        rows.sort(key=lambda r: (r[0], r[1], r[2]))
+        block_size = int(rng.choice([1, 3, 7, 128]))
+
+        terms = sorted({r[0] for r in rows})
+        tdict = pa.array(terms)
+        tmap = {t: i for i, t in enumerate(terms)}
+        tidx = np.array([tmap[r[0]] for r in rows], dtype=np.int64)
+        shard = np.array([r[1] for r in rows], dtype=np.int64)
+        doc = np.array([r[2] for r in rows], dtype=np.int64)
+        tf = np.array([r[3] for r in rows], dtype=np.int64)
+        dl = np.array([r[4] for r in rows], dtype=np.int64)
+        flat = np.array([p for r in rows for p in r[5]], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum([len(r[5]) for r in rows]))).astype(
+            np.int64
+        )
+        batches = list(
+            encode_grouped_rows_pos(
+                tdict, tidx, shard, doc, tf, dl, flat, offs, block_size
+            )
+        )
+        got = []
+        for blk in pa.Table.from_batches(batches).to_pylist():
+            d, f, l, pf, po = decode_positional_block(
+                blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"],
+                blk["pos_bin"], blk["n_docs"],
+            )
+            for i in range(len(d)):
+                got.append(
+                    (
+                        blk["term"], blk["shard"], int(d[i]), int(f[i]), int(l[i]),
+                        [int(x) for x in pf[po[i] : po[i + 1]]],
+                    )
+                )
+        got.sort(key=lambda r: (r[0], r[1], r[2]))
+        want = sorted(
+            ((t, s, d_, tf_, dl_, list(map(int, p))) for t, s, d_, tf_, dl_, p in rows),
+            key=lambda r: (r[0], r[1], r[2]),
+        )
+        assert got == want
