@@ -230,6 +230,86 @@ def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSM = 2  # minimum-should-match level for the msm_topk contract query
+
+# more-like-this contract knobs (Lucene MLT-style), mirrored in the oracle
+MLT_N_SEEDS = 3  # seeds = the MLT_N_SEEDS smallest doc_ids (deterministic)
+MLT_MAX_TERMS = 10
+MLT_MIN_TF = 2
+MLT_MIN_DF = 3
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (operators/facets.py): for each query, the count
+    of DISTINCT documents matching >= 1 unique query term, bucketed by
+    language — Lucene/Solr facet semantics (counts the full match set,
+    not the returned page)."""
+    from embed_rerank_spark.operators.facets import facet_counts
+
+    out = facet_counts(spark, _docs(spark, sf_dir), QUERY_SET, facet_col="lang")
+    return out.select("query_id", "facet_value", "n_docs")
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (operators/mlt.py): for each seed doc (the
+    MLT_N_SEEDS smallest doc_ids), select its MLT_MAX_TERMS most
+    interesting terms (tf*idf, tf>=MLT_MIN_TF, df>=MLT_MIN_DF) and
+    retrieve the top-k most similar OTHER docs via block-max WAND."""
+    from embed_rerank_spark.operators.mlt import more_like_this
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+
+    docs = _docs(spark, sf_dir)
+    seeds = [
+        r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(MLT_N_SEEDS).collect()
+    ]
+    built = build_postings(docs, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = more_like_this(
+        index,
+        docs,
+        seeds,
+        k=TOP_K,
+        max_query_terms=MLT_MAX_TERMS,
+        min_term_freq=MLT_MIN_TF,
+        min_doc_freq=MLT_MIN_DF,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match BM25 top-k over the compressed index
+    (operators/wand.py, Lucene `minimum_should_match` semantics): docs
+    must match >= MSM distinct query terms; scoring is the full
+    disjunctive Okapi sum. The index path extends the WAND pivot rule
+    with a distinct-term count constraint (mm-WAND), so sub-minimum
+    docs are skipped without decoding."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K, min_should_match=MSM)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_delete_mask_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k under LSM deletion tombstones (plans/tiered.py):
     docs with doc_id % 7 == 0 are deleted; before compaction folds
@@ -830,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_snippets": q_phrase_snippets,
         "proximity_topk": q_proximity_topk,
         "conjunctive_topk": q_conjunctive_topk,
+        "msm_topk": q_msm_topk,
+        "facet_counts": q_facet_counts,
+        "more_like_this": q_more_like_this,
         "delete_mask_topk": q_delete_mask_topk,
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
@@ -1043,6 +1126,84 @@ ranked AS (
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
     FROM scored s JOIN qtc USING (query_id)
     WHERE s.matched_terms = qtc.n_terms
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    msm_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score, count(*) AS matched_terms
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    -- minimum-should-match: >= {MSM} distinct matched terms qualify
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored WHERE matched_terms >= {MSM}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    facet_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id, d.lang AS facet_value,
+       count(*) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang
+"""
+    mlt_sql = f"""
+WITH {_TOKS_CTE},
+seeds AS (SELECT doc_id AS seed_id FROM documents ORDER BY doc_id LIMIT {MLT_N_SEEDS}),
+cand AS (
+    SELECT s.seed_id, tf.term,
+           round(tf.tf * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) AS interest
+    FROM seeds s
+    JOIN tf ON tf.doc_id = s.seed_id
+    JOIN df USING (term)
+    CROSS JOIN stats
+    WHERE tf.tf >= {MLT_MIN_TF} AND df.df >= {MLT_MIN_DF}
+),
+picked AS (
+    SELECT seed_id, term FROM (
+        SELECT seed_id, term,
+               row_number() OVER (PARTITION BY seed_id ORDER BY interest DESC, term ASC) AS tr
+        FROM cand
+    ) WHERE tr <= {MLT_MAX_TERMS}
+),
+term_scores AS (
+    SELECT p.seed_id AS query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM picked p
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    -- seed doc excluded from its own result list
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored WHERE doc_id <> query_id
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -1914,6 +2075,9 @@ WHERE a.vec_id < b.vec_id
         "phrase_snippets": phrase_snip,
         "proximity_topk": proximity,
         "conjunctive_topk": conjunctive,
+        "msm_topk": msm_sql,
+        "facet_counts": facet_sql,
+        "more_like_this": mlt_sql,
         "delete_mask_topk": delete_mask,
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,

@@ -86,6 +86,36 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="query the live tiered units instead of a fully merged index",
     )
+    q.add_argument(
+        "--min-should-match",
+        type=int,
+        default=1,
+        help="mode=or only: docs must match >= this many distinct query "
+        "terms (Lucene minimum_should_match; mm-WAND pruning)",
+    )
+
+    fc = sub.add_parser(
+        "facets",
+        help="per-query facet-value counts over the FULL match set (Lucene facet semantics)",
+    )
+    fc.add_argument("--corpus", required=True, help="parquet with doc_id, text, facet col")
+    fc.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--facet-col", default="lang")
+    fc.add_argument("--top-n", type=int, default=None,
+                    help="keep top-n facet values per query (count desc, value asc)")
+
+    ml = sub.add_parser(
+        "mlt", help="more-like-this: query-by-document over the BM25 index"
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
+    ml.add_argument("--seed-ids", required=True, help="file: one seed doc_id per line")
+    ml.add_argument("--out", required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+    ml.add_argument("--min-tf", type=int, default=1)
+    ml.add_argument("--min-df", type=int, default=1)
 
     bp = sub.add_parser(
         "build-positional-index",
@@ -169,7 +199,41 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from .operators.wand import wand_topk
 
-                out = wand_topk(idx, queries, k=args.k)
+                out = wand_topk(
+                    idx, queries, k=args.k, min_should_match=args.min_should_match
+                )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "facets":
+            from .operators.facets import facet_counts
+
+            corpus = spark.read.parquet(args.corpus)
+            out = facet_counts(
+                spark,
+                corpus,
+                _read_queries(args.queries),
+                facet_col=args.facet_col,
+                top_n=args.top_n,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "mlt":
+            from .operators.mlt import more_like_this
+            from .operators.postings import InvertedIndex
+
+            idx = InvertedIndex.load(spark, args.index)
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            with open(args.seed_ids) as f:
+                seeds = [int(line) for line in f if line.strip()]
+            out = more_like_this(
+                idx,
+                corpus,
+                seeds,
+                k=args.k,
+                max_query_terms=args.max_terms,
+                min_term_freq=args.min_tf,
+                min_doc_freq=args.min_df,
+            )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "build-positional-index":

@@ -211,6 +211,56 @@ def diversify_topk(
     )
 
 
+def bm25_topk_msm_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    msm: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Minimum-should-match BM25 top-k, oracle-grade declarative plan:
+    only documents matching >= ``msm`` DISTINCT unique query terms
+    qualify (Lucene ``minimum_should_match`` semantics — OOV terms can
+    never count toward the minimum, so a query with fewer in-vocab
+    terms than msm yields zero rows); qualifying docs score with the
+    full disjunctive Okapi sum. Same plan shape as the conjunctive
+    scorer: the matched-term count rides the score groupBy, one
+    HAVING-style filter, no extra shuffle. msm=1 is plain disjunctive
+    BM25; msm = n unique query terms is the conjunctive scorer."""
+    qt = query_terms(spark, queries)
+    tfdl = term_freqs_dl(docs)
+    dl = doc_lengths_direct(docs)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf", "avgdl")
+    )
+    matched = (
+        F.broadcast(qt)
+        .join(tfdl, "term")
+        .join(idf, "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+    qual = scored.filter(F.col("matched_terms") >= msm)
+    return topk(qual, k).select("query_id", "rank", "doc_id", "score")
+
+
 def bm25_topk_conjunctive_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

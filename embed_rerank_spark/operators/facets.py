@@ -1,0 +1,71 @@
+"""Faceted search: per-query value counts over the FULL matching doc
+set (Lucene/Solr facet semantics — a facet counts every document that
+matches the query, not just the returned page, so the UI can render
+"lang: de (1,234)" drill-down chips next to the top-k list).
+
+Reference parity note: the reference (joonsoome/embed-rerank) serves
+rerank-only requests and has no facet endpoint; faceting is part of the
+fulltext query surface this engine adds around the BM25 index
+(SURVEY.md §2.6 query-surface extensions).
+
+Scale shape (100 TB):
+- The matching-doc set is computed as broadcast(query terms) ⋈ the
+  (doc_id, term) tf table — the same join the brute-force scorer uses;
+  no new table is materialized.
+- ``groupBy(query_id, doc_id)`` collapses multi-term matches BEFORE
+  the facet join, so the facet-value join sees at most one row per
+  (query, matching doc) — map-side combinable.
+- The facet column rides in from the doc table via a doc_id join that
+  Catalyst plans as a shuffle-hash/sort-merge join on doc_id; at
+  10^12 docs this is the one big join, identical in shape to the
+  scorer's dl join, and prunes to exactly two columns.
+- ``top_n`` caps the per-query output with a window over the (tiny)
+  aggregated (query, facet_value) counts, never over doc rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .bm25 import query_terms, term_freqs
+
+
+def facet_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str = "lang",
+    top_n: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, facet_value, n_docs [, facet_rank]) — for each query,
+    the number of DISTINCT documents matching >= 1 unique query term,
+    bucketed by ``facet_col``. With ``top_n`` set, keeps the top-n
+    facet values per query with engine tie semantics (count desc,
+    value asc) and emits their 1-based ``facet_rank``."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    facets = matched.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet_value")),
+        "doc_id",
+    )
+    counts = facets.groupBy("query_id", "facet_value").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if top_n is None:
+        return counts
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc("facet_value")
+    )
+    return (
+        counts.withColumn("facet_rank", F.row_number().over(w))
+        .filter(F.col("facet_rank") <= top_n)
+    )

@@ -61,9 +61,20 @@ class _TermIterator:
     """Cursor over one (shard, term) posting list: lazy block decode,
     shallow (header-only) seeks for block-max skipping."""
 
-    __slots__ = ("blocks", "idf", "bi", "pos", "docs", "tfs", "dls", "cur", "term_ub")
+    __slots__ = (
+        "blocks", "idf", "bi", "pos", "docs", "tfs", "dls", "cur", "term_ub", "term",
+    )
 
-    def __init__(self, blocks: list, idf: float, avgdl: float, k1: float, b: float):
+    def __init__(
+        self,
+        blocks: list,
+        idf: float,
+        avgdl: float,
+        k1: float,
+        b: float,
+        term: str = "",
+    ):
+        self.term = term
         # blocks: list of tuples (first_doc, last_doc, n_docs, max_tf,
         # min_dl, docs_bin, tfs_bin, dls_bin) sorted by block_id
         self.blocks = blocks
@@ -152,6 +163,7 @@ def _wand_one_query(
     b: float,
     excl: set | None = None,
     allowed: set | None = None,
+    msm: int = 1,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) for one query over one shard.
     ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
@@ -162,9 +174,17 @@ def _wand_one_query(
     ``excl`` (deletion tombstones) / ``allowed`` (filtered retrieval)
     mask docs from the result set: a masked doc never enters the heap,
     so theta only ever comes from eligible docs and pruning stays
-    exact for the masked corpus."""
+    exact for the masked corpus.
+
+    ``msm`` (minimum-should-match, Lucene semantics): a doc qualifies
+    only if it matches >= msm DISTINCT query terms. Pruning gains a
+    count constraint: the pivot prefix must span >= msm distinct terms
+    before its UB sum can admit a candidate — any doc below that
+    cursor sits in fewer than msm lists and is skipped without
+    decoding (the mm-WAND extension of the pivot rule; msm=1 is
+    plain WAND, msm=n_terms degenerates to the AND walk)."""
     its = [
-        _TermIterator(run, idf, avgdl, k1, b)
+        _TermIterator(run, idf, avgdl, k1, b, term=t)
         for t, idf in qterms
         if t in term_blocks
         for run in term_blocks[t]
@@ -188,14 +208,25 @@ def _wand_one_query(
             break
         its.sort(key=lambda it: it.cur)
         th = theta()
-        # pivot: first prefix whose term-UB sum can beat theta
+        # pivot: first prefix whose term-UB sum can beat theta AND
+        # (msm>1) that spans >= msm distinct terms — a doc below that
+        # cursor sits in < msm lists, so it can't qualify
         acc = 0.0
         pivot_idx = -1
-        for i, it in enumerate(its):
-            acc += it.term_ub
-            if acc > th - _SLACK:
-                pivot_idx = i
-                break
+        if msm <= 1:
+            for i, it in enumerate(its):
+                acc += it.term_ub
+                if acc > th - _SLACK:
+                    pivot_idx = i
+                    break
+        else:
+            prefix_terms: set[str] = set()
+            for i, it in enumerate(its):
+                acc += it.term_ub
+                prefix_terms.add(it.term)
+                if len(prefix_terms) >= msm and acc > th - _SLACK:
+                    pivot_idx = i
+                    break
         if pivot_idx < 0:
             break
         pivot_doc = its[pivot_idx].cur
@@ -208,9 +239,12 @@ def _wand_one_query(
             while end + 1 < len(its) and its[end + 1].cur == pivot_doc:
                 end += 1
             prefix = its[: end + 1]
+            matched = len({it.term for it in prefix}) if msm > 1 else 1
             bub = sum(it.block_ub(avgdl, k1, b) for it in prefix)
-            if (excl is not None and pivot_doc in excl) or (
-                allowed is not None and pivot_doc not in allowed
+            if (
+                matched < msm
+                or (excl is not None and pivot_doc in excl)
+                or (allowed is not None and pivot_doc not in allowed)
             ):
                 for it in prefix:
                     it.advance()
@@ -251,6 +285,7 @@ def _taat_topk(
     k: int,
     excl_arr: np.ndarray | None = None,
     allowed_arr: np.ndarray | None = None,
+    msm: int = 1,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exact top-k for SHORT posting lists.
 
@@ -261,7 +296,8 @@ def _taat_topk(
     pays off when lists are long enough to skip. ``excl_arr`` (sorted
     tombstoned doc ids) masks deleted docs before accumulation;
     ``allowed_arr`` (sorted, filtered retrieval) restricts to a doc
-    set."""
+    set; ``msm`` keeps only docs matching >= msm distinct query terms
+    (one unique-docs bincount alongside the score bincount)."""
     arrs = [term_cache[t] for t, _ in qterms if t in term_cache]
     idfs = [idf for t, idf in qterms if t in term_cache]
     if not arrs:
@@ -280,6 +316,25 @@ def _taat_topk(
             return []
     uniq, inv = np.unique(all_docs, return_inverse=True)
     sums = np.bincount(inv, weights=all_scores)
+    if msm > 1:
+        # distinct matched terms per doc: count each term's UNIQUE doc
+        # set once (runs of one term may duplicate a doc across index
+        # units — that's one match, not two)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        for a in arrs:
+            ud = np.unique(a[0])
+            idx = np.searchsorted(uniq, ud)
+            # masked (excl/allowed) docs are absent from uniq — drop
+            # positions that don't land on the same doc id
+            ok = idx < len(uniq)
+            ok[ok] = uniq[idx[ok]] == ud[ok]
+            cnt[idx[ok]] += 1
+        keep = cnt >= msm
+        # masked docs were already dropped from uniq, so cnt counts
+        # only eligible docs; filter scores to qualifying docs
+        uniq, sums = uniq[keep], sums[keep]
+        if not len(uniq):
+            return []
     r = np.round(sums, _TIE_DECIMALS)
     order = np.lexsort((uniq, -r))[:k]
     return [(int(uniq[i]), float(sums[i])) for i in order]
@@ -327,6 +382,7 @@ def _wand_partition(
     taat_threshold: int = 100_000,
     excl: tuple[int, ...] = (),
     allowed: tuple[int, ...] | None = None,
+    msm: int = 1,
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard.
@@ -398,10 +454,10 @@ def _wand_partition(
             if n_postings <= taat_threshold:
                 # short lists: vectorized scoring beats pointer-walking
                 cache = {t: cached(t) for t, _ in qterms if t in tb}
-                results = _taat_topk(cache, qterms, k, excl_arr, allowed_arr)
+                results = _taat_topk(cache, qterms, k, excl_arr, allowed_arr, msm)
             else:
                 results = _wand_one_query(
-                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set
+                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set, msm
                 )
             for doc_id, score in results:
                 out_q.append(qid)
@@ -421,9 +477,16 @@ def wand_topk(
     b: float = BM25_B,
     taat_threshold: int = 100_000,
     allowed_docs=None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
     WAND over the compressed index.
+
+    ``min_should_match`` (Lucene msm): docs must match >= that many
+    DISTINCT query terms (out-of-vocabulary terms can never match, so
+    a query with fewer in-vocab terms than msm returns zero rows);
+    msm=1 is plain disjunctive WAND. Exactness contract vs
+    ``bm25.bm25_topk_msm_bruteforce``.
 
     If the handle carries deletion tombstones (``index.tombstones``,
     LSM deletes not yet folded in by compaction), those docs are
@@ -495,9 +558,10 @@ def wand_topk(
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     allowed = tuple(sorted(allowed_docs)) if allowed_docs is not None else None
+    msm = min_should_match
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _wand_partition(
-            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed, msm
         ),
         "query_id long, doc_id long, score double",
     )

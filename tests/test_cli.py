@@ -148,3 +148,44 @@ def test_cli_new_query_modes_and_delete(spark, workspace, tmp_path):
     assert set(ph.columns) == {"query_id", "rank", "doc_id", "score", "first_pos"}
     topk2 = spark.read.parquet(str(d / "topk2"))
     assert top not in {r["doc_id"] for r in topk2.collect()}
+
+
+def test_cli_msm_facets_mlt(spark, workspace):
+    """msm / facets / mlt subcommands end-to-end (runs after the e2e
+    test in this module, so d/index already exists)."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    real_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        assert cli.main([
+            "query", "--index", str(d / "index"),
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "msmk"),
+            "--k", "5", "--min-should-match", "2",
+        ]) == 0
+        assert cli.main([
+            "facets", "--corpus", "/root/testdata/sf0.001/documents.parquet",
+            "--queries", str(d / "queries.tsv"), "--out", str(d / "fc"),
+            "--facet-col", "lang", "--top-n", "3",
+        ]) == 0
+        corpus = str(d / "index" / "segments" / "*" / "extracted")
+        seed = spark.read.parquet(corpus).first()["doc_id"]
+        (d / "seeds.txt").write_text(f"{seed}\n")
+        assert cli.main([
+            "mlt", "--index", str(d / "index"), "--corpus", corpus,
+            "--seed-ids", str(d / "seeds.txt"), "--out", str(d / "mlt"),
+            "--k", "5", "--max-terms", "8",
+        ]) == 0
+    finally:
+        type(spark).stop = real_stop
+
+    msmk = spark.read.parquet(str(d / "msmk"))
+    # both queries have >=2 in-vocab terms; msm=2 still returns rows
+    assert msmk.count() > 0
+    fc = spark.read.parquet(str(d / "fc"))
+    assert set(fc.columns) == {"query_id", "facet_value", "n_docs", "facet_rank"}
+    assert fc.count() > 0
+    mlt = spark.read.parquet(str(d / "mlt"))
+    rows = mlt.collect()
+    assert rows and all(r["doc_id"] != seed for r in rows)

@@ -1,0 +1,115 @@
+"""Faceted search and more-like-this: facet counts must equal the
+distinct matched-doc counts implied by the brute-force scorer, and MLT
+retrieval must equal disjunctive brute-force BM25 over its own selected
+terms with the seed excluded."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from embed_rerank_spark.operators.bm25 import (
+    bm25_scores_bruteforce,
+    bm25_topk_bruteforce,
+    query_terms,
+)
+from embed_rerank_spark.operators.facets import facet_counts
+from embed_rerank_spark.operators.mlt import mlt_select_terms, more_like_this
+from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+from embed_rerank_spark.queryset import QUERY_SET
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    built = build_postings(docs, n_shards=4)
+    cs = built["corpus_stats"].collect()[0]
+    return InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+
+
+def test_facet_counts_match_bruteforce_match_set(spark, docs):
+    """n_docs per (query, facet) == distinct docs the brute-force
+    scorer scores for that query, bucketed by the facet column."""
+    qt = query_terms(spark, QUERY_SET)
+    scored = bm25_scores_bruteforce(docs, qt).select("query_id", "doc_id").collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    want = Counter((r["query_id"], langs[r["doc_id"]]) for r in scored)
+
+    got = facet_counts(spark, docs, QUERY_SET, facet_col="lang").collect()
+    got_map = {(r["query_id"], r["facet_value"]): r["n_docs"] for r in got}
+    assert got_map == dict(want)
+    assert got_map, "facet fixture produced no matches"
+
+
+def test_facet_top_n_cap_and_tie_order(spark, docs):
+    got = facet_counts(spark, docs, QUERY_SET, facet_col="source", top_n=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["facet_rank"], r["n_docs"], r["facet_value"])
+        )
+    full = {
+        (r["query_id"], r["facet_value"]): r["n_docs"]
+        for r in facet_counts(spark, docs, QUERY_SET, facet_col="source").collect()
+    }
+    for q, rows in by_q.items():
+        rows.sort()
+        assert len(rows) <= 3
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # engine tie order: count desc, value asc — the kept set must be
+        # the head of the full per-query facet list under that order
+        all_q = sorted(
+            ((v, fv) for (qq, fv), v in full.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [(n, v) for _rk, n, v in rows] == all_q[: len(rows)]
+
+
+def test_mlt_matches_bruteforce_over_selected_terms(spark, docs, index):
+    seeds = [r["doc_id"] for r in docs.limit(3).collect()]
+    selected = mlt_select_terms(docs, seeds, max_query_terms=10, min_term_freq=1)
+    assert any(selected.values())
+    got = more_like_this(index, docs, seeds, k=5, max_query_terms=10)
+    got_rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in got.collect()
+    )
+    want_rows = []
+    for sid, terms in selected.items():
+        if not terms:
+            continue
+        bf = bm25_topk_bruteforce(spark, docs, [(sid, " ".join(terms))], k=6)
+        kept = [r for r in bf.collect() if r["doc_id"] != sid]
+        kept.sort(key=lambda r: (-round(r["score"], 6), r["doc_id"]))
+        for i, r in enumerate(kept[:5], start=1):
+            want_rows.append((sid, i, r["doc_id"], round(r["score"], 6)))
+    assert got_rows == sorted(want_rows)
+    # the seed itself never appears in its own result list
+    assert all(q != d for q, _r, d, _s in got_rows)
+
+
+def test_mlt_term_selection_knobs(spark, docs):
+    seeds = [docs.first()["doc_id"]]
+    loose = mlt_select_terms(docs, seeds, max_query_terms=100, min_term_freq=1)
+    tight_tf = mlt_select_terms(docs, seeds, max_query_terms=100, min_term_freq=2)
+    tight_df = mlt_select_terms(docs, seeds, max_query_terms=100, min_doc_freq=10)
+    capped = mlt_select_terms(docs, seeds, max_query_terms=3)
+    sid = seeds[0]
+    assert set(tight_tf[sid]) <= set(loose[sid])
+    assert set(tight_df[sid]) <= set(loose[sid])
+    assert len(capped[sid]) <= 3
+    # cap keeps the interestingness-order head of the loose selection
+    assert capped[sid] == loose[sid][: len(capped[sid])]
