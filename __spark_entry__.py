@@ -387,6 +387,75 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-tolerant retrieval: each query term expands to its
+    Levenshtein<=1 dictionary neighborhood (df-desc, capped at 8) and
+    the query scores as the expansion's OR through the WAND machinery
+    (operators/rewrite.py)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.rewrite import fuzzy_topk
+    from embed_rerank_spark.queryset import FUZZY_MAX_EXPANSION, FUZZY_SET
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = fuzzy_topk(index, FUZZY_SET, k=TOP_K, max_expansion=FUZZY_MAX_EXPANSION)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-time synonym expansion: query terms joined by their
+    synonym-group members (each keeping its own idf), scored as the
+    rewritten OR query (operators/rewrite.py)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.rewrite import synonym_topk
+    from embed_rerank_spark.queryset import SYNONYM_GROUPS, SYNONYM_SET
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = synonym_topk(index, SYNONYM_SET, SYNONYM_GROUPS, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete suggester: per-prefix top completions from the
+    index term dictionary, most-frequent first (df desc, term asc),
+    capped (operators/rewrite.py)."""
+    from embed_rerank_spark.operators.bm25 import doc_freqs, term_freqs
+    from embed_rerank_spark.operators.postings import InvertedIndex
+    from embed_rerank_spark.operators.rewrite import suggest_terms
+    from embed_rerank_spark.queryset import SUGGEST_SET, SUGGEST_TOP
+
+    docs = _docs(spark, sf_dir)
+    term_stats = doc_freqs(term_freqs(docs))
+    index = InvertedIndex(
+        postings=None,
+        term_stats=term_stats,
+        doc_stats=None,
+        n_docs=0,
+        avgdl=0.0,
+    )
+    out = suggest_terms(index, SUGGEST_SET, top=SUGGEST_TOP)
+    return out.select("query_id", "rank", "term", "df")
+
+
 def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/structured retrieval (operators/boolean.py): +must,
     -not, "exact phrase", prefix*, and should clauses resolved in one
@@ -917,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "synonym_topk": q_synonym_topk,
+        "suggest_terms": q_suggest_terms,
         "boolean_topk": q_boolean_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
@@ -1356,6 +1428,85 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.queryset import (
+        FUZZY_MAX_EXPANSION,
+        SUGGEST_TOP,
+        fuzzy_terms_values_sql,
+        suggest_values_sql,
+        synonym_terms_values_sql,
+    )
+
+    fuzzy_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    -- per query TERM: vocabulary within 1 edit, df-desc capped (the
+    -- FuzzyQuery rewrite bound, mirrored from operators/rewrite.py)
+    SELECT fq.query_id, df.term,
+           row_number() OVER (PARTITION BY fq.query_id, fq.qterm
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {fuzzy_terms_values_sql()} JOIN df ON levenshtein(df.term, fq.qterm) <= 1
+),
+qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    synonym_topk_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    -- query terms AFTER synonym expansion (driver-side rewrite of a
+    -- tiny analyzer map, inlined; each term keeps its own idf)
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {synonym_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    suggest_terms_sql = f"""
+WITH {_TOKS_CTE},
+ranked AS (
+    SELECT sg.query_id, df.term, df.df,
+           row_number() OVER (PARTITION BY sg.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rank
+    FROM {suggest_values_sql()} JOIN df ON starts_with(df.term, sg.pfx)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {SUGGEST_TOP}
 """
     diversified = f"""
 WITH {_TOKS_CTE},
@@ -2082,6 +2233,9 @@ WHERE a.vec_id < b.vec_id
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "fuzzy_topk": fuzzy_topk_sql,
+        "synonym_topk": synonym_topk_sql,
+        "suggest_terms": suggest_terms_sql,
         "boolean_topk": boolean_topk_sql,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,

@@ -1,0 +1,269 @@
+"""Query-rewrite operators: term suggestion (autocomplete), fuzzy
+(spell-corrected) expansion, and synonym expansion.
+
+These are the analyzer-adjacent features every fulltext engine pairs
+with its index (Lucene's FuzzyQuery / SynonymGraphFilter, the
+suggester endpoints of Elasticsearch): the QUERY is rewritten against
+the index's term dictionary, then scored by the unchanged BM25/WAND
+machinery — expansion composes with every retrieval mode because the
+output of a rewrite is just another OR query.
+
+No reference analogue (SURVEY.md §2.6): the reference serves verbatim
+query strings; these operators exist because a batch engine over web
+text meets misspellings and vocabulary mismatch at corpus scale.
+
+Scale design:
+- The term dictionary (``term_stats``) is orders of magnitude smaller
+  than the corpus (10^7-10^8 terms for 10^12 docs) but still a
+  DataFrame, never a driver list. Suggestion and fuzzy scan are ONE
+  filtered pass over it; only the capped expansion (<= a few dozen
+  terms per query term) is collected.
+- Fuzzy matching has two physical strategies with identical results:
+  ``expand_fuzzy`` scans the dictionary once with a JVM-side
+  ``levenshtein`` filter (right when the query batch amortizes one
+  scan), and ``build_deletion_index``/``expand_fuzzy_indexed``
+  precomputes the SymSpell delete-1 neighborhood as a parquet-able
+  table so each query batch is a broadcast JOIN against it instead of
+  a dictionary scan (right for high-QPS serving: the deletion index
+  is built once per index snapshot, candidates come from an equi-join
+  — no scan, no quadratic term x term work).
+- Synonym maps are analyzer resources: tiny, driver-held, applied to
+  query strings only. Document-side synonym indexing would double
+  index size for the same ranking; query-side expansion is the
+  standard trade (Elasticsearch search-time synonyms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from .postings import InvertedIndex
+from .wand import wand_topk
+
+FUZZY_MAX_EXPANSION = 8
+SUGGEST_TOP = 8
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    prefixes: list[tuple[int, str]],
+    top: int = SUGGEST_TOP,
+) -> DataFrame:
+    """(query_id, rank, term, df): autocomplete — for each prefix the
+    ``top`` dictionary completions, most-frequent first (df desc, term
+    asc — the suggester order users expect: popular completions win).
+
+    One pass over term_stats: the tiny prefix table broadcasts, the
+    per-prefix top-N is a window over matches only (a prefix matches
+    a vanishing fraction of the dictionary, and the cap keeps the
+    result set at n_prefixes x top rows)."""
+    spark = index.term_stats.sparkSession
+    pfx = spark.createDataFrame(
+        [(qid, p.strip().lower()) for qid, p in prefixes],
+        "query_id long, pfx string",
+    )
+    from pyspark.sql import Window
+
+    matched = index.term_stats.join(
+        F.broadcast(pfx), F.col("term").startswith(F.col("pfx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "rank", "term", "df")
+    )
+
+
+def expand_fuzzy(
+    index: InvertedIndex,
+    terms: list[str],
+    max_distance: int = 1,
+    max_expansion: int = FUZZY_MAX_EXPANSION,
+) -> dict[str, list[str]]:
+    """Dictionary expansion for fuzzy matching: each query term maps
+    to the vocabulary terms within ``max_distance`` Levenshtein edits,
+    highest-df first (df desc, term asc), capped at ``max_expansion``
+    — the FuzzyQuery rewrite bound.
+
+    ONE scan of term_stats against the (tiny, broadcast) query-term
+    list with a JVM ``levenshtein`` filter, guarded by the free
+    length-difference bound (|len(t)-len(q)| <= d implies nothing is
+    computed for hopeless pairs). Only the capped expansion returns
+    to the driver."""
+    qts = sorted({t.strip().lower() for t in terms if t.strip()})
+    if not qts:
+        return {}
+    spark = index.term_stats.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in qts], "qterm string")
+    cand = (
+        index.term_stats.join(F.broadcast(qdf))
+        .filter(
+            (F.abs(F.length("term") - F.length("qterm")) <= max_distance)
+            & (F.levenshtein("term", "qterm") <= max_distance)
+        )
+        .select("qterm", "term", "df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_expansion)
+        .collect()
+    )
+    out: dict[str, list[str]] = {t: [] for t in qts}
+    for r in sorted(rows, key=lambda r: (r["qterm"], r["rk"])):
+        out[r["qterm"]].append(r["term"])
+    return out
+
+
+def build_deletion_index(index: InvertedIndex) -> DataFrame:
+    """(variant, term, df): the SymSpell delete-1 neighborhood of the
+    term dictionary — each term keyed by itself and by every
+    single-character deletion of itself.
+
+    Built ONCE per index snapshot (write it next to the postings), it
+    turns fuzzy candidate generation into an equi-join: two strings
+    within one edit always share a delete-1 variant, so joining query
+    variants against this table finds every distance<=1 candidate
+    without scanning the dictionary (the join key is hashable — a
+    broadcast or shuffle-hash join, never a Cartesian levenshtein
+    sweep). ~(1 + avg_term_len) rows per dictionary term."""
+    variants = F.array_union(
+        F.array(F.col("term")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.substring(F.col("term"), F.lit(1), i - 1),
+                F.col("term").substr(i + 1, F.length("term")),
+            ),
+        ),
+    )
+    return index.term_stats.select(
+        F.explode(variants).alias("variant"), "term", "df"
+    )
+
+
+def _delete1_variants(term: str) -> list[str]:
+    return [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]
+
+
+def expand_fuzzy_indexed(
+    deletion_index: DataFrame,
+    terms: list[str],
+    max_expansion: int = FUZZY_MAX_EXPANSION,
+) -> dict[str, list[str]]:
+    """Same result as ``expand_fuzzy(max_distance=1)`` but against a
+    precomputed deletion index: query delete-1 variants equi-join the
+    dictionary's, then the (few) candidates are verified with an
+    exact levenshtein <= 1 — the SymSpell shape, where candidate
+    generation is a join on a hash key instead of a dictionary scan."""
+    qts = sorted({t.strip().lower() for t in terms if t.strip()})
+    if not qts:
+        return {}
+    spark = deletion_index.sparkSession
+    qvar = spark.createDataFrame(
+        [(t, v) for t in qts for v in _delete1_variants(t)],
+        "qterm string, variant string",
+    )
+    cand = (
+        deletion_index.join(F.broadcast(qvar), "variant")
+        .select("qterm", "term", "df")
+        .distinct()
+        # delete-1 overlap admits some distance-2 pairs; verify exactly
+        .filter(F.levenshtein("term", "qterm") <= 1)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_expansion)
+        .collect()
+    )
+    out: dict[str, list[str]] = {t: [] for t in qts}
+    for r in sorted(rows, key=lambda r: (r["qterm"], r["rk"])):
+        out[r["qterm"]].append(r["term"])
+    return out
+
+
+def fuzzy_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_distance: int = 1,
+    max_expansion: int = FUZZY_MAX_EXPANSION,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): spell-tolerant retrieval —
+    every query term expands to its fuzzy dictionary neighborhood
+    (exact term included, it is distance 0) and the query scores as
+    the disjunctive BM25 of the union, through the unchanged WAND
+    machinery. Equivalent to an OR query over the expanded term set,
+    so the brute-force oracle is standard BM25 with that set."""
+    all_terms = {
+        tok for _qid, q in queries for tok in q.strip().lower().split() if tok
+    }
+    exp = expand_fuzzy(index, sorted(all_terms), max_distance, max_expansion)
+    synth: list[tuple[int, str]] = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.strip().lower().split():
+            for t in exp.get(tok, ()):
+                if t not in terms:
+                    terms.append(t)
+        if terms:
+            synth.append((qid, " ".join(terms)))
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
+def expand_synonyms(
+    queries: list[tuple[int, str]], groups: list[list[str]]
+) -> list[tuple[int, str]]:
+    """Search-time synonym expansion: each query term joined by every
+    member of its synonym group (analyzer resource, driver-held —
+    synonym maps are small config, not data). A term in no group
+    passes through; expansion preserves first-seen order and dedupes,
+    matching the engine's query tokenization contract."""
+    syn: dict[str, list[str]] = {}
+    for g in groups:
+        canon = [t.strip().lower() for t in g if t.strip()]
+        for t in canon:
+            syn[t] = canon
+    out: list[tuple[int, str]] = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.strip().lower().split():
+            if not tok:
+                continue
+            for t in syn.get(tok, [tok]):
+                if t not in terms:
+                    terms.append(t)
+        out.append((qid, " ".join(terms)))
+    return out
+
+
+def synonym_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    groups: list[list[str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): synonym-expanded retrieval —
+    the rewritten OR query through the unchanged WAND machinery (each
+    expanded term keeps its OWN idf, the equal-weight union semantics
+    of Lucene's SynonymQuery applied at the whole-query level)."""
+    return wand_topk(index, expand_synonyms(queries, groups), k, k1, b, taat_threshold)

@@ -54,6 +54,106 @@ BOOLEAN_SET: list[tuple[int, str]] = [
 ]
 
 
+# Fuzzy (spell-corrected) query set: each term expands to vocabulary
+# terms within Levenshtein distance 1 (df-desc, capped at
+# FUZZY_MAX_EXPANSION) and the query scores as the expansion's OR.
+# Shapes: single-edit typos ("tabl"->table, "hach"->hash,
+# "jon"->join), a multi-match typo ("sow"->{slow,row,sort? no: sort
+# is distance 2} => {slow,row}), a clean term passing through
+# unchanged, and garbage matching nothing.
+FUZZY_SET: list[tuple[int, str]] = [
+    (1, "tabl jon"),
+    (2, "hach scann"),
+    (3, "sow"),
+    (4, "xyzzy"),
+    (5, "fast lime"),
+]
+FUZZY_MAX_EXPANSION = 8
+
+
+def fuzzy_terms_literal() -> list[tuple[int, str]]:
+    """(query_id, qterm) rows, unique lowercased terms per query —
+    the pre-expansion tokenization (expansion happens corpus-side in
+    both engine and oracle)."""
+    out = []
+    for qid, q in FUZZY_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    return out
+
+
+def fuzzy_terms_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in fuzzy_terms_literal())
+    return f"(VALUES {rows}) AS fq(query_id, qterm)"
+
+
+# Search-time synonym groups (analyzer resource): members expand each
+# other at query time, each keeping its own idf. Groups use real
+# corpus vocabulary so expansion changes rankings; "quick" is
+# deliberately out-of-vocabulary (expansion must tolerate it).
+SYNONYM_GROUPS: list[list[str]] = [
+    ["join", "merge"],
+    ["scan", "filter"],
+    ["fast", "quick"],
+]
+
+SYNONYM_SET: list[tuple[int, str]] = [
+    (1, "join table"),
+    (2, "scan slow"),
+    (3, "fast query"),
+    (4, "merge"),
+]
+
+
+def synonym_expanded_terms_literal() -> list[tuple[int, str]]:
+    """(query_id, term) rows AFTER synonym expansion — the oracle
+    embeds the expanded set (expansion is a driver-side rewrite of a
+    tiny config map, so inlining it keeps the oracle pure SQL)."""
+    syn: dict[str, list[str]] = {}
+    for g in SYNONYM_GROUPS:
+        canon = [t.strip().lower() for t in g if t.strip()]
+        for t in canon:
+            syn[t] = canon
+    out = []
+    for qid, q in SYNONYM_SET:
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if not tok:
+                continue
+            for t in syn.get(tok, [tok]):
+                if t not in seen:
+                    seen.append(t)
+        out.extend((qid, t) for t in seen)
+    return out
+
+
+def synonym_terms_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, t in synonym_expanded_terms_literal()
+    )
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+# Autocomplete (suggester) prefixes: top completions by df desc, term
+# asc, capped at SUGGEST_TOP. A hot single letter, a full word (its
+# own completion), and a no-match prefix.
+SUGGEST_SET: list[tuple[int, str]] = [
+    (1, "s"),
+    (2, "qu"),
+    (3, "join"),
+    (4, "zzz"),
+]
+SUGGEST_TOP = 8
+
+
+def suggest_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in SUGGEST_SET)
+    return f"(VALUES {rows}) AS sg(query_id, pfx)"
+
+
 # Wildcard (prefix*) query set: each entry expands to the matching
 # vocabulary terms (df-desc, capped) and scores as their OR query.
 PREFIX_SET: list[tuple[int, str]] = [

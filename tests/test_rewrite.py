@@ -1,0 +1,140 @@
+"""Query-rewrite operators: suggester, fuzzy expansion (scan and
+deletion-index paths), synonym expansion."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce  # noqa: E402
+from embed_rerank_spark.operators.postings import InvertedIndex, build_postings  # noqa: E402
+from embed_rerank_spark.operators.rewrite import (  # noqa: E402
+    build_deletion_index,
+    expand_fuzzy,
+    expand_fuzzy_indexed,
+    expand_synonyms,
+    fuzzy_topk,
+    suggest_terms,
+    synonym_topk,
+)
+
+DOCS = [
+    (1, "fast hash join beats sort merge join"),
+    (2, "slow table scan over the table"),
+    (3, "hash table lookup the fast path"),
+    (4, "merge sort merge the slow path"),
+    (5, "scan scan scan row row"),
+    (6, "a lone row"),
+]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    built = build_postings(docs, n_shards=2)
+    cs = built["corpus_stats"].collect()[0]
+    return InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+
+
+def _vocab_df(index) -> dict[str, int]:
+    return {r["term"]: r["df"] for r in index.term_stats.collect()}
+
+
+def test_suggest_terms_order_and_cap(spark, index):
+    got = suggest_terms(index, [(1, "s"), (2, "me"), (3, "zzz")], top=3)
+    rows = {(r["query_id"], r["rank"]): (r["term"], r["df"]) for r in got.collect()}
+    vocab = _vocab_df(index)
+    expect1 = sorted(
+        ((t, d) for t, d in vocab.items() if t.startswith("s")),
+        key=lambda td: (-td[1], td[0]),
+    )[:3]
+    assert [rows[(1, r + 1)] for r in range(len(expect1))] == expect1
+    assert rows[(2, 1)][0] == "merge"
+    assert not any(q == 3 for q, _ in rows)
+
+
+def test_expand_fuzzy_matches_python_reference(spark, index):
+    vocab = _vocab_df(index)
+    got = expand_fuzzy(index, ["tabl", "jion", "sow", "fast"], max_expansion=8)
+    for q in ("tabl", "jion", "sow", "fast"):
+        expect = sorted(
+            ((t, d) for t, d in vocab.items() if _lev(t, q) <= 1),
+            key=lambda td: (-td[1], td[0]),
+        )
+        assert got[q] == [t for t, _ in expect][:8], q
+    assert "table" in got["tabl"]
+    assert got["jion"] == []  # transposition is 2 edits in Levenshtein
+
+
+def test_deletion_index_path_identical_to_scan(spark, index):
+    didx = build_deletion_index(index)
+    terms = ["tabl", "scann", "sow", "a", "b", "xyzzy", "merge"]
+    assert expand_fuzzy_indexed(didx, terms) == expand_fuzzy(index, terms)
+
+
+def test_fuzzy_topk_equals_bruteforce_on_expansion(spark, index):
+    queries = [(1, "tabl"), (2, "sow hash"), (3, "xyzzy")]
+    exp = expand_fuzzy(index, ["tabl", "sow", "hash", "xyzzy"])
+    synth = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            for t in exp[tok]:
+                if t not in terms:
+                    terms.append(t)
+        if terms:
+            synth.append((qid, " ".join(terms)))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    brute = bm25_topk_bruteforce(spark, docs, synth, k=5)
+    got = fuzzy_topk(index, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    g = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(got.collect(), key=key)]
+    b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(brute.collect(), key=key)]
+    assert g == b
+    assert not any(r[0] == 3 for r in g)  # garbage matched nothing
+
+
+def test_expand_synonyms_semantics():
+    groups = [["join", "merge"], ["fast", "quick"]]
+    out = expand_synonyms([(1, "join table"), (2, "Quick  FAST"), (3, "")], groups)
+    assert out[0] == (1, "join merge table")
+    # dedupe across group members; group-canonical order, casefolded
+    assert out[1] == (2, "fast quick")
+    assert out[2] == (3, "")
+
+
+def test_synonym_topk_equals_bruteforce_on_expansion(spark, index):
+    groups = [["join", "merge"], ["scan", "row"]]
+    queries = [(1, "join table"), (2, "scan")]
+    expanded = expand_synonyms(queries, groups)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    brute = bm25_topk_bruteforce(spark, docs, expanded, k=6)
+    got = synonym_topk(index, queries, groups, k=6)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    g = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(got.collect(), key=key)]
+    b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(brute.collect(), key=key)]
+    assert g == b
