@@ -387,6 +387,30 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F field-weighted retrieval: title tokens (first 8) weighted
+    3x over body via the weighted-token-stream form, so the unchanged
+    index build + WAND machinery computes fielded scores
+    (operators/bm25.py::fielded_weighted_docs)."""
+    from embed_rerank_spark.operators.bm25 import fielded_weighted_docs
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    built = build_postings(fielded_weighted_docs(_docs(spark, sf_dir)), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell-tolerant retrieval: each query term expands to its
     Levenshtein<=1 dictionary neighborhood (df-desc, capped at 8) and
@@ -986,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "bm25f_topk": q_bm25f_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "synonym_topk": q_synonym_topk,
         "suggest_terms": q_suggest_terms,
@@ -1437,6 +1462,47 @@ FROM ranked WHERE rank <= {TOP_K}
         synonym_terms_values_sql,
     )
 
+    from embed_rerank_spark.operators.bm25 import TITLE_LEN, TITLE_WEIGHT
+
+    bm25f_sql = f"""
+WITH toksl AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents
+),
+wtoks AS (
+    -- weighted token stream: first {TITLE_LEN} tokens (the "title"
+    -- field) carry weight {TITLE_WEIGHT}, the rest weight 1 — the
+    -- integer-weight BM25F formulation mirrored from
+    -- operators/bm25.py::fielded_weighted_docs
+    SELECT doc_id, unnest(tl[1:{TITLE_LEN}]) AS term, {TITLE_WEIGHT} AS w FROM toksl
+    UNION ALL
+    SELECT doc_id, unnest(tl[{TITLE_LEN + 1}:]) AS term, 1 AS w FROM toksl
+),
+tf AS (SELECT doc_id, term, sum(w) AS tf FROM wtoks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     fuzzy_topk_sql = f"""
 WITH {_TOKS_CTE},
 expanded AS (
@@ -2233,6 +2299,7 @@ WHERE a.vec_id < b.vec_id
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "bm25f_topk": bm25f_sql,
         "fuzzy_topk": fuzzy_topk_sql,
         "synonym_topk": synonym_topk_sql,
         "suggest_terms": suggest_terms_sql,

@@ -310,3 +310,61 @@ def bm25_topk_conjunctive_bruteforce(
         F.col("matched_terms") == F.col("n_terms")
     )
     return topk(conj, k).select("query_id", "rank", "doc_id", "score")
+
+
+# ---- BM25F: field-weighted retrieval (title boosted over body) ----
+
+TITLE_LEN = 8
+TITLE_WEIGHT = 3
+
+
+def fielded_weighted_docs(
+    docs: DataFrame,
+    title_len: int = TITLE_LEN,
+    title_weight: int = TITLE_WEIGHT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text): the weighted-token-stream form of BM25F with
+    integer field weights — title tokens (the document's first
+    ``title_len``; web pages carry their title up front) repeated
+    ``title_weight`` times, body tokens once.
+
+    Running the STANDARD BM25 pipeline over this stream IS the
+    simplified BM25F (shared length normalization, per-field weight
+    multiplying tf before saturation): tf' = w_t*tf_title + tf_body
+    and dl' = w_t*len_title + len_body fall out of the token
+    repetition, so the inverted-index build, WAND, and every query
+    mode work unchanged over fielded scoring — index-time boosting,
+    the way Lucene bakes field weights into norms. One narrow
+    projection, no shuffle of its own (the downstream build's agg is
+    the first shuffle)."""
+    toks = tokenize_for_scoring(F.col(text_col))
+    title = F.slice(toks, 1, title_len)
+    body = F.slice(
+        toks,
+        title_len + 1,
+        F.greatest(F.size(toks) - F.lit(title_len), F.lit(0)),
+    )
+    weighted = F.concat(F.flatten(F.array_repeat(title, title_weight)), body)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(weighted, " ").alias("text"),
+    )
+
+
+def bm25f_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_len: int = TITLE_LEN,
+    title_weight: int = TITLE_WEIGHT,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Declarative BM25F oracle: standard brute-force BM25 over the
+    weighted token stream."""
+    return bm25_topk_bruteforce(
+        spark, fielded_weighted_docs(docs, title_len, title_weight), queries, k, k1, b
+    )
