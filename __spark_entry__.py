@@ -387,6 +387,77 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_DEPTH = 30
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the WAND BM25
+    ranking with the word-set Jaccard ranking (depth 30 each,
+    k0=60) — rank-level combination of two retrievers with
+    incomparable score scales (operators/fusion.py)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.bm25 import topk
+    from embed_rerank_spark.operators.fusion import rrf_fuse
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    built = build_postings(docs, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    sparse = wand_topk(index, QUERY_SET, k=RRF_DEPTH)
+
+    d = docs.select(
+        "doc_id", F.array_distinct(tokenize_for_scoring(F.col("text"))).alias("ptoks")
+    )
+    qdf = spark.createDataFrame(QUERY_SET, "query_id long, query string").select(
+        "query_id", F.array_distinct(tokenize_for_scoring(F.col("query"))).alias("qtoks")
+    )
+    jac_scored = F.broadcast(qdf).crossJoin(d).select(
+        "query_id",
+        "doc_id",
+        (
+            F.size(F.array_intersect("qtoks", "ptoks"))
+            / F.greatest(F.size(F.array_union("qtoks", "ptoks")), F.lit(1))
+        ).alias("score"),
+    )
+    lexical = topk(jac_scored, RRF_DEPTH)
+
+    fused = rrf_fuse([sparse, lexical], k=TOP_K)
+    return fused.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (search_after) pagination: PAGE 2 of the ranking — each
+    page re-runs WAND with the previous page's last (rounded_score,
+    doc_id) as a strict cursor, re-ranked 1..page_size
+    (operators/wand.py::search_after_topk)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import search_after_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = search_after_topk(index, QUERY_SET, page_size=TOP_K, page=2)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F field-weighted retrieval: title tokens (first 8) weighted
     3x over body via the weighted-token-stream form, so the unchanged
@@ -1010,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "synonym_topk": q_synonym_topk,
@@ -1462,6 +1535,86 @@ FROM ranked WHERE rank <= {TOP_K}
         synonym_terms_values_sql,
     )
 
+    hybrid_rrf_sql = f"""
+WITH {_TOKS_CTE},
+bm25_matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+bm25_ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sum(term_score), 6) DESC, doc_id ASC) AS rank
+    FROM bm25_matched GROUP BY query_id, doc_id
+),
+q AS (
+    SELECT query_id, list_distinct(list_filter(
+        regexp_split_to_array(trim(lower(query)), '\\s+'), t -> t <> '')) AS qtoks
+    FROM {_queries_values()}
+),
+d AS (
+    SELECT doc_id, list_distinct({_TOKENIZE_SQL}) AS ptoks FROM documents
+),
+jac_ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(CAST(len(list_intersect(qtoks, ptoks)) AS DOUBLE)
+                                             / greatest(len(list_distinct(list_concat(qtoks, ptoks))), 1), 6) DESC,
+                              doc_id ASC) AS rank
+    FROM q CROSS JOIN d
+),
+contribs AS (
+    SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib
+    FROM bm25_ranked WHERE rank <= {RRF_DEPTH}
+    UNION ALL
+    SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib
+    FROM jac_ranked WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+    SELECT query_id, doc_id, sum(contrib) AS score
+    FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    search_after_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+-- keyset page 2 == global ranks ({TOP_K}, 2*{TOP_K}] re-ranked 1..{TOP_K}
+-- (the ranking order is total, so cursor-strict == offset here)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank - {TOP_K} AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank > {TOP_K} AND rank <= 2 * {TOP_K}
+"""
     from embed_rerank_spark.operators.bm25 import TITLE_LEN, TITLE_WEIGHT
 
     bm25f_sql = f"""
@@ -2299,6 +2452,8 @@ WHERE a.vec_id < b.vec_id
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "hybrid_rrf": hybrid_rrf_sql,
+        "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,
         "fuzzy_topk": fuzzy_topk_sql,
         "synonym_topk": synonym_topk_sql,

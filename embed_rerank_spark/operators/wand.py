@@ -164,6 +164,7 @@ def _wand_one_query(
     excl: set | None = None,
     allowed: set | None = None,
     msm: int = 1,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) for one query over one shard.
     ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
@@ -182,7 +183,13 @@ def _wand_one_query(
     before its UB sum can admit a candidate — any doc below that
     cursor sits in fewer than msm lists and is skipped without
     decoding (the mm-WAND extension of the pivot rule; msm=1 is
-    plain WAND, msm=n_terms degenerates to the AND walk)."""
+    plain WAND, msm=n_terms degenerates to the AND walk).
+
+    ``after`` = (rounded_score, doc_id) keyset-pagination cursor (the
+    last row of the previous page): only docs STRICTLY after it in
+    ranking order (rounded score desc, doc_id asc) may enter the
+    heap, so the heap holds exactly the next page's top-k and theta
+    pruning stays exact for the post-cursor ranking."""
     its = [
         _TermIterator(run, idf, avgdl, k1, b, term=t)
         for t, idf in qterms
@@ -254,6 +261,8 @@ def _wand_one_query(
                     score += it.score(avgdl, k1, b)
                     it.advance()
                 entry = (round(score, _TIE_DECIMALS), -pivot_doc, score)
+                if after is not None and entry[:2] >= (after[0], -after[1]):
+                    continue  # at or before the cursor: previous pages
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry[:2] > heap[0][:2]:
@@ -286,6 +295,7 @@ def _taat_topk(
     excl_arr: np.ndarray | None = None,
     allowed_arr: np.ndarray | None = None,
     msm: int = 1,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exact top-k for SHORT posting lists.
 
@@ -336,6 +346,12 @@ def _taat_topk(
         if not len(uniq):
             return []
     r = np.round(sums, _TIE_DECIMALS)
+    if after is not None:
+        # keyset cursor: strictly after (rounded desc, doc asc)
+        keep = (r < after[0]) | ((r == after[0]) & (uniq > after[1]))
+        uniq, sums, r = uniq[keep], sums[keep], r[keep]
+        if not len(uniq):
+            return []
     order = np.lexsort((uniq, -r))[:k]
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
@@ -383,6 +399,7 @@ def _wand_partition(
     excl: tuple[int, ...] = (),
     allowed: tuple[int, ...] | None = None,
     msm: int = 1,
+    after: dict[int, tuple[float, int]] | None = None,
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard.
@@ -451,13 +468,16 @@ def _wand_partition(
             n_postings = sum(term_len.get(t, 0) for t, _ in qterms)
             if n_postings == 0:
                 continue
+            cursor = after.get(qid) if after is not None else None
             if n_postings <= taat_threshold:
                 # short lists: vectorized scoring beats pointer-walking
                 cache = {t: cached(t) for t, _ in qterms if t in tb}
-                results = _taat_topk(cache, qterms, k, excl_arr, allowed_arr, msm)
+                results = _taat_topk(
+                    cache, qterms, k, excl_arr, allowed_arr, msm, cursor
+                )
             else:
                 results = _wand_one_query(
-                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set, msm
+                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set, msm, cursor
                 )
             for doc_id, score in results:
                 out_q.append(qid)
@@ -478,9 +498,17 @@ def wand_topk(
     taat_threshold: int = 100_000,
     allowed_docs=None,
     min_should_match: int = 1,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
     WAND over the compressed index.
+
+    ``after`` maps query_id -> (rounded_score, doc_id) keyset cursor
+    (the previous page's last row): results are the next ``k`` rows
+    STRICTLY after the cursor in ranking order, re-ranked 1..k — deep
+    pagination without an offset scan (Elasticsearch search_after
+    semantics; offset paging would force every shard to return
+    offset+k rows, a cursor keeps it at k).
 
     ``min_should_match`` (Lucene msm): docs must match >= that many
     DISTINCT query terms (out-of-vocabulary terms can never match, so
@@ -559,13 +587,60 @@ def wand_topk(
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     allowed = tuple(sorted(allowed_docs)) if allowed_docs is not None else None
     msm = min_should_match
+    cursors = dict(after) if after else None
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _wand_partition(
-            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed, msm
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed, msm,
+            cursors,
         ),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def search_after_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    page_size: int = 10,
+    page: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): page ``page`` (1-based) of the
+    ranking via keyset pagination — each page re-runs the query with
+    the previous page's last (rounded_score, doc_id) as the ``after``
+    cursor, so page N equals ranks ((N-1)*page_size, N*page_size] of
+    the full ranking re-ranked 1..page_size.
+
+    Page-boundary cursors are the only driver state (n_queries tuples
+    per page); each pass ships only its own page back. The cursor
+    rounds with the same half-even rounding as the ranking keys, so
+    cursor equality is bit-exact across passes."""
+    spark = index.postings.sparkSession
+    cursors: dict[int, tuple[float, int]] | None = None
+    for pg in range(1, page + 1):
+        out = wand_topk(
+            index, queries, page_size, k1, b, taat_threshold, after=cursors
+        )
+        if pg == page:
+            return out
+        rows = (
+            out.filter(F.col("rank") == page_size)
+            .select("query_id", "doc_id", "score")
+            .collect()
+        )
+        cursors = {
+            r["query_id"]: (round(r["score"], _TIE_DECIMALS), r["doc_id"])
+            for r in rows
+        }
+        # a query whose page came up short has no further pages
+        queries = [(qid, q) for qid, q in queries if qid in cursors]
+        if not queries:
+            break
+    return spark.createDataFrame(
+        [], "query_id long, rank int, doc_id long, score double"
+    )
 
 
 def _leapfrog_one_query(
