@@ -387,6 +387,35 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-explain-style score breakdown: one row per (query, top-k
+    doc, matched term) with tf, dl, idf and the term's BM25
+    contribution, decoded from the compressed postings
+    (operators/wand.py::explain_topk)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import explain_topk
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = explain_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 RRF_DEPTH = 30
 
 
@@ -1081,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "explain_scores": q_explain_scores,
         "hybrid_rrf": q_hybrid_rrf,
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
@@ -1535,6 +1565,30 @@ FROM ranked WHERE rank <= {TOP_K}
         synonym_terms_values_sql,
     )
 
+    explain_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id, tf.term, tf.tf, dl.dl,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contribution
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sum(contribution), 6) DESC, doc_id ASC) AS rank
+    FROM matched GROUP BY query_id, doc_id
+),
+topd AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K})
+SELECT CAST(m.query_id AS BIGINT) AS query_id, m.doc_id, m.term,
+       CAST(m.tf AS BIGINT) AS tf, CAST(m.dl AS BIGINT) AS dl,
+       round(m.idf, 6) AS idf, round(m.contribution, 6) AS contribution
+FROM matched m JOIN topd USING (query_id, doc_id)
+"""
     hybrid_rrf_sql = f"""
 WITH {_TOKS_CTE},
 bm25_matched AS (
@@ -2452,6 +2506,7 @@ WHERE a.vec_id < b.vec_id
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "explain_scores": explain_sql,
         "hybrid_rrf": hybrid_rrf_sql,
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,

@@ -924,3 +924,126 @@ def prefix_topk(
             [], "query_id long, rank int, doc_id long, score double"
         )
     return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
+def _explain_partition(
+    batches: Iterator[pa.RecordBatch],
+    term_queries: dict[str, list[tuple[int, float]]],
+    wanted: dict[int, np.ndarray],
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """Decode the (query-term-filtered) postings and emit one row per
+    (query, top-k doc, matched term) with the score decomposition."""
+    out = {k: [] for k in ("query_id", "doc_id", "term", "tf", "dl", "idf", "contribution")}
+    for batch in batches:
+        col = dict(zip(batch.schema.names, batch.columns))
+        terms = col["term"].to_pylist()
+        nds = col["n_docs"].to_pylist()
+        docs_b = col["docs_bin"].to_pylist()
+        tfs_b = col["tfs_bin"].to_pylist()
+        dls_b = col["dls_bin"].to_pylist()
+        for t, nd, db, tb, lb in zip(terms, nds, docs_b, tfs_b, dls_b):
+            qs = term_queries.get(t)
+            if not qs:
+                continue
+            d, f, l = decode_block(db, tb, lb, nd)
+            for qid, idf in qs:
+                w = wanted[qid]
+                m = np.isin(d, w)
+                if not m.any():
+                    continue
+                dm, fm, lm = d[m], f[m], l[m]
+                contrib = idf * _tfpart(
+                    fm.astype(np.float64), lm.astype(np.float64), avgdl, k1, b
+                )
+                n = len(dm)
+                out["query_id"].extend([qid] * n)
+                out["doc_id"].extend(int(x) for x in dm)
+                out["term"].extend([t] * n)
+                out["tf"].extend(int(x) for x in fm)
+                out["dl"].extend(int(x) for x in lm)
+                out["idf"].extend([idf] * n)
+                out["contribution"].extend(float(c) for c in contrib)
+    if out["query_id"]:
+        yield pa.RecordBatch.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("term", pa.string()),
+                    ("tf", pa.int64()),
+                    ("dl", pa.int64()),
+                    ("idf", pa.float64()),
+                    ("contribution", pa.float64()),
+                ]
+            ),
+        )
+
+
+def explain_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, term, tf, dl, idf, contribution): the
+    Lucene-`explain`-style score breakdown for each query's top-k
+    docs — one row per matched query term, where summing
+    ``contribution`` over terms reproduces the doc's BM25 score
+    exactly (same formula/association order as the scorers).
+
+    Two passes over the same term-filtered postings scan: WAND picks
+    the top-k doc set (tiny, ships in the closure), then one decode
+    pass emits the per-term rows for exactly those docs — no
+    re-scoring of the corpus, cost proportional to the query terms'
+    postings as usual. Single-unit semantics; over a multi-unit
+    (un-compacted tiered) index, compact first or rows may repeat
+    per unit."""
+    ranked = wand_topk(index, queries, k, k1, b).select("query_id", "doc_id").collect()
+    wanted: dict[int, list[int]] = {}
+    for r in ranked:
+        wanted.setdefault(r["query_id"], []).append(r["doc_id"])
+    wanted_np = {qid: np.sort(np.asarray(ds, dtype=np.int64)) for qid, ds in wanted.items()}
+
+    qterm_map: dict[int, list[str]] = {}
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        if qid not in wanted_np:
+            continue
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.append(tok)
+        qterm_map[qid] = seen
+        all_terms.update(seen)
+    spark = index.postings.sparkSession
+    if not all_terms or not wanted_np:
+        return spark.createDataFrame(
+            [],
+            "query_id long, doc_id long, term string, tf long, dl long, idf double, contribution double",
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+        if d > 0
+    }
+    term_queries: dict[str, list[tuple[int, float]]] = {}
+    for qid, terms in qterm_map.items():
+        for t in terms:
+            if t in idf:
+                term_queries.setdefault(t, []).append((qid, idf[t]))
+
+    filtered = index.postings.select(
+        "term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
+    ).filter(F.col("term").isin(list(term_queries)))
+    avgdl = index.avgdl
+    return filtered.mapInArrow(
+        lambda it: _explain_partition(it, term_queries, wanted_np, avgdl, k1, b),
+        "query_id long, doc_id long, term string, tf long, dl long, idf double, contribution double",
+    )
