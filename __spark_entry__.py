@@ -558,6 +558,36 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean query correction: OOV tokens replaced by the
+    highest-df vocabulary term within 1 edit, order preserved
+    (operators/rewrite.py::spell_correct)."""
+    from embed_rerank_spark.operators.bm25 import doc_freqs, term_freqs
+    from embed_rerank_spark.operators.postings import InvertedIndex
+    from embed_rerank_spark.operators.rewrite import spell_correct
+    from embed_rerank_spark.queryset import SPELL_SET
+
+    term_stats = doc_freqs(term_freqs(_docs(spark, sf_dir)))
+    index = InvertedIndex(
+        postings=None, term_stats=term_stats, doc_stats=None, n_docs=0, avgdl=0.0
+    )
+    return spell_correct(index, SPELL_SET).select(
+        "query_id", "corrected", "n_corrections"
+    )
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms by tf-idf (BM25-family
+    idf, raw tf) — the keyword/featurization export
+    (operators/textstats.py::doc_tfidf_topn)."""
+    from embed_rerank_spark.operators.textstats import doc_tfidf_topn
+
+    out = doc_tfidf_topn(_docs(spark, sf_dir), n=5)
+    return out.select(
+        "doc_id", "rank", "term", "tf", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
 def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete suggester: per-prefix top completions from the
     index term dictionary, most-frequent first (df desc, term asc),
@@ -1117,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": q_fuzzy_topk,
         "synonym_topk": q_synonym_topk,
         "suggest_terms": q_suggest_terms,
+        "spell_correct": q_spell_correct,
+        "doc_tfidf": q_doc_tfidf,
         "boolean_topk": q_boolean_topk,
         "doc_stats": q_doc_stats,
         "term_df_idf": q_term_df_idf,
@@ -1768,6 +1800,48 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.queryset import spell_values_sql
+
+    spell_correct_sql = f"""
+WITH {_TOKS_CTE},
+sp AS (SELECT * FROM {spell_values_sql()}),
+cand AS (
+    -- per OOV position: vocabulary within 1 edit, best df first
+    SELECT sp.query_id, sp.pos, df.term,
+           row_number() OVER (PARTITION BY sp.query_id, sp.pos
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM sp JOIN df ON levenshtein(df.term, sp.qterm) <= 1
+    WHERE sp.qterm NOT IN (SELECT term FROM df)
+),
+fixed AS (SELECT query_id, pos, term FROM cand WHERE rk = 1),
+final AS (
+    SELECT sp.query_id, sp.pos,
+           coalesce(f.term, sp.qterm) AS term,
+           CASE WHEN f.term IS NOT NULL THEN 1 ELSE 0 END AS corrected
+    FROM sp LEFT JOIN fixed f USING (query_id, pos)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       string_agg(term, ' ' ORDER BY pos) AS corrected,
+       CAST(sum(corrected) AS BIGINT) AS n_corrections
+FROM final GROUP BY query_id
+"""
+    doc_tfidf_sql = f"""
+WITH {_TOKS_CTE},
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+),
+ranked AS (
+    SELECT doc_id, term, tf, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(tfidf, 6) DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 5
 """
     suggest_terms_sql = f"""
 WITH {_TOKS_CTE},
@@ -2513,6 +2587,8 @@ WHERE a.vec_id < b.vec_id
         "fuzzy_topk": fuzzy_topk_sql,
         "synonym_topk": synonym_topk_sql,
         "suggest_terms": suggest_terms_sql,
+        "spell_correct": spell_correct_sql,
+        "doc_tfidf": doc_tfidf_sql,
         "boolean_topk": boolean_topk_sql,
         "doc_stats": doc_stats,
         "term_df_idf": term_df_idf,

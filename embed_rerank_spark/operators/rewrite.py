@@ -267,3 +267,44 @@ def synonym_topk(
     expanded term keeps its OWN idf, the equal-weight union semantics
     of Lucene's SynonymQuery applied at the whole-query level)."""
     return wand_topk(index, expand_synonyms(queries, groups), k, k1, b, taat_threshold)
+
+
+def spell_correct(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    max_distance: int = 1,
+) -> DataFrame:
+    """(query_id, corrected, n_corrections): did-you-mean query
+    correction — each out-of-vocabulary token is replaced by its
+    highest-df dictionary term within ``max_distance`` edits (ties:
+    term asc); in-vocabulary tokens and unfixable garbage pass
+    through. Token order and multiplicity are preserved (this
+    rewrites the query STRING, unlike the set-semantics scorers).
+
+    The vocabulary probe is the handle's memoized df lookup; only
+    genuinely OOV tokens pay the fuzzy dictionary scan. The rewritten
+    queries are driver values (queries are driver values to begin
+    with) — feed them to any retrieval mode."""
+    toks_per_q = [(qid, q.strip().lower().split()) for qid, q in queries]
+    all_terms = {t for _qid, ts in toks_per_q for t in ts}
+    dfs = index.df_for_terms(all_terms) if all_terms else {}
+    oov = sorted(t for t in all_terms if dfs[t] == 0)
+    exp = (
+        expand_fuzzy(index, oov, max_distance, max_expansion=1) if oov else {}
+    )
+    rows = []
+    for qid, ts in toks_per_q:
+        corrected: list[str] = []
+        n = 0
+        for t in ts:
+            fix = exp.get(t)
+            if dfs.get(t, 0) > 0 or not fix:
+                corrected.append(t)
+            else:
+                corrected.append(fix[0])
+                n += 1
+        rows.append((qid, " ".join(corrected), n))
+    spark = index.term_stats.sparkSession
+    return spark.createDataFrame(
+        rows, "query_id long, corrected string, n_corrections long"
+    )

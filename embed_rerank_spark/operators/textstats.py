@@ -207,3 +207,41 @@ def cooccurrence_pmi(
             / (F.col("df_a") * F.col("df_b"))
         ).alias("pmi"),
     )
+
+
+def doc_tfidf_topn(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, rank, term, tf, tfidf): each document's ``n`` most
+    characteristic terms by tf-idf (BM25-family idf, raw tf), ties
+    term-asc — the per-document keyword/featurization export a
+    training-data pipeline attaches to every example (and the raw
+    material for more_like_this seeds).
+
+    Pure JVM plan: the tf table is the usual map-side-combinable agg,
+    df/n_docs hang off it, the per-doc top-n is a window partitioned
+    by doc — fully parallel in the number of documents, no Python."""
+    from .bm25 import corpus_stats, doc_freqs, doc_lengths, term_freqs
+
+    tf = term_freqs(docs)
+    df = doc_freqs(tf)
+    cs = corpus_stats(doc_lengths(tf))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(cs.select("n_docs")))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf", 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    )

@@ -90,6 +90,28 @@ def fuzzy_terms_values_sql() -> str:
     return f"(VALUES {rows}) AS fq(query_id, qterm)"
 
 
+# Did-you-mean (spell correction) set: OOV tokens replaced by the
+# highest-df vocabulary term within 1 edit; in-vocab tokens and
+# unfixable garbage pass through; order/multiplicity preserved.
+SPELL_SET: list[tuple[int, str]] = [
+    (1, "tabl jon"),
+    (2, "fast hach"),
+    (3, "xyzzy scan"),
+    (4, "the sow the"),
+]
+
+
+def spell_values_sql() -> str:
+    """DuckDB VALUES of (query_id, pos, qterm) — position-indexed raw
+    tokens (order and duplicates preserved for string reassembly)."""
+    rows = ", ".join(
+        f"({qid}, {pos}, '{tok}')"
+        for qid, q in SPELL_SET
+        for pos, tok in enumerate(q.strip().lower().split())
+    )
+    return f"(VALUES {rows}) AS sp(query_id, pos, qterm)"
+
+
 # Search-time synonym groups (analyzer resource): members expand each
 # other at query time, each keeping its own idf. Groups use real
 # corpus vocabulary so expansion changes rankings; "quick" is

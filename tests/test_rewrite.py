@@ -138,3 +138,58 @@ def test_synonym_topk_equals_bruteforce_on_expansion(spark, index):
     b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
          for r in sorted(brute.collect(), key=key)]
     assert g == b
+
+
+def test_spell_correct_semantics(spark, index):
+    from embed_rerank_spark.operators.rewrite import spell_correct
+
+    vocab = _vocab_df(index)
+    got = {
+        r["query_id"]: (r["corrected"], r["n_corrections"])
+        for r in spell_correct(
+            index, [(1, "tabl jon"), (2, "fast fast"), (3, "qqqqqq"), (4, "")]
+        ).collect()
+    }
+    # OOV fixed to highest-df distance-1 term
+    best_tabl = sorted(
+        ((t, d) for t, d in vocab.items() if _lev(t, "tabl") <= 1),
+        key=lambda td: (-td[1], td[0]),
+    )[0][0]
+    assert got[1] == (f"{best_tabl} join", 2)
+    # in-vocab tokens untouched, duplicates preserved
+    assert got[2] == ("fast fast", 0)
+    # unfixable garbage passes through
+    assert got[3] == ("qqqqqq", 0)
+    assert got[4] == ("", 0)
+
+
+def test_doc_tfidf_topn_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from embed_rerank_spark.operators.textstats import doc_tfidf_topn
+
+    docs_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], round(r["tfidf"], 6))
+        for r in sorted(
+            doc_tfidf_topn(docs_df, n=3).collect(),
+            key=lambda r: (r["doc_id"], r["rank"]),
+        )
+    ]
+    tfs = {d: Counter(t.lower().split()) for d, t in DOCS}
+    n = len(DOCS)
+    dfc: Counter = Counter()
+    for c in tfs.values():
+        dfc.update(c.keys())
+    expect = []
+    for d in sorted(tfs):
+        scored = [
+            (t, c, c * math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0))
+            for t, c in tfs[d].items()
+        ]
+        scored.sort(key=lambda x: (-round(x[2], 6), x[0]))
+        expect.extend(
+            (d, i + 1, t, c, round(s, 6)) for i, (t, c, s) in enumerate(scored[:3])
+        )
+    assert got == expect
