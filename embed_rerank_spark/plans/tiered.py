@@ -300,8 +300,50 @@ def compact(
         created.append(out_unit)
 
 
-def load_tiered(spark: SparkSession, path: str) -> InvertedIndex:
-    """One queryable ``InvertedIndex`` over all live units.
+def _covered_snaps(uid: str, tiers_by_id: dict[str, dict]) -> set[str]:
+    """The L0 snapshot names a unit transitively covers (a segment
+    covers itself; a tier covers the closure of its inputs)."""
+    if uid.startswith("segments/"):
+        return {uid.split("/", 1)[1]}
+    return set().union(
+        *(_covered_snaps(u, tiers_by_id) for u in tiers_by_id[uid]["inputs"])
+    )
+
+
+def units_as_of(path: str, snap: str) -> list[tuple[int, str]]:
+    """[(level, unit_id)] reconstructing the index AS OF ``snap``
+    (inclusive): the highest-level committed units whose covered
+    snapshots all fall at or before the cut, plus the raw segments
+    for anything those units don't cover.
+
+    This is snapshot time travel for free out of the LSM layout:
+    absorbed inputs stay on disk (they are the build's resume record),
+    so a tier that mixes pre- and post-cut snapshots is simply skipped
+    in favor of its older constituents — no data is rewritten to
+    answer a historical query. Snapshot ids order lexically
+    (YYYY-MM-DD days, zero-padded stream batches)."""
+    tiers = _tier_units(path)
+    tiers_by_id = {uid: m for _lvl, uid, m in tiers}
+    snaps = {s for s in committed_snapshots(path) if s <= snap}
+    chosen: list[tuple[int, str]] = []
+    covered: set[str] = set()
+    for lvl, uid, _m in sorted(tiers, key=lambda x: -x[0]):
+        cov = _covered_snaps(uid, tiers_by_id)
+        if cov <= snaps and not (cov & covered):
+            chosen.append((lvl, uid))
+            covered |= cov
+    chosen += [(0, f"segments/{s}") for s in snaps - covered]
+    return sorted(chosen)
+
+
+def load_tiered(
+    spark: SparkSession,
+    path: str,
+    units: list[tuple[int, str]] | None = None,
+    with_tombstones: bool = True,
+) -> InvertedIndex:
+    """One queryable ``InvertedIndex`` over all live units (or an
+    explicit unit list, e.g. from ``units_as_of``).
 
     postings carry a ``seg`` column (unit ordinal) so the WAND reader
     builds one cursor per (term, unit); term/corpus stats are derived
@@ -309,7 +351,8 @@ def load_tiered(spark: SparkSession, path: str) -> InvertedIndex:
     scans — the handle's dictionary cache memoizes them)."""
     from functools import reduce  # noqa: PLC0415
 
-    units = live_units(path)
+    if units is None:
+        units = live_units(path)
     if not units:
         raise ValueError(f"no live units under {path}")
     posts = reduce(
@@ -339,5 +382,16 @@ def load_tiered(spark: SparkSession, path: str) -> InvertedIndex:
         doc_stats=dstats,
         n_docs=cs["n_docs"],
         avgdl=float(cs["avgdl"]),
-        tombstones=load_tombstones(path) or None,
+        tombstones=(load_tombstones(path) or None) if with_tombstones else None,
+    )
+
+
+def load_tiered_as_of(spark: SparkSession, path: str, snap: str) -> InvertedIndex:
+    """The index AS OF snapshot ``snap`` (inclusive) — a historical
+    view reconstructed from on-disk units without rewriting anything
+    (the Iceberg-time-travel analogue for the LSM index). Deletion
+    tombstones are NOT applied: they record deletes issued after the
+    fact, and the historical view shows the corpus as ingested."""
+    return load_tiered(
+        spark, path, units=units_as_of(path, snap), with_tombstones=False
     )

@@ -1,0 +1,89 @@
+"""Snapshot time travel (as-of views) over the tiered LSM index."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce  # noqa: E402
+from embed_rerank_spark.operators.wand import wand_topk  # noqa: E402
+from embed_rerank_spark.plans.build_index import build_incremental, extract_pages  # noqa: E402
+from embed_rerank_spark.plans.tiered import (  # noqa: E402
+    compact,
+    load_tiered_as_of,
+    units_as_of,
+)
+from embed_rerank_spark.sources.pages import generate_pages  # noqa: E402
+
+QUERIES = [(1, "w1 w2 the"), (2, "w4 data w7"), (3, "w3 w11 w20")]
+
+
+def _days(pages):
+    return sorted(
+        r[0]
+        for r in pages.select(F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect()
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("asof"))
+    pages = generate_pages(spark, 800, seed=17, n_snapshots=5, vocab_size=60).cache()
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    # fanout 4: snaps 1-4 fold into one L1 tier, snap 5 stays L0
+    created = compact(spark, path, fanout=4)
+    assert len(created) == 1
+    return path, pages
+
+
+def test_as_of_cut_inside_a_tier_falls_back_to_segments(spark, built):
+    path, pages = built
+    days = _days(pages)
+    cut = days[1]  # inside the compacted 4-day tier
+    units = units_as_of(path, cut)
+    assert units == [
+        (0, f"segments/{days[0]}"),
+        (0, f"segments/{days[1]}"),
+    ]
+    idx = load_tiered_as_of(spark, path, cut)
+    sub = pages.filter(F.date_format("warc_ts", "yyyy-MM-dd") <= cut)
+    corpus = extract_pages(sub).filter(F.col("error").isNull()).select("doc_id", "text")
+    assert _rows(wand_topk(idx, QUERIES, k=8)) == _rows(
+        bm25_topk_bruteforce(spark, corpus, QUERIES, k=8)
+    )
+
+
+def test_as_of_cut_at_tier_boundary_uses_the_tier(spark, built):
+    path, pages = built
+    days = _days(pages)
+    cut = days[3]  # exactly the tier's last snapshot
+    units = units_as_of(path, cut)
+    assert len(units) == 1 and units[0][0] == 1  # the L1 tier alone
+    idx = load_tiered_as_of(spark, path, cut)
+    sub = pages.filter(F.date_format("warc_ts", "yyyy-MM-dd") <= cut)
+    corpus = extract_pages(sub).filter(F.col("error").isNull()).select("doc_id", "text")
+    assert _rows(wand_topk(idx, QUERIES, k=8)) == _rows(
+        bm25_topk_bruteforce(spark, corpus, QUERIES, k=8)
+    )
+
+
+def test_as_of_latest_equals_live_view(spark, built):
+    path, pages = built
+    days = _days(pages)
+    got = units_as_of(path, days[-1])
+    from embed_rerank_spark.plans.tiered import live_units
+
+    assert got == live_units(path)
