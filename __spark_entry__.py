@@ -387,6 +387,34 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNIPPET_WINDOW = 8
+
+
+def q_best_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (OR-query) highlighting: BM25 top-k plus the 8-token
+    window holding the most distinct query terms per result doc,
+    from one positional-postings decode pass
+    (operators/positions.py::best_window_snippets)."""
+    from embed_rerank_spark.operators.positions import (
+        best_window_snippets,
+        build_positional_postings,
+        load_positional_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = load_positional_index(build_positional_postings(docs, n_shards=8))
+    out = best_window_snippets(index, docs, QUERY_SET, k=TOP_K, window=SNIPPET_WINDOW)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "win_start",
+        "n_terms",
+        "snippet",
+    )
+
+
 def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-explain-style score breakdown: one row per (query, top-k
     doc, matched term) with tf, dl, idf and the term's BM25
@@ -1141,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
         "explain_scores": q_explain_scores,
+        "best_snippets": q_best_snippets,
         "hybrid_rrf": q_hybrid_rrf,
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
@@ -1597,6 +1626,54 @@ FROM ranked WHERE rank <= {TOP_K}
         synonym_terms_values_sql,
     )
 
+    best_snippets_sql = f"""
+WITH {_TOKS_CTE},
+toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
+tokpos AS (
+    SELECT doc_id, tl[i] AS term, i - 1 AS pos
+    FROM toksl, LATERAL (SELECT unnest(generate_series(1, len(tl))) AS i)
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+ranked AS (
+    SELECT query_id, doc_id, sum(term_score) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sum(term_score), 6) DESC, doc_id ASC) AS rank
+    FROM matched GROUP BY query_id, doc_id
+),
+topd AS (SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOP_K}),
+occ AS (
+    SELECT qt.query_id, tp.doc_id, tp.term, tp.pos
+    FROM {qt} JOIN tokpos tp USING (term)
+    JOIN topd USING (query_id, doc_id)
+),
+win AS (
+    SELECT o.query_id, o.doc_id, o.pos AS win_start,
+           (SELECT count(DISTINCT m.term) FROM occ m
+            WHERE m.query_id = o.query_id AND m.doc_id = o.doc_id
+              AND m.pos >= o.pos AND m.pos < o.pos + {SNIPPET_WINDOW}) AS n_terms
+    FROM occ o
+),
+best AS (
+    SELECT query_id, doc_id, win_start, n_terms,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY n_terms DESC, win_start ASC) AS rn
+    FROM win
+)
+SELECT CAST(t.query_id AS BIGINT) AS query_id, CAST(t.rank AS INTEGER) AS rank,
+       t.doc_id, round(t.score, 6) AS score,
+       b.win_start, b.n_terms,
+       array_to_string(tl[b.win_start + 1 : least(b.win_start + {SNIPPET_WINDOW}, len(tl))], ' ') AS snippet
+FROM topd t JOIN best b USING (query_id, doc_id) JOIN toksl USING (doc_id)
+WHERE b.rn = 1
+"""
     explain_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -2581,6 +2658,7 @@ WHERE a.vec_id < b.vec_id
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
         "explain_scores": explain_sql,
+        "best_snippets": best_snippets_sql,
         "hybrid_rrf": hybrid_rrf_sql,
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,

@@ -928,3 +928,139 @@ def merge_partition_pos(
         terms_dict, tidx_rows, shard_rows, doc_s, tf_s, dl_s,
         pos_s, off_s, block_size, salt=salt_rows,
     )
+
+
+def _best_window_partition(
+    batches: Iterator[pa.RecordBatch],
+    term_queries: dict[str, list[int]],
+    wanted: dict[int, np.ndarray],
+    window: int,
+):
+    """Positional decode pass: for each (query, wanted doc) find the
+    ``window``-token span holding the most DISTINCT query terms
+    (ties: earliest start). Candidate starts are term occurrences —
+    the optimum always begins at one."""
+    termdata = load_termdata(batches)
+    out_q, out_d, out_s, out_n = [], [], [], []
+    for _sh, terms in termdata.items():
+        # per (query, doc): merged occurrence positions + term ids
+        per_doc: dict[tuple[int, int], list[tuple[np.ndarray, int]]] = {}
+        for ti, (t, qids) in enumerate(sorted(term_queries.items())):
+            got = terms.get(t)
+            if got is None:
+                continue
+            docs, _tf, _dl, pos_flat, pos_offs = got
+            for qid in qids:
+                w = wanted[qid]
+                idxs = np.nonzero(np.isin(docs, w))[0]
+                for i in idxs:
+                    p = pos_flat[pos_offs[i] : pos_offs[i + 1]]
+                    per_doc.setdefault((qid, int(docs[i])), []).append((p, ti))
+        for (qid, doc), plists in per_doc.items():
+            pos = np.concatenate([p for p, _ in plists])
+            tid = np.concatenate(
+                [np.full(len(p), ti, dtype=np.int64) for p, ti in plists]
+            )
+            order = np.argsort(pos, kind="stable")
+            pos, tid = pos[order], tid[order]
+            ends = np.searchsorted(pos, pos + window, side="left")
+            best = (-1, -1)  # (n_distinct, -start) maximized
+            for i in range(len(pos)):
+                n = len(set(tid[i : ends[i]].tolist()))
+                if n > best[0]:
+                    best = (n, int(pos[i]))
+            out_q.append(qid)
+            out_d.append(doc)
+            out_s.append(best[1])
+            out_n.append(best[0])
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "win_start": out_s, "n_terms": out_n},
+            schema=pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("win_start", pa.int64()),
+                    ("n_terms", pa.int64()),
+                ]
+            ),
+        )
+
+
+def best_window_snippets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, win_start, n_terms, snippet):
+    BM25 top-k with GENERIC highlight snippets — for each result doc
+    the ``window``-token span containing the most distinct query
+    terms (ties: earliest), the Lucene highlighter's best-fragment
+    policy for OR queries (phrase_snippets covers the phrase case).
+
+    Three touches, none corpus-sized: WAND ranks (the positional
+    pos_bin column is pruned from that scan), one positional decode
+    pass over the query terms' postings emits each top-k doc's best
+    window, and the snippet text is a token slice on the (broadcast)
+    k-row join against the docs table."""
+    from .wand import wand_topk  # noqa: PLC0415
+
+    hits = wand_topk(index, queries, k, k1, b)
+    hit_rows = hits.collect()
+    if not hit_rows:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, doc_id long, score double, "
+            "win_start long, n_terms long, snippet string",
+        )
+    wanted: dict[int, list[int]] = {}
+    for r in hit_rows:
+        wanted.setdefault(r["query_id"], []).append(r["doc_id"])
+    wanted_np = {q: np.sort(np.asarray(d, dtype=np.int64)) for q, d in wanted.items()}
+
+    term_queries: dict[str, list[int]] = {}
+    for qid, q in queries:
+        if qid not in wanted_np:
+            continue
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.append(tok)
+                term_queries.setdefault(tok, []).append(qid)
+
+    spark = index.postings.sparkSession
+    filtered = index.postings.filter(F.col("term").isin(list(term_queries)))
+    # one task owns whole shards: a doc's terms all live in its shard,
+    # so the window merge sees every occurrence (same partitioning
+    # rationale as the WAND stage)
+    n_parts = spark.sparkContext.defaultParallelism
+    wins = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+        lambda it: _best_window_partition(it, term_queries, wanted_np, window),
+        "query_id long, doc_id long, win_start long, n_terms long",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    )
+    start = F.col("win_start") + 1  # 1-based slice
+    length = F.least(F.lit(window), F.size("toks") - F.col("win_start"))
+    return (
+        F.broadcast(hits.join(wins, ["query_id", "doc_id"]))
+        .join(toks, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "win_start",
+            "n_terms",
+            F.concat_ws(" ", F.slice("toks", start, length)).alias("snippet"),
+        )
+    )
