@@ -76,10 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         default="or",
-        choices=["or", "and", "phrase", "boolean"],
+        choices=["or", "and", "phrase", "boolean", "fuzzy"],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; boolean = "
-        '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index',
+        '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index; '
+        "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion)",
     )
     q.add_argument(
         "--tiered",
@@ -93,6 +94,39 @@ def main(argv: list[str] | None = None) -> int:
         help="mode=or only: docs must match >= this many distinct query "
         "terms (Lucene minimum_should_match; mm-WAND pruning)",
     )
+    q.add_argument(
+        "--synonyms",
+        default=None,
+        help="file of synonym groups (comma/space-separated terms, one "
+        "group per line) applied as a query rewrite before scoring "
+        "(or/fuzzy modes)",
+    )
+    q.add_argument(
+        "--page",
+        type=int,
+        default=1,
+        help="mode=or only: 1-based result page via keyset (search_after) "
+        "pagination; --k is the page size",
+    )
+    q.add_argument(
+        "--as-of",
+        default=None,
+        help="with --tiered: query the index AS OF this snapshot id "
+        "(historical view from on-disk units)",
+    )
+
+    sg = sub.add_parser("suggest", help="autocomplete: per-prefix top completions")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefixes", required=True, help="TSV query_id<TAB>prefix")
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--top", type=int, default=8)
+
+    sp = sub.add_parser(
+        "spell", help="did-you-mean: correct OOV query tokens against the dictionary"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    sp.add_argument("--out", required=True)
 
     fc = sub.add_parser(
         "facets",
@@ -175,15 +209,28 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.postings import InvertedIndex
 
             if args.tiered:
-                from .plans.tiered import load_tiered
+                from .plans.tiered import load_tiered, load_tiered_as_of
 
-                idx = load_tiered(spark, args.index)
+                if args.as_of:
+                    idx = load_tiered_as_of(spark, args.index, args.as_of)
+                else:
+                    idx = load_tiered(spark, args.index)
             else:
                 idx = InvertedIndex.load(spark, args.index)
                 from .plans.tiered import load_tombstones
 
                 idx.tombstones = load_tombstones(args.index) or None
             queries = _read_queries(args.queries)
+            if args.synonyms:
+                from .operators.rewrite import expand_synonyms
+
+                with open(args.synonyms) as f:
+                    groups = [
+                        line.replace(",", " ").split()
+                        for line in f
+                        if line.strip()
+                    ]
+                queries = expand_synonyms(queries, groups)
             if args.mode == "and":
                 from .operators.wand import conjunctive_topk
 
@@ -196,12 +243,38 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.boolean import boolean_topk
 
                 out = boolean_topk(idx, queries, k=args.k)
+            elif args.mode == "fuzzy":
+                from .operators.rewrite import fuzzy_topk
+
+                out = fuzzy_topk(idx, queries, k=args.k)
+            elif args.page > 1:
+                from .operators.wand import search_after_topk
+
+                out = search_after_topk(
+                    idx, queries, page_size=args.k, page=args.page
+                )
             else:
                 from .operators.wand import wand_topk
 
                 out = wand_topk(
                     idx, queries, k=args.k, min_should_match=args.min_should_match
                 )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "suggest":
+            from .operators.postings import InvertedIndex
+            from .operators.rewrite import suggest_terms
+
+            idx = InvertedIndex.load(spark, args.index)
+            out = suggest_terms(idx, _read_queries(args.prefixes), top=args.top)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "spell":
+            from .operators.postings import InvertedIndex
+            from .operators.rewrite import spell_correct
+
+            idx = InvertedIndex.load(spark, args.index)
+            out = spell_correct(idx, _read_queries(args.queries))
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "facets":

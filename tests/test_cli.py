@@ -189,3 +189,58 @@ def test_cli_msm_facets_mlt(spark, workspace):
     mlt = spark.read.parquet(str(d / "mlt"))
     rows = mlt.collect()
     assert rows and all(r["doc_id"] != seed for r in rows)
+
+
+def test_cli_rewrite_pagination_surface(spark, workspace, tmp_path):
+    """suggest / spell / fuzzy / synonyms / --page drive the rewrite
+    and pagination operators from the CLI."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    (tmp_path / "prefixes.tsv").write_text("0\tw1\n1\tzzz\n")
+    (tmp_path / "typos.tsv").write_text("0\tthe w12\n")
+    (tmp_path / "syn.txt").write_text("w12, w55\n")
+    real_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        assert cli.main([
+            "suggest", "--index", str(d / "index"),
+            "--prefixes", str(tmp_path / "prefixes.tsv"),
+            "--out", str(tmp_path / "sg"), "--top", "5",
+        ]) == 0
+        assert cli.main([
+            "spell", "--index", str(d / "index"),
+            "--queries", str(tmp_path / "typos.tsv"),
+            "--out", str(tmp_path / "sp"),
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"), "--mode", "fuzzy",
+            "--queries", str(tmp_path / "typos.tsv"),
+            "--out", str(tmp_path / "fz"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"),
+            "--queries", str(d / "queries.tsv"),
+            "--synonyms", str(tmp_path / "syn.txt"),
+            "--out", str(tmp_path / "syn_out"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "index"),
+            "--queries", str(d / "queries.tsv"),
+            "--out", str(tmp_path / "p2"), "--k", "5", "--page", "2",
+        ]) == 0
+    finally:
+        type(spark).stop = real_stop
+
+    sg = spark.read.parquet(str(tmp_path / "sg"))
+    assert sg.filter(F.col("query_id") == 0).count() == 5  # w1* is dense
+    assert sg.filter(F.col("query_id") == 1).count() == 0
+    sp = spark.read.parquet(str(tmp_path / "sp"))
+    assert set(sp.columns) == {"query_id", "corrected", "n_corrections"}
+    assert spark.read.parquet(str(tmp_path / "fz")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "syn_out")).count() > 0
+    # page 2 is disjoint from page 1 on doc ids per query
+    p1 = spark.read.parquet(str(tmp_path / "p2"))
+    top1 = spark.read.parquet(str(d / "topk"))
+    overlap = p1.join(top1, ["query_id", "doc_id"]).count()
+    assert overlap == 0 and p1.count() > 0
