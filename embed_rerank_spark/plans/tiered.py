@@ -395,3 +395,46 @@ def load_tiered_as_of(spark: SparkSession, path: str, snap: str) -> InvertedInde
     return load_tiered(
         spark, path, units=units_as_of(path, snap), with_tombstones=False
     )
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(level, unit, snapshots, n_terms, postings, blocks, bytes,
+    docs, bytes_per_posting): the ops-facing storage report per LIVE
+    unit — Lucene's segment-info API for this layout. Reads each
+    unit's postings/doc_stats parquet (metadata-sized aggregations);
+    the per-unit rows are as many as live units, so the driver union
+    is trivial."""
+    rows = []
+    for lvl, uid in live_units(path):
+        p = spark.read.parquet(f"{_unit_dir(path, uid)}/postings")
+        agg = p.agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n_docs").alias("postings"),
+            F.count(F.lit(1)).alias("blocks"),
+            (
+                F.sum(F.length("docs_bin"))
+                + F.sum(F.length("tfs_bin"))
+                + F.sum(F.length("dls_bin"))
+            ).alias("bytes"),
+        ).collect()[0]
+        docs = spark.read.parquet(f"{_unit_dir(path, uid)}/doc_stats").count()
+        tiers_by_id = {u: m for _l, u, m in _tier_units(path)}
+        snaps = len(_covered_snaps(uid, tiers_by_id))
+        rows.append(
+            (
+                lvl,
+                uid,
+                snaps,
+                agg["n_terms"],
+                int(agg["postings"]),
+                agg["blocks"],
+                int(agg["bytes"]),
+                docs,
+                round(agg["bytes"] / max(int(agg["postings"]), 1), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "level int, unit string, snapshots int, n_terms long, postings long, "
+        "blocks long, bytes long, docs long, bytes_per_posting double",
+    )

@@ -87,3 +87,15 @@ def test_as_of_latest_equals_live_view(spark, built):
     from embed_rerank_spark.plans.tiered import live_units
 
     assert got == live_units(path)
+
+
+def test_index_stats_reports_live_units(spark, built):
+    from embed_rerank_spark.plans.tiered import index_stats, live_units
+
+    path, _pages = built
+    stats = index_stats(spark, path).collect()
+    assert {(r["level"], r["unit"]) for r in stats} == set(live_units(path))
+    tier = [r for r in stats if r["level"] == 1][0]
+    assert tier["snapshots"] == 4
+    assert tier["postings"] > 0 and tier["bytes"] > 0 and tier["docs"] > 0
+    assert tier["bytes_per_posting"] > 0
