@@ -387,6 +387,29 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model (Dirichlet, mu=2000) top-k over the compressed
+    index — the engine's second similarity besides BM25; collection
+    stats (cf, total tokens) come from the index itself
+    (operators/lmd.py)."""
+    from embed_rerank_spark.operators.lmd import lmd_topk
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = lmd_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 SNIPPET_WINDOW = 8
 
 
@@ -1170,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "explain_scores": q_explain_scores,
         "best_snippets": q_best_snippets,
+        "lmd_topk": q_lmd_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
@@ -1626,6 +1650,32 @@ FROM ranked WHERE rank <= {TOP_K}
         synonym_terms_values_sql,
     )
 
+    lmd_sql = f"""
+WITH {_TOKS_CTE},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl) AS c FROM dl),
+matched AS (
+    -- per matched term: ln(1 + tf/muP) + ln(mu/(dl+mu)), muP = mu*cf/C
+    SELECT qt.query_id, tf.doc_id,
+           ln(1.0 + tf.tf / (2000.0 * cf.cf / tot.c))
+             + ln(2000.0 / (dl.dl + 2000.0)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN cf USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN tot
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     best_snippets_sql = f"""
 WITH {_TOKS_CTE},
 toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
@@ -2659,6 +2709,7 @@ WHERE a.vec_id < b.vec_id
         "prefix_topk": prefix_topk,
         "explain_scores": explain_sql,
         "best_snippets": best_snippets_sql,
+        "lmd_topk": lmd_sql,
         "hybrid_rrf": hybrid_rrf_sql,
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,
