@@ -1158,6 +1158,83 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_CC_GROUPS = 7
+
+
+def _link_edges_pr(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic link graph over the documents table:
+    doc p links to (p*31 + j*97 + 11) % N for j in 1..(1 + p%3)
+    (self-loops dropped, duplicates collapsed) — variable out-degree
+    so PageRank mass is genuinely non-uniform. Pure integer arithmetic
+    on doc_id so the DuckDB oracle derives the identical edge set."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    j = spark.range(1, 4).select(F.col("id").alias("j"))
+    return (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("src") % 3)
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j") * 97 + 11) % F.lit(n))
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    ), n
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping .85, 5 fixed power iterations) over the
+    deterministic link graph — the static web-authority prior a
+    full-text ranker combines with BM25. Oracle: the same iterations
+    unrolled as chained DuckDB CTEs (pure IEEE double arithmetic)."""
+    from embed_rerank_spark.operators.graph import pagerank
+
+    edges, _ = _link_edges_pr(spark, sf_dir)
+    out = pagerank(edges, damping=_PR_DAMPING, iters=_PR_ITERS)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (min-label propagation to fixpoint) over a
+    deterministic multi-component lattice: positions p < N - N%G get
+    edges p -> G*((p div G + j) % ((N - N%G) div G)) + p%G for j in
+    1..3, so the residue classes mod G are exactly the components.
+    Oracle: DuckDB recursive-CTE reachability + min(root)."""
+    from embed_rerank_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    g = _CC_GROUPS
+    m = n - n % g
+    size = m // g
+    j = spark.range(1, 4).select(F.col("id").alias("j"))
+    edges = (
+        docs.select(F.col("doc_id").alias("p"))
+        .filter(F.col("p") < m)
+        .crossJoin(F.broadcast(j))
+        .select(
+            F.col("p").alias("src"),
+            F.expr(f"CAST({g} * ((p DIV {g} + j) % {size}) + p % {g} AS LONG)").alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    out = connected_components(edges)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("comp"),
+    )
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-10 in its FULL-PROBE
     configuration (bits=0 -> one bucket): exercises the whole
@@ -1236,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
     }
 
 
@@ -2693,6 +2772,64 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.ve, b.ve)
         / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.5
 """
+    # --- link-graph oracles ---
+    _pr_edges = """
+nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+    SELECT d.doc_id AS src,
+           CAST((d.doc_id * 31 + j.j * 97 + 11) % nn.n AS BIGINT) AS dst
+    FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+    WHERE j.j <= 1 + d.doc_id % 3
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+    )
+),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)"""
+    _pr_iter = """,
+r{next} AS (
+    SELECT nd.id,
+           (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST({d} AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS pr
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS id, sum(r.pr / dg.deg) AS s
+        FROM edges e
+        JOIN r{cur} r ON r.id = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+    ) s ON s.id = nd.id
+)"""
+    pr_body = _pr_edges + "".join(
+        _pr_iter.format(next=i + 1, cur=i, d=_PR_DAMPING) for i in range(_PR_ITERS)
+    )
+    pagerank_sql = f"""
+WITH {pr_body}
+SELECT id AS doc_id, round(pr, 6) AS pr FROM r{_PR_ITERS} ORDER BY doc_id
+"""
+    connected_components_sql = f"""
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+params AS (SELECT n - n % {_CC_GROUPS} AS m,
+                  (n - n % {_CC_GROUPS}) // {_CC_GROUPS} AS sz FROM nn),
+e0 AS (
+    SELECT d.doc_id AS src,
+           CAST({_CC_GROUPS} * (((d.doc_id // {_CC_GROUPS}) + j.j) % p.sz)
+                + d.doc_id % {_CC_GROUPS} AS BIGINT) AS dst
+    FROM documents d CROSS JOIN params p CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+    WHERE d.doc_id < p.m
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach(root, node) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
+"""
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -2749,6 +2886,8 @@ WHERE a.vec_id < b.vec_id
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
         "embedding_near_dup": embedding_near_dup,
+        "pagerank": pagerank_sql,
+        "connected_components": connected_components_sql,
     }
 
 

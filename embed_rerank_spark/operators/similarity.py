@@ -265,3 +265,202 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------- product quantization (IVF-PQ) ----------------
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 8,
+    sample: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, ksub, dsub) sub-space codebooks trained by Lloyd k-means on
+    a driver-side sample of L2-NORMALIZED vectors (so asymmetric
+    distance approximates cosine). Same cost model as
+    ``ivf_centroids``: the trainable state is tiny (m*ksub*dsub
+    floats), training data is a bounded sample, and the distributed
+    part is encoding — the right split at 10^12 rows."""
+    rows = vectors.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.Generator(np.random.Philox(key=[seed, 7]))
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(ksub, len(xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code: array<int>) — per-vector PQ codes, computed in
+    one vectorized Arrow pass (codebooks ride to executors inside the
+    closure; they are KB-scale). Codes are what lives in memory at
+    serving time: m bytes/vector instead of 4*dim."""
+    import pyarrow as pa
+
+    m, ksub, dsub = books.shape
+
+    def enc(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in batch.column(1).to_pylist()]
+            )
+            if len(mat) == 0:
+                continue
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                xs = mat[:, s * dsub : (s + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "code": list(codes)}
+            )
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).mapInArrow(enc, "vec_id long, code array<int>")
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    refine: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k with exact refinement:
+
+    1. coarse quantizer assigns every vector to an inverted list
+       (``ivf_centroids`` — the partitionable scale axis),
+    2. PQ codes give an m-byte in-memory representation scored by
+       asymmetric distance (per-query LUT of sub-space dot products —
+       one table lookup + add per sub-space, no float vector touched),
+    3. the top ``refine`` ADC candidates per query re-score EXACTLY
+       against the full vectors (one semi-join back to the vector
+       table), which restores exact ranking whenever ADC recall@refine
+       covers the true top-k.
+
+    This is the standard big-ANN memory ladder: full vectors on disk,
+    codes in memory (4*dim/m compression), LUT scoring per query.
+    Plain PQ on normalized vectors (residual-PQ, the production
+    refinement, changes step 2's input, not the plan shape).
+    With nprobe = n_centroids and refine >= corpus size the result is
+    exact by construction — the contract's oracle configuration;
+    recall at realistic settings is pinned in tests/test_similarity.py.
+    """
+    import pyarrow as pa
+
+    books = pq_codebooks(vectors, m=m, ksub=ksub, seed=seed, vec_col=vec_col)
+    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    v = v.withColumn(
+        "list_id",
+        F.array_position(
+            _centroid_sims(F.col("v"), cent).alias("s"),
+            F.array_max(_centroid_sims(F.col("v"), cent)),
+        ).cast("int"),
+    )
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+    coded = v.select("vec_id", "list_id").join(codes, "vec_id")
+
+    # per-query probe lists + ADC lookup tables (queries are the small
+    # side; LUTs are m*ksub doubles each and ship inside the closure)
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+    qrows = q.collect()
+    dsub = books.shape[2]
+    luts = {}
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts[r["query_id"]] = np.stack(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(books.shape[0])]
+        )
+        sims = cent @ qv
+        top_lists = np.argsort(-sims, kind="stable")[:nprobe] + 1
+        probes.extend((r["query_id"], int(l)) for l in top_lists)
+    probe_df = queries.sparkSession.createDataFrame(
+        probes, "query_id long, list_id int"
+    )
+
+    cand = F.broadcast(probe_df).join(coded, "list_id").select(
+        "query_id", "vec_id", "code"
+    )
+
+    def adc(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            qids = tbl["query_id"]
+            codes_arr = np.array(tbl["code"], dtype=np.int64)
+            out = np.empty(len(qids))
+            rng_m = np.arange(codes_arr.shape[1]) if len(qids) else None
+            for i, qid in enumerate(qids):
+                out[i] = luts[qid][rng_m, codes_arr[i]].sum()
+            yield pa.RecordBatch.from_pydict(
+                {"query_id": qids, "vec_id": tbl["vec_id"], "adc": out}
+            )
+
+    adc_scored = cand.mapInArrow(adc, "query_id long, vec_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        adc_scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= refine)
+        .select("query_id", "vec_id")
+    )
+
+    # exact re-scoring of the shortlist against the full vectors
+    vv = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vd")
+    ).withColumn("vnorm", _norm(F.col("vd")))
+    qq = q.withColumn("qd", _as_double(F.col("qv"))).withColumn(
+        "qnorm", _norm(F.col("qd"))
+    ).select("query_id", "qd", "qnorm")
+    exact = shortlist.join(vv, "vec_id").join(F.broadcast(qq), "query_id").select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qd"), F.col("vd")) / (F.col("qnorm") * F.col("vnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

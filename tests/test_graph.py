@@ -1,0 +1,119 @@
+"""Link-graph operators: PageRank vs a NumPy power-iteration reference,
+connected components on known topologies, degree stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators.graph import (
+    connected_components,
+    degree_stats,
+    pagerank,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long"
+    )
+
+
+def _numpy_pagerank(pairs, damping, iters):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in pairs:
+        outdeg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in pairs:
+            nxt[idx[d]] += damping * pr[idx[s]] / outdeg[idx[s]]
+        pr = nxt
+    return {v: pr[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def web_graph():
+    # two hubs (0, 1), a chain, and a node with no in-links
+    return [
+        (2, 0), (3, 0), (4, 0), (5, 0),
+        (2, 1), (3, 1), (6, 1),
+        (0, 1), (1, 0),
+        (6, 7), (7, 8),
+        (9, 0),  # 9 has no in-links
+    ]
+
+
+def test_pagerank_matches_numpy_reference(spark, web_graph):
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(_edges_df(spark, web_graph), damping=0.85, iters=7).collect()
+    }
+    want = _numpy_pagerank(web_graph, 0.85, 7)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_hubs_outrank_leaves(spark, web_graph):
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(_edges_df(spark, web_graph), iters=5).collect()
+    }
+    assert got[0] > got[9] and got[1] > got[9]
+    # rank mass is bounded and positive
+    assert all(v > 0 for v in got.values())
+
+
+def test_pagerank_checkpoint_boundary_identical(spark, web_graph):
+    """Lineage cuts must not change values: run with checkpoint_every
+    straddling the iteration count both ways."""
+    e = _edges_df(spark, web_graph)
+    a = {r["id"]: r["pr"] for r in pagerank(e, iters=4, checkpoint_every=2).collect()}
+    b = {r["id"]: r["pr"] for r in pagerank(e, iters=4, checkpoint_every=100).collect()}
+    assert a == b
+
+
+def test_connected_components_known_topology(spark):
+    # component A: triangle {0,1,2}; B: chain 10-11-12-13; C: singleton pair {20,21}
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 13), (20, 21)]
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12], got[13]} == {10}
+    assert {got[20], got[21]} == {20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter > checkpoint_every exercises the lineage-cut path
+    pairs = [(i, i + 1) for i in range(30)]
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 31
+
+
+def test_degree_stats(spark, web_graph):
+    got = {
+        r["id"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(_edges_df(spark, web_graph)).collect()
+    }
+    assert got[0] == (1, 6)  # 0 -> 1; in from 2,3,4,5,1,9
+    assert got[9] == (1, 0)
+    assert got[8] == (0, 1)
+
+
+def test_pagerank_plan_has_no_cartesian(spark, web_graph):
+    plan = pagerank(
+        _edges_df(spark, web_graph), iters=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
