@@ -1158,6 +1158,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN in its exact-by-construction configuration
+    (nprobe = all lists, refine = corpus size): exercises coarse
+    assignment, PQ encoding, per-query ADC LUT scoring, and the exact
+    refine join — and must equal exact cosine, so it shares that
+    oracle (the IVF/LSH trick). Partial-probe recall is pinned in
+    tests/test_similarity.py."""
+    from embed_rerank_spark.operators.similarity import ivf_pq_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vectors.orderBy("vec_id").limit(5)
+    queries_df = qrows.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    n = vectors.count()
+    out = ivf_pq_topk(
+        vectors, queries_df, k=10, n_centroids=16, nprobe=16, m=16, ksub=16, refine=n
+    )
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 5
 _CC_GROUPS = 7
@@ -1315,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -2885,6 +2907,7 @@ SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_i
         "cosine_topk": cosine_topk,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
+        "ivf_pq_topk": cosine_topk,  # full-probe + full-refine IVF-PQ == exact cosine
         "embedding_near_dup": embedding_near_dup,
         "pagerank": pagerank_sql,
         "connected_components": connected_components_sql,

@@ -130,3 +130,55 @@ def test_lsh_zero_bits_equals_exact(spark, vectors, queries):
     assert sorted((r.query_id, r.rank, r.vec_id, round(r.cosine, 6)) for r in lsh) == sorted(
         (r.query_id, r.rank, r.vec_id, round(r.cosine, 6)) for r in exact
     )
+
+
+def test_ivf_pq_full_config_equals_exact(spark, vectors, queries):
+    """nprobe = all lists, refine = corpus size: the IVF-PQ pipeline
+    (coarse assign -> PQ encode -> ADC LUT scoring -> exact refine)
+    must reproduce exact cosine top-k by construction."""
+    exact = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    pq = similarity.ivf_pq_topk(
+        vectors, queries, k=10, n_centroids=8, nprobe=8, m=4, ksub=16, refine=500
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.vec_id) for r in rows)
+    assert key(pq) == key(exact)
+    for a, b in zip(sorted(pq, key=lambda r: (r.query_id, r.rank)),
+                    sorted(exact, key=lambda r: (r.query_id, r.rank))):
+        assert a.cosine == pytest.approx(b.cosine, abs=1e-9)
+
+
+def test_ivf_pq_realistic_recall(spark, vectors, queries):
+    """Partial-probe settings (nprobe < lists, refine << corpus).
+    ISOTROPIC random vectors (this table) are ANN's worst case: the
+    true top-k spread uniformly over coarse lists (recall ceiling
+    ~ nprobe/n_lists) and ADC error is largest when sub-spaces carry
+    no cluster structure — measured here, m=4 caps ADC recall@50 at
+    ~0.5 while m=16 reaches ~0.8. Pin the m=16 configuration;
+    clustered real embeddings only improve on this."""
+    exact = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    pq = similarity.ivf_pq_topk(
+        vectors, queries, k=10, n_centroids=8, nprobe=6, m=16, ksub=16, refine=50
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for r in pq if r.vec_id in truth[r.query_id])
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.7
+    # self-match must survive: the query's own vector shares its list
+    got_r1 = {r.query_id: r.vec_id for r in pq if r.rank == 1}
+    assert all(got_r1[q] == q for q in got_r1)
+
+
+def test_pq_encode_shape_and_determinism(spark, vectors):
+    books = similarity.pq_codebooks(vectors, m=4, ksub=16)
+    assert books.shape == (4, 16, 16)
+    a = {r.vec_id: r.code for r in similarity.pq_encode(vectors, books).collect()}
+    b = {r.vec_id: r.code for r in similarity.pq_encode(vectors, books).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_codebooks_rejects_indivisible_dim(spark, vectors):
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(vectors, m=7)
