@@ -108,3 +108,35 @@ def index_bytes_per_posting(manifest: DataFrame) -> dict:
         "bytes": int(row.b),
         "bytes_per_posting": float(row.b) / max(int(row.p), 1),
     }
+
+
+def extend_url_dictionary(
+    dictionary: DataFrame,
+    docs: DataFrame,
+    url_col: str = "url",
+    num_partitions: int | None = None,
+    staging_path: str | None = None,
+) -> DataFrame:
+    """Append-only dictionary growth — the production path for a live
+    crawl (module docstring trade-off): EXISTING assignments are
+    untouched (so already-built posting segments stay valid and
+    mergeable), and urls not yet in the dictionary get the next dense
+    ids, ranked among themselves, starting at max(dense_id)+1.
+
+    Cost model at 10^12 urls: one anti-join (new urls are the small
+    side of the corpus after the first crawl), one distributed sort of
+    ONLY the new urls, one scalar max. New-id density preserves the
+    small-delta property within each appended range; the sorted-order
+    locality degrades only across crawl generations, which is exactly
+    the LSM segment boundary anyway."""
+    base_row = dictionary.agg(F.max("dense_id").alias("m")).collect()[0]
+    base = (base_row.m if base_row.m is not None else -1) + 1
+    new_urls = (
+        docs.select(F.col(url_col).alias("url"))
+        .distinct()
+        .join(dictionary.select("url"), "url", "left_anti")
+    )
+    appended = build_url_dictionary(
+        new_urls, num_partitions=num_partitions, staging_path=staging_path
+    ).withColumn("dense_id", F.col("dense_id") + F.lit(base))
+    return dictionary.unionByName(appended)

@@ -86,3 +86,42 @@ def test_dense_index_rank_identical_and_smaller(spark, corpus):
     assert size_h["postings"] == size_d["postings"]
     # dense deltas compress doc ids: meaningfully smaller postings
     assert size_d["bytes_per_posting"] < 0.75 * size_h["bytes_per_posting"], (size_h, size_d)
+
+
+def test_extend_dictionary_append_only(spark):
+    from embed_rerank_spark.plans.dense_ids import (
+        build_url_dictionary,
+        extend_url_dictionary,
+    )
+
+    old = spark.createDataFrame(
+        [(f"https://e.org/{c}",) for c in "dcba"], "url string"
+    )
+    d0 = build_url_dictionary(old).cache()
+    base = {r.url: r.dense_id for r in d0.collect()}
+    assert sorted(base.values()) == [0, 1, 2, 3]
+
+    new = spark.createDataFrame(
+        [(f"https://e.org/{c}",) for c in "bxayz"], "url string"
+    )
+    d1 = extend_url_dictionary(d0, new).cache()
+    got = {r.url: r.dense_id for r in d1.collect()}
+    # old assignments byte-identical
+    for u, i in base.items():
+        assert got[u] == i
+    # new urls (x, y, z) take 4, 5, 6 in sorted order among themselves
+    assert [got[f"https://e.org/{c}"] for c in "xyz"] == [4, 5, 6]
+    # idempotent: extending again with the same urls adds nothing
+    d2 = extend_url_dictionary(d1, new)
+    assert d2.count() == d1.count()
+    # collision-free overall
+    assert d1.select("dense_id").distinct().count() == d1.count()
+
+
+def test_extend_dictionary_from_empty(spark):
+    from embed_rerank_spark.plans.dense_ids import extend_url_dictionary
+
+    empty = spark.createDataFrame([], "url string, dense_id long")
+    docs = spark.createDataFrame([("u2",), ("u1",)], "url string")
+    got = {r.url: r.dense_id for r in extend_url_dictionary(empty, docs).collect()}
+    assert got == {"u1": 0, "u2": 1}
