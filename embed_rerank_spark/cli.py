@@ -26,6 +26,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from pyspark.sql import functions as F
+
 
 def _read_queries(path: str) -> list[tuple[int, str]]:
     """TSV ``query_id<TAB>query text`` (one per line)."""
@@ -166,6 +168,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True, help="file: one doc_id per line")
+
+    iw = sub.add_parser(
+        "ingest-warc", help="WARC archives -> pages table (parquet, schema-complete)"
+    )
+    iw.add_argument("--warc", required=True, help="path/glob of .warc files")
+    iw.add_argument("--out", required=True)
+    iw.add_argument(
+        "--partition-by-day",
+        action="store_true",
+        help="write partitioned by warc_ts day (snapshot pruning)",
+    )
+
+    pr = sub.add_parser("pagerank", help="link table (src,dst) -> PageRank")
+    pr.add_argument("--edges", required=True, help="parquet with src, dst")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--iters", type=int, default=10)
+    pr.add_argument("--damping", type=float, default=0.85)
 
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
@@ -334,6 +353,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"recorded {len(ids)} tombstones in {out_file}; "
                 f"total live tombstones: {len(load_tombstones(args.index))}"
             )
+        elif args.cmd == "ingest-warc":
+            from .sources.warc import pages_from_warc, read_warc
+
+            pages = pages_from_warc(read_warc(spark, args.warc))
+            if args.partition_by_day:
+                pages = pages.withColumn(
+                    "crawl_day", F.to_date(F.col("warc_ts"))
+                )
+                pages.write.mode("overwrite").partitionBy("crawl_day").parquet(
+                    args.out
+                )
+            else:
+                pages.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "pagerank":
+            from .operators.graph import pagerank
+
+            edges = spark.read.parquet(args.edges)
+            out = pagerank(edges, damping=args.damping, iters=args.iters)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
         elif args.cmd == "rerank":
             from .operators.postings import InvertedIndex
             from .operators.rerank import rerank_candidates

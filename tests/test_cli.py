@@ -244,3 +244,45 @@ def test_cli_rewrite_pagination_surface(spark, workspace, tmp_path):
     top1 = spark.read.parquet(str(d / "topk"))
     overlap = p1.join(top1, ["query_id", "doc_id"]).count()
     assert overlap == 0 and p1.count() > 0
+
+
+def test_cli_ingest_warc_and_pagerank(spark, workspace, tmp_path):
+    import datetime as dt
+
+    import embed_rerank_spark.cli as cli
+    from embed_rerank_spark.sources.warc import write_warc
+
+    rows = [
+        (f"https://e.org/{i}", dt.datetime(2025, 6, 1 + i % 2), f"<p>doc {i} words</p>".encode())
+        for i in range(12)
+    ]
+    (tmp_path / "a.warc").write_bytes(write_warc(rows[:6]))
+    (tmp_path / "b.warc").write_bytes(write_warc(rows[6:]))
+
+    stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "ingest-warc", "--warc", str(tmp_path / "*.warc"),
+            "--out", str(tmp_path / "pages"), "--partition-by-day",
+        ]) == 0
+        pages = spark.read.parquet(str(tmp_path / "pages"))
+        assert pages.count() == 12
+        assert {"url", "warc_ts", "html", "text", "lang"} <= set(pages.columns)
+        assert pages.filter(F.col("text").contains("doc 3 words")).count() == 1
+        # day partitioning materialized for snapshot pruning
+        assert pages.select("crawl_day").distinct().count() == 2
+
+        edges = [(i, (i + 1) % 6) for i in range(6)] + [(6, 0), (7, 0)]
+        spark.createDataFrame(edges, "src long, dst long").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "edges"))
+        assert cli.main([
+            "pagerank", "--edges", str(tmp_path / "edges"),
+            "--out", str(tmp_path / "pr"), "--iters", "5",
+        ]) == 0
+        pr = {r.id: r.pr for r in spark.read.parquet(str(tmp_path / "pr")).collect()}
+        assert len(pr) == 8
+        assert pr[0] > pr[7]  # 0 has in-links from the ring and both leaves
+    finally:
+        spark.stop = stop
