@@ -1158,6 +1158,37 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_BLEND_WEIGHT = 0.3
+_BLEND_DEEP_K = 50
+
+
+def q_authority_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage web ranking: deep BM25 candidates re-ranked by
+    blending the PageRank static prior (score + w*ln(1 + n*pr)) —
+    composes the retrieval operator with the link-graph operator; the
+    oracle composes the same two CTE blocks."""
+    from embed_rerank_spark.operators.bm25 import (
+        blend_static_prior,
+        bm25_topk_bruteforce,
+    )
+    from embed_rerank_spark.operators.graph import pagerank
+
+    cands = bm25_topk_bruteforce(
+        spark, _docs(spark, sf_dir), QUERY_SET, k=_BLEND_DEEP_K
+    )
+    edges, _ = _link_edges_pr(spark, sf_dir)
+    prior = pagerank(edges, damping=_PR_DAMPING, iters=_PR_ITERS)
+    out = blend_static_prior(cands, prior, k=TOP_K, weight=_BLEND_WEIGHT)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("prior", 6).alias("prior"),
+        F.round("blended", 6).alias("blended"),
+    )
+
+
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN in its exact-by-construction configuration
     (nprobe = all lists, refine = corpus size): exercises coarse
@@ -1337,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "authority_blend": q_authority_blend,
     }
 
 
@@ -2831,6 +2863,49 @@ r{next} AS (
 WITH {pr_body}
 SELECT id AS doc_id, round(pr, 6) AS pr FROM r{_PR_ITERS} ORDER BY doc_id
 """
+    authority_blend_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+bm25_scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+cands AS (
+    SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+        FROM bm25_scored
+    ) WHERE rank <= {_BLEND_DEEP_K}
+),
+{pr_body},
+prior_n AS (SELECT count(*) AS pn FROM r{_PR_ITERS}),
+blended AS (
+    SELECT c.query_id, c.doc_id, c.score,
+           coalesce(p.pr, CAST(0.0 AS DOUBLE)) AS prior,
+           c.score + CAST({_BLEND_WEIGHT} AS DOUBLE)
+             * ln(CAST(1.0 AS DOUBLE) + prior_n.pn * coalesce(p.pr, CAST(0.0 AS DOUBLE))) AS blended
+    FROM cands c
+    LEFT JOIN r{_PR_ITERS} p ON p.id = c.doc_id
+    CROSS JOIN prior_n
+),
+final_ranked AS (
+    SELECT query_id, doc_id, score, prior, blended,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(blended, 6) DESC, doc_id ASC) AS rank
+    FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score, round(prior, 6) AS prior,
+       round(blended, 6) AS blended
+FROM final_ranked WHERE rank <= {TOP_K}
+"""
     connected_components_sql = f"""
 WITH RECURSIVE
 nn AS (SELECT count(*) AS n FROM documents),
@@ -2911,6 +2986,7 @@ SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_i
         "embedding_near_dup": embedding_near_dup,
         "pagerank": pagerank_sql,
         "connected_components": connected_components_sql,
+        "authority_blend": authority_blend_sql,
     }
 
 

@@ -211,6 +211,55 @@ def diversify_topk(
     )
 
 
+def blend_static_prior(
+    scored: DataFrame,
+    prior: DataFrame,
+    k: int = 10,
+    weight: float = 0.3,
+    id_col: str = "id",
+    prior_col: str = "pr",
+    score_col: str = "score",
+) -> DataFrame:
+    """Authority blending — the classic web-ranking composition of a
+    query-dependent score with a static document prior (PageRank):
+
+        blended = score + weight * ln(1 + n * prior)
+
+    where n = number of docs carrying a prior, so ``n * prior`` is ~1
+    for an average-authority page and the boost is scale-free in
+    corpus size. Docs without a prior get ln(1) = 0 boost (LEFT join).
+
+    This is a CANDIDATE re-ranker, not a retriever: feed it a deep-k
+    candidate set (e.g. 5x the final k) and cut to k on the blended
+    score — the standard two-stage shape, so the prior join touches
+    n_queries x deep_k rows, never the corpus. Engine tie semantics
+    on the blended score."""
+    n = prior.count()
+    pr = prior.select(F.col(id_col).alias("doc_id"), F.col(prior_col).alias("prior"))
+    # scale shape: the prior table is corpus-sized, candidates are
+    # n_queries x deep_k. Spark cannot broadcast the LEFT side of a
+    # left-outer join, so (1) broadcast the candidate doc_ids INTO the
+    # prior scan (inner join -> map-side filter, no prior shuffle),
+    # then (2) left-join that now-tiny slice back, broadcasting it.
+    cands = scored.drop("rank")
+    pr_slice = F.broadcast(cands.select("doc_id").distinct()).join(pr, "doc_id")
+    joined = cands.join(F.broadcast(pr_slice), "doc_id", "left").withColumn(
+        "prior", F.coalesce(F.col("prior"), F.lit(0.0))
+    )
+    blended = joined.withColumn(
+        "blended",
+        F.col(score_col) + F.lit(weight) * F.log(F.lit(1.0) + F.lit(float(n)) * F.col("prior")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("blended"), TIE_DECIMALS)), F.asc("doc_id")
+    )
+    return (
+        blended.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", score_col, "prior", "blended")
+    )
+
+
 def bm25_topk_msm_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

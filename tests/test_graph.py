@@ -117,3 +117,29 @@ def test_pagerank_plan_has_no_cartesian(spark, web_graph):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blend_static_prior_reference_and_plan(spark):
+    import math
+
+    from embed_rerank_spark.operators.bm25 import blend_static_prior
+
+    scored = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.9), (1, 12, 1.8), (2, 10, 1.0), (2, 13, 0.9)],
+        "query_id long, doc_id long, score double",
+    )
+    prior = spark.createDataFrame(
+        [(10, 0.001), (11, 0.01), (13, 0.002)], "id long, pr double"
+    )  # doc 12 has no prior -> zero boost
+    out = blend_static_prior(scored, prior, k=10, weight=5.0)
+    got = {(r.query_id, r.doc_id): (r.prior, r.blended, r.rank) for r in out.collect()}
+    n = 3
+    for (q, d, s) in [(1, 10, 2.0), (1, 11, 1.9), (1, 12, 1.8), (2, 10, 1.0), (2, 13, 0.9)]:
+        pr = {10: 0.001, 11: 0.01, 13: 0.002}.get(d, 0.0)
+        assert got[(q, d)][0] == pr
+        assert got[(q, d)][1] == pytest.approx(s + 5.0 * math.log(1 + n * pr), abs=1e-12)
+    # doc 11's big prior overtakes doc 10's higher BM25 for query 1
+    assert got[(1, 11)][2] == 1 and got[(1, 10)][2] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # both joins must broadcast
