@@ -169,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True, help="file: one doc_id per line")
 
+    fs = sub.add_parser(
+        "fsck", help="decode-verify every posting block + manifest reconciliation"
+    )
+    fs.add_argument("--index", required=True)
+
     iw = sub.add_parser(
         "ingest-warc", help="WARC archives -> pages table (parquet, schema-complete)"
     )
@@ -353,6 +358,20 @@ def main(argv: list[str] | None = None) -> int:
                 f"recorded {len(ids)} tombstones in {out_file}; "
                 f"total live tombstones: {len(load_tombstones(args.index))}"
             )
+        elif args.cmd == "fsck":
+            import json as _json
+
+            from .operators.postings import InvertedIndex
+            from .plans.fsck import fsck_index
+
+            idx = InvertedIndex.load(spark, args.index)
+            try:
+                manifest = spark.read.parquet(f"{args.index}/manifest")
+            except Exception:
+                manifest = None
+            report = fsck_index(idx, manifest)
+            print(_json.dumps(report))
+            return 0 if report["ok"] else 2
         elif args.cmd == "ingest-warc":
             from .sources.warc import pages_from_warc, read_warc
 
