@@ -233,11 +233,45 @@ def run_suite(cpus: int, n_pages: int) -> dict:
     return timings
 
 
+def host_health_probe() -> dict:
+    """~2 s single-thread probe of the two resources the suite leans
+    on: memory-bandwidth (int sort) and FLOPs (matmul). This VM shares
+    hardware with co-tenants whose MEMORY pressure never shows up in
+    loadavg or steal% — measured on this host, the same suite swings
+    67 s <-> 380 s while local load is ~2 and steal ~3%, and the sort
+    probe swings 5 s <-> 27 s in lockstep. Embedding the probe in the
+    output lets any reader normalize a recorded run by the host's
+    health AT THAT MOMENT instead of guessing."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.random.default_rng(1).integers(0, 1000, 20_000_000)
+    np.sort(a)
+    sort_s = time.perf_counter() - t0
+    x = np.random.default_rng(0).standard_normal((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        x @ x
+    matmul_s = time.perf_counter() - t0
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:
+        load1 = -1.0
+    return {
+        "sort20M_s": round(sort_s, 3),  # healthy ~1.1-1.6; contended 3-6x that
+        "matmul_s": round(matmul_s, 3),
+        "load1": load1,
+    }
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_mode()
         return
+    probe_before = host_health_probe()
     timings = run_suite(CPUS, N_PAGES)
+    probe_after = host_health_probe()
     tiered = timings.pop("_tiered", {})
     extra = timings.pop("_extra", {})
     total = sum(timings.values())
@@ -252,6 +286,7 @@ def main() -> None:
         "wand_qps": round(N_QUERIES / timings["wand_topk"], 2),
         "tiered": tiered,
         "extra": extra,
+        "host_health": {"before": probe_before, "after": probe_after},
     }
     print(json.dumps(out))
 
