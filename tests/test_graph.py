@@ -143,3 +143,29 @@ def test_blend_static_prior_reference_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # both joins must broadcast
+
+
+def test_star_cc_matches_minlabel_on_random_graphs(spark):
+    import random
+
+    from embed_rerank_spark.operators.graph import connected_components_star
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        e = _edges_df(spark, pairs)
+        want = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+        got = {r["id"]: r["comp"] for r in connected_components_star(e).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_star_cc_long_chain(spark):
+    # diameter 80: min-label would need ~80 rounds; star finishes in O(log n)
+    from embed_rerank_spark.operators.graph import connected_components_star
+
+    pairs = [(i, i + 1) for i in range(80)] + [(100, 101), (101, 102)]
+    got = {r["id"]: r["comp"] for r in connected_components_star(_edges_df(spark, pairs)).collect()}
+    assert all(got[i] == 0 for i in range(81))
+    assert got[100] == got[101] == got[102] == 100
