@@ -1305,6 +1305,68 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_SPAN_WINDOW = 16
+_ANCHOR_LEN = 4
+_ANCHOR_WEIGHT = 2
+_ANCHOR_MAX_INLINKS = 64
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (contained-duplicate) span coverage, Lee-et-al
+    style: stride-1 16-token windows, md5-fingerprinted; a window
+    duplicated across >=2 docs marks its token span; per doc report
+    the merged covered-token count and fraction — the span-dedup
+    cut-or-keep signal (operators/dedup.py::duplicate_span_coverage)."""
+    from embed_rerank_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(
+        _docs(spark, sf_dir), window=_SPAN_WINDOW
+    ).orderBy("doc_id")
+
+
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text field retrieval: inlink anchor tokens (first 4
+    tokens of each linking doc, inlinks capped at 64 smallest srcs)
+    aggregated per target and weighted 2x into the token stream, then
+    the UNCHANGED index build + block-max WAND scores the reference
+    query set — what other pages say about a page boosting its rank
+    (operators/graph.py::anchor_token_stream)."""
+    from embed_rerank_spark.operators.graph import anchor_token_stream
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    edges, _ = _link_edges_pr(spark, sf_dir)
+    stream = anchor_token_stream(
+        _docs(spark, sf_dir),
+        edges,
+        anchor_len=_ANCHOR_LEN,
+        anchor_weight=_ANCHOR_WEIGHT,
+        max_inlinks=_ANCHOR_MAX_INLINKS,
+    )
+    built = build_postings(stream, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, QUERY_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram LM — the cheap
+    LM-quality proxy corpus filters threshold on
+    (operators/textstats.py::unigram_cross_entropy)."""
+    from embed_rerank_spark.operators.textstats import unigram_cross_entropy
+
+    return unigram_cross_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1369,6 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "ivf_pq_topk": q_ivf_pq_topk,
         "authority_blend": q_authority_blend,
+        "substring_dedup": q_substring_dedup,
+        "anchor_topk": q_anchor_topk,
+        "unigram_ce": q_unigram_ce,
     }
 
 
@@ -2927,6 +2992,108 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    substring_dedup_sql = f"""
+WITH toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
+base AS (SELECT doc_id, tl, len(tl) AS dl FROM toksl),
+wins AS (
+    SELECT doc_id, tl, unnest(generate_series(1, dl - {_SPAN_WINDOW} + 1)) AS pos
+    FROM base WHERE dl >= {_SPAN_WINDOW}
+),
+fps AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(tl[pos : pos + {_SPAN_WINDOW} - 1], ' ')) AS fp
+    FROM wins
+),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+dwins AS (SELECT f.doc_id, f.pos FROM fps f JOIN dup USING (fp)),
+cnt AS (SELECT doc_id, count(*) AS dup_windows FROM dwins GROUP BY doc_id),
+cov AS (
+    SELECT doc_id, count(DISTINCT p) AS covered_tokens
+    FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_WINDOW} - 1)) AS p
+        FROM dwins
+    )
+    GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.dl AS BIGINT) AS dl,
+       CAST(coalesce(cnt.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN b.dl > 0
+            THEN round(coalesce(cov.covered_tokens, 0) * 1.0 / b.dl, 6)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)
+ORDER BY b.doc_id
+"""
+    anchor_topk_sql = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+    SELECT d.doc_id AS src,
+           CAST((d.doc_id * 31 + j.j * 97 + 11) % nn.n AS BIGINT) AS dst
+    FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+    WHERE j.j <= 1 + d.doc_id % 3
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+capped AS (
+    SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY src) AS rk
+        FROM edges
+    ) WHERE rk <= {_ANCHOR_MAX_INLINKS}
+),
+toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
+anch AS (
+    -- anchor text of edge (src, dst) = first {_ANCHOR_LEN} tokens of
+    -- the source doc, mirrored from operators/graph.py::anchor_token_stream
+    SELECT c.dst AS doc_id, t.term
+    FROM capped c JOIN (
+        SELECT doc_id AS src, unnest(tl[1:{_ANCHOR_LEN}]) AS term FROM toksl
+    ) t USING (src)
+),
+wtoks AS (
+    SELECT doc_id, term, {_ANCHOR_WEIGHT} AS w FROM anch
+    UNION ALL
+    SELECT doc_id, unnest(tl) AS term, 1 AS w FROM toksl
+),
+tf AS (SELECT doc_id, term, sum(w) AS tf FROM wtoks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    unigram_ce_sql = f"""
+WITH {_TOKS_CTE},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS c FROM cf),
+ce AS (
+    SELECT tf.doc_id, sum(tf.tf) AS dl,
+           -sum(tf.tf * ln(cf.cf * 1.0 / tot.c)) / sum(tf.tf) AS ce
+    FROM tf JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY tf.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(ce.dl, 0) AS BIGINT) AS dl,
+       round(coalesce(ce.ce, 0.0), 6) AS ce
+FROM documents d LEFT JOIN ce USING (doc_id)
+ORDER BY d.doc_id
+"""
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -2987,6 +3154,9 @@ SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_i
         "pagerank": pagerank_sql,
         "connected_components": connected_components_sql,
         "authority_blend": authority_blend_sql,
+        "substring_dedup": substring_dedup_sql,
+        "anchor_topk": anchor_topk_sql,
+        "unigram_ce": unigram_ce_sql,
     }
 
 

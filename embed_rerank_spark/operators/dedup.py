@@ -413,3 +413,94 @@ def decontaminate(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         )
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    window: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring contained-duplicate detection (the span-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a token span is DUPLICATED iff the identical
+    ``window``-token sequence appears in >= ``min_docs`` distinct docs.
+
+    -> (doc_id, dl, dup_windows, covered_tokens, dup_frac):
+    ``dup_windows`` = this doc's stride-1 windows whose exact text
+    recurs elsewhere; ``covered_tokens`` = |union of token positions
+    under any duplicated window| (overlapping windows merged by
+    position, not double-counted); ``dup_frac`` = covered/dl — the
+    cut-or-keep signal span-dedup pipelines threshold on. Docs shorter
+    than ``window`` have no windows (0 / 0.0), matching the paper's
+    minimum-match length.
+
+    Scale shape: stride-1 windows are ONE ROW PER TOKEN — the same
+    cardinality as the tokenize explode the index build already pays —
+    and each carries a fixed-width md5, so the window->df agg is
+    map-side combinable on exactly that stream. Only windows that
+    prove duplicated re-explode (x ``window``) for position-union;
+    on a mostly-unique corpus that's a sliver of the input. The join
+    of dup fingerprints back to windows is a hash join on fp (both
+    sides partitioned by fp, no skew: a single fp's row count is its
+    true duplication count, which is the quantity being measured).
+    At 10^12 docs the standard refinement is a stride-s candidate
+    pass (s ~ window/2 still catches every span >= window + s) before
+    the stride-1 verify — the plan shape is unchanged, so this
+    operator IS the verify stage of that pipeline.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    wins = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.when(
+                    F.col("dl") >= window,
+                    F.sequence(F.lit(1), F.col("dl") - window + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), window))).alias("fp"),
+        )
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("fp")
+    )
+    dup_wins = wins.join(dup_fps, "fp").select("doc_id", "pos")
+    counts = dup_wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_windows"))
+    coverage = (
+        dup_wins.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered_tokens"))
+    )
+    return (
+        toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
+        .join(counts, "doc_id", "left")
+        .join(coverage, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("dl") > 0,
+                F.round(F.coalesce("covered_tokens", F.lit(0)) / F.col("dl"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

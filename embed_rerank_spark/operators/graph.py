@@ -271,3 +271,70 @@ def connected_components_star(
     ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
     e.unpersist()
     return labels
+
+
+def anchor_token_stream(
+    docs: DataFrame,
+    edges: DataFrame,
+    anchor_len: int = 4,
+    anchor_weight: int = 2,
+    max_inlinks: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text): body tokens plus inlink ANCHOR tokens repeated
+    ``anchor_weight`` times — anchor-text field indexing in the same
+    weighted-token-stream form as ``bm25.fielded_weighted_docs``, so
+    the unchanged posting build / WAND / every query mode computes
+    anchor-boosted scores (the classic web ranking signal: what OTHER
+    pages say about a page, not just the page itself).
+
+    Anchor text for edge (src, dst) here = the first ``anchor_len``
+    tokens of the SOURCE doc — this corpus's deterministic proxy for
+    the <a> tag's text; a real crawl pipeline emits (src, dst, anchor)
+    triples from the WARC html and plugs into the same aggregation
+    unchanged.
+
+    Scale shape: inlinks per target are capped at ``max_inlinks``
+    (smallest src ids win — deterministic, mirrored by the oracle)
+    BEFORE aggregation, the anchor-sampling production indexers do:
+    a nytimes.com front page has 10^8 inlinks and its anchor field
+    must not become the corpus's biggest row or the groupBy's hottest
+    key. The cap runs as a row_number window partitioned by dst —
+    the same shuffle key as the aggregation that follows, so AQE
+    plans one exchange; flatten(collect_list) order is
+    non-deterministic but the downstream consumer is a tf COUNT,
+    which is order-free. Docs with no inlinks pass through with body
+    unchanged (left join, no row loss).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+
+    src_anchor = docs.select(
+        F.col(id_col).alias("src"),
+        F.slice(tokenize_for_scoring(F.col(text_col)), 1, anchor_len).alias("a"),
+    )
+    capped = (
+        edges.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("dst").orderBy("src"))
+        )
+        .filter(F.col("rk") <= max_inlinks)
+        .select("src", "dst")
+    )
+    anchors = (
+        capped.join(src_anchor, "src")
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.flatten(F.collect_list("a")).alias("anchor"))
+    )
+    body = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    )
+    weighted_anchor = F.flatten(
+        F.array_repeat(F.coalesce("anchor", F.array().cast("array<string>")), anchor_weight)
+    )
+    return body.join(anchors, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(F.concat(weighted_anchor, F.col("toks")), " ").alias("text"),
+    )

@@ -245,3 +245,52 @@ def doc_tfidf_topn(docs: DataFrame, n: int = 5) -> DataFrame:
         .filter(F.col("rank") <= n)
         .select("doc_id", "rank", "term", "tf", "tfidf")
     )
+
+
+def unigram_cross_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl, ce): per-token cross-entropy of each doc under the
+    CORPUS unigram language model: ce = -(1/dl) * sum_t tf_t * ln(cf_t/C)
+    with cf = corpus frequency of t and C = total corpus tokens.
+
+    The cheap LM-quality proxy corpus filters threshold on (CCNet runs
+    a real KenLM perplexity; the unigram form needs only corpus term
+    counts and is deterministic/oracle-portable): LOW ce = the doc is
+    made of the corpus's most common tokens (boilerplate, nav chrome,
+    keyword stuffing), HIGH ce = rare-token soup (binary junk, lang
+    mismatch) — filters usually keep a middle band. Docs with dl = 0
+    get ce = 0.0.
+
+    Scale shape: two map-side-combinable aggregations over the same
+    tokenize explode the index build already pays (per-doc tf, then
+    per-term cf), one join of the tf stream against the vocabulary
+    (term-keyed, broadcastable when the vocab fits — at web scale it
+    is hash-partitioned by term like the posting build), and a final
+    per-doc sum. No Python, no window over the corpus.
+    """
+    from .bm25 import term_freqs  # noqa: PLC0415
+
+    tf = term_freqs(docs, id_col=id_col, text_col=text_col)
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("c"))
+    scored = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            (-F.sum(F.col("tf") * F.log(F.col("cf") / F.col("c"))) / F.sum("tf")).alias(
+                "ce"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).alias("dl"),
+            F.round(F.coalesce("ce", F.lit(0.0)), 6).alias("ce"),
+        )
+    )

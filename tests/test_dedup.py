@@ -196,3 +196,46 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert out[2] == (True, 1)
     assert out[3] == (False, 0)
     assert out[4] == (False, 0)
+
+
+def test_duplicate_span_coverage_hand_built(spark):
+    """A 20-token passage shared by docs 1 and 2 (at different offsets),
+    doc 3 unique: windows, merged coverage, and fractions are exact."""
+    from embed_rerank_spark.operators.dedup import duplicate_span_coverage
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    rows = [
+        (1, "aa bb " + passage + " cc"),          # dl=23, passage at pos 3..22
+        (2, passage + " zz yy xx ww vv"),          # dl=25, passage at pos 1..20
+        (3, " ".join(f"u{i}" for i in range(30))),  # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(docs, window=16).collect()
+    }
+    # 20-token shared passage -> 5 stride-1 16-windows inside it; all 5
+    # recur in the other doc -> dup_windows=5, coverage = 20 tokens
+    assert out[1]["dup_windows"] == 5
+    assert out[1]["covered_tokens"] == 20
+    assert out[1]["dup_frac"] == round(20 / 23, 6)
+    assert out[2]["dup_windows"] == 5
+    assert out[2]["covered_tokens"] == 20
+    assert out[2]["dup_frac"] == round(20 / 25, 6)
+    assert out[3]["dup_windows"] == 0
+    assert out[3]["covered_tokens"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_duplicate_span_coverage_short_and_exact_dup(spark):
+    """Docs shorter than the window emit no windows; exact dups are
+    fully covered (dup_frac 1.0)."""
+    from embed_rerank_spark.operators.dedup import duplicate_span_coverage
+
+    same = " ".join(f"w{i % 7}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, "tiny doc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_coverage(docs, window=16).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dl"] == 2 and out[3]["dup_windows"] == 0 and out[3]["dup_frac"] == 0.0

@@ -169,3 +169,56 @@ def test_star_cc_long_chain(spark):
     got = {r["id"]: r["comp"] for r in connected_components_star(_edges_df(spark, pairs)).collect()}
     assert all(got[i] == 0 for i in range(81))
     assert got[100] == got[101] == got[102] == 100
+
+
+def test_anchor_token_stream_weighted_counts(spark):
+    """Inlink anchors (first tokens of each source) land in the target's
+    stream anchor_weight times; no-inlink docs keep body unchanged."""
+    from collections import Counter
+
+    from embed_rerank_spark.operators.graph import anchor_token_stream
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta body0"),
+            (1, "one two three four body1"),
+            (2, "t2 only body here"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+    out = {
+        r["doc_id"]: Counter(r["text"].split())
+        for r in anchor_token_stream(
+            docs, edges, anchor_len=2, anchor_weight=3
+        ).collect()
+    }
+    # target 2: body once + (alpha beta one two) x3
+    assert out[2]["alpha"] == 3 and out[2]["beta"] == 3
+    assert out[2]["one"] == 3 and out[2]["two"] == 3
+    assert out[2]["t2"] == 1 and out[2]["body"] == 1
+    # no inlinks -> body only
+    assert out[0] == Counter("alpha beta gamma delta body0".split())
+    assert out[1] == Counter("one two three four body1".split())
+
+
+def test_anchor_token_stream_inlink_cap_deterministic(spark):
+    """max_inlinks keeps the smallest src ids — the oracle-mirrored,
+    skew-bounding cap."""
+    from collections import Counter
+
+    from embed_rerank_spark.operators.graph import anchor_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i} x y z") for i in range(5)] + [(9, "target body")],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame([(i, 9) for i in range(5)], "src long, dst long")
+    out = {
+        r["doc_id"]: Counter(r["text"].split())
+        for r in anchor_token_stream(
+            docs, edges, anchor_len=1, anchor_weight=1, max_inlinks=2
+        ).collect()
+    }
+    assert out[9]["s0"] == 1 and out[9]["s1"] == 1  # two smallest srcs win
+    assert out[9]["s2"] == 0 and out[9]["s4"] == 0

@@ -140,3 +140,31 @@ def test_cooccurrence_pmi_caps_and_values(spark):
         for r in cooccurrence_pmi(docs, min_pair_count=1, max_term_df=25).collect()
     }
     assert capped == {("alpha", "beta")}
+
+
+def test_unigram_cross_entropy_matches_numpy(spark):
+    """ce == -(1/dl) * sum tf*ln(cf/C) against a hand NumPy reference;
+    common-token docs score LOWER than rare-token docs."""
+    import math
+    from collections import Counter
+
+    from embed_rerank_spark.operators.textstats import unigram_cross_entropy
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "the cat sat"),
+        (3, "zyx qwv jkl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {i: t.split() for i, t in rows}
+    cf = Counter(w for ws in toks.values() for w in ws)
+    c = sum(cf.values())
+    expected = {
+        i: round(-sum(math.log(cf[w] / c) for w in ws) / len(ws), 6)
+        for i, ws in toks.items()
+    }
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(docs).collect()}
+    for i, ws in toks.items():
+        assert out[i]["dl"] == len(ws)
+        assert abs(out[i]["ce"] - expected[i]) < 1e-6
+    assert out[1]["ce"] < out[3]["ce"]  # boilerplate scores lower than rare soup
