@@ -1358,6 +1358,18 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH pairs (jaccard >=
+    0.5) -> connected components -> one canonical (min id) per cluster
+    (operators/dedup.py::dedup_clusters). Oracle: recursive-CTE
+    reachability over the identical pair set."""
+    from embed_rerank_spark.operators.dedup import dedup_clusters, minhash_lsh_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy under the corpus unigram LM — the cheap
     LM-quality proxy corpus filters threshold on
@@ -1434,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "anchor_topk": q_anchor_topk,
         "unigram_ce": q_unigram_ce,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2992,6 +3005,26 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    dedup_clusters_sql = f"""
+WITH RECURSIVE
+pairs AS ({minhash_lsh_dedup}),
+und AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.5
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.5
+),
+reach(root, node) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS canonical FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.canonical, d.doc_id) AS canonical,
+       coalesce(c.canonical, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
     substring_dedup_sql = f"""
 WITH toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
 base AS (SELECT doc_id, tl, len(tl) AS dl FROM toksl),
@@ -3157,6 +3190,7 @@ ORDER BY d.doc_id
         "substring_dedup": substring_dedup_sql,
         "anchor_topk": anchor_topk_sql,
         "unigram_ce": unigram_ce_sql,
+        "dedup_clusters": dedup_clusters_sql,
     }
 
 

@@ -504,3 +504,43 @@ def duplicate_span_coverage(
             .alias("dup_frac"),
         )
     )
+
+
+def dedup_clusters(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical, is_canonical): TRANSITIVE near-dup clusters —
+    connected components over the dup-pair graph, canonical = min doc_id
+    per cluster.
+
+    Near-duplication is not transitive (a~b and b~c can hold with a!~c:
+    crawl chains, template drift), but removal policy must be — the
+    pairwise rule in ``dedup_survivors`` ("drop the larger side of each
+    pair") can keep BOTH ends of an a~b~c chain's outer pair or drop a
+    doc whose only near-dup was itself dropped. Clustering first, then
+    keeping exactly one canonical per cluster, is the policy production
+    dedup pipelines (and the MinHash literature) actually use.
+
+    Docs in no pair are their own singleton cluster (canonical = self).
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    near-dups appear), and ``graph.connected_components`` is min-label
+    propagation — O(diameter of a dup cluster) rounds, and dup-cluster
+    diameters are small (chains longer than a few hops mean the cluster
+    is one template family anyway). One left join puts labels back on
+    the corpus."""
+    from .graph import connected_components  # noqa: PLC0415
+
+    edges = dup_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("canonical")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical", F.col("doc_id")).alias("canonical"),
+            (F.coalesce("canonical", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -239,3 +239,31 @@ def test_duplicate_span_coverage_short_and_exact_dup(spark):
     out = {r["doc_id"]: r for r in duplicate_span_coverage(docs, window=16).collect()}
     assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
     assert out[3]["dl"] == 2 and out[3]["dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c (no a~c pair) -> one cluster, canonical = min id;
+    isolated docs are their own singleton clusters."""
+    from embed_rerank_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (4, 5, 0.7)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {
+        r["doc_id"]: (r["canonical"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+
+
+def test_dedup_clusters_singletons(spark):
+    from embed_rerank_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert out[7]["canonical"] == 7 and out[7]["is_canonical"]
+    assert out[8]["canonical"] == 8 and out[8]["is_canonical"]
