@@ -1358,6 +1358,36 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRF_FB_DOCS = 5
+_PRF_FB_TERMS = 3
+
+
+def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-lite): BM25 top-5
+    feedback docs -> top-3 expansion terms by sum(tf x idf) (rounded
+    desc, term asc; originals excluded) -> expanded OR query through
+    the unchanged WAND kernel (operators/prf.py)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.prf import prf_topk
+
+    docs = _docs(spark, sf_dir)
+    built = build_postings(docs, n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = prf_topk(
+        index, docs, QUERY_SET, k=TOP_K, fb_docs=_PRF_FB_DOCS, fb_terms=_PRF_FB_TERMS
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: MinHash-LSH pairs (jaccard >=
     0.5) -> connected components -> one canonical (min id) per cluster
@@ -1447,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "unigram_ce": q_unigram_ce,
         "dedup_clusters": q_dedup_clusters,
+        "prf_topk": q_prf_topk,
     }
 
 
@@ -3005,6 +3036,72 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    qt2 = qt.replace(" AS qt(", " AS qt2(")
+    qt3 = qt.replace(" AS qt(", " AS qt3(")
+    prf_topk_sql = f"""
+WITH {_TOKS_CTE},
+m1 AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+s1 AS (SELECT query_id, doc_id, sum(term_score) AS score FROM m1 GROUP BY 1, 2),
+r1 AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM s1
+),
+fb AS (SELECT query_id, doc_id FROM r1 WHERE rank <= {_PRF_FB_DOCS}),
+w AS (
+    -- Rocchio positive centroid restricted to in-document terms:
+    -- sum over feedback docs of tf * Okapi idf, mirrored from
+    -- operators/prf.py::prf_expansion_terms
+    SELECT f.query_id, tf.term,
+           sum(tf.tf * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)) AS w
+    FROM fb f
+    JOIN tf ON tf.doc_id = f.doc_id
+    JOIN df ON df.term = tf.term
+    CROSS JOIN stats
+    GROUP BY f.query_id, tf.term
+),
+exp_ranked AS (
+    SELECT w.query_id, w.term,
+           row_number() OVER (PARTITION BY w.query_id
+                              ORDER BY round(w.w, 6) DESC, w.term ASC) AS trk
+    FROM w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {qt2}
+        WHERE qt2.query_id = w.query_id AND qt2.term = w.term
+    )
+),
+allt AS (
+    SELECT query_id, term FROM {qt3}
+    UNION
+    SELECT query_id, term FROM exp_ranked WHERE trk <= {_PRF_FB_TERMS}
+),
+m2 AS (
+    SELECT allt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM allt
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+s2 AS (SELECT query_id, doc_id, sum(term_score) AS score FROM m2 GROUP BY 1, 2),
+r2 AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM s2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM r2 WHERE rank <= {TOP_K}
+"""
     dedup_clusters_sql = f"""
 WITH RECURSIVE
 pairs AS ({minhash_lsh_dedup}),
@@ -3191,6 +3288,7 @@ ORDER BY d.doc_id
         "anchor_topk": anchor_topk_sql,
         "unigram_ce": unigram_ce_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "prf_topk": prf_topk_sql,
     }
 
 
