@@ -191,6 +191,33 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    pf = sub.add_parser(
+        "prf", help="pseudo-relevance-feedback retrieval (RM3-lite two-pass)"
+    )
+    pf.add_argument("--index", required=True)
+    pf.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
+    pf.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    pf.add_argument("--out", required=True)
+    pf.add_argument("--k", type=int, default=10)
+    pf.add_argument("--fb-docs", type=int, default=5, help="feedback depth (pass-1 top-k)")
+    pf.add_argument("--fb-terms", type=int, default=3, help="expansion terms per query")
+
+    dd = sub.add_parser(
+        "dedup", help="corpus dedup: exact / LSH pairs / transitive clusters / dup spans"
+    )
+    dd.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    dd.add_argument("--out", required=True)
+    dd.add_argument(
+        "--method",
+        default="clusters",
+        choices=["exact", "pairs", "clusters", "survivors", "spans"],
+        help="exact = normalized-hash survivors; pairs = MinHash-LSH near-dup "
+        "pairs; clusters = transitive clusters w/ canonical ids; survivors = "
+        "pairwise survivor set; spans = exact-substring span coverage",
+    )
+    dd.add_argument("--threshold", type=float, default=0.5, help="Jaccard cut (LSH methods)")
+    dd.add_argument("--window", type=int, default=16, help="span window tokens (spans)")
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -391,6 +418,40 @@ def main(argv: list[str] | None = None) -> int:
 
             edges = spark.read.parquet(args.edges)
             out = pagerank(edges, damping=args.damping, iters=args.iters)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "prf":
+            from .operators.postings import InvertedIndex
+            from .operators.prf import prf_topk
+
+            idx = InvertedIndex.load(spark, args.index)
+            corpus = spark.read.parquet(args.corpus)
+            out = prf_topk(
+                idx,
+                corpus,
+                _read_queries(args.queries),
+                k=args.k,
+                fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "dedup":
+            from .operators import dedup as dd_ops
+
+            corpus = spark.read.parquet(args.corpus)
+            if args.method == "exact":
+                out = dd_ops.exact_dedup(corpus)
+            elif args.method == "pairs":
+                out = dd_ops.minhash_lsh_dedup(corpus, threshold=args.threshold)
+            elif args.method == "clusters":
+                pairs = dd_ops.minhash_lsh_dedup(corpus, threshold=args.threshold)
+                out = dd_ops.dedup_clusters(corpus, pairs)
+            elif args.method == "survivors":
+                pairs = dd_ops.minhash_lsh_dedup(corpus, threshold=args.threshold)
+                out = dd_ops.dedup_survivors(corpus.select("doc_id"), pairs)
+            else:
+                out = dd_ops.duplicate_span_coverage(corpus, window=args.window)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "rerank":

@@ -286,3 +286,51 @@ def test_cli_ingest_warc_and_pagerank(spark, workspace, tmp_path):
         assert pr[0] > pr[7]  # 0 has in-links from the ring and both leaves
     finally:
         spark.stop = stop
+
+
+def test_cli_prf_and_dedup(spark, workspace, tmp_path):
+    """prf and dedup subcommands produce well-formed outputs over a
+    fresh index (the shared workspace index is mutated by the compact /
+    delete tests, so this builds its own)."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    idx = tmp_path / "index"
+    corpus = str(idx / "segments" / "*" / "extracted")
+    # patch the INSTANCE attribute: an earlier test's restore can leave
+    # a bound real stop in spark.__dict__, which would shadow a
+    # class-level patch when cli.main calls spark.stop()
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "build-index", "--pages", str(d / "pages"), "--index", str(idx),
+            "--shards", "4", "--max-concurrent", "2",
+        ]) == 0
+        assert cli.main([
+            "prf", "--index", str(idx), "--corpus", corpus,
+            "--queries", str(d / "queries.tsv"), "--out", str(tmp_path / "prf"),
+            "--k", "5", "--fb-docs", "3", "--fb-terms", "2",
+        ]) == 0
+        assert cli.main([
+            "dedup", "--corpus", corpus, "--out", str(tmp_path / "clusters"),
+            "--method", "clusters",
+        ]) == 0
+        assert cli.main([
+            "dedup", "--corpus", corpus, "--out", str(tmp_path / "spans"),
+            "--method", "spans", "--window", "8",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    prf = spark.read.parquet(str(tmp_path / "prf"))
+    assert prf.filter(F.col("query_id") == 0).count() == 5
+    clusters = spark.read.parquet(str(tmp_path / "clusters"))
+    n_docs = spark.read.parquet(corpus).count()
+    assert clusters.count() == n_docs
+    assert set(clusters.columns) == {"doc_id", "canonical", "is_canonical"}
+    spans = spark.read.parquet(str(tmp_path / "spans"))
+    assert spans.count() == n_docs
