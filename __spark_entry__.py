@@ -1358,6 +1358,28 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-near (inOrder) retrieval: t1 must PRECEDE t2 within the
+    proximity window (0 < p2 - p1 <= W) — Lucene SpanNearQuery
+    inOrder=true semantics, asymmetric by design
+    (operators/positions.py::proximity_topk(ordered=True))."""
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        proximity_topk,
+    )
+
+    index = load_positional_index(
+        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
+    )
+    out = proximity_topk(
+        index, PROXIMITY_SET, k=TOP_K, window=PROXIMITY_WINDOW, ordered=True
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 _PRF_FB_DOCS = 5
 _PRF_FB_TERMS = 3
 
@@ -1478,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ce": q_unigram_ce,
         "dedup_clusters": q_dedup_clusters,
         "prf_topk": q_prf_topk,
+        "ordered_near_topk": q_ordered_near_topk,
     }
 
 
@@ -3036,6 +3059,41 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    ordered_near_sql = f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+matched AS (
+    SELECT DISTINCT pr.query_id, a.doc_id
+    FROM {proximity_pairs_values_sql()}
+    JOIN posn a ON a.term = pr.t1
+    JOIN posn b2 ON b2.doc_id = a.doc_id AND b2.term = pr.t2
+    WHERE b2.pos - a.pos BETWEEN 1 AND {PROXIMITY_WINDOW}
+),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {proximity_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     qt2 = qt.replace(" AS qt(", " AS qt2(")
     qt3 = qt.replace(" AS qt(", " AS qt3(")
     prf_topk_sql = f"""
@@ -3289,6 +3347,7 @@ ORDER BY d.doc_id
         "unigram_ce": unigram_ce_sql,
         "dedup_clusters": dedup_clusters_sql,
         "prf_topk": prf_topk_sql,
+        "ordered_near_topk": ordered_near_sql,
     }
 
 

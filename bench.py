@@ -190,6 +190,27 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 f"{tmp}/phrase"
             )
             extra["phrase_topk_64"] = round(time.perf_counter() - t0, 3)
+            # PRF (RM3-lite): two WAND passes + feedback-term mining
+            from embed_rerank_spark.operators.prf import prf_topk  # noqa: PLC0415
+
+            corpus_df = spark.read.parquet(f"{tmp}/extracted").select(
+                "doc_id", "text"
+            )
+            t0 = time.perf_counter()
+            prf_topk(index, corpus_df, qb[:64], k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/prf")
+            extra["prf_topk_64"] = round(time.perf_counter() - t0, 3)
+            # exact-substring span dedup over the full extracted corpus
+            from embed_rerank_spark.operators.dedup import (  # noqa: PLC0415
+                duplicate_span_coverage,
+            )
+
+            t0 = time.perf_counter()
+            duplicate_span_coverage(corpus_df, window=16).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/spans")
+            extra["span_dedup"] = round(time.perf_counter() - t0, 3)
             timings["_extra"] = extra
 
         # --- tiered-compaction side metrics (reported under "tiered",

@@ -712,10 +712,12 @@ def phrase_snippets(
 
 
 def _proximity_match(
-    termdata: dict[str, tuple], t1: str, t2: str, window: int
+    termdata: dict[str, tuple], t1: str, t2: str, window: int, ordered: bool = False
 ) -> np.ndarray:
     """Docs where some occurrence of ``t1`` and ``t2`` lie within
     ``window`` tokens of each other (0 < |p1 - p2| <= window).
+    ``ordered=True`` = span-near semantics: ``t1`` must precede ``t2``
+    (0 < p2 - p1 <= window) — only the nearest-on-the-right probe runs.
     Vectorized: for each co-occurrence doc, the minimum gap between
     the two sorted position lists comes from one merged searchsorted
     pass — no per-doc Python loop."""
@@ -738,19 +740,25 @@ def _proximity_match(
     f2, c2 = _ragged_gather(po2[r2], tf2[r2])
     key2 = c2.astype(np.int64) * SPAN + pf2[f2]
     key1 = c1.astype(np.int64) * SPAN + p1
-    idx = np.searchsorted(key2, key1)
+    # ordered probes with side='right': when t1 == t2 the probe key
+    # itself is IN key2 (gap 0 is the occurrence itself, never a
+    # match), and side='right' lands on the NEXT occurrence instead
+    idx = np.searchsorted(key2, key1, side="right" if ordered else "left")
     ok = np.zeros(len(key1), dtype=bool)
     # nearest-on-the-right within the same doc
     right = np.minimum(idx, len(key2) - 1)
     if len(key2):
         same_doc = key2[right] // SPAN == c1
         gap = key2[right] % SPAN - p1
-        ok |= same_doc & (gap != 0) & (np.abs(gap) <= window)
-        # nearest-on-the-left
-        left = np.maximum(idx - 1, 0)
-        same_doc = key2[left] // SPAN == c1
-        gap = p1 - key2[left] % SPAN
-        ok |= same_doc & (gap != 0) & (np.abs(gap) <= window)
+        ok |= same_doc & (gap != 0) & (np.abs(gap) <= window) & (
+            (gap > 0) if ordered else True
+        )
+        if not ordered:
+            # nearest-on-the-left (unordered NEAR only)
+            left = np.maximum(idx - 1, 0)
+            same_doc = key2[left] // SPAN == c1
+            gap = p1 - key2[left] % SPAN
+            ok |= same_doc & (gap != 0) & (np.abs(gap) <= window)
     return cand[np.unique(c1[ok])]
 
 
@@ -764,6 +772,7 @@ def _proximity_partition(
     k1: float,
     b: float,
     excl: tuple[int, ...] = (),
+    ordered: bool = False,
 ):
     shards = load_termdata(batches)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
@@ -771,7 +780,7 @@ def _proximity_partition(
     out_q, out_d, out_s = [], [], []
     for _shard, termdata in shards.items():
         for qid, t1, t2 in queries:
-            docs = _proximity_match(termdata, t1, t2, window)
+            docs = _proximity_match(termdata, t1, t2, window, ordered)
             if docs.size and excl_arr is not None:
                 docs = docs[~np.isin(docs, excl_arr)]
             if docs.size == 0:
@@ -806,13 +815,19 @@ def proximity_topk(
     window: int = 3,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    ordered: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): NEAR/W retrieval over the
     positional index — docs where the two terms occur within ``window``
     tokens of each other (distinct occurrences, either order),
     BM25-scored over the pair's unique terms, engine tie semantics.
     The SQL-oracle shape is a per-doc positions self-join with
-    ``0 < abs(p1 - p2) <= window``."""
+    ``0 < abs(p1 - p2) <= window``.
+
+    ``ordered=True`` = span-near (Lucene SpanNearQuery inOrder):
+    ``t1`` must PRECEDE ``t2`` with 0 < p2 - p1 <= window; oracle shape
+    ``b.pos - a.pos BETWEEN 1 AND window``. Asymmetric by design —
+    "new york" NEAR-ordered differs from "york new"."""
     plan: list[tuple[int, str, str]] = []
     all_terms: set[str] = set()
     for qid, a_raw, b_raw in pairs:
@@ -843,7 +858,9 @@ def proximity_topk(
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _proximity_partition(it, plan, k, window, idf, avgdl, k1, b, excl),
+        lambda it: _proximity_partition(
+            it, plan, k, window, idf, avgdl, k1, b, excl, ordered
+        ),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

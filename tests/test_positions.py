@@ -408,3 +408,59 @@ def test_positional_codec_randomized_roundtrip():
             key=lambda r: (r[0], r[1], r[2]),
         )
         assert got == want
+
+
+def test_ordered_proximity_matches_python_bruteforce(spark, pos_index):
+    """Span-near (inOrder) semantics: t1 must PRECEDE t2 within W;
+    asymmetric — the reversed pair retrieves a different doc set."""
+    import math
+    from collections import Counter
+
+    from embed_rerank_spark.operators.positions import proximity_topk
+
+    PAIRS = [
+        (1, "fast", "table"),
+        (2, "table", "fast"),  # reversed: different matches
+        (3, "hash", "join"),
+        (4, "scan", "scan"),  # same term: side='right' probe must skip self
+    ]
+    W = 3
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in proximity_topk(
+            pos_index, PAIRS, k=10, window=W, ordered=True
+        ).collect()
+    }
+
+    docs = [(r["doc_id"], r["text"].strip().lower().split()) for r in _docs(spark).collect()]
+    docs = [(d, t) for d, t in docs if t]
+    n = len(docs)
+    avgdl = sum(len(t) for _d, t in docs) / n
+    dfs: Counter = Counter()
+    for _d, t in docs:
+        dfs.update(set(t))
+
+    want = {}
+    match_sets = {}
+    for qid, a, b in PAIRS:
+        scored = []
+        matched = set()
+        for d, toks in docs:
+            pa_ = [i for i, t in enumerate(toks) if t == a]
+            pb_ = [i for i, t in enumerate(toks) if t == b]
+            if not any(0 < p2 - p1 <= W for p1 in pa_ for p2 in pb_):
+                continue
+            matched.add(d)
+            score = 0.0
+            for t in dict.fromkeys((a, b)):
+                tf = toks.count(t)
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            scored.append((d, score))
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        for rk, (d, s) in enumerate(scored[:10], 1):
+            want[(qid, rk)] = (d, round(s, 6))
+        match_sets[qid] = matched
+
+    assert got == want
+    assert match_sets[1] != match_sets[2], "ordered NEAR must be asymmetric"
