@@ -1358,6 +1358,15 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus report: doc/token counts, mean doc length,
+    mean quality score, and within-host exact-dup counts — the
+    crawl-curation dashboard (operators/textstats.py::domain_stats)."""
+    from embed_rerank_spark.operators.textstats import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir)).orderBy("source")
+
+
 def q_ordered_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-near (inOrder) retrieval: t1 must PRECEDE t2 within the
     proximity window (0 < p2 - p1 <= W) — Lucene SpanNearQuery
@@ -1501,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "prf_topk": q_prf_topk,
         "ordered_near_topk": q_ordered_near_topk,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -3059,6 +3069,36 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    domain_stats_sql = f"""
+WITH toksl AS (
+    SELECT doc_id, source, text, {_TOKENIZE_SQL} AS toks FROM documents
+),
+feats AS (
+    SELECT doc_id, source, len(toks) AS dl,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1) AS distinct_ratio
+    FROM toksl
+),
+scored AS (
+    SELECT source, doc_id, dl, nrm,
+           round((CASE WHEN dl BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+                 + least(distinct_ratio, 1.0) * 0.4, 6) AS quality
+    FROM feats
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       round(avg(dl), 6) AS avg_dl,
+       round(avg(quality), 6) AS mean_quality,
+       count(*) - count(DISTINCT nrm) AS dup_docs
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
     ordered_near_sql = f"""
 WITH {_TOKS_CTE},
 posn AS (
@@ -3348,6 +3388,7 @@ ORDER BY d.doc_id
         "dedup_clusters": dedup_clusters_sql,
         "prf_topk": prf_topk_sql,
         "ordered_near_topk": ordered_near_sql,
+        "domain_stats": domain_stats_sql,
     }
 
 

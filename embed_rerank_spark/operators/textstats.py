@@ -294,3 +294,44 @@ def unigram_cross_entropy(
             F.round(F.coalesce("ce", F.lit(0.0)), 6).alias("ce"),
         )
     )
+
+
+def domain_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, total_tokens, avg_dl, mean_quality, dup_docs):
+    the per-host corpus report a crawl-curation loop reads — which
+    hosts dominate the token budget, which are boilerplate mills
+    (low mean quality), which re-serve the same page under many urls
+    (``dup_docs`` = docs minus distinct normalized texts within the
+    host).
+
+    Scale shape: one map-side-combinable aggregation keyed by source
+    (hosts are numerous, so the key space is fine-grained; a single
+    mega-host is bounded because every agg here is combinable), plus
+    the per-doc quality projection it rides on. count_distinct(nrm)
+    shuffles (source, nrm) pairs once — the same cardinality as exact
+    dedup's hash agg.
+    """
+    from .dedup import normalized_text  # noqa: PLC0415
+
+    q = quality_score(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(tokenize_for_scoring(F.col(text_col))).alias("dl"),
+        normalized_text(F.col(text_col)).alias("nrm"),
+    ).join(q, "doc_id")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.round(F.avg("dl"), 6).alias("avg_dl"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            (F.count(F.lit(1)) - F.count_distinct("nrm")).alias("dup_docs"),
+        )
+    )

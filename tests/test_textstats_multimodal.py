@@ -168,3 +168,26 @@ def test_unigram_cross_entropy_matches_numpy(spark):
         assert out[i]["dl"] == len(ws)
         assert abs(out[i]["ce"] - expected[i]) < 1e-6
     assert out[1]["ce"] < out[3]["ce"]  # boilerplate scores lower than rare soup
+
+
+def test_domain_stats_hand_built(spark):
+    """Per-source counts, token sums, dup detection, and mean quality
+    against hand-computed values."""
+    from embed_rerank_spark.operators.textstats import domain_stats, quality_score
+
+    rows = [
+        (1, "a.com", "one two three four five six seven eight nine ten eleven"),
+        (2, "a.com", "one two three four five six seven eight nine ten eleven"),
+        (3, "a.com", "different text entirely here now ok more words padding x"),
+        (4, "b.org", "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in domain_stats(docs).collect()}
+    assert out["a.com"]["n_docs"] == 3
+    assert out["a.com"]["total_tokens"] == 11 + 11 + 10
+    assert out["a.com"]["dup_docs"] == 1  # docs 1 and 2 share normalized text
+    assert out["b.org"]["n_docs"] == 1
+    assert out["b.org"]["total_tokens"] == 2
+    assert out["b.org"]["dup_docs"] == 0
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert abs(out["a.com"]["mean_quality"] - round((q[1] + q[2] + q[3]) / 3, 6)) < 1e-6
