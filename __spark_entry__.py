@@ -1358,6 +1358,30 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time term boosts (Lucene ``term^2.5`` syntax): the boost
+    multiplies the term's idf in the query plan, so scores AND the
+    WAND pruning bounds stay exact
+    (operators/wand.py::wand_topk(parse_boosts=True))."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.queryset import BOOSTED_SET
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = wand_topk(index, BOOSTED_SET, k=TOP_K, parse_boosts=True)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host corpus report: doc/token counts, mean doc length,
     mean quality score, and within-host exact-dup counts — the
@@ -1511,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_topk": q_prf_topk,
         "ordered_near_topk": q_ordered_near_topk,
         "domain_stats": q_domain_stats,
+        "boosted_topk": q_boosted_topk,
     }
 
 
@@ -3069,6 +3094,32 @@ reach(root, node) AS (
 )
 SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node ORDER BY doc_id
 """
+    from embed_rerank_spark.queryset import boosted_terms_values_sql
+
+    boosted_topk_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           qt.boost * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {boosted_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     domain_stats_sql = f"""
 WITH toksl AS (
     SELECT doc_id, source, text, {_TOKENIZE_SQL} AS toks FROM documents
@@ -3389,6 +3440,7 @@ ORDER BY d.doc_id
         "prf_topk": prf_topk_sql,
         "ordered_near_topk": ordered_near_sql,
         "domain_stats": domain_stats_sql,
+        "boosted_topk": boosted_topk_sql,
     }
 
 

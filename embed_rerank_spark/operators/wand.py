@@ -499,9 +499,18 @@ def wand_topk(
     allowed_docs=None,
     min_should_match: int = 1,
     after: dict[int, tuple[float, int]] | None = None,
+    parse_boosts: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): exact BM25 top-k via block-max
     WAND over the compressed index.
+
+    ``parse_boosts=True`` enables Lucene query-time boost syntax:
+    ``term^2.5`` multiplies that term's contribution (its idf) by the
+    boost. Because the kernel derives every score AND every block /
+    term upper bound from the per-(query, term) idf in the query plan,
+    a boosted query stays exact — WAND prunes against the boosted
+    bounds. A term repeated with different boosts keeps the max;
+    malformed suffixes fall back to the literal token.
 
     ``after`` maps query_id -> (rounded_score, doc_id) keyset cursor
     (the previous page's last row): results are the next ``k`` rows
@@ -530,16 +539,32 @@ def wand_topk(
     index per category, or the declarative brute-force scorer with a
     WHERE clause — one scan, exact, no set to ship)."""
     # unique lowercased whitespace terms per query (engine semantics,
-    # same as bm25.query_terms)
-    qterm_map: dict[int, list[str]] = {}
+    # same as bm25.query_terms), each with its query-time boost
+    qterm_map: dict[int, list[tuple[str, float]]] = {}
     all_terms: set[str] = set()
     for qid, q in queries:
-        seen: list[str] = []
+        weights: dict[str, float] = {}
+        order: list[str] = []
         for tok in q.strip().lower().split():
-            if tok and tok not in seen:
-                seen.append(tok)
-        qterm_map[qid] = seen
-        all_terms.update(seen)
+            if not tok:
+                continue
+            t, w = tok, 1.0
+            if parse_boosts and "^" in tok:
+                base, _, ws = tok.rpartition("^")
+                try:
+                    w = float(ws)
+                    t = base
+                except ValueError:
+                    t, w = tok, 1.0
+                if not t:
+                    t, w = tok, 1.0
+            if t in weights:
+                weights[t] = max(weights[t], w)
+            else:
+                weights[t] = w
+                order.append(t)
+        qterm_map[qid] = [(t, weights[t]) for t in order]
+        all_terms.update(order)
 
     # idf for query terms only: tiny driver-side lookup, memoized on
     # the index handle across batches (dictionary cache)
@@ -551,7 +576,7 @@ def wand_topk(
         if d > 0
     }
     query_plan = [
-        (qid, [(t, idf[t]) for t in terms if t in idf])
+        (qid, [(t, idf[t] * w) for t, w in terms if t in idf])
         for qid, terms in qterm_map.items()
     ]
     query_plan = [(qid, qt) for qid, qt in query_plan if qt]

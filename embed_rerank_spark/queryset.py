@@ -282,3 +282,50 @@ def queries_values_sql() -> str:
     """DuckDB VALUES clause of (query_id, query)."""
     rows = ", ".join(f"({qid}, '{q}')" for qid, q in QUERY_SET)
     return f"(VALUES {rows}) AS q(query_id, query)"
+
+
+# Boosted query set (Lucene query-time boost syntax term^w): exercises
+# boost > 1, fractional boost, and a boosted stopword. Parsed by
+# wand_topk(parse_boosts=True); the oracle mirrors via
+# boosted_terms_values_sql().
+BOOSTED_SET: list[tuple[int, str]] = [
+    (1, "fast^2 hash join"),
+    (2, "sort merge^0.5 join"),
+    (3, "slow table^3 scan"),
+    (4, "the a^2"),
+]
+
+
+def boosted_terms_literal() -> list[tuple[int, str, float]]:
+    """(query_id, term, boost) rows — the same parse wand_topk runs
+    (dedup keeps max boost, malformed suffix = literal token)."""
+    out: list[tuple[int, str, float]] = []
+    for qid, q in BOOSTED_SET:
+        weights: dict[str, float] = {}
+        order: list[str] = []
+        for tok in q.strip().lower().split():
+            t, w = tok, 1.0
+            if "^" in tok:
+                base, _, ws = tok.rpartition("^")
+                try:
+                    w = float(ws)
+                    t = base
+                except ValueError:
+                    t, w = tok, 1.0
+                if not t:
+                    t, w = tok, 1.0
+            if t in weights:
+                weights[t] = max(weights[t], w)
+            else:
+                weights[t] = w
+                order.append(t)
+        out.extend((qid, t, weights[t]) for t in order)
+    return out
+
+
+def boosted_terms_values_sql() -> str:
+    """DuckDB VALUES clause of (query_id, term, boost)."""
+    rows = ", ".join(
+        f"({qid}, '{t}', {w!r})" for qid, t, w in boosted_terms_literal()
+    )
+    return f"(VALUES {rows}) AS qt(query_id, term, boost)"

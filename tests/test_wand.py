@@ -100,3 +100,60 @@ def test_taat_path_equals_pivot_path(spark, docs, index):
     assert [(q, r, d) for q, r, d, _ in taat] == [(q, r, d) for q, r, d, _ in pivot]
     for (_, _, _, sa), (_, _, _, sb) in zip(taat, pivot):
         assert abs(sa - sb) < 1e-9  # float summation order only
+
+
+def test_boosted_topk_matches_python_reference(spark, docs, index):
+    """term^w boosts: exact vs a weighted-BM25 python reference; WAND
+    pruning bounds must absorb the boost (taat_threshold=0 forces the
+    pivot path too)."""
+    import math
+    from collections import Counter
+
+    from embed_rerank_spark.queryset import BOOSTED_SET, boosted_terms_literal
+
+    rows = [(r["doc_id"], r["text"].strip().lower().split()) for r in docs.collect()]
+    rows = [(d, t) for d, t in rows if t]
+    n = len(rows)
+    avgdl = sum(len(t) for _d, t in rows) / n
+    dfs: Counter = Counter()
+    for _d, t in rows:
+        dfs.update(set(t))
+
+    by_q: dict[int, list[tuple[str, float]]] = {}
+    for qid, t, w in boosted_terms_literal():
+        by_q.setdefault(qid, []).append((t, w))
+    want = {}
+    for qid, terms in by_q.items():
+        scored = []
+        for d, toks in rows:
+            s = 0.0
+            for t, w in terms:
+                tf = toks.count(t)
+                if tf and dfs[t]:
+                    idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                    s += w * idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        for rk, (d, s) in enumerate(scored[:10], 1):
+            want[(qid, rk)] = (d, round(s, 6))
+
+    for taat in (0, 10**9):
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+            for r in wand_topk(
+                index, BOOSTED_SET, k=10, parse_boosts=True, taat_threshold=taat
+            ).collect()
+        }
+        assert got == want
+
+    # boosts actually reorder: boosted != unboosted for some query
+    plain = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in wand_topk(
+            index, [(q, s.replace("^2", "").replace("^0.5", "").replace("^3", ""))
+                    for q, s in BOOSTED_SET], k=10
+        ).collect()
+    }
+    boosted_ids = {k: v[0] for k, v in want.items()}
+    assert boosted_ids != plain
