@@ -1358,6 +1358,26 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding-near-dup clustering: LSH-bucketed cosine
+    pairs (>= 0.5) -> connected components -> canonical per cluster —
+    the semantic-dedup composition (pairs from
+    operators/dedup.py::embedding_near_dup, clusters from
+    dedup_clusters)."""
+    from embed_rerank_spark.operators.dedup import dedup_clusters, embedding_near_dup
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup(vectors, threshold=0.5).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    out = dedup_clusters(
+        vectors.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "canonical", "is_canonical"
+    ).orderBy("vec_id")
+
+
 def q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time term boosts (Lucene ``term^2.5`` syntax): the boost
     multiplies the term's idf in the query plan, so scores AND the
@@ -1536,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_near_topk": q_ordered_near_topk,
         "domain_stats": q_domain_stats,
         "boosted_topk": q_boosted_topk,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
     }
 
 
@@ -2993,6 +3014,33 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.ve, b.ve)
         / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.5
 """
+    embedding_dup_clusters_sql = f"""
+WITH RECURSIVE
+{cosine_core},
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a CROSS JOIN v b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.ve, b.ve)
+            / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.5
+),
+und AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(root, node) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node AS vec_id, min(root) AS canonical FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(c.canonical, e.vec_id) AS canonical,
+       coalesce(c.canonical, e.vec_id) = e.vec_id AS is_canonical
+FROM embeddings e LEFT JOIN comp c USING (vec_id)
+ORDER BY e.vec_id
+"""
     # --- link-graph oracles ---
     _pr_edges = """
 nn AS (SELECT count(*) AS n FROM documents),
@@ -3441,6 +3489,7 @@ ORDER BY d.doc_id
         "ordered_near_topk": ordered_near_sql,
         "domain_stats": domain_stats_sql,
         "boosted_topk": boosted_topk_sql,
+        "embedding_dup_clusters": embedding_dup_clusters_sql,
     }
 
 
