@@ -1358,6 +1358,29 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard (*suffix) retrieval: full-dictionary endswith
+    expansion (df-desc, capped at 64) scored as the disjunctive BM25
+    of the expansion (operators/wand.py::suffix_topk)."""
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import suffix_topk
+    from embed_rerank_spark.queryset import SUFFIX_SET
+
+    built = build_postings(_docs(spark, sf_dir), n_shards=8)
+    cs = built["corpus_stats"].collect()[0]
+    index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    out = suffix_topk(index, SUFFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive embedding-near-dup clustering: LSH-bucketed cosine
     pairs (>= 0.5) -> connected components -> canonical per cluster —
@@ -1557,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "boosted_topk": q_boosted_topk,
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        "suffix_topk": q_suffix_topk,
     }
 
 
@@ -1939,6 +1963,39 @@ expanded AS (
            row_number() OVER (PARTITION BY pfx.query_id
                               ORDER BY df.df DESC, df.term ASC) AS rk
     FROM {prefixes_values_sql()} JOIN df ON starts_with(df.term, pfx.pfx)
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {PREFIX_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.queryset import suffixes_values_sql
+
+    suffix_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT sfx.query_id, df.term,
+           row_number() OVER (PARTITION BY sfx.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {suffixes_values_sql()} JOIN df ON ends_with(df.term, sfx.sfx)
 ),
 qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {PREFIX_MAX_EXPANSION}),
 matched AS (
@@ -3490,6 +3547,7 @@ ORDER BY d.doc_id
         "domain_stats": domain_stats_sql,
         "boosted_topk": boosted_topk_sql,
         "embedding_dup_clusters": embedding_dup_clusters_sql,
+        "suffix_topk": suffix_topk_sql,
     }
 
 

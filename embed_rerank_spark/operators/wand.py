@@ -951,6 +951,53 @@ def prefix_topk(
     return wand_topk(index, synth, k, k1, b, taat_threshold)
 
 
+def expand_suffix(
+    index: InvertedIndex, suffix: str, max_expansion: int = 64
+) -> list[str]:
+    """Dictionary expansion for a LEADING-wildcard query ``*suffix``:
+    vocabulary terms ENDING with the suffix, df desc / term asc,
+    capped. A leading wildcard cannot use the term dictionary's sort
+    order, so this is a full dictionary scan — fine here because the
+    dictionary is vocabulary-sized (millions of rows, not corpus-
+    sized) and the scan is one predicate over one parquet column; the
+    classic index-side upgrade is Lucene's reversed-term field
+    (index each term reversed, turning *suffix into a prefix scan),
+    which would slot in as one extra term_stats column."""
+    rows = (
+        index.term_stats.filter(F.col("term").endswith(suffix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def suffix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): leading-wildcard retrieval —
+    each query string is a TERM SUFFIX; expands to matching vocabulary
+    terms (df-desc capped) and scores as the disjunctive BM25 of the
+    expansion (same contract as prefix_topk)."""
+    expansions = {qid: expand_suffix(index, q.strip().lower(), max_expansion)
+                  for qid, q in queries}
+    synth: list[tuple[int, str]] = [
+        (qid, " ".join(terms)) for qid, terms in expansions.items() if terms
+    ]
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
 def _explain_partition(
     batches: Iterator[pa.RecordBatch],
     term_queries: dict[str, list[tuple[int, float]]],

@@ -329,3 +329,18 @@ def boosted_terms_values_sql() -> str:
         f"({qid}, '{t}', {w!r})" for qid, t, w in boosted_terms_literal()
     )
     return f"(VALUES {rows}) AS qt(query_id, term, boost)"
+
+
+# Leading-wildcard (*suffix) set: common suffixes plus one with no
+# vocabulary match (empty result).
+SUFFIX_SET: list[tuple[int, str]] = [
+    (1, "an"),    # scan, ...
+    (2, "ue"),    # value, queue-ish terms
+    (3, "ow"),    # slow, window-ish, row
+    (4, "qqq"),   # no match -> empty
+]
+
+
+def suffixes_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{s}')" for qid, s in SUFFIX_SET)
+    return f"(VALUES {rows}) AS sfx(query_id, sfx)"

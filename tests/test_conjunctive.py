@@ -144,3 +144,19 @@ def test_conj_vectorized_duplicate_docs_keep_max_tf_dl_winner():
         d, s = out[0]
         assert d == 5
         assert s == float(_tfpart(3.0, 9.0, 9.5, 1.2, 0.75))
+
+
+def test_suffix_topk_expansion_and_empty(spark, index):
+    """*suffix expands via endswith over the dictionary and scores as
+    the OR query; a no-match suffix returns zero rows."""
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.wand import expand_suffix, suffix_topk
+
+    terms = expand_suffix(index, "an", max_expansion=64)
+    assert terms and all(t.endswith("an") for t in terms)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = _canon(suffix_topk(index, [(1, "an"), (2, "qqq")], k=10))
+    want = _canon(bm25_topk_bruteforce(spark, docs, [(1, " ".join(terms))], k=10))
+    assert got == want and got
+    assert not any(q == 2 for q, _r, _d, _s in got)
