@@ -1088,6 +1088,8 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.round("rr", 6).alias("rr"),
         F.round("ndcg", 6).alias("ndcg"),
+        F.round("recall", 6).alias("recall"),
+        F.round("ap", 6).alias("ap"),
     ).orderBy("query_id")
 
 
@@ -2993,15 +2995,33 @@ ideal AS (
 idcg AS (
     SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
     FROM ideal WHERE irank <= {TOP_K} GROUP BY query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM jpos GROUP BY query_id),
+hitseq AS (
+    SELECT t.query_id, t.rank,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS hit_no
+    FROM topk t JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+),
+rec AS (SELECT query_id, count(*) AS n_hit FROM hitseq GROUP BY query_id),
+apq AS (
+    SELECT query_id, sum(CAST(hit_no AS DOUBLE) / rank) AS sum_prec
+    FROM hitseq GROUP BY query_id
 )
 SELECT CAST(q.query_id AS BIGINT) AS query_id,
        round(coalesce(rr, 0), 6) AS rr,
        round(CASE WHEN coalesce(idcg, 0) > 0
-                  THEN coalesce(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg
+                  THEN coalesce(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(n_hit, 0) * 1.0 / n_rel ELSE 0 END, 6) AS recall,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(sum_prec, 0) / least(n_rel, {TOP_K}) ELSE 0 END, 6) AS ap
 FROM qids q
 LEFT JOIN rrq USING (query_id)
 LEFT JOIN dcg USING (query_id)
 LEFT JOIN idcg USING (query_id)
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN rec USING (query_id)
+LEFT JOIN apq USING (query_id)
 ORDER BY q.query_id
 """
     # time_bucket keeps µs precision (no float epoch); 5-min buckets

@@ -81,11 +81,74 @@ def ndcg_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFram
     )
 
 
+def recall_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, recall): fraction of ALL relevant docs retrieved in
+    the top-k (TREC recall@k: denominator = total relevant, not k).
+    Queries with no relevant docs score 0."""
+    rel = judgments.filter(F.col("rel") > 0)
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_hit = (
+        ranking.filter(F.col("rank") <= k)
+        .join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_q = ranking.select("query_id").distinct()
+    return (
+        all_q.join(n_rel, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
+    )
+
+
+def ap_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, ap): average precision at k — mean of precision@i
+    over the relevant hits' ranks i, normalized by min(R, k) with R =
+    total relevant (TREC AP@k). Queries with no relevant docs score 0."""
+    rel = judgments.filter(F.col("rel") > 0)
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    hits = (
+        ranking.filter(F.col("rank") <= k)
+        .join(rel.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .withColumn("hit_no", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(F.sum(F.col("hit_no") / F.col("rank")).alias("sum_prec"))
+    )
+    all_q = ranking.select("query_id").distinct()
+    return (
+        all_q.join(n_rel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.coalesce("sum_prec", F.lit(0.0))
+                / F.least(F.col("n_rel"), F.lit(k)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ap"),
+        )
+    )
+
+
 def quality_summary(
     ranking: DataFrame, judgments: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Per-query (query_id, rr, ndcg) — the reference harness's
-    headline numbers are the means of these columns."""
-    return mrr_at_k(ranking, judgments, k).join(
-        ndcg_at_k(ranking, judgments, k), "query_id"
+    """Per-query (query_id, rr, ndcg, recall, ap) — the reference
+    harness's headline numbers are the means of these columns; MAP@k =
+    mean of ``ap``."""
+    return (
+        mrr_at_k(ranking, judgments, k)
+        .join(ndcg_at_k(ranking, judgments, k), "query_id")
+        .join(recall_at_k(ranking, judgments, k), "query_id")
+        .join(ap_at_k(ranking, judgments, k), "query_id")
     )

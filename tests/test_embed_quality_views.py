@@ -127,9 +127,22 @@ def test_ndcg(spark, ranking, judgments):
     assert nd[2] == 0.0
 
 
+def test_recall_and_ap(spark, ranking, judgments):
+    from embed_rerank_spark.functions.quality import ap_at_k, recall_at_k
+
+    rec = {r.query_id: r.recall for r in recall_at_k(ranking, judgments, k=10).collect()}
+    # q1: 1 of 2 relevant retrieved; q2: 0 of 1
+    assert rec[1] == pytest.approx(0.5)
+    assert rec[2] == 0.0
+    ap = {r.query_id: r.ap for r in ap_at_k(ranking, judgments, k=10).collect()}
+    # q1: one hit at rank 2 -> precision@2 = 1/2; denom = min(R=2, k) = 2
+    assert ap[1] == pytest.approx(0.25)
+    assert ap[2] == 0.0
+
+
 def test_quality_summary(spark, ranking, judgments):
     out = quality_summary(ranking, judgments, k=10)
-    assert set(out.columns) == {"query_id", "rr", "ndcg"}
+    assert set(out.columns) == {"query_id", "rr", "ndcg", "recall", "ap"}
     assert out.count() == 2
 
 
