@@ -70,6 +70,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fanout", type=int, default=4)
     c.add_argument("--block-size", type=int, default=128)
 
+    gcp = sub.add_parser(
+        "gc", help="reclaim absorbed units older than an as-of retention horizon"
+    )
+    gcp.add_argument("--index", required=True)
+    gcp.add_argument(
+        "--retain-asof",
+        required=True,
+        help="keep every unit needed to answer as-of views at committed "
+        "snapshots >= this id; older absorbed payloads are deleted "
+        "(manifests + a GCED marker stay)",
+    )
+
     q = sub.add_parser("query", help="BM25 top-k via block-max WAND")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
@@ -256,6 +268,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, fanout=args.fanout, block_size=args.block_size
             )
             print(f"created tiers: {created or 'none'}; live units: {live_units(args.index)}")
+        elif args.cmd == "gc":
+            from .plans.tiered import gc_units, live_units
+
+            gced = gc_units(args.index, retain_asof=args.retain_asof)
+            print(
+                f"gc'd {len(gced)} unit(s): {gced or 'none'}; "
+                f"live units: {live_units(args.index)}"
+            )
         elif args.cmd == "query":
             from .operators.postings import InvertedIndex
 

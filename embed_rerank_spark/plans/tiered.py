@@ -355,6 +355,12 @@ def load_tiered(
         units = live_units(path)
     if not units:
         raise ValueError(f"no live units under {path}")
+    gced = [uid for _, uid in units if os.path.exists(f"{_unit_dir(path, uid)}/GCED")]
+    if gced:
+        raise ValueError(
+            f"units {gced} were garbage-collected (gc_units); this view "
+            "is older than the retention horizon"
+        )
     posts = reduce(
         DataFrame.unionByName,
         [
@@ -395,6 +401,49 @@ def load_tiered_as_of(spark: SparkSession, path: str, snap: str) -> InvertedInde
     return load_tiered(
         spark, path, units=units_as_of(path, snap), with_tombstones=False
     )
+
+
+def gc_units(path: str, retain_asof: str) -> list[str]:
+    """Garbage-collect absorbed units older than a retention horizon.
+
+    Deletes the PAYLOAD (postings/stats/extracted parquet) of every
+    unit that is neither live nor needed to answer any as-of view at
+    a committed snapshot >= ``retain_asof``; manifests stay in place
+    (they are the build's resume/commit bookkeeping and the audit
+    trail of what was absorbed into what), and a ``GCED`` marker makes
+    deeper time travel fail with a clear retention-horizon error
+    instead of a missing-parquet stack. Returns the unit ids GC'd.
+
+    This is the storage-reclaim step every LSM deployment runs: the
+    as-of views keep absorbed inputs alive only as long as the
+    retention window the operator promises. Pure manifest/file
+    bookkeeping on the driver — the data deletion is O(retired bytes),
+    no Spark job, no rewrite of surviving units."""
+    import shutil  # noqa: PLC0415
+
+    needed = {uid for _lvl, uid in live_units(path)}
+    for s in committed_snapshots(path):
+        if s >= retain_asof:
+            needed |= {uid for _lvl, uid in units_as_of(path, s)}
+    all_units = {f"segments/{s}" for s in committed_snapshots(path)}
+    all_units |= {uid for _lvl, uid, _m in _tier_units(path)}
+    gced: list[str] = []
+    for uid in sorted(all_units - needed):
+        d = _unit_dir(path, uid)
+        if os.path.exists(f"{d}/GCED"):
+            continue
+        for sub in os.listdir(d):
+            if sub == "MANIFEST.json":
+                continue
+            full = f"{d}/{sub}"
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+            else:
+                os.remove(full)
+        with open(f"{d}/GCED", "w") as f:
+            json.dump({"retain_asof": retain_asof}, f)
+        gced.append(uid)
+    return gced
 
 
 def index_stats(spark: SparkSession, path: str) -> DataFrame:

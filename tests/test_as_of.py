@@ -99,3 +99,46 @@ def test_index_stats_reports_live_units(spark, built):
     assert tier["snapshots"] == 4
     assert tier["postings"] > 0 and tier["bytes"] > 0 and tier["docs"] > 0
     assert tier["bytes_per_posting"] > 0
+
+
+def test_gc_units_respects_retention_horizon(spark, tmp_path_factory):
+    """gc_units deletes only absorbed units below the horizon: live
+    queries unchanged, as-of at/after the horizon works, deeper time
+    travel fails with a retention error, manifests survive."""
+    from embed_rerank_spark.plans.build_index import committed_snapshots
+    from embed_rerank_spark.plans.tiered import gc_units, load_tiered
+
+    path = str(tmp_path_factory.mktemp("gc"))
+    pages = generate_pages(spark, 400, seed=23, n_snapshots=5, vocab_size=50).cache()
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    created = compact(spark, path, fanout=4)
+    assert len(created) == 1
+    days = _days(pages)
+
+    # horizon older than everything: only the tier-boundary segment is
+    # GC-able (every possible cut either uses the L1 tier covering
+    # days 1-4 or the pre-boundary segments — day 4's own payload is
+    # redundant the moment the tier commits)
+    assert gc_units(path, retain_asof=days[0]) == [f"segments/{days[3]}"]
+    # as-of inside the tier still answers from the surviving segments
+    mid = _rows(wand_topk(load_tiered_as_of(spark, path, days[2]), QUERIES, k=10))
+    assert mid
+
+    before = _rows(wand_topk(load_tiered(spark, path), QUERIES, k=10))
+
+    gced = gc_units(path, retain_asof=days[4])
+    assert sorted(gced) == [f"segments/{d}" for d in days[:3]]
+    # idempotent
+    assert gc_units(path, retain_asof=days[4]) == []
+    # manifests survive: the commit record is intact
+    assert committed_snapshots(path) == set(days)
+
+    # live queries unchanged
+    after = _rows(wand_topk(load_tiered(spark, path), QUERIES, k=10))
+    assert after == before
+    # as-of at the horizon still answers (latest view == live view here)
+    asof = _rows(wand_topk(load_tiered_as_of(spark, path, days[4]), QUERIES, k=10))
+    assert asof == before
+    # deeper time travel fails loudly
+    with pytest.raises(ValueError, match="retention"):
+        load_tiered_as_of(spark, path, days[1])
