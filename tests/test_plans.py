@@ -112,3 +112,39 @@ def test_hash_sample_is_shuffle_free(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(hash_sample(docs, 100))
     assert "Exchange" not in plan, plan
+
+
+def test_span_dedup_plans_as_equijoins(spark):
+    """Exact-substring span dedup must join dup fingerprints back by
+    fp equality — never an all-pairs shape — and the window-df agg
+    must be a hash aggregate (map-side combinable)."""
+    from embed_rerank_spark.operators.dedup import duplicate_span_coverage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_span_coverage(docs, window=16))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_anchor_stream_plans_as_equijoins(spark):
+    """Anchor aggregation: edges join sources and group by target via
+    equi-joins/hash aggregation only."""
+    from embed_rerank_spark.operators.graph import anchor_token_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = docs.selectExpr("doc_id as src", "(doc_id + 1) % 100 as dst")
+    plan = _plan(anchor_token_stream(docs, edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_ce_broadcasts_total_and_joins_vocab_by_term(spark):
+    """The corpus-total side is a 1-row broadcast; the vocabulary join
+    keys on term (no nested-loop shapes beyond that broadcast)."""
+    from embed_rerank_spark.operators.textstats import unigram_cross_entropy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(unigram_cross_entropy(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total only
