@@ -365,6 +365,13 @@ def merge_segments(
     snaps = sorted(committed_snapshots(path))
     if not snaps:
         raise ValueError(f"no committed segments under {path}")
+    gced = [s for s in snaps if os.path.exists(f"{_segment_dirs(path)}/{s}/GCED")]
+    if gced:
+        raise ValueError(
+            f"segments {gced} were garbage-collected (tiered.gc_units); a "
+            "full merge needs every segment payload — query the tiered "
+            "view instead, or rebuild the missing snapshots"
+        )
     built_salts = set()
     built_positional = set()
     for s in snaps:

@@ -142,3 +142,19 @@ def test_gc_units_respects_retention_horizon(spark, tmp_path_factory):
     # deeper time travel fails loudly
     with pytest.raises(ValueError, match="retention"):
         load_tiered_as_of(spark, path, days[1])
+
+
+def test_merge_segments_rejects_gced_tree(spark, tmp_path_factory):
+    """A full merge over a GC'd tree must fail loudly, not with a
+    missing-parquet stack."""
+    from embed_rerank_spark.plans.build_index import merge_segments
+    from embed_rerank_spark.plans.tiered import gc_units
+
+    path = str(tmp_path_factory.mktemp("gcmerge"))
+    pages = generate_pages(spark, 200, seed=29, n_snapshots=4, vocab_size=40)
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    compact(spark, path, fanout=4)
+    days = _days(pages)
+    assert gc_units(path, retain_asof=days[3])
+    with pytest.raises(ValueError, match="garbage-collected"):
+        merge_segments(spark, path)
