@@ -155,6 +155,29 @@ def lsh_cosine_topk(
     )
 
 
+def _sample_matrix(
+    vectors: DataFrame, sample: int, seed: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Layout-independent uniform training sample as an L2-normalized
+    (n, dim) matrix: rows ordered by a seeded hash of the id and the
+    first ``sample`` taken — a TakeOrdered (per-partition top-N + tiny
+    merge), no full sort, no count. A bare ``.limit(sample)`` would
+    take the first partitions in SCAN ORDER; at 10^12 rows those are
+    one domain/day, so centroids/codebooks would be biased and
+    partial-probe recall silently degrades (the exact-config oracle
+    can't see it). The hash order is independent of partitioning, so
+    the trained model is reproducible across layouts too."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
 def ivf_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -162,15 +185,14 @@ def ivf_centroids(
     sample: int = 10_000,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic coarse quantizer: k-means (Lloyd) on a driver-side
-    sample. At 10^12 rows the sample is a `.sample(fraction).limit()`
-    — centroid count stays tiny (thousands at most), so training on
-    the driver is the right cost model; assignment is the distributed
-    part."""
-    rows = vectors.select(vec_col).limit(sample).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    hash-ordered sample (``_sample_matrix`` — layout-independent, never
+    first-partitions-biased). Centroid count stays tiny (thousands at
+    most), so training on the driver is the right cost model;
+    assignment is the distributed part."""
+    x = _sample_matrix(vectors, sample, seed, vec_col, id_col)
     rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -213,7 +235,7 @@ def ivf_cosine_topk(
     lists and scores exactly inside them. Scale shape: the list id is
     a plain groupable column (partition/bucket the table by it);
     probed fraction ~= nprobe / n_centroids."""
-    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
+    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
 
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     v = v.withColumn(
@@ -278,16 +300,25 @@ def pq_codebooks(
     sample: int = 10_000,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent: np.ndarray | None = None,
 ) -> np.ndarray:
     """(m, ksub, dsub) sub-space codebooks trained by Lloyd k-means on
-    a driver-side sample of L2-NORMALIZED vectors (so asymmetric
-    distance approximates cosine). Same cost model as
+    a driver-side hash-ordered sample of L2-NORMALIZED vectors (so
+    asymmetric distance approximates cosine). Same cost model as
     ``ivf_centroids``: the trainable state is tiny (m*ksub*dsub
-    floats), training data is a bounded sample, and the distributed
-    part is encoding — the right split at 10^12 rows."""
-    rows = vectors.select(vec_col).limit(sample).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    floats), training data is a bounded layout-independent sample, and
+    the distributed part is encoding — the right split at 10^12 rows.
+
+    ``cent`` (coarse centroids) switches to RESIDUAL training: each
+    sample vector is replaced by its residual against its nearest
+    coarse centroid before the sub-space k-means — residual magnitudes
+    are far smaller than raw coordinates, so the same m/ksub budget
+    quantizes much finer (the standard IVF-PQ refinement; recall
+    improvement pinned in tests/test_similarity.py)."""
+    x = _sample_matrix(vectors, sample, seed, vec_col, id_col)
+    if cent is not None:
+        x = x - cent[np.argmax(x @ cent.T, axis=1)]
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -313,11 +344,15 @@ def pq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, code: array<int>) — per-vector PQ codes, computed in
     one vectorized Arrow pass (codebooks ride to executors inside the
     closure; they are KB-scale). Codes are what lives in memory at
-    serving time: m bytes/vector instead of 4*dim."""
+    serving time: m bytes/vector instead of 4*dim. With ``cent``
+    (residual PQ) each vector encodes its residual against its nearest
+    coarse centroid — the decode side then adds the query's coarse dot
+    product back (see ``ivf_pq_topk``)."""
     import pyarrow as pa
 
     m, ksub, dsub = books.shape
@@ -331,6 +366,8 @@ def pq_encode(
             if len(mat) == 0:
                 continue
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            if cent is not None:
+                mat = mat - cent[np.argmax(mat @ cent.T, axis=1)]
             codes = np.empty((len(mat), m), dtype=np.int32)
             for s in range(m):
                 xs = mat[:, s * dsub : (s + 1) * dsub]
@@ -360,6 +397,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k with exact refinement:
 
@@ -375,16 +413,26 @@ def ivf_pq_topk(
 
     This is the standard big-ANN memory ladder: full vectors on disk,
     codes in memory (4*dim/m compression), LUT scoring per query.
-    Plain PQ on normalized vectors (residual-PQ, the production
-    refinement, changes step 2's input, not the plan shape).
+    ``residual=True`` encodes each vector's residual against its
+    coarse centroid instead of the raw vector — ADC then scores
+    q·c_list + sum(LUT[code]) — same plan shape, finer quantization
+    whenever the coarse quantizer captures real cluster structure
+    (many lists, clustered embeddings: measured +0.10-0.18 recall at
+    the same m/ksub in tests/test_similarity.py). On ISOTROPIC
+    vectors the residual is LARGER than the vector (||x - c|| > ||x||
+    when x·c is small), so plain PQ wins there — default off; choose
+    per corpus shape.
     With nprobe = n_centroids and refine >= corpus size the result is
     exact by construction — the contract's oracle configuration;
     recall at realistic settings is pinned in tests/test_similarity.py.
     """
     import pyarrow as pa
 
-    books = pq_codebooks(vectors, m=m, ksub=ksub, seed=seed, vec_col=vec_col)
-    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
+    cent = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
+    books = pq_codebooks(
+        vectors, m=m, ksub=ksub, seed=seed, vec_col=vec_col, id_col=id_col,
+        cent=cent if residual else None,
+    )
 
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     v = v.withColumn(
@@ -394,7 +442,10 @@ def ivf_pq_topk(
             F.array_max(_centroid_sims(F.col("v"), cent)),
         ).cast("int"),
     )
-    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        vectors, books, id_col=id_col, vec_col=vec_col,
+        cent=cent if residual else None,
+    )
     coded = v.select("vec_id", "list_id").join(codes, "vec_id")
 
     # per-query probe lists + ADC lookup tables (queries are the small
@@ -403,6 +454,7 @@ def ivf_pq_topk(
     qrows = q.collect()
     dsub = books.shape[2]
     luts = {}
+    qdots = {}
     probes = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
@@ -411,6 +463,7 @@ def ivf_pq_topk(
             [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(books.shape[0])]
         )
         sims = cent @ qv
+        qdots[r["query_id"]] = sims
         top_lists = np.argsort(-sims, kind="stable")[:nprobe] + 1
         probes.extend((r["query_id"], int(l)) for l in top_lists)
     probe_df = queries.sparkSession.createDataFrame(
@@ -418,20 +471,38 @@ def ivf_pq_topk(
     )
 
     cand = F.broadcast(probe_df).join(coded, "list_id").select(
-        "query_id", "vec_id", "code"
+        "query_id", "vec_id", "list_id", "code"
     )
+
+    # fully-vectorized ADC kernel: the candidate set is nprobe x
+    # list-sized — the one non-tiny array in IVF-PQ — so the kernel
+    # must be one fancy-index gather over a stacked LUT tensor, never
+    # a per-row Python loop. qids map to LUT rows via searchsorted on
+    # the sorted unique query ids (queries are few; candidates many).
+    uq = np.array(sorted(luts))
+    lut_stack = np.stack([luts[qid] for qid in uq])  # (Q, m, ksub)
+    qdot_stack = np.stack([qdots[qid] for qid in uq])  # (Q, n_centroids)
+    n_sub = books.shape[0]
+    rng_m = np.arange(n_sub)
 
     def adc(batches):
         for batch in batches:
-            tbl = batch.to_pydict()
-            qids = tbl["query_id"]
-            codes_arr = np.array(tbl["code"], dtype=np.int64)
-            out = np.empty(len(qids))
-            rng_m = np.arange(codes_arr.shape[1]) if len(qids) else None
-            for i, qid in enumerate(qids):
-                out[i] = luts[qid][rng_m, codes_arr[i]].sum()
+            col = dict(zip(batch.schema.names, batch.columns))
+            qids = col["query_id"].to_numpy(zero_copy_only=False)
+            if len(qids) == 0:
+                continue
+            vids = col["vec_id"].to_numpy(zero_copy_only=False)
+            lists = col["list_id"].to_numpy(zero_copy_only=False)
+            # fixed-width (m) list column -> one contiguous (n, m) view
+            codes_arr = np.asarray(col["code"].flatten()).reshape(-1, n_sub)
+            qi = np.searchsorted(uq, qids)
+            out = lut_stack[qi[:, None], rng_m[None, :], codes_arr].sum(axis=1)
+            if residual:
+                # decoded vector = c_list + residual codewords, so the
+                # query dot gains the coarse term q . c_list
+                out += qdot_stack[qi, lists - 1]
             yield pa.RecordBatch.from_pydict(
-                {"query_id": qids, "vec_id": tbl["vec_id"], "adc": out}
+                {"query_id": qids, "vec_id": vids, "adc": out}
             )
 
     adc_scored = cand.mapInArrow(adc, "query_id long, vec_id long, adc double")

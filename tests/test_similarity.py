@@ -182,3 +182,80 @@ def test_pq_encode_shape_and_determinism(spark, vectors):
 def test_pq_codebooks_rejects_indivisible_dim(spark, vectors):
     with pytest.raises(ValueError):
         similarity.pq_codebooks(vectors, m=7)
+
+
+def test_ivf_training_sample_is_layout_independent(spark):
+    """Corpus whose SCAN ORDER is adversarial: two well-separated
+    clusters, all of cluster A in the first partitions (the
+    one-domain/one-day layout of a real crawl table). A ``.limit()``
+    training sample would see only cluster A — cluster B's list
+    assignments become effectively random and partial-probe recall
+    collapses to ~nprobe/n_centroids (~0.5 here). The hash-ordered
+    sample (``_sample_matrix``) sees both clusters regardless of
+    layout, so recall stays high."""
+    rng = np.random.default_rng(3)
+    dim = 16
+    ca = np.zeros(dim)
+    ca[0] = 5.0
+    cb = np.zeros(dim)
+    cb[-1] = 5.0
+    a = rng.standard_normal((400, dim)) * 0.05 + ca
+    b = rng.standard_normal((400, dim)) * 0.05 + cb
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(a)]
+    rows += [(400 + i, [float(x) for x in v]) for i, v in enumerate(b)]
+    vecs = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        .repartitionByRange(8, "vec_id")  # scan order == cluster order
+        .cache()
+    )
+    qrows = [(400 + i, rows[400 + i][1]) for i in range(0, 30, 10)]
+    qdf = spark.createDataFrame(qrows, "query_id long, qvec array<float>")
+    exact = similarity.cosine_topk_bruteforce(vecs, qdf, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = similarity.ivf_cosine_topk(
+        vecs, qdf, k=10, n_centroids=4, nprobe=2
+    ).collect()
+    hits = sum(1 for r in approx if r.vec_id in truth[r.query_id])
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.8, recall
+
+
+def test_residual_pq_improves_recall_on_clustered_corpus(spark):
+    """The textbook residual-PQ regime: many coarse lists, a codebook
+    too small to represent the cluster centers directly (ksub <
+    n_clusters). Plain PQ's error is inter-cluster-scale; residual PQ
+    quantizes only the small within-cluster noise — measurably higher
+    recall at the SAME m/ksub/refine budget. (On isotropic vectors the
+    inequality flips — ||x - c|| > ||x|| — which is why residual is
+    opt-in; see ivf_pq_topk docstring.)"""
+    rng = np.random.default_rng(5)
+    dim, ncl = 64, 64
+    centers = rng.standard_normal((ncl, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for i in range(2000):
+        v = centers[i % ncl] + 0.15 * rng.standard_normal(dim)
+        pts.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(pts, "vec_id long, embedding array<float>").cache()
+    qdf = spark.createDataFrame(
+        [(i, pts[i][1]) for i in (1, 9, 17, 25, 33)],
+        "query_id long, qvec array<float>",
+    )
+    exact = similarity.cosine_topk_bruteforce(vecs, qdf, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(residual: bool) -> float:
+        pq = similarity.ivf_pq_topk(
+            vecs, qdf, k=10, n_centroids=32, nprobe=32, m=4, ksub=8,
+            refine=20, residual=residual,
+        ).collect()
+        hits = sum(1 for r in pq if r.vec_id in truth[r.query_id])
+        return hits / sum(len(v) for v in truth.values())
+
+    plain, res = recall(False), recall(True)
+    assert res > plain, (plain, res)
+    assert res >= 0.5, res
