@@ -48,6 +48,99 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_INDEX_CACHE: dict[tuple[str, str], object] = {}
+_INDEX_CACHE_ROOT: str | None = None
+
+
+def _index_cache_root() -> str:
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    global _INDEX_CACHE_ROOT
+    if _INDEX_CACHE_ROOT is None:
+        _INDEX_CACHE_ROOT = tempfile.mkdtemp(prefix="erspark_entry_idx_")
+        atexit.register(shutil.rmtree, _INDEX_CACHE_ROOT, ignore_errors=True)
+    return _INDEX_CACHE_ROOT
+
+
+def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
+    """Materialize-once inverted index per (sf_dir, variant), shared by
+    every retrieval entry in ``queries()``.
+
+    ~25 contract entries query the same index; built lazily per entry,
+    the whole tokenize -> shuffle -> encode pipeline re-ran for each
+    one, so a time-boxed driver gate only ever covered a prefix of the
+    contract (the round-2 coverage gap). Writing each variant once to
+    a temp dir and loading it back makes the gate O(one build per
+    variant) — and matches the production shape: queries run against a
+    WRITTEN index (with the parquet row-group term pushdown the
+    build's sort pays for), not a live build plan.
+
+    Returned handles are shared — callers needing per-entry state
+    (e.g. tombstones) must ``dataclasses.replace`` a copy, never
+    mutate the cached handle.
+    """
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from embed_rerank_spark.operators.postings import (  # noqa: PLC0415
+        InvertedIndex,
+        build_postings,
+    )
+
+    key = (sf_dir, variant)
+    got = _INDEX_CACHE.get(key)
+    if got is not None:
+        return got
+    docs = _docs(spark, sf_dir)
+    if variant == "plain":
+        built = build_postings(docs, n_shards=8)
+    elif variant == "fielded":
+        from embed_rerank_spark.operators.bm25 import (  # noqa: PLC0415
+            fielded_weighted_docs,
+        )
+
+        built = build_postings(fielded_weighted_docs(docs), n_shards=8)
+    elif variant == "anchor":
+        from embed_rerank_spark.operators.graph import (  # noqa: PLC0415
+            anchor_token_stream,
+        )
+
+        edges, _ = _link_edges_pr(spark, sf_dir)
+        stream = anchor_token_stream(
+            docs,
+            edges,
+            anchor_len=_ANCHOR_LEN,
+            anchor_weight=_ANCHOR_WEIGHT,
+            max_inlinks=_ANCHOR_MAX_INLINKS,
+        )
+        built = build_postings(stream, n_shards=8)
+    elif variant == "positional":
+        from embed_rerank_spark.operators.positions import (  # noqa: PLC0415
+            build_positional_postings,
+        )
+
+        built = build_positional_postings(docs, n_shards=8)
+    else:
+        raise ValueError(f"unknown index variant {variant!r}")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"{_index_cache_root()}/{os.path.basename(sf_dir.rstrip('/'))}-{tag}-{variant}"
+    built["postings"].write.mode("overwrite").parquet(f"{out_dir}/postings")
+    built["term_stats"].write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+    built["doc_stats"].write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+    cs = built["corpus_stats"].collect()[0]
+    handle = InvertedIndex(
+        postings=spark.read.parquet(f"{out_dir}/postings"),
+        term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
+        doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    _INDEX_CACHE[key] = handle
+    return handle
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k retrieval over the documents corpus at
     sf0.001 for the engine's reference query set."""
@@ -131,18 +224,9 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force BM25 exactly, so it shares bm25_topk's oracle."""
     from pyspark.sql import functions as SF
 
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select("query_id", "rank", "doc_id", SF.round("score", 6).alias("score"))
 
@@ -151,15 +235,9 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase top-k over the POSITIONAL compressed index: docs
     containing the phrase tokens consecutively, BM25-scored over the
     phrase's unique terms (operators/positions.py)."""
-    from embed_rerank_spark.operators.positions import (
-        build_positional_postings,
-        load_positional_index,
-        phrase_topk,
-    )
+    from embed_rerank_spark.operators.positions import phrase_topk
 
-    index = load_positional_index(
-        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
-    )
+    index = _cached_index(spark, sf_dir, "positional")
     out = phrase_topk(index, PHRASE_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -170,14 +248,10 @@ def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase top-k with highlight snippets: first occurrence position
     comes free from the positional index's adjacency keys; the snippet
     is a token-array slice on the (tiny) result-side doc join."""
-    from embed_rerank_spark.operators.positions import (
-        build_positional_postings,
-        load_positional_index,
-        phrase_snippets,
-    )
+    from embed_rerank_spark.operators.positions import phrase_snippets
 
     docs = _docs(spark, sf_dir)
-    index = load_positional_index(build_positional_postings(docs, n_shards=8))
+    index = _cached_index(spark, sf_dir, "positional")
     out = phrase_snippets(index, docs, PHRASE_SET, k=TOP_K, context=3)
     return out.select(
         "query_id",
@@ -193,15 +267,9 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR/W retrieval over the positional index: docs where the two
     terms occur within 3 tokens of each other (distinct occurrences,
     either order), BM25-scored over the pair's unique terms."""
-    from embed_rerank_spark.operators.positions import (
-        build_positional_postings,
-        load_positional_index,
-        proximity_topk,
-    )
+    from embed_rerank_spark.operators.positions import proximity_topk
 
-    index = load_positional_index(
-        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
-    )
+    index = _cached_index(spark, sf_dir, "positional")
     out = proximity_topk(index, PROXIMITY_SET, k=TOP_K, window=PROXIMITY_WINDOW)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -212,18 +280,9 @@ def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k over the compressed index:
     leapfrog intersection with block-max skipping (operators/wand.py
     conjunctive_topk); docs must contain every unique query term."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import conjunctive_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = conjunctive_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -256,21 +315,12 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     interesting terms (tf*idf, tf>=MLT_MIN_TF, df>=MLT_MIN_DF) and
     retrieve the top-k most similar OTHER docs via block-max WAND."""
     from embed_rerank_spark.operators.mlt import more_like_this
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
 
     docs = _docs(spark, sf_dir)
     seeds = [
         r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(MLT_N_SEEDS).collect()
     ]
-    built = build_postings(docs, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = more_like_this(
         index,
         docs,
@@ -292,18 +342,9 @@ def q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive Okapi sum. The index path extends the WAND pivot rule
     with a distinct-term count constraint (mm-WAND), so sub-minimum
     docs are skipped without decoding."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = wand_topk(index, QUERY_SET, k=TOP_K, min_should_match=MSM)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -315,23 +356,16 @@ def q_delete_mask_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with doc_id % 7 == 0 are deleted; before compaction folds
     them in, queries mask them from results while corpus/term stats
     still count them (the deleted-docs visibility model)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
+    import dataclasses
+
     docs = _docs(spark, sf_dir)
-    built = build_postings(docs, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
     deleted = frozenset(
         r["doc_id"] for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
     )
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-        tombstones=deleted,
-    )
+    # per-entry state goes on a copy, never the shared cached handle
+    index = dataclasses.replace(_cached_index(spark, sf_dir), tombstones=deleted)
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -342,23 +376,14 @@ def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered retrieval (collection-search / doc-ACL case): WAND
     top-k restricted to an allowed doc set (docs with lang='de'),
     corpus stats unchanged (operators/wand.py allowed_docs)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
     docs = _docs(spark, sf_dir)
-    built = build_postings(docs, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
     allowed = [
         r["doc_id"]
         for r in docs.filter(F.col("lang") == "de").select("doc_id").collect()
     ]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = wand_topk(index, QUERY_SET, k=TOP_K, allowed_docs=allowed)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -369,18 +394,9 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard (prefix*) retrieval: dictionary expansion (df-desc,
     capped at 64 terms) scored as the disjunctive BM25 of the
     expansion via the WAND machinery."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import prefix_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = prefix_topk(index, PREFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -393,17 +409,8 @@ def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (cf, total tokens) come from the index itself
     (operators/lmd.py)."""
     from embed_rerank_spark.operators.lmd import lmd_topk
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = lmd_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -418,14 +425,10 @@ def q_best_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window holding the most distinct query terms per result doc,
     from one positional-postings decode pass
     (operators/positions.py::best_window_snippets)."""
-    from embed_rerank_spark.operators.positions import (
-        best_window_snippets,
-        build_positional_postings,
-        load_positional_index,
-    )
+    from embed_rerank_spark.operators.positions import best_window_snippets
 
     docs = _docs(spark, sf_dir)
-    index = load_positional_index(build_positional_postings(docs, n_shards=8))
+    index = _cached_index(spark, sf_dir, "positional")
     out = best_window_snippets(index, docs, QUERY_SET, k=TOP_K, window=SNIPPET_WINDOW)
     return out.select(
         "query_id",
@@ -443,18 +446,9 @@ def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, matched term) with tf, dl, idf and the term's BM25
     contribution, decoded from the compressed postings
     (operators/wand.py::explain_topk)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import explain_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = explain_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id",
@@ -478,19 +472,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embed_rerank_spark.functions.udfs import tokenize_for_scoring
     from embed_rerank_spark.operators.bm25 import topk
     from embed_rerank_spark.operators.fusion import rrf_fuse
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
     docs = _docs(spark, sf_dir)
-    built = build_postings(docs, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     sparse = wand_topk(index, QUERY_SET, k=RRF_DEPTH)
 
     d = docs.select(
@@ -520,18 +505,9 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     page re-runs WAND with the previous page's last (rounded_score,
     doc_id) as a strict cursor, re-ranked 1..page_size
     (operators/wand.py::search_after_topk)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import search_after_topk
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = search_after_topk(index, QUERY_SET, page_size=TOP_K, page=2)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -543,19 +519,9 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3x over body via the weighted-token-stream form, so the unchanged
     index build + WAND machinery computes fielded scores
     (operators/bm25.py::fielded_weighted_docs)."""
-    from embed_rerank_spark.operators.bm25 import fielded_weighted_docs
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
-    built = build_postings(fielded_weighted_docs(_docs(spark, sf_dir)), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir, "fielded")
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -567,19 +533,10 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein<=1 dictionary neighborhood (df-desc, capped at 8) and
     the query scores as the expansion's OR through the WAND machinery
     (operators/rewrite.py)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.rewrite import fuzzy_topk
     from embed_rerank_spark.queryset import FUZZY_MAX_EXPANSION, FUZZY_SET
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = fuzzy_topk(index, FUZZY_SET, k=TOP_K, max_expansion=FUZZY_MAX_EXPANSION)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -590,19 +547,10 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time synonym expansion: query terms joined by their
     synonym-group members (each keeping its own idf), scored as the
     rewritten OR query (operators/rewrite.py)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.rewrite import synonym_topk
     from embed_rerank_spark.queryset import SYNONYM_GROUPS, SYNONYM_SET
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = synonym_topk(index, SYNONYM_SET, SYNONYM_GROUPS, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -613,15 +561,10 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did-you-mean query correction: OOV tokens replaced by the
     highest-df vocabulary term within 1 edit, order preserved
     (operators/rewrite.py::spell_correct)."""
-    from embed_rerank_spark.operators.bm25 import doc_freqs, term_freqs
-    from embed_rerank_spark.operators.postings import InvertedIndex
     from embed_rerank_spark.operators.rewrite import spell_correct
     from embed_rerank_spark.queryset import SPELL_SET
 
-    term_stats = doc_freqs(term_freqs(_docs(spark, sf_dir)))
-    index = InvertedIndex(
-        postings=None, term_stats=term_stats, doc_stats=None, n_docs=0, avgdl=0.0
-    )
+    index = _cached_index(spark, sf_dir)  # only term_stats consumed
     return spell_correct(index, SPELL_SET).select(
         "query_id", "corrected", "n_corrections"
     )
@@ -643,20 +586,10 @@ def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete suggester: per-prefix top completions from the
     index term dictionary, most-frequent first (df desc, term asc),
     capped (operators/rewrite.py)."""
-    from embed_rerank_spark.operators.bm25 import doc_freqs, term_freqs
-    from embed_rerank_spark.operators.postings import InvertedIndex
     from embed_rerank_spark.operators.rewrite import suggest_terms
     from embed_rerank_spark.queryset import SUGGEST_SET, SUGGEST_TOP
 
-    docs = _docs(spark, sf_dir)
-    term_stats = doc_freqs(term_freqs(docs))
-    index = InvertedIndex(
-        postings=None,
-        term_stats=term_stats,
-        doc_stats=None,
-        n_docs=0,
-        avgdl=0.0,
-    )
+    index = _cached_index(spark, sf_dir)  # only term_stats consumed
     out = suggest_terms(index, SUGGEST_SET, top=SUGGEST_TOP)
     return out.select("query_id", "rank", "term", "df")
 
@@ -666,14 +599,8 @@ def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -not, "exact phrase", prefix*, and should clauses resolved in one
     pass over the positional index."""
     from embed_rerank_spark.operators.boolean import boolean_topk
-    from embed_rerank_spark.operators.positions import (
-        build_positional_postings,
-        load_positional_index,
-    )
 
-    index = load_positional_index(
-        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
-    )
+    index = _cached_index(spark, sf_dir, "positional")
     out = boolean_topk(index, BOOLEAN_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -1333,27 +1260,9 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UNCHANGED index build + block-max WAND scores the reference
     query set — what other pages say about a page boosting its rank
     (operators/graph.py::anchor_token_stream)."""
-    from embed_rerank_spark.operators.graph import anchor_token_stream
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
 
-    edges, _ = _link_edges_pr(spark, sf_dir)
-    stream = anchor_token_stream(
-        _docs(spark, sf_dir),
-        edges,
-        anchor_len=_ANCHOR_LEN,
-        anchor_weight=_ANCHOR_WEIGHT,
-        max_inlinks=_ANCHOR_MAX_INLINKS,
-    )
-    built = build_postings(stream, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir, "anchor")
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -1364,19 +1273,10 @@ def q_suffix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading-wildcard (*suffix) retrieval: full-dictionary endswith
     expansion (df-desc, capped at 64) scored as the disjunctive BM25
     of the expansion (operators/wand.py::suffix_topk)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import suffix_topk
     from embed_rerank_spark.queryset import SUFFIX_SET
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = suffix_topk(index, SUFFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -1408,19 +1308,10 @@ def q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies the term's idf in the query plan, so scores AND the
     WAND pruning bounds stay exact
     (operators/wand.py::wand_topk(parse_boosts=True))."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.wand import wand_topk
     from embed_rerank_spark.queryset import BOOSTED_SET
 
-    built = build_postings(_docs(spark, sf_dir), n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = wand_topk(index, BOOSTED_SET, k=TOP_K, parse_boosts=True)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
@@ -1441,15 +1332,9 @@ def q_ordered_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity window (0 < p2 - p1 <= W) — Lucene SpanNearQuery
     inOrder=true semantics, asymmetric by design
     (operators/positions.py::proximity_topk(ordered=True))."""
-    from embed_rerank_spark.operators.positions import (
-        build_positional_postings,
-        load_positional_index,
-        proximity_topk,
-    )
+    from embed_rerank_spark.operators.positions import proximity_topk
 
-    index = load_positional_index(
-        build_positional_postings(_docs(spark, sf_dir), n_shards=8)
-    )
+    index = _cached_index(spark, sf_dir, "positional")
     out = proximity_topk(
         index, PROXIMITY_SET, k=TOP_K, window=PROXIMITY_WINDOW, ordered=True
     )
@@ -1467,19 +1352,10 @@ def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     feedback docs -> top-3 expansion terms by sum(tf x idf) (rounded
     desc, term asc; originals excluded) -> expanded OR query through
     the unchanged WAND kernel (operators/prf.py)."""
-    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
     from embed_rerank_spark.operators.prf import prf_topk
 
     docs = _docs(spark, sf_dir)
-    built = build_postings(docs, n_shards=8)
-    cs = built["corpus_stats"].collect()[0]
-    index = InvertedIndex(
-        postings=built["postings"],
-        term_stats=built["term_stats"],
-        doc_stats=built["doc_stats"],
-        n_docs=cs["n_docs"],
-        avgdl=float(cs["avgdl"]),
-    )
+    index = _cached_index(spark, sf_dir)
     out = prf_topk(
         index, docs, QUERY_SET, k=TOP_K, fb_docs=_PRF_FB_DOCS, fb_terms=_PRF_FB_TERMS
     )
