@@ -13,6 +13,12 @@ Inputs:
 
 Per-query metrics join then aggregate; queries with NO relevant docs
 score 0 (reference behavior: empty judgment -> 0 contribution).
+
+Query universe: by default the universe is the DISTINCT query_ids of
+``ranking`` — a query that retrieved ZERO rows is then absent from the
+output and mean recall/MAP over the returned rows are inflated. Pass
+``queries`` (any DataFrame with a query_id column) to score such
+queries as explicit 0 rows in every metric.
 """
 
 from __future__ import annotations
@@ -21,7 +27,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def mrr_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+def _query_universe(ranking: DataFrame, queries: DataFrame | None) -> DataFrame:
+    """The query set metrics aggregate over: the explicit ``queries``
+    universe when given (so a query that retrieved nothing scores 0
+    instead of silently dropping out), else the ranking's own ids."""
+    src = queries if queries is not None else ranking
+    return src.select("query_id").distinct()
+
+
+def mrr_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, rr): reciprocal rank of the FIRST relevant doc within
     the top-k, 0 when none."""
     hits = (
@@ -30,13 +49,18 @@ def mrr_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame
         .groupBy("query_id")
         .agg((F.lit(1.0) / F.min("rank")).alias("rr"))
     )
-    all_q = ranking.select("query_id").distinct()
+    all_q = _query_universe(ranking, queries)
     return all_q.join(hits, "query_id", "left").select(
         "query_id", F.coalesce("rr", F.lit(0.0)).alias("rr")
     )
 
 
-def ndcg_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+def ndcg_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, ndcg): DCG with gains ``2^rel - 1`` and log2(rank+1)
     discounts, normalized by the ideal DCG over that query's judgments
     (reference ``quality-rerank-only.py:31-39`` semantics)."""
@@ -65,7 +89,7 @@ def ndcg_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFram
             ).alias("idcg")
         )
     )
-    all_q = ranking.select("query_id").distinct()
+    all_q = _query_universe(ranking, queries)
     return (
         all_q.join(dcg, "query_id", "left")
         .join(idcg, "query_id", "left")
@@ -81,7 +105,12 @@ def ndcg_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFram
     )
 
 
-def recall_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+def recall_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, recall): fraction of ALL relevant docs retrieved in
     the top-k (TREC recall@k: denominator = total relevant, not k).
     Queries with no relevant docs score 0."""
@@ -93,7 +122,7 @@ def recall_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFr
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    all_q = ranking.select("query_id").distinct()
+    all_q = _query_universe(ranking, queries)
     return (
         all_q.join(n_rel, "query_id", "left")
         .join(n_hit, "query_id", "left")
@@ -109,7 +138,12 @@ def recall_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFr
     )
 
 
-def ap_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
+def ap_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, ap): average precision at k — mean of precision@i
     over the relevant hits' ranks i, normalized by min(R, k) with R =
     total relevant (TREC AP@k). Queries with no relevant docs score 0."""
@@ -123,7 +157,7 @@ def ap_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.col("hit_no") / F.col("rank")).alias("sum_prec"))
     )
-    all_q = ranking.select("query_id").distinct()
+    all_q = _query_universe(ranking, queries)
     return (
         all_q.join(n_rel, "query_id", "left")
         .join(hits, "query_id", "left")
@@ -141,14 +175,18 @@ def ap_at_k(ranking: DataFrame, judgments: DataFrame, k: int = 10) -> DataFrame:
 
 
 def quality_summary(
-    ranking: DataFrame, judgments: DataFrame, k: int = 10
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query (query_id, rr, ndcg, recall, ap) — the reference
     harness's headline numbers are the means of these columns; MAP@k =
-    mean of ``ap``."""
+    mean of ``ap``. Pass ``queries`` so zero-retrieval queries appear
+    as 0 rows (see module docstring)."""
     return (
-        mrr_at_k(ranking, judgments, k)
-        .join(ndcg_at_k(ranking, judgments, k), "query_id")
-        .join(recall_at_k(ranking, judgments, k), "query_id")
-        .join(ap_at_k(ranking, judgments, k), "query_id")
+        mrr_at_k(ranking, judgments, k, queries)
+        .join(ndcg_at_k(ranking, judgments, k, queries), "query_id")
+        .join(recall_at_k(ranking, judgments, k, queries), "query_id")
+        .join(ap_at_k(ranking, judgments, k, queries), "query_id")
     )

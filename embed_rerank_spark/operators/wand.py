@@ -510,7 +510,9 @@ def wand_topk(
     term upper bound from the per-(query, term) idf in the query plan,
     a boosted query stays exact — WAND prunes against the boosted
     bounds. A term repeated with different boosts keeps the max;
-    malformed suffixes fall back to the literal token.
+    malformed, negative, or NaN suffixes fall back to the literal
+    token (a negative weight would invert the term upper bound and
+    break pruning exactness; Lucene rejects negative boosts too).
 
     ``after`` maps query_id -> (rounded_score, doc_id) keyset cursor
     (the previous page's last row): results are the next ``k`` rows
@@ -556,7 +558,14 @@ def wand_topk(
                     t = base
                 except ValueError:
                     t, w = tok, 1.0
-                if not t:
+                # reject negative/NaN boosts like malformed suffixes
+                # (fall back to the literal token): with a negative
+                # idf, term_ub = idf * max(tfpart) is no longer an
+                # UPPER bound — a negative-weight term's max
+                # contribution is at MIN tf — so block-max pruning
+                # could drop true top-k members. Lucene rejects
+                # negative boosts outright for the same reason.
+                if not t or not (w >= 0.0):
                     t, w = tok, 1.0
             if t in weights:
                 weights[t] = max(weights[t], w)

@@ -430,19 +430,27 @@ def gc_units(path: str, retain_asof: str) -> list[str]:
     gced: list[str] = []
     for uid in sorted(all_units - needed):
         d = _unit_dir(path, uid)
-        if os.path.exists(f"{d}/GCED"):
-            continue
+        # marker BEFORE payload deletion: a crash mid-delete must leave
+        # the marker in place so deeper as-of reads fail with the clear
+        # retention-horizon error, never a raw missing-parquet stack.
+        # A marker-ed unit with leftover payload (that crash window) is
+        # self-healed here — files are re-removed, but the unit is not
+        # re-reported as newly GC'd.
+        marker = f"{d}/GCED"
+        already = os.path.exists(marker)
+        if not already:
+            with open(marker, "w") as f:
+                json.dump({"retain_asof": retain_asof}, f)
         for sub in os.listdir(d):
-            if sub == "MANIFEST.json":
+            if sub in ("MANIFEST.json", "GCED"):
                 continue
             full = f"{d}/{sub}"
             if os.path.isdir(full):
                 shutil.rmtree(full)
             else:
                 os.remove(full)
-        with open(f"{d}/GCED", "w") as f:
-            json.dump({"retain_asof": retain_asof}, f)
-        gced.append(uid)
+        if not already:
+            gced.append(uid)
     return gced
 
 

@@ -158,3 +158,45 @@ def test_merge_segments_rejects_gced_tree(spark, tmp_path_factory):
     assert gc_units(path, retain_asof=days[3])
     with pytest.raises(ValueError, match="garbage-collected"):
         merge_segments(spark, path)
+
+
+def test_gc_crash_leaves_marker_and_clear_error(spark, tmp_path_factory, monkeypatch):
+    """Kill the payload deletion mid-GC: the GCED marker must already
+    be on disk (written BEFORE deletion), so deeper as-of reads fail
+    with the designed retention-horizon error instead of a raw
+    missing-parquet stack; a re-run self-heals the leftover payload
+    without re-reporting the unit."""
+    import shutil
+
+    from embed_rerank_spark.plans.tiered import gc_units, load_tiered
+
+    path = str(tmp_path_factory.mktemp("gccrash"))
+    pages = generate_pages(spark, 400, seed=29, n_snapshots=5, vocab_size=50).cache()
+    build_incremental(spark, pages, path, n_shards=4, block_size=32)
+    assert len(compact(spark, path, fanout=4)) == 1
+    days = _days(pages)
+
+    real_rmtree = shutil.rmtree
+
+    def boom(p, *a, **k):
+        raise OSError("simulated crash mid-GC")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="simulated"):
+        gc_units(path, retain_asof=days[4])
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    marked = sorted(
+        u for u in (Path(path) / "segments").iterdir() if (u / "GCED").exists()
+    )
+    assert marked, "crash window must leave the marker in place"
+    # deeper time travel fails with the retention error, not FileNotFound
+    with pytest.raises(ValueError, match="garbage-collected"):
+        load_tiered_as_of(spark, path, days[0])
+    # re-run heals the leftovers; the crashed unit is not re-reported
+    # as newly GC'd (its marker predates this run)
+    healed = gc_units(path, retain_asof=days[4])
+    assert f"segments/{marked[0].name}" not in healed
+    assert not (marked[0] / "postings").exists()
+    # live queries unaffected throughout
+    assert _rows(wand_topk(load_tiered(spark, path), QUERIES, k=10))

@@ -175,3 +175,20 @@ def test_openai_auto_sigmoid_monotone(spark, rerank_results):
     assert scores[20] > scores[10]  # ranking preserved
     raw = openai_rerank_view(rerank_results, auto_sigmoid=False).collect()
     assert {r.doc_id: r.score for r in raw}[20] == 2.0
+
+
+def test_explicit_query_universe_scores_absent_queries_zero(spark, ranking, judgments):
+    """A query that retrieved ZERO rows is absent from the ranking, so
+    by default it silently drops out of every metric and means over
+    the returned rows are inflated. Passing an explicit ``queries``
+    universe scores it 0 in all four metrics."""
+    universe = spark.createDataFrame([(1,), (2,), (3,)], "query_id long")
+    out = {
+        r.query_id: r
+        for r in quality_summary(ranking, judgments, k=10, queries=universe).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    z = out[3]
+    assert (z.rr, z.ndcg, z.recall, z.ap) == (0.0, 0.0, 0.0, 0.0)
+    # default (no universe) keeps the documented ranking-derived scope
+    assert quality_summary(ranking, judgments, k=10).count() == 2

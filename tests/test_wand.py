@@ -157,3 +157,18 @@ def test_boosted_topk_matches_python_reference(spark, docs, index):
     }
     boosted_ids = {k: v[0] for k, v in want.items()}
     assert boosted_ids != plain
+
+
+def test_negative_and_nan_boosts_fall_back_to_literal(spark, docs, index):
+    """term^-3 / term^nan must NOT parse as weights: a negative (or
+    NaN) idf inverts the term upper bound — max contribution would sit
+    at MIN tf — so block-max WAND could prune true top-k members. The
+    parse falls back to the literal token (out of vocabulary, hence
+    dropped), like any malformed suffix; Lucene rejects negative
+    boosts for the same reason."""
+    _qid, q = QUERY_SET[0]
+    first = q.split()[0]
+    base = _rows(wand_topk(index, [(1, q)], k=10))
+    for bad in (f"{q} {first}^-3", f"{q} {first}^nan", f"{q} {first}^-0.5"):
+        got = _rows(wand_topk(index, [(1, bad)], k=10, parse_boosts=True))
+        assert got == base, bad
