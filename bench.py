@@ -20,6 +20,13 @@ Phases (each a real end-to-end job, nothing cached between phases):
 
 The synthetic pages corpus size scales with sf (sf0.1 -> 40k pages).
 
+Contention handling: the suite brackets itself with a single-thread
+memory-bandwidth probe; if before/after probes disagree >2x or sit in
+the derated band, the whole suite re-runs (bounded by
+SPARK_GRAFT_BENCH_RETRIES, default 3) and every attempt's probes are
+recorded in the output, so one co-tenant burst can't silently poison
+the round's artifact.
+
 ``--scaling`` runs the same fixed workload at two parallelism levels
 (local[8] vs local[32] by default) in fresh subprocesses and reports
 throughput at both plus scaling efficiency — the sandbox stand-in for
@@ -211,6 +218,35 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 "overwrite"
             ).parquet(f"{tmp}/spans")
             extra["span_dedup"] = round(time.perf_counter() - t0, 3)
+            # IVF-PQ ANN over a synthetic 100k x 64 vector table:
+            # exercises coarse assignment, PQ encode, and the
+            # vectorized ADC gather at a candidate-set size where the
+            # kernel actually matters (~12k codes/query at nprobe=8)
+            from embed_rerank_spark.operators.similarity import (  # noqa: PLC0415
+                ivf_pq_topk,
+            )
+
+            n_vec = 100_000
+            vecs = spark.range(n_vec).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: (
+                        F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+            vecs.write.mode("overwrite").parquet(f"{tmp}/vecs")
+            vecs = spark.read.parquet(f"{tmp}/vecs")
+            pq_queries = vecs.limit(64).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            )
+            t0 = time.perf_counter()
+            ivf_pq_topk(
+                vecs, pq_queries, k=10, n_centroids=64, nprobe=8, m=16,
+                ksub=16, refine=50,
+            ).write.mode("overwrite").parquet(f"{tmp}/ivfpq")
+            extra["ivf_pq_topk_64"] = round(time.perf_counter() - t0, 3)
             timings["_extra"] = extra
 
         # --- tiered-compaction side metrics (reported under "tiered",
@@ -286,28 +322,80 @@ def host_health_probe() -> dict:
     }
 
 
+# a clean run's probes agree within PROBE_AGREE x and stay under
+# PROBE_HEALTHY_S; outside that, the suite straddled an external
+# memory-bandwidth contention window (see BENCH/BASELINE.md) and its
+# ordering is meaningless — retry (bounded), else report the least-
+# contended attempt with every attempt's probes on record
+PROBE_AGREE = 2.0
+PROBE_HEALTHY_S = 4.0
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
+
+
+def _probe_clean(before: dict, after: dict) -> bool:
+    a, b = before["sort20M_s"], after["sort20M_s"]
+    return max(a, b) / max(min(a, b), 1e-9) <= PROBE_AGREE and max(a, b) <= PROBE_HEALTHY_S
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_mode()
         return
-    probe_before = host_health_probe()
-    timings = run_suite(CPUS, N_PAGES)
-    probe_after = host_health_probe()
-    tiered = timings.pop("_tiered", {})
-    extra = timings.pop("_extra", {})
-    total = sum(timings.values())
+    attempts: list[dict] = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        probe_before = host_health_probe()
+        timings = run_suite(CPUS, N_PAGES)
+        probe_after = host_health_probe()
+        tiered = timings.pop("_tiered", {})
+        extra = timings.pop("_extra", {})
+        total = sum(timings.values())
+        attempts.append(
+            {
+                "value": round(total, 3),
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "tiered": tiered,
+                "extra": extra,
+                "host_health": {"before": probe_before, "after": probe_after},
+                "clean": _probe_clean(probe_before, probe_after),
+                "attempt": attempt,
+            }
+        )
+        if attempts[-1]["clean"]:
+            break
+    # first clean attempt, else the least-contended one
+    chosen = next(
+        (a for a in attempts if a["clean"]),
+        min(
+            attempts,
+            key=lambda a: max(
+                a["host_health"]["before"]["sort20M_s"],
+                a["host_health"]["after"]["sort20M_s"],
+            ),
+        ),
+    )
     out = {
         "metric": "e2e_suite_sec",
-        "value": round(total, 3),
+        "value": chosen["value"],
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": chosen["queries"],
         "sf": SF,
         "cpus": CPUS,
         "n_pages": N_PAGES,
-        "wand_qps": round(N_QUERIES / timings["wand_topk"], 2),
-        "tiered": tiered,
-        "extra": extra,
-        "host_health": {"before": probe_before, "after": probe_after},
+        "wand_qps": round(N_QUERIES / chosen["queries"]["wand_topk"], 2),
+        "tiered": chosen["tiered"],
+        "extra": chosen["extra"],
+        "host_health": chosen["host_health"],
+        "probe_clean": chosen["clean"],
+        "attempts": [
+            {
+                "attempt": a["attempt"],
+                "value": a["value"],
+                "clean": a["clean"],
+                "probe_before_s": a["host_health"]["before"]["sort20M_s"],
+                "probe_after_s": a["host_health"]["after"]["sort20M_s"],
+            }
+            for a in attempts
+        ],
     }
     print(json.dumps(out))
 

@@ -345,13 +345,20 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent: np.ndarray | None = None,
+    residual: bool = False,
 ) -> DataFrame:
-    """(vec_id, code: array<int>) — per-vector PQ codes, computed in
-    one vectorized Arrow pass (codebooks ride to executors inside the
-    closure; they are KB-scale). Codes are what lives in memory at
-    serving time: m bytes/vector instead of 4*dim. With ``cent``
-    (residual PQ) each vector encodes its residual against its nearest
-    coarse centroid — the decode side then adds the query's coarse dot
+    """(vec_id[, list_id], code: array<int>) — per-vector PQ codes,
+    computed in one vectorized Arrow pass (codebooks ride to executors
+    inside the closure; they are KB-scale). Codes are what lives in
+    memory at serving time: m bytes/vector instead of 4*dim.
+
+    With ``cent`` the SAME pass also emits the nearest-coarse-centroid
+    ``list_id`` (1-based, matching ``F.array_position`` semantics) —
+    one matrix product per Arrow batch instead of a Catalyst
+    expression with n_centroids*dim literals per row plus a
+    corpus-sized join of codes back to list assignments. With
+    ``residual=True`` each vector encodes its residual x - c against
+    that centroid; the decode side then adds the query's coarse dot
     product back (see ``ivf_pq_topk``)."""
     import pyarrow as pa
 
@@ -366,21 +373,31 @@ def pq_encode(
             if len(mat) == 0:
                 continue
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = None
             if cent is not None:
-                mat = mat - cent[np.argmax(mat @ cent.T, axis=1)]
+                assign = np.argmax(mat @ cent.T, axis=1)
+                if residual:
+                    mat = mat - cent[assign]
             codes = np.empty((len(mat), m), dtype=np.int32)
             for s in range(m):
                 xs = mat[:, s * dsub : (s + 1) * dsub]
                 # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
                 d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pa.RecordBatch.from_pydict(
-                {"vec_id": ids, "code": list(codes)}
-            )
+            out = {"vec_id": ids}
+            if assign is not None:
+                out["list_id"] = (assign + 1).astype(np.int32)
+            out["code"] = list(codes)
+            yield pa.RecordBatch.from_pydict(out)
 
+    schema = (
+        "vec_id long, code array<int>"
+        if cent is None
+        else "vec_id long, list_id int, code array<int>"
+    )
     return vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).mapInArrow(enc, "vec_id long, code array<int>")
+    ).mapInArrow(enc, schema)
 
 
 def ivf_pq_topk(
@@ -434,19 +451,14 @@ def ivf_pq_topk(
         cent=cent if residual else None,
     )
 
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    v = v.withColumn(
-        "list_id",
-        F.array_position(
-            _centroid_sims(F.col("v"), cent).alias("s"),
-            F.array_max(_centroid_sims(F.col("v"), cent)),
-        ).cast("int"),
+    # ONE Arrow pass emits (vec_id, list_id, code): list assignment
+    # rides the encode batch (a matrix product) instead of a Catalyst
+    # expression with n_centroids*dim literals per row, and no
+    # corpus-sized codes<->list join is needed
+    coded = pq_encode(
+        vectors, books, id_col=id_col, vec_col=vec_col, cent=cent,
+        residual=residual,
     )
-    codes = pq_encode(
-        vectors, books, id_col=id_col, vec_col=vec_col,
-        cent=cent if residual else None,
-    )
-    coded = v.select("vec_id", "list_id").join(codes, "vec_id")
 
     # per-query probe lists + ADC lookup tables (queries are the small
     # side; LUTs are m*ksub doubles each and ship inside the closure)
