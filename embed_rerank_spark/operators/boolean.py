@@ -117,10 +117,14 @@ def _boolean_partition(
     k1: float,
     b: float,
     excl: tuple[int, ...] = (),
+    vers: tuple = None,
 ):
     """queries: (qid, parsed query, positive scoring terms); ``excl``
-    (deletion tombstones) masks docs from results."""
-    shards = load_termdata(batches)
+    (deletion tombstones) masks docs from results; ``vers``
+    (newest-wins doc versions) drops stale re-crawl postings at
+    decode — NOT clauses included, so a term present only in a doc's
+    old crawl no longer vetoes the doc."""
+    shards = load_termdata(batches, vers)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s = [], [], []
@@ -244,8 +248,11 @@ def boolean_topk(
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _boolean_partition(it, plan, k, idf, avgdl, k1, b, excl),
+        lambda it: _boolean_partition(
+            it, plan, k, idf, avgdl, k1, b, excl, vers
+        ),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -32,14 +32,17 @@ from pyspark.sql import functions as F
 
 from ..functions.codec import decode_block
 from .bm25 import topk
-from .postings import InvertedIndex
+from .postings import InvertedIndex, version_arrays, version_keep
 
 DEFAULT_MU = 2000.0
 
 
-def _cf_partition(batches: Iterator[pa.RecordBatch]):
+def _cf_partition(batches: Iterator[pa.RecordBatch], vers: tuple = None):
     """Partial collection frequencies: decode each block's tf stream,
-    sum per term."""
+    sum per term. ``vers`` (newest-wins doc versions over a multi-unit
+    tiered index) excludes stale re-crawl postings — the kernel
+    decodes every block anyway, so the exact cf is free here."""
+    vmask = version_arrays(vers)
     sums: dict[str, int] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
@@ -48,8 +51,13 @@ def _cf_partition(batches: Iterator[pa.RecordBatch]):
         docs_b = col["docs_bin"].to_pylist()
         tfs_b = col["tfs_bin"].to_pylist()
         dls_b = col["dls_bin"].to_pylist()
-        for t, nd, db, tb, lb in zip(terms, nds, docs_b, tfs_b, dls_b):
-            _d, f, _l = decode_block(db, tb, lb, nd)
+        segs = col["seg"].to_pylist() if "seg" in col else [0] * len(terms)
+        for t, nd, db, tb, lb, seg in zip(terms, nds, docs_b, tfs_b, dls_b, segs):
+            d, f, _l = decode_block(db, tb, lb, nd)
+            if vmask is not None:
+                keep = version_keep(d, seg, *vmask)
+                if not keep.all():
+                    f = f[keep]
             sums[t] = sums.get(t, 0) + int(f.sum())
     if sums:
         yield pa.RecordBatch.from_pydict(
@@ -68,10 +76,14 @@ def cf_for_terms(index: InvertedIndex, terms: set[str]) -> dict[str, int]:
         cache = index._cf_cache = {}
     missing = [t for t in terms if t not in cache]
     if missing:
-        part = index.postings.select(
-            "term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
-        ).filter(F.col("term").isin(missing)).mapInArrow(
-            _cf_partition, "term string, cf long"
+        needed = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+        if "seg" in index.postings.columns:
+            needed.append("seg")
+        vers = index.doc_versions
+        part = index.postings.select(*needed).filter(
+            F.col("term").isin(missing)
+        ).mapInArrow(
+            lambda it: _cf_partition(it, vers), "term string, cf long"
         )
         for r in part.groupBy("term").agg(F.sum("cf").alias("cf")).collect():
             cache[r["term"]] = int(r["cf"])
@@ -96,15 +108,24 @@ def _lmd_partition(
     k: int,
     mu: float,
     excl: tuple[int, ...] = (),
+    vers: tuple = None,
 ):
     """Per shard: decode the query terms' postings once, accumulate
-    per-doc LMD scores (bincount), emit shard-local top-k."""
+    per-doc LMD scores (bincount), emit shard-local top-k. ``vers``
+    (newest-wins doc versions) drops stale re-crawl postings at
+    decode."""
     shards: dict[int, dict[str, list]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
-        for sh, t, row in zip(
+        segs = (
+            col["seg"].to_pylist()
+            if "seg" in col
+            else [0] * len(col["term"])
+        )
+        for sh, t, seg, row in zip(
             col["shard"].to_pylist(),
             col["term"].to_pylist(),
+            segs,
             zip(
                 col["n_docs"].to_pylist(),
                 col["docs_bin"].to_pylist(),
@@ -112,16 +133,21 @@ def _lmd_partition(
                 col["dls_bin"].to_pylist(),
             ),
         ):
-            shards.setdefault(sh, {}).setdefault(t, []).append(row)
+            shards.setdefault(sh, {}).setdefault(t, []).append((seg, *row))
 
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    vmask = version_arrays(vers)
     out_q, out_d, out_s = [], [], []
     for _sh, term_blocks in shards.items():
         decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for t, blks in term_blocks.items():
             ds, fs, ls = [], [], []
-            for nd, db, tb, lb in blks:
+            for seg, nd, db, tb, lb in blks:
                 d, f, l = decode_block(db, tb, lb, nd)
+                if vmask is not None:
+                    keep = version_keep(d, seg, *vmask)
+                    if not keep.all():
+                        d, f, l = d[keep], f[keep], l[keep]
                 ds.append(d)
                 fs.append(f)
                 ls.append(l)
@@ -202,13 +228,15 @@ def lmd_topk(
             [], "query_id long, rank int, doc_id long, score double"
         )
     live = sorted({t for _qid, qt in plan for t, _ in qt})
-    filtered = index.postings.select(
-        "term", "shard", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
-    ).filter(F.col("term").isin(live))
+    needed = ["term", "shard", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(F.col("term").isin(live))
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _lmd_partition(it, plan, k, mu, excl),
+        lambda it: _lmd_partition(it, plan, k, mu, excl, vers),
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

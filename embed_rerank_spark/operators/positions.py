@@ -477,12 +477,20 @@ def _sort_dedupe_termdata(
 
 def load_termdata(
     batches: Iterator[pa.RecordBatch],
+    vers: tuple = None,
 ) -> dict[int, dict[str, tuple]]:
     """shard -> term -> (docs asc unique, tf, dl, pos_flat, pos_offs)
     from positional posting blocks: the shared decode/sort/dedupe
     loader behind the phrase, proximity, and boolean readers.
-    Multi-unit (tiered) runs are re-sorted and duplicate docs
+    ``vers`` (newest-wins doc versions over a multi-unit tiered view)
+    drops a re-crawled doc's stale-unit postings — positions included
+    — right after decode, so a phrase that only existed in the old
+    crawl no longer matches. Remaining multi-unit runs are re-sorted
+    and residual duplicate docs (within-unit hash collisions)
     collapsed to the max-(tf, dl) winner by ``_sort_dedupe_termdata``."""
+    from .postings import version_arrays, version_keep  # noqa: PLC0415
+
+    vmask = version_arrays(vers)
     shards: dict[int, dict[str, list]] = {}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
@@ -495,8 +503,11 @@ def load_termdata(
         tfs_l = col["tfs_bin"].to_pylist()
         dls_l = col["dls_bin"].to_pylist()
         pos_l = col["pos_bin"].to_pylist()
+        seg_l = col["seg"].to_pylist() if "seg" in col else [0] * len(term_l)
         for sh, tm, row in zip(
-            shard_l, term_l, zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l)
+            shard_l,
+            term_l,
+            zip(first_l, bid_l, nd_l, docs_l, tfs_l, dls_l, pos_l, seg_l),
         ):
             shards.setdefault(sh, {}).setdefault(tm, []).append(row)
 
@@ -506,12 +517,23 @@ def load_termdata(
         for t, blks in term_blocks.items():
             blks.sort(key=lambda r: (r[0], r[1]))  # (first_doc, block_id)
             ds, tfs, dls, pfs = [], [], [], []
-            for _fd, _bid, nd, db, tb_, lb, pb in blks:
+            for _fd, _bid, nd, db, tb_, lb, pb, seg in blks:
                 d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
+                if vmask is not None:
+                    keep = version_keep(d, seg, *vmask)
+                    if not keep.all():
+                        offs = np.concatenate(([0], np.cumsum(f)))
+                        keep_flat, _ = _ragged_gather(offs[:-1][keep], f[keep])
+                        pflat = pflat[keep_flat]
+                        d, f, l = d[keep], f[keep], l[keep]
+                        if not len(d):
+                            continue
                 ds.append(d)
                 tfs.append(f)
                 dls.append(l)
                 pfs.append(pflat)
+            if not ds:  # every posting was a stale crawl
+                continue
             tf = np.concatenate(tfs)
             termdata[t] = _sort_dedupe_termdata(
                 np.concatenate(ds),
@@ -533,11 +555,14 @@ def _phrase_partition(
     k1: float,
     b: float,
     excl: tuple[int, ...] = (),
+    vers: tuple = None,
 ):
     """One task: decode its shards' (phrase-term-only) positional
     postings once per (shard, term), answer every phrase per shard.
-    ``excl`` (deletion tombstones) masks docs from results."""
-    shards = load_termdata(batches)
+    ``excl`` (deletion tombstones) masks docs from results; ``vers``
+    (newest-wins doc versions) drops stale re-crawl postings at
+    decode."""
+    shards = load_termdata(batches, vers)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s, out_p = [], [], [], []
@@ -610,8 +635,11 @@ def phrase_topk(
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
     n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _phrase_partition(it, phrase_plan, k, idf, avgdl, k1, b, excl),
+        lambda it: _phrase_partition(
+            it, phrase_plan, k, idf, avgdl, k1, b, excl, vers
+        ),
         "query_id long, doc_id long, score double, first_pos long",
     )
     return topk(per_shard, k).select(
@@ -773,8 +801,9 @@ def _proximity_partition(
     b: float,
     excl: tuple[int, ...] = (),
     ordered: bool = False,
+    vers: tuple = None,
 ):
-    shards = load_termdata(batches)
+    shards = load_termdata(batches, vers)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s = [], [], []
@@ -857,9 +886,10 @@ def proximity_topk(
     live = {t for _q, a, c in plan for t in (a, c)}
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _proximity_partition(
-            it, plan, k, window, idf, avgdl, k1, b, excl, ordered
+            it, plan, k, window, idf, avgdl, k1, b, excl, ordered, vers
         ),
         "query_id long, doc_id long, score double",
     )
@@ -877,13 +907,17 @@ def merge_partition_pos(
     block_size: int,
     n_salts: int = 1,
     excluded: tuple[int, ...] = (),
+    versions: tuple = None,
 ):
     """Positional counterpart of ``build_index._merge_partition``:
     decode -> merge-sort -> re-encode with the positions stream riding
     along. Positions are delta-encoded per POSTING (reset at each
     posting start), so the concatenated streams decode with ONE varbyte
     pass + one segment-cumsum keyed by the decoded tf values; the
-    row permutation becomes a ragged gather on the positions."""
+    row permutation becomes a ragged gather on the positions.
+    ``versions`` (newest-wins re-crawl fold, requires a ``seg`` input
+    column) and ``excluded`` (tombstones) drop postings physically,
+    same contract as the non-positional kernel."""
     from ..functions.codec import delta_decode_blocks, vb_decode  # noqa: PLC0415
     from ..plans.build_index import _concat_binary  # noqa: PLC0415
 
@@ -924,8 +958,17 @@ def merge_partition_pos(
     pos_s = pos_flat[flat_idx]
     off_s = np.concatenate(([0], np.cumsum(tf_s)))
 
-    if excluded:
-        live = ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+    if excluded or versions:
+        live = np.ones(len(doc_s), dtype=bool)
+        if excluded:
+            live &= ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+        if versions:
+            from .postings import version_arrays, version_keep  # noqa: PLC0415
+
+            vd, vs = version_arrays(versions)
+            bseg = tbl.column("seg").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            seg_rows = np.repeat(bseg, bnd)[perm]
+            live &= version_keep(doc_s, seg_rows, vd, vs)
         keep_flat, _ = _ragged_gather(off_s[:-1][live], tf_s[live])
         pos_s = pos_s[keep_flat]
         tidx_rows, shard_rows = tidx_rows[live], shard_rows[live]
@@ -952,12 +995,13 @@ def _best_window_partition(
     term_queries: dict[str, list[int]],
     wanted: dict[int, np.ndarray],
     window: int,
+    vers: tuple = None,
 ):
     """Positional decode pass: for each (query, wanted doc) find the
     ``window``-token span holding the most DISTINCT query terms
     (ties: earliest start). Candidate starts are term occurrences —
     the optimum always begins at one."""
-    termdata = load_termdata(batches)
+    termdata = load_termdata(batches, vers)
     out_q, out_d, out_s, out_n = [], [], [], []
     for _sh, terms in termdata.items():
         # per (query, doc): merged occurrence positions + term ids
@@ -1058,8 +1102,11 @@ def best_window_snippets(
     # so the window merge sees every occurrence (same partitioning
     # rationale as the WAND stage)
     n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
     wins = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
-        lambda it: _best_window_partition(it, term_queries, wanted_np, window),
+        lambda it: _best_window_partition(
+            it, term_queries, wanted_np, window, vers
+        ),
         "query_id long, doc_id long, win_start long, n_terms long",
     )
     toks = docs.select(

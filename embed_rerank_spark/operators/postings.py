@@ -357,7 +357,11 @@ def lineage_manifest(postings: DataFrame, doc_stats: DataFrame) -> DataFrame:
 
 def write_index(index: dict[str, DataFrame], path: str) -> None:
     index["postings"].write.mode("overwrite").parquet(f"{path}/postings")
-    index["term_stats"].write.mode("overwrite").parquet(f"{path}/term_stats")
+    # rterm = reversed term (Lucene's reversed-term field): turns a
+    # leading-wildcard *suffix into a pushdown-able prefix scan
+    index["term_stats"].withColumn("rterm", F.reverse(F.col("term"))).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/term_stats")
     index["doc_stats"].write.mode("overwrite").parquet(f"{path}/doc_stats")
     index["corpus_stats"].write.mode("overwrite").parquet(f"{path}/corpus_stats")
     # lineage from the WRITTEN postings (reflects what actually landed)
@@ -365,6 +369,34 @@ def write_index(index: dict[str, DataFrame], path: str) -> None:
     written = spark.read.parquet(f"{path}/postings")
     dstats = spark.read.parquet(f"{path}/doc_stats")
     lineage_manifest(written, dstats).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def version_arrays(vers: tuple | None) -> tuple[np.ndarray, np.ndarray] | None:
+    """Closure-shipped ``doc_versions`` pair -> (sorted doc_ids int64,
+    newest seg per doc int64) NumPy arrays, converted once per task."""
+    if not vers or not vers[0]:
+        return None
+    return (
+        np.asarray(vers[0], dtype=np.int64),
+        np.asarray(vers[1], dtype=np.int64),
+    )
+
+
+def version_keep(
+    docs: np.ndarray, seg, vdocs: np.ndarray, vsegs: np.ndarray
+) -> np.ndarray:
+    """Newest-wins mask for one decoded posting run: True where the
+    doc either has no newer crawl (absent from the version map) or
+    this run's unit IS its newest (``vsegs[doc] == seg``). ``seg`` is
+    a scalar (one run = one unit) or a per-row array (merge kernels).
+    One searchsorted over the run — vectorized, no per-row Python."""
+    idx = np.searchsorted(vdocs, docs)
+    idx_c = np.minimum(idx, len(vdocs) - 1)
+    hit = vdocs[idx_c] == docs
+    keep = np.ones(len(docs), dtype=bool)
+    seg_hit = seg[hit] if isinstance(seg, np.ndarray) else seg
+    keep[hit] = vsegs[idx_c[hit]] == seg_hit
+    return keep
 
 
 @dataclass
@@ -389,6 +421,15 @@ class InvertedIndex:
     # stats keep counting them until compaction physically removes the
     # postings (the standard deleted-docs visibility model)
     tombstones: frozenset = None
+    # newest-wins doc versions across LSM units (re-crawled urls not
+    # yet collapsed by compaction): (sorted doc_ids, newest unit seg
+    # ordinal per doc), only for docs present in >1 live unit. Query
+    # kernels drop a doc's postings from every OLDER unit at decode
+    # time, so a re-crawled page is scored once, from its newest
+    # content; corpus/term stats keep counting the stale crawl until
+    # compaction physically folds it in (same drift model as
+    # tombstones / Lucene docCount-with-deletes)
+    doc_versions: tuple = None
 
     def df_for_terms(self, terms: set[str]) -> dict[str, int]:
         if self._df_cache is None:

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .. import BM25_B, BM25_K1
 from ..functions.codec import decode_block
 from .bm25 import topk
-from .postings import InvertedIndex
+from .postings import InvertedIndex, version_arrays, version_keep
 
 _INF = float("inf")
 # Tie semantics: ranking keys round scores to 6 decimals (see
@@ -59,10 +59,20 @@ def _tfpart(tf, dl, avgdl: float, k1: float, b: float):
 
 class _TermIterator:
     """Cursor over one (shard, term) posting list: lazy block decode,
-    shallow (header-only) seeks for block-max skipping."""
+    shallow (header-only) seeks for block-max skipping.
+
+    ``seg``/``vmask``: newest-wins doc versioning over a multi-unit
+    tiered index — ``vmask`` = (sorted doc_ids, newest seg per doc)
+    for re-crawled docs, and ``_open`` drops this run's postings for
+    docs whose newest unit is NOT ``seg`` right after decode, so every
+    downstream walk (pivot, leapfrog, msm counting) sees only live
+    postings. Block headers may then overstate (first/last/max_tf of
+    the unmasked block) — still valid UPPER bounds, so block-max
+    pruning stays exact."""
 
     __slots__ = (
         "blocks", "idf", "bi", "pos", "docs", "tfs", "dls", "cur", "term_ub", "term",
+        "seg", "vmask",
     )
 
     def __init__(
@@ -73,12 +83,16 @@ class _TermIterator:
         k1: float,
         b: float,
         term: str = "",
+        seg: int = 0,
+        vmask: tuple | None = None,
     ):
         self.term = term
         # blocks: list of tuples (first_doc, last_doc, n_docs, max_tf,
         # min_dl, docs_bin, tfs_bin, dls_bin) sorted by block_id
         self.blocks = blocks
         self.idf = idf
+        self.seg = seg
+        self.vmask = vmask
         self.bi = 0
         self.pos = 0
         self.docs = self.tfs = self.dls = None
@@ -88,15 +102,23 @@ class _TermIterator:
         self._open(0)
 
     def _open(self, bi: int) -> None:
-        if bi >= len(self.blocks):
-            self.bi = bi
-            self.cur = _INF
-            return
+        while bi < len(self.blocks):
+            blk = self.blocks[bi]
+            docs, tfs, dls = decode_block(blk[5], blk[6], blk[7], blk[2])
+            if self.vmask is not None:
+                keep = version_keep(docs, self.seg, *self.vmask)
+                if not keep.all():
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if len(docs):
+                self.bi = bi
+                self.docs, self.tfs, self.dls = docs, tfs, dls
+                self.pos = 0
+                self.cur = int(docs[0])
+                return
+            bi += 1  # every posting in the block was a stale crawl
         self.bi = bi
-        blk = self.blocks[bi]
-        self.docs, self.tfs, self.dls = decode_block(blk[5], blk[6], blk[7], blk[2])
-        self.pos = 0
-        self.cur = int(self.docs[0])
+        self.cur = _INF
+        self.docs = None
 
     def block_ub(self, avgdl: float, k1: float, b: float) -> float:
         """UB of the current block (valid after shallow_seek)."""
@@ -165,6 +187,7 @@ def _wand_one_query(
     allowed: set | None = None,
     msm: int = 1,
     after: tuple[float, int] | None = None,
+    vmask: tuple | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) for one query over one shard.
     ``term_blocks[t]`` is a list of RUNS (one per index unit); each run
@@ -189,12 +212,15 @@ def _wand_one_query(
     last row of the previous page): only docs STRICTLY after it in
     ranking order (rounded score desc, doc_id asc) may enter the
     heap, so the heap holds exactly the next page's top-k and theta
-    pruning stays exact for the post-cursor ranking."""
+    pruning stays exact for the post-cursor ranking.
+
+    ``vmask`` (newest-wins doc versions): each run's cursor drops
+    stale-crawl postings at decode, see ``_TermIterator``."""
     its = [
-        _TermIterator(run, idf, avgdl, k1, b, term=t)
+        _TermIterator(run, idf, avgdl, k1, b, term=t, seg=seg, vmask=vmask)
         for t, idf in qterms
         if t in term_blocks
-        for run in term_blocks[t]
+        for seg, run in term_blocks[t]
     ]
     its = [it for it in its if it.cur != _INF]
     if not its:
@@ -400,6 +426,7 @@ def _wand_partition(
     allowed: tuple[int, ...] | None = None,
     msm: int = 1,
     after: dict[int, tuple[float, int]] | None = None,
+    vers: tuple = None,
 ):
     """One task: materialize its shards' (query-term-only) posting
     blocks, answer every query per shard.
@@ -414,7 +441,9 @@ def _wand_partition(
 
     ``excl``: tombstoned doc ids (deletes not yet folded in by
     compaction); ``allowed``: filtered-retrieval doc set (None = all)
-    — masked from results in both paths."""
+    — masked from results in both paths. ``vers``: newest-wins doc
+    versions (stale re-crawl postings dropped at decode in both
+    paths)."""
     shards = _parse_shards(batches)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
     excl_set = set(excl) if excl else None
@@ -422,6 +451,7 @@ def _wand_partition(
         np.sort(np.asarray(allowed, dtype=np.int64)) if allowed is not None else None
     )
     allowed_set = set(allowed) if allowed is not None else None
+    vmask = version_arrays(vers)
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
@@ -429,16 +459,17 @@ def _wand_partition(
         # run: salted hot terms restart block_id per range run, but
         # ranges are disjoint and ascending inside one unit, so
         # first_doc is the true order there; across units, runs stay
-        # separate cursors
+        # separate (seg, cursor) pairs
         tb = {
             t: [
-                [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))]
-                for run in runs.values()
+                (seg, [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))])
+                for seg, run in sorted(runs.items())
             ]
             for t, runs in term_blocks.items()
         }
         term_len = {
-            t: sum(blk[2] for run in runs for blk in run) for t, runs in tb.items()
+            t: sum(blk[2] for _seg, run in runs for blk in run)
+            for t, runs in tb.items()
         }
         # decode-once cache for the term-at-a-time path: (docs, tfpart)
         taat_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -447,12 +478,23 @@ def _wand_partition(
             got = taat_cache.get(t)
             if got is None:
                 ds, tfs, dls = [], [], []
-                for run in tb[t]:
+                for seg, run in tb[t]:
+                    rd, rf, rl = [], [], []
                     for blk in run:
                         d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
-                        ds.append(d)
-                        tfs.append(f)
-                        dls.append(l)
+                        rd.append(d)
+                        rf.append(f)
+                        rl.append(l)
+                    d = np.concatenate(rd)
+                    f = np.concatenate(rf)
+                    l = np.concatenate(rl)
+                    if vmask is not None:
+                        keep = version_keep(d, seg, *vmask)
+                        if not keep.all():
+                            d, f, l = d[keep], f[keep], l[keep]
+                    ds.append(d)
+                    tfs.append(f)
+                    dls.append(l)
                 d = np.concatenate(ds)
                 tp = _tfpart(
                     np.concatenate(tfs).astype(np.float64),
@@ -477,7 +519,8 @@ def _wand_partition(
                 )
             else:
                 results = _wand_one_query(
-                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set, msm, cursor
+                    tb, qterms, k, avgdl, k1, b, excl_set, allowed_set, msm, cursor,
+                    vmask,
                 )
             for doc_id, score in results:
                 out_q.append(qid)
@@ -622,10 +665,11 @@ def wand_topk(
     allowed = tuple(sorted(allowed_docs)) if allowed_docs is not None else None
     msm = min_should_match
     cursors = dict(after) if after else None
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _wand_partition(
             it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed, msm,
-            cursors,
+            cursors, vers,
         ),
         "query_id long, doc_id long, score double",
     )
@@ -780,27 +824,31 @@ def _conj_partition(
     b: float,
     taat_threshold: int = 100_000,
     excl: tuple[int, ...] = (),
+    vers: tuple = None,
 ):
     """Conjunctive counterpart of ``_wand_partition``: every query
     term must be present in the shard (docs are whole within a shard,
     so a shard missing a term contributes no matches); long single-run
     lists use the block-skipping leapfrog, short or multi-run ones the
-    vectorized set path."""
+    vectorized set path. ``vers`` (newest-wins doc versions) drops
+    stale re-crawl postings at decode in both paths."""
     shards = _parse_shards(batches)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
     excl_set = set(excl) if excl else None
+    vmask = version_arrays(vers)
 
     out_q, out_d, out_s = [], [], []
     for _shard, term_blocks in shards.items():
         tb = {
             t: [
-                [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))]
-                for run in runs.values()
+                (seg, [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))])
+                for seg, run in sorted(runs.items())
             ]
             for t, runs in term_blocks.items()
         }
         term_len = {
-            t: sum(blk[2] for run in runs for blk in run) for t, runs in tb.items()
+            t: sum(blk[2] for _seg, run in runs for blk in run)
+            for t, runs in tb.items()
         }
         # decode-once cache of RAW (docs, tf, dl) per term: the
         # vectorized path needs tf/dl to collapse duplicate docs to
@@ -811,12 +859,23 @@ def _conj_partition(
             got = conj_cache.get(t)
             if got is None:
                 ds, tfs, dls = [], [], []
-                for run in tb[t]:
+                for seg, run in tb[t]:
+                    rd, rf, rl = [], [], []
                     for blk in run:
                         d, f, l = decode_block(blk[5], blk[6], blk[7], blk[2])
-                        ds.append(d)
-                        tfs.append(f)
-                        dls.append(l)
+                        rd.append(d)
+                        rf.append(f)
+                        rl.append(l)
+                    d = np.concatenate(rd)
+                    f = np.concatenate(rf)
+                    l = np.concatenate(rl)
+                    if vmask is not None:
+                        keep = version_keep(d, seg, *vmask)
+                        if not keep.all():
+                            d, f, l = d[keep], f[keep], l[keep]
+                    ds.append(d)
+                    tfs.append(f)
+                    dls.append(l)
                 got = conj_cache[t] = (
                     np.concatenate(ds),
                     np.concatenate(tfs),
@@ -831,7 +890,11 @@ def _conj_partition(
             single_run = all(len(tb[t]) == 1 for t, _ in qterms)
             if single_run and n_postings > taat_threshold:
                 its = [
-                    _TermIterator(tb[t][0], idf, avgdl, k1, b) for t, idf in qterms
+                    _TermIterator(
+                        tb[t][0][1], idf, avgdl, k1, b,
+                        seg=tb[t][0][0], vmask=vmask,
+                    )
+                    for t, idf in qterms
                 ]
                 results = _leapfrog_one_query(its, k, avgdl, k1, b, excl_set)
             else:
@@ -904,9 +967,10 @@ def conjunctive_topk(
     )
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    vers = index.doc_versions
     per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
         lambda it: _conj_partition(
-            it, query_plan, k, avgdl, k1, b, taat_threshold, excl
+            it, query_plan, k, avgdl, k1, b, taat_threshold, excl, vers
         ),
         "query_id long, doc_id long, score double",
     )
@@ -965,15 +1029,21 @@ def expand_suffix(
 ) -> list[str]:
     """Dictionary expansion for a LEADING-wildcard query ``*suffix``:
     vocabulary terms ENDING with the suffix, df desc / term asc,
-    capped. A leading wildcard cannot use the term dictionary's sort
-    order, so this is a full dictionary scan — fine here because the
-    dictionary is vocabulary-sized (millions of rows, not corpus-
-    sized) and the scan is one predicate over one parquet column; the
-    classic index-side upgrade is Lucene's reversed-term field
-    (index each term reversed, turning *suffix into a prefix scan),
-    which would slot in as one extra term_stats column."""
+    capped — via the REVERSED-TERM field (Lucene's
+    ReverseStringFilter trick): ``write_index``/``merge_segments``
+    store ``rterm = reverse(term)`` alongside the dictionary, so
+    ``*suffix`` becomes ``rterm startswith reverse(suffix)`` — a
+    pushdown-able string-prefix predicate on a STORED column (the
+    parquet scan evaluates it with column stats; plan guard in
+    ``test_plans.py``) instead of a full-vocabulary endswith. Indexes
+    whose term_stats predate the column (or are derived on the fly,
+    e.g. the tiered view) fall back to computing the reverse in the
+    same scan — identical results, no stats pruning."""
+    rts = index.term_stats
+    if "rterm" not in rts.columns:
+        rts = rts.withColumn("rterm", F.reverse(F.col("term")))
     rows = (
-        index.term_stats.filter(F.col("term").endswith(suffix))
+        rts.filter(F.col("rterm").startswith(suffix[::-1]))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansion)
         .collect()
@@ -1014,9 +1084,15 @@ def _explain_partition(
     avgdl: float,
     k1: float,
     b: float,
+    vers: tuple = None,
 ):
     """Decode the (query-term-filtered) postings and emit one row per
-    (query, top-k doc, matched term) with the score decomposition."""
+    (query, top-k doc, matched term) with the score decomposition.
+    ``vers`` (newest-wins doc versions, multi-unit tiered index) drops
+    a re-crawled doc's stale-unit postings so the breakdown matches
+    what the scorers actually summed — one row per (query, doc, term),
+    never one per unit."""
+    vmask = version_arrays(vers)
     out = {k: [] for k in ("query_id", "doc_id", "term", "tf", "dl", "idf", "contribution")}
     for batch in batches:
         col = dict(zip(batch.schema.names, batch.columns))
@@ -1025,11 +1101,18 @@ def _explain_partition(
         docs_b = col["docs_bin"].to_pylist()
         tfs_b = col["tfs_bin"].to_pylist()
         dls_b = col["dls_bin"].to_pylist()
-        for t, nd, db, tb, lb in zip(terms, nds, docs_b, tfs_b, dls_b):
+        segs = col["seg"].to_pylist() if "seg" in col else [0] * len(terms)
+        for t, nd, db, tb, lb, seg in zip(terms, nds, docs_b, tfs_b, dls_b, segs):
             qs = term_queries.get(t)
             if not qs:
                 continue
             d, f, l = decode_block(db, tb, lb, nd)
+            if vmask is not None:
+                keep = version_keep(d, seg, *vmask)
+                if not keep.all():
+                    d, f, l = d[keep], f[keep], l[keep]
+                    if not len(d):
+                        continue
             for qid, idf in qs:
                 w = wanted[qid]
                 m = np.isin(d, w)
@@ -1081,9 +1164,11 @@ def explain_topk(
     the top-k doc set (tiny, ships in the closure), then one decode
     pass emits the per-term rows for exactly those docs — no
     re-scoring of the corpus, cost proportional to the query terms'
-    postings as usual. Single-unit semantics; over a multi-unit
-    (un-compacted tiered) index, compact first or rows may repeat
-    per unit."""
+    postings as usual. Exact over a multi-unit (un-compacted tiered)
+    index too: units hold disjoint docs except re-crawls, and the
+    newest-wins version mask on the handle drops a re-crawled doc's
+    stale-unit postings here exactly as the scorers do, so
+    contributions still sum bit-exactly to the WAND score."""
     ranked = wand_topk(index, queries, k, k1, b).select("query_id", "doc_id").collect()
     wanted: dict[int, list[int]] = {}
     for r in ranked:
@@ -1120,11 +1205,17 @@ def explain_topk(
             if t in idf:
                 term_queries.setdefault(t, []).append((qid, idf[t]))
 
-    filtered = index.postings.select(
-        "term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"
-    ).filter(F.col("term").isin(list(term_queries)))
+    needed = ["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(
+        F.col("term").isin(list(term_queries))
+    )
     avgdl = index.avgdl
+    vers = index.doc_versions
     return filtered.mapInArrow(
-        lambda it: _explain_partition(it, term_queries, wanted_np, avgdl, k1, b),
+        lambda it: _explain_partition(
+            it, term_queries, wanted_np, avgdl, k1, b, vers
+        ),
         "query_id long, doc_id long, term string, tf long, dl long, idf double, contribution double",
     )

@@ -274,17 +274,55 @@ def _concat_binary(arr: pa.Array) -> tuple[memoryview, np.ndarray]:
     return data[offs[0] : offs[-1]], offs - offs[0]
 
 
+def stale_versions(doc_stats: list[DataFrame]) -> tuple | None:
+    """Newest-wins version map over a recency-ordered unit list (index
+    i = recency ordinal, newest last): (sorted doc_ids, newest seg per
+    doc) for docs present in MORE THAN ONE unit — the re-crawled urls
+    whose stale postings merges drop and query views mask. One
+    combinable agg over the unioned doc stats; the result is bounded
+    by the re-crawl overlap between units (compaction keeps it small),
+    so it ships in task closures like tombstones."""
+    from functools import reduce  # noqa: PLC0415
+
+    seg_ds = reduce(
+        DataFrame.unionByName,
+        [
+            ds.select("doc_id").withColumn("seg", F.lit(i))
+            for i, ds in enumerate(doc_stats)
+        ],
+    )
+    rows = (
+        seg_ds.groupBy("doc_id")
+        .agg(F.max("seg").alias("seg"), F.count_distinct("seg").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "seg")
+        .collect()
+    )
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r["doc_id"])
+    return tuple(r["doc_id"] for r in rows), tuple(r["seg"] for r in rows)
+
+
 def _merge_partition(
     batches: Iterator[pa.RecordBatch],
     block_size: int,
     n_salts: int = 1,
     excluded: tuple[int, ...] = (),
+    versions: tuple = None,
 ):
     """Decode -> merge-sort -> re-encode, fully vectorized.
 
     ``excluded`` (deletion tombstones) physically drops those docs'
     postings during the rewrite — how LSM deletes are folded in at
     compaction.
+
+    ``versions`` = (sorted doc_ids, newest input-unit ``seg`` per doc)
+    for docs present in MORE THAN ONE input unit (re-crawled urls):
+    the rewrite keeps only the newest unit's postings for those docs —
+    newest-wins folded in physically, matching what the query view
+    masks at read time. Requires a ``seg`` column (input-unit recency
+    ordinal) on the rows.
 
     Input: one partition of encoded block rows hashed by (shard, term)
     (doc sets disjoint across segments, interleaved in id space). All
@@ -328,8 +366,17 @@ def _merge_partition(
     tidx_rows = np.repeat(btidx, bnd)[perm]
     shard_rows = np.repeat(bshard, bnd)[perm]
     doc_s, tf_s, dl_s = doc[perm], tf[perm], dl[perm]
-    if excluded:
-        live = ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+    if excluded or versions:
+        live = np.ones(len(doc_s), dtype=bool)
+        if excluded:
+            live &= ~np.isin(doc_s, np.sort(np.asarray(excluded, dtype=np.int64)))
+        if versions:
+            from ..operators.postings import version_arrays, version_keep  # noqa: PLC0415
+
+            vd, vs = version_arrays(versions)
+            bseg = tbl.column("seg").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            seg_rows = np.repeat(bseg, bnd)[perm]
+            live &= version_keep(doc_s, seg_rows, vd, vs)
         tidx_rows, shard_rows = tidx_rows[live], shard_rows[live]
         doc_s, tf_s, dl_s = doc_s[live], tf_s[live], dl_s[live]
         if len(doc_s) == 0:
@@ -394,13 +441,25 @@ def merge_segments(
         )
     from functools import reduce  # noqa: PLC0415
 
+    # snapshots sort chronologically (YYYY-MM-DD / zero-padded stream
+    # batches), so the enumeration ordinal IS the recency seg the
+    # newest-wins version map keys on
+    ds_list = [
+        spark.read.parquet(f"{_segment_dirs(path)}/{s}/doc_stats") for s in snaps
+    ]
+    versions = stale_versions(ds_list)
     seg_postings = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(f"{_segment_dirs(path)}/{s}/postings") for s in snaps],
+        [
+            spark.read.parquet(f"{_segment_dirs(path)}/{s}/postings").withColumn(
+                "seg", F.lit(i)
+            )
+            for i, s in enumerate(snaps)
+        ],
     )
     seg_docstats = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(f"{_segment_dirs(path)}/{s}/doc_stats") for s in snaps],
+        [ds.withColumn("seg", F.lit(i)) for i, ds in enumerate(ds_list)],
     )
 
     n_parts = max(8, spark.sparkContext.defaultParallelism)
@@ -408,7 +467,10 @@ def merge_segments(
     # valid because build and merge must share n_salts, so block ranges
     # align to salt buckets): a hot term's blocks spread over
     # n_salts partitions instead of one
-    merge_cols = ["term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    merge_cols = [
+        "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
+        "seg",
+    ]
     if positional:
         from ..operators.positions import (  # noqa: PLC0415
             POSITIONAL_SCHEMA,
@@ -424,7 +486,7 @@ def merge_segments(
         .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
         .repartition(n_parts, "shard", "term", "bsalt")
         .mapInArrow(
-            lambda it: kernel(it, block_size, pow2_salts(n_salts)),
+            lambda it: kernel(it, block_size, pow2_salts(n_salts), (), versions),
             out_schema,
         )
     )
@@ -433,11 +495,15 @@ def merge_segments(
     from pyspark.sql import Observation  # noqa: PLC0415
 
     # one doc_stats row per UNIQUE doc: the same url re-crawled in two
-    # snapshots (or an xxhash64 collision) must not double-count
-    # n_docs/avgdl — max(dl) mirrors the encoder's max-tf collapse.
-    # Cost: one map-side-combinable hash agg per merge.
-    uniq_docstats = seg_docstats.groupBy("doc_id", "shard").agg(F.max("dl").alias("dl")).select(
-        "doc_id", "dl", "shard"
+    # snapshots must not double-count n_docs/avgdl — the NEWEST
+    # snapshot's dl wins, matching the newest-wins postings rewrite
+    # above (dl desc breaks within-snapshot xxhash64-collision ties the
+    # way the encoder's max-(tf, dl) collapse does). Cost: one
+    # map-side-combinable hash agg per merge.
+    uniq_docstats = (
+        seg_docstats.groupBy("doc_id", "shard")
+        .agg(F.max_by("dl", F.struct(F.col("seg"), F.col("dl"))).alias("dl"))
+        .select("doc_id", "dl", "shard")
     )
     # corpus stats piggyback on the doc_stats write (one job, no rescan)
     obs = Observation("merge-corpus-stats")
@@ -451,9 +517,9 @@ def merge_segments(
     dl = spark.read.parquet(f"{path}/doc_stats")
 
     written = spark.read.parquet(f"{path}/postings")
-    written.groupBy("term").agg(F.sum("n_docs").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/term_stats")
+    written.groupBy("term").agg(F.sum("n_docs").alias("df")).withColumn(
+        "rterm", F.reverse(F.col("term"))
+    ).write.mode("overwrite").parquet(f"{path}/term_stats")
 
     from ..operators.postings import lineage_manifest  # noqa: PLC0415
 

@@ -25,12 +25,15 @@ checkpoint/resume record (their commit markers are what
 deployment would garbage-collect absorbed units once a retention
 window passes.
 
-Duplicate-doc caveat: units hold disjoint doc sets per the snapshot
-contract; a url re-crawled across snapshots is collapsed (max tf) when
-compaction merges the two units, but until then the query view scores
-both postings — the standard LSM visibility trade; newest-wins at
-query time would need a doc-level tombstone/version column, recorded
-here as the known gap.
+Re-crawled docs (same url, hence same doc_id, in several units) are
+NEWEST-WINS at query time: ``load_tiered`` derives a (doc -> newest
+unit) version map from the unioned doc stats, and every decode kernel
+drops the doc's postings from older units — including terms that only
+existed in the stale crawl. Compaction applies the same rule
+physically (``_merge_units`` keeps only the newest unit's postings
+and doc stats for a multi-unit doc), so pre- and post-compaction
+rankings agree; corpus/term stats drift (count the stale crawl) until
+compaction folds it in, same as deletion tombstones.
 """
 
 from __future__ import annotations
@@ -43,7 +46,12 @@ from pyspark.sql import functions as F
 
 from ..functions.codec import BLOCK_SIZE
 from ..operators.postings import POSTINGS_SCHEMA, InvertedIndex, pow2_salts, salt_expr
-from .build_index import _manifest_file, _merge_partition, committed_snapshots
+from .build_index import (
+    _manifest_file,
+    _merge_partition,
+    committed_snapshots,
+    stale_versions,
+)
 
 DEFAULT_FANOUT = 4
 
@@ -207,20 +215,39 @@ def _merge_units(
     """Merge the input units' postings + doc stats into one committed
     unit (manifest written last = commit marker). Same vectorized
     decode -> lexsort -> re-encode kernel as the full merge.
-    Recorded tombstones are applied PHYSICALLY here: the rewritten
+    Recorded tombstones are applied PHYSICALLY here (the rewritten
     unit carries neither the deleted docs' postings nor their doc
-    stats (so corpus stats fold the deletes in as units compact)."""
+    stats, so corpus stats fold the deletes in as units compact), and
+    so is NEWEST-WINS for re-crawled docs: a doc present in several
+    input units keeps only its newest unit's postings and doc stats —
+    the same rule the query view masks at read time, so rankings
+    agree before and after compaction."""
     from functools import reduce  # noqa: PLC0415
 
     out_dir = _unit_dir(path, out_unit)
     excluded = tuple(sorted(load_tombstones(path)))
     positional = _build_positional(path)
+    # recency-order the inputs so seg ordinal = recency (newest last),
+    # the key the newest-wins version map uses
+    inputs_rec = [u for _l, u in _recency_ordered(path, [(0, u) for u in inputs])]
+    ds_list = [
+        spark.read.parquet(f"{_unit_dir(path, u)}/doc_stats") for u in inputs_rec
+    ]
+    versions = stale_versions(ds_list)
     posts = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(f"{_unit_dir(path, u)}/postings") for u in inputs],
+        [
+            spark.read.parquet(f"{_unit_dir(path, u)}/postings").withColumn(
+                "seg", F.lit(i)
+            )
+            for i, u in enumerate(inputs_rec)
+        ],
     )
     n_parts = max(8, spark.sparkContext.defaultParallelism)
-    merge_cols = ["term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin"]
+    merge_cols = [
+        "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
+        "seg",
+    ]
     if positional:
         from ..operators.positions import (  # noqa: PLC0415
             POSITIONAL_SCHEMA,
@@ -236,7 +263,7 @@ def _merge_units(
         .withColumn("bsalt", salt_expr(F.col("first_doc"), pow2_salts(n_salts)))
         .repartition(n_parts, "shard", "term", "bsalt")
         .mapInArrow(
-            lambda it: kernel(it, block_size, pow2_salts(n_salts), excluded),
+            lambda it: kernel(it, block_size, pow2_salts(n_salts), excluded, versions),
             out_schema,
         )
     )
@@ -244,15 +271,18 @@ def _merge_units(
 
     dstats = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(f"{_unit_dir(path, u)}/doc_stats") for u in inputs],
+        [ds.withColumn("seg", F.lit(i)) for i, ds in enumerate(ds_list)],
     )
     if excluded:
         dstats = dstats.filter(~F.col("doc_id").isin(list(excluded)))
-    # unique docs across inputs (re-crawl collapse, mirrors the
-    # encoder's max-tf rule)
-    dstats.groupBy("doc_id", "shard").agg(F.max("dl").alias("dl")).select(
-        "doc_id", "dl", "shard"
-    ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+    # unique docs across inputs: newest unit's dl wins (matching the
+    # postings rewrite above); dl desc breaks within-unit hash-collision
+    # ties the way the encoder's max-(tf, dl) collapse does
+    dstats.groupBy("doc_id", "shard").agg(
+        F.max_by("dl", F.struct(F.col("seg"), F.col("dl"))).alias("dl")
+    ).select("doc_id", "dl", "shard").write.mode("overwrite").parquet(
+        f"{out_dir}/doc_stats"
+    )
 
     manifest = {
         "level": level,
@@ -336,25 +366,52 @@ def units_as_of(path: str, snap: str) -> list[tuple[int, str]]:
     return sorted(chosen)
 
 
+def _recency_ordered(path: str, units: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Units ordered oldest -> newest by the LATEST snapshot each one
+    covers (covered snapshot sets are disjoint across live units, so
+    the max-snap keys are distinct and the order is total). The
+    enumeration ordinal over this order is the ``seg`` the query view
+    stamps on postings/doc stats — newest unit = highest seg — which
+    is what newest-wins doc versioning keys on."""
+    tiers_by_id = {u: m for _l, u, m in _tier_units(path)}
+    return sorted(units, key=lambda lu: max(_covered_snaps(lu[1], tiers_by_id)))
+
+
 def load_tiered(
     spark: SparkSession,
     path: str,
     units: list[tuple[int, str]] | None = None,
     with_tombstones: bool = True,
+    newest_wins: bool = True,
 ) -> InvertedIndex:
     """One queryable ``InvertedIndex`` over all live units (or an
     explicit unit list, e.g. from ``units_as_of``).
 
-    postings carry a ``seg`` column (unit ordinal) so the WAND reader
-    builds one cursor per (term, unit); term/corpus stats are derived
-    lazily from the unioned tables (df lookups stay term-filtered
-    scans — the handle's dictionary cache memoizes them)."""
+    postings carry a ``seg`` column (unit RECENCY ordinal, newest =
+    highest) so the WAND reader builds one cursor per (term, unit);
+    term/corpus stats are derived lazily from the unioned tables (df
+    lookups stay term-filtered scans — the handle's dictionary cache
+    memoizes them).
+
+    ``newest_wins=True`` (default): docs present in more than one unit
+    (a url re-crawled across snapshots, not yet collapsed by
+    compaction) are scored ONCE, from their newest unit — the handle
+    carries a (doc_id -> newest seg) version map and every decode
+    kernel drops the doc's postings from older units, so a term that
+    disappeared from the newest crawl no longer matches the doc.
+    The map covers only multi-unit docs (bounded by the re-crawl
+    overlap since the last compaction — the memtable-sized set every
+    LSM keeps; at larger overlaps, compact). Corpus/term stats keep
+    counting the stale crawl until compaction physically folds it in
+    — the same drift model as deletion tombstones (Lucene's
+    docCount-with-deletes)."""
     from functools import reduce  # noqa: PLC0415
 
     if units is None:
         units = live_units(path)
     if not units:
         raise ValueError(f"no live units under {path}")
+    units = _recency_ordered(path, units)
     gced = [uid for _, uid in units if os.path.exists(f"{_unit_dir(path, uid)}/GCED")]
     if gced:
         raise ValueError(
@@ -378,6 +435,14 @@ def load_tiered(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     term_stats = posts.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    versions = None
+    if newest_wins and len(units) > 1:
+        versions = stale_versions(
+            [
+                spark.read.parquet(f"{_unit_dir(path, uid)}/doc_stats")
+                for _, uid in units
+            ]
+        )
     # tombstoned docs still PRESENT in a live unit's doc_stats count
     # toward the stats (deleted-docs visibility model); once compaction
     # rewrites their units the stats shrink with the postings. The mask
@@ -389,6 +454,7 @@ def load_tiered(
         n_docs=cs["n_docs"],
         avgdl=float(cs["avgdl"]),
         tombstones=(load_tombstones(path) or None) if with_tombstones else None,
+        doc_versions=versions,
     )
 
 

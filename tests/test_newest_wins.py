@@ -1,0 +1,226 @@
+"""Newest-wins doc versioning across LSM units (the re-crawl case).
+
+A url re-crawled in a later snapshot keeps its doc_id (xxhash64(url)),
+so before compaction the same doc lives in two live units. The query
+view must score it ONCE, from the newest crawl — including dropping
+terms that only existed in the old crawl — and compaction must fold
+the same rule in physically, so pre- and post-compaction rankings
+agree. Historical as-of views still show the corpus as of their cut.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators.boolean import boolean_topk
+from embed_rerank_spark.operators.lmd import lmd_topk
+from embed_rerank_spark.operators.positions import phrase_topk, proximity_topk
+from embed_rerank_spark.operators.wand import (
+    conjunctive_topk,
+    explain_topk,
+    wand_topk,
+)
+from embed_rerank_spark.plans.build_index import build_incremental, merge_segments
+from embed_rerank_spark.plans.tiered import (
+    compact,
+    load_tiered,
+    load_tiered_as_of,
+)
+from embed_rerank_spark.sources.pages import PAGES_SCHEMA
+
+DAY1 = dt.datetime(2025, 6, 1, 12, 0, 0)
+DAY2 = dt.datetime(2025, 6, 2, 12, 0, 0)
+
+# urlA is re-crawled on day 2: "alpha" and the phrase "alpha common"
+# exist only in its STALE crawl; "fresh" (tf=2) only in the new one.
+ROWS = [
+    ("https://ex.org/A", DAY1, "alpha common shared words here"),
+    ("https://ex.org/B", DAY1, "filler common words filler filler"),
+    ("https://ex.org/C", DAY1, "alpha common gamma delta epsilon"),
+    ("https://ex.org/A", DAY2, "common fresh fresh words rewrite"),
+    ("https://ex.org/D", DAY2, "other doc text entirely fresh"),
+]
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            (u, ts, b"<html><body>" + tx.encode() + b"</body></html>", tx, "en")
+            for u, ts, tx in ROWS
+        ],
+        PAGES_SCHEMA,
+    )
+
+
+def _doc_ids(spark):
+    rows = (
+        _pages(spark)
+        .select("url", F.xxhash64("url").alias("doc_id"))
+        .distinct()
+        .collect()
+    )
+    return {r["url"].rsplit("/", 1)[-1]: r["doc_id"] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nw"))
+    snaps = build_incremental(spark, _pages(spark), path, n_shards=2, block_size=4)
+    assert snaps == ["2025-06-01", "2025-06-02"]
+    return path
+
+
+@pytest.fixture(scope="module")
+def built_pos(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nwpos"))
+    build_incremental(
+        spark, _pages(spark), path, n_shards=2, block_size=4, positional=True
+    )
+    return path
+
+
+def _topk_docs(df):
+    return {r["query_id"]: [r2["doc_id"] for r2 in df.collect() if r2["query_id"] == r["query_id"]] for r in df.collect()}
+
+
+def test_version_map_and_stale_term_masked(spark, built):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built)
+    assert idx.doc_versions is not None
+    vd, vs = idx.doc_versions
+    assert list(vd) == [ids["A"]]
+    assert list(vs) == [1]  # newest unit (day 2) has ordinal 1
+
+    # "alpha" survives only in C: A's newest crawl dropped it
+    got = {r["doc_id"] for r in wand_topk(idx, [(1, "alpha")], k=10).collect()}
+    assert got == {ids["C"]}
+
+    # "fresh" matches A (newest) and D — A exactly once
+    rows = wand_topk(idx, [(1, "fresh")], k=10).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted([ids["A"], ids["D"]])
+
+
+def test_newest_tf_dl_and_explain_single_row(spark, built):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built)
+    ex = explain_topk(idx, [(1, "fresh common")], k=10).collect()
+    # exactly one row per (doc, term) — never one per unit
+    keys = [(r["doc_id"], r["term"]) for r in ex]
+    assert len(keys) == len(set(keys))
+    by_key = {(r["doc_id"], r["term"]): r for r in ex}
+    # A's stats come from the NEWEST crawl: fresh tf=2, common tf=1, dl=5
+    assert by_key[(ids["A"], "fresh")]["tf"] == 2
+    assert by_key[(ids["A"], "common")]["tf"] == 1
+    assert by_key[(ids["A"], "fresh")]["dl"] == 5
+    # contributions sum bit-exactly to the WAND scores
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in wand_topk(idx, [(1, "fresh common")], k=10).collect()
+    }
+    sums: dict[int, float] = {}
+    for r in ex:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["contribution"]
+    for d, s in scores.items():
+        assert abs(sums[d] - s) < 1e-12
+
+
+def test_conjunctive_respects_versions(spark, built):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built)
+    # AND alpha+common: A's old crawl had both; newest dropped alpha
+    got = {
+        r["doc_id"]
+        for r in conjunctive_topk(idx, [(1, "alpha common")], k=10).collect()
+    }
+    assert got == {ids["C"]}
+
+
+def test_boolean_respects_versions(spark, built_pos):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built_pos)
+    # NOT alpha must use the newest crawl: A qualifies again
+    got = {
+        r["doc_id"]
+        for r in boolean_topk(idx, [(1, "common -alpha")], k=10).collect()
+    }
+    assert got == {ids["A"], ids["B"]}
+
+
+def test_lmd_scores_newest_once(spark, built):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built)
+    rows = lmd_topk(idx, [(1, "fresh")], k=10).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted([ids["A"], ids["D"]])
+
+
+def test_phrase_and_proximity_respect_versions(spark, built_pos):
+    ids = _doc_ids(spark)
+    idx = load_tiered(spark, built_pos)
+    # phrase "alpha common" existed only in A's stale crawl
+    got = {
+        r["doc_id"] for r in phrase_topk(idx, [(1, "alpha common")], k=10).collect()
+    }
+    assert got == {ids["C"]}
+    # "fresh fresh" is adjacent only in A's NEW crawl
+    got = {
+        r["doc_id"] for r in phrase_topk(idx, [(1, "fresh fresh")], k=10).collect()
+    }
+    assert got == {ids["A"]}
+    # proximity alpha NEAR shared existed only in the stale crawl
+    got = {
+        r["doc_id"]
+        for r in proximity_topk(idx, [(1, "alpha", "shared")], window=4, k=10).collect()
+    }
+    assert got == set()
+
+
+def test_as_of_still_sees_old_crawl(spark, built):
+    ids = _doc_ids(spark)
+    old = load_tiered_as_of(spark, built, "2025-06-01")
+    got = {r["doc_id"] for r in wand_topk(old, [(1, "alpha")], k=10).collect()}
+    assert got == {ids["A"], ids["C"]}
+
+
+def _tf_dl_rows(idx, query):
+    ex = explain_topk(idx, [(1, query)], k=10).collect()
+    return sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in ex)
+
+
+def test_compaction_folds_newest_wins_physically(spark, built):
+    ids = _doc_ids(spark)
+    pre = load_tiered(spark, built)
+    pre_sets = {
+        q: {r["doc_id"] for r in wand_topk(pre, [(1, q)], k=10).collect()}
+        for q in ("alpha", "fresh", "common")
+    }
+    pre_tfdl = _tf_dl_rows(pre, "fresh common alpha")
+
+    created = compact(spark, built, fanout=2)
+    assert created
+    post = load_tiered(spark, built)
+    assert post.doc_versions is None  # one unit left: nothing to mask
+    # A appears once in the compacted doc stats, with the newest dl
+    drow = post.doc_stats.filter(F.col("doc_id") == ids["A"]).collect()
+    assert len(drow) == 1 and drow[0]["dl"] == 5
+
+    for q, docs in pre_sets.items():
+        got = {r["doc_id"] for r in wand_topk(post, [(1, q)], k=10).collect()}
+        assert got == docs, q
+    # per-doc tf/dl decompositions identical pre/post (idf/avgdl drift
+    # is expected — stats fold in at compaction — so compare stats-free
+    # fields only)
+    assert _tf_dl_rows(post, "fresh common alpha") == pre_tfdl
+
+
+def test_full_merge_applies_newest_wins(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nwmerge"))
+    build_incremental(spark, _pages(spark), path, n_shards=2, block_size=4)
+    idx = merge_segments(spark, path)
+    ids = _doc_ids(spark)
+    got = {r["doc_id"] for r in wand_topk(idx, [(1, "alpha")], k=10).collect()}
+    assert got == {ids["C"]}
+    drow = idx.doc_stats.filter(F.col("doc_id") == ids["A"]).collect()
+    assert len(drow) == 1 and drow[0]["dl"] == 5

@@ -148,3 +148,24 @@ def test_unigram_ce_broadcasts_total_and_joins_vocab_by_term(spark):
     plan = _plan(unigram_cross_entropy(docs))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total only
+
+
+def test_suffix_expansion_uses_stored_reversed_term_prefix(spark, index):
+    """*suffix must plan as a string-PREFIX predicate on the stored
+    ``rterm`` column, pushed into the term_stats parquet scan — never
+    a full-dictionary endswith (which no scan statistic can prune)."""
+    from embed_rerank_spark.operators.wand import expand_suffix
+
+    assert "rterm" in index.term_stats.columns
+    plan = _plan(index.term_stats.filter(F.col("rterm").startswith("re")))
+    assert "StringStartsWith(rterm,re)" in plan, plan
+    # semantics: identical expansion to a plain endswith dictionary scan
+    got = expand_suffix(index, "er", max_expansion=16)
+    want = [
+        r["term"]
+        for r in index.term_stats.filter(F.col("term").endswith("er"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(16)
+        .collect()
+    ]
+    assert got == want and got
