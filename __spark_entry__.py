@@ -124,9 +124,15 @@ def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
         built = build_positional_postings(docs, n_shards=8)
     else:
         raise ValueError(f"unknown index variant {variant!r}")
+    from embed_rerank_spark.operators.postings import (  # noqa: PLC0415
+        write_shard_files,
+    )
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out_dir = f"{_index_cache_root()}/{os.path.basename(sf_dir.rstrip('/'))}-{tag}-{variant}"
-    built["postings"].write.mode("overwrite").parquet(f"{out_dir}/postings")
+    # shard-file layout: the retrieval entries then run on the
+    # shuffle-free per-shard scan path (postings.shard_partitioned)
+    write_shard_files(built["postings"], out_dir)
     built["term_stats"].write.mode("overwrite").parquet(f"{out_dir}/term_stats")
     built["doc_stats"].write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     cs = built["corpus_stats"].collect()[0]
@@ -136,6 +142,7 @@ def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
         n_docs=cs["n_docs"],
         avgdl=float(cs["avgdl"]),
+        shard_files=True,
     )
     _INDEX_CACHE[key] = handle
     return handle

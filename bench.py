@@ -172,6 +172,28 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             )
 
             extra: dict[str, float] = {}
+            # small-batch serving latency: at 64 queries the per-batch
+            # FIXED cost dominates, so this is the metric the
+            # shuffle-free shard-file scan path (whole_shard_scan_ok)
+            # moves — measured against the explicit-repartition
+            # fallback on the SAME index (identical results; only the
+            # physical plan differs)
+            from dataclasses import replace as _dc_replace  # noqa: PLC0415
+
+            qb64 = query_batch(64)
+            fallback = _dc_replace(index, shard_files=False, _scan_ok=None)
+            for label, handle in (
+                ("wand_64q_shardfile_scan", index),
+                ("wand_64q_repartition", fallback),
+            ):
+                times = []
+                for rep in range(3):
+                    t0 = time.perf_counter()
+                    wand_topk(handle, qb64, k=10).write.mode("overwrite").parquet(
+                        f"{tmp}/{label}{rep}"
+                    )
+                    times.append(time.perf_counter() - t0)
+                extra[label] = round(min(times), 3)
             t0 = time.perf_counter()
             conjunctive_topk(index, qb, k=10).write.mode("overwrite").parquet(
                 f"{tmp}/conj"

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from .. import BM25_B, BM25_K1
 from .bm25 import topk
 from .positions import _phrase_match_score, load_termdata
-from .postings import InvertedIndex
+from .postings import InvertedIndex, shard_partitioned
 from .wand import expand_prefix
 
 _CLAUSE_RE = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
@@ -249,7 +249,7 @@ def boolean_topk(
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _boolean_partition(
             it, plan, k, idf, avgdl, k1, b, excl, vers
         ),

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from ..functions.codec import decode_block
 from .bm25 import topk
-from .postings import InvertedIndex, version_arrays, version_keep
+from .postings import (
+    InvertedIndex,
+    shard_partitioned,
+    version_arrays,
+    version_keep,
+)
 
 DEFAULT_MU = 2000.0
 
@@ -235,7 +240,7 @@ def lmd_topk(
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _lmd_partition(it, plan, k, mu, excl, vers),
         "query_id long, doc_id long, score double",
     )

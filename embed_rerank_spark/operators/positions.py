@@ -53,7 +53,14 @@ from .. import BM25_B, BM25_K1
 from ..functions.codec import BLOCK_SIZE, _bias, vb_decode, vb_encode_with_lengths
 from ..functions.udfs import tokenize_for_scoring
 from .bm25 import corpus_stats, doc_freqs, doc_lengths_direct, topk
-from .postings import InvertedIndex, combined_table, pow2_salts, salt_expr, shard_expr
+from .postings import (
+    InvertedIndex,
+    combined_table,
+    pow2_salts,
+    salt_expr,
+    shard_expr,
+    shard_partitioned,
+)
 
 POSITIONAL_SCHEMA = (
     "term string, shard int, block_id int, first_doc long, last_doc long, "
@@ -636,7 +643,7 @@ def phrase_topk(
     filtered = index.postings.filter(F.col("term").isin(list(all_terms)))
     n_parts = spark.sparkContext.defaultParallelism
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _phrase_partition(
             it, phrase_plan, k, idf, avgdl, k1, b, excl, vers
         ),
@@ -887,7 +894,7 @@ def proximity_topk(
     filtered = index.postings.filter(F.col("term").isin(list(live)))
     n_parts = spark.sparkContext.defaultParallelism
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _proximity_partition(
             it, plan, k, window, idf, avgdl, k1, b, excl, ordered, vers
         ),
@@ -1103,7 +1110,7 @@ def best_window_snippets(
     # rationale as the WAND stage)
     n_parts = spark.sparkContext.defaultParallelism
     vers = index.doc_versions
-    wins = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    wins = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _best_window_partition(
             it, term_queries, wanted_np, window, vers
         ),

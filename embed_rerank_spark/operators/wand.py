@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from .. import BM25_B, BM25_K1
 from ..functions.codec import decode_block
 from .bm25 import topk
-from .postings import InvertedIndex, version_arrays, version_keep
+from .postings import (
+    InvertedIndex,
+    shard_partitioned,
+    version_arrays,
+    version_keep,
+)
 
 _INF = float("inf")
 # Tie semantics: ranking keys round scores to 6 decimals (see
@@ -666,7 +671,7 @@ def wand_topk(
     msm = min_should_match
     cursors = dict(after) if after else None
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _wand_partition(
             it, query_plan, k, avgdl, k1, b, taat_threshold, excl, allowed, msm,
             cursors, vers,
@@ -968,7 +973,7 @@ def conjunctive_topk(
     n_parts = spark.sparkContext.defaultParallelism
     excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
     vers = index.doc_versions
-    per_shard = filtered.repartitionByRange(n_parts, "shard").mapInArrow(
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _conj_partition(
             it, query_plan, k, avgdl, k1, b, taat_threshold, excl, vers
         ),

@@ -490,7 +490,9 @@ def merge_segments(
             out_schema,
         )
     )
-    merged.write.mode("overwrite").parquet(f"{path}/postings")
+    from ..operators.postings import write_shard_files  # noqa: PLC0415
+
+    write_shard_files(merged, path)
 
     from pyspark.sql import Observation  # noqa: PLC0415
 

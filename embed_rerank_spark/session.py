@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # a posting-shard FILE is a scoring-work unit, not a byte
+        # count: a high open cost stops the file bin-packer from
+        # stacking several shard files onto one task (which would
+        # serialize query scoring) and keeps one scan task per shard
+        # file on the shuffle-free query path (postings.shard_files)
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

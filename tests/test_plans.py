@@ -169,3 +169,42 @@ def test_suffix_expansion_uses_stored_reversed_term_prefix(spark, index):
         .collect()
     ]
     assert got == want and got
+
+
+def test_shard_file_layout_skips_query_shuffle(spark, index):
+    """A shard-file index (write_index layout marker + LAYOUT.json)
+    must answer WAND batches straight off the term-filtered scan — no
+    repartition exchange feeding the kernel — and produce EXACTLY the
+    rows of the explicit-shuffle fallback."""
+    from dataclasses import replace
+
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    assert index.shard_files and index.whole_shard_scan_ok()
+    qs = [(i, f"the data w{i} w{i * 7 % 300}") for i in range(8)]
+    fast = wand_topk(index, qs, k=10)
+    assert "rangepartitioning(shard" not in _plan(fast)
+
+    slow_idx = replace(index, shard_files=False, _scan_ok=None)
+    slow = wand_topk(slow_idx, qs, k=10)
+    assert "rangepartitioning(shard" in _plan(slow)
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
+def test_shard_scan_fast_path_disabled_when_files_could_split(spark, index):
+    """If any postings file exceeds the session's effective max split
+    size, the planner may split a shard across tasks — the fast path
+    must refuse and fall back to the explicit shuffle."""
+    from dataclasses import replace
+
+    probe = replace(index, _scan_ok=None)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        assert not probe.whole_shard_scan_ok()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)

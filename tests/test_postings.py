@@ -190,3 +190,27 @@ def test_combined_table_large_offsets_and_chunking():
     for name in tbl.schema.names:
         assert tbl.column(name).num_chunks == 1
     assert tbl.column("term").to_pylist() == ["a", "b", "a", "b"]
+
+
+def test_preload_dictionary_completes_df_cache(spark, tmp_path):
+    from embed_rerank_spark.operators.postings import (
+        InvertedIndex,
+        build_postings,
+        write_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx")
+    write_index(build_postings(docs, n_shards=4), path)
+    idx = InvertedIndex.load(spark, path)
+    lazy = idx.df_for_terms({"the", "scan", "no-such-term"})
+
+    idx2 = InvertedIndex.load(spark, path)
+    assert idx2.preload_dictionary()
+    # complete dictionary answers without any further Spark job —
+    # including proving absence (df 0) for unseen terms
+    idx2.term_stats = None  # any lookup attempt would now blow up
+    assert idx2.df_for_terms({"the", "scan", "no-such-term"}) == lazy
+
+    idx3 = InvertedIndex.load(spark, path)
+    assert not idx3.preload_dictionary(max_terms=3)  # over the cap

@@ -75,14 +75,17 @@ def _run_case(seed, n_docs, n_terms, density, q_size, k, block_size, tie_heavy=F
                 else [(docs, tfs)]
             )
             runs = []
-            for d_r, tf_r in parts:
+            for seg, (d_r, tf_r) in enumerate(parts):
                 blks = encode_posting_list(d_r, tf_r, dls[d_r], block_size)
                 runs.append(
-                    [
-                        (b.first_doc, b.last_doc, b.n_docs, b.max_tf, b.min_dl,
-                         b.docs_bin, b.tfs_bin, b.dls_bin)
-                        for b in blks
-                    ]
+                    (
+                        seg,
+                        [
+                            (b.first_doc, b.last_doc, b.n_docs, b.max_tf, b.min_dl,
+                             b.docs_bin, b.tfs_bin, b.dls_bin)
+                            for b in blks
+                        ],
+                    )
                 )
             term_blocks[t] = runs
         return term_blocks
