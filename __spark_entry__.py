@@ -1290,6 +1290,48 @@ def q_suffix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NW_QUERIES = QUERY_SET + [(9, "recrawled scan")]
+
+
+def q_newest_wins_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-wins doc versioning over an un-compacted two-unit LSM
+    index (plans/tiered.py::load_tiered): every 10th doc is
+    "re-crawled" in a second snapshot with its first token replaced by
+    'recrawled', and queries must score those docs ONCE, from the
+    newest text — the replaced first token no longer matches — while
+    corpus/term stats keep counting the stale crawl until compaction
+    (the documented tombstone-style drift, which the oracle reproduces
+    by computing stats over BOTH crawls but tf/dl over the newest)."""
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.plans.build_index import write_docs_segment
+    from embed_rerank_spark.plans.tiered import load_tiered
+
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    key = (sf_dir, "tiered_nw")
+    handle = _INDEX_CACHE.get(key)
+    if handle is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = (
+            f"{_index_cache_root()}/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{tag}-tierednw"
+        )
+        write_docs_segment(spark, docs, out_dir, "2025-06-01", n_shards=8)
+        recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            F.regexp_replace("text", r"^\s*\S+", "recrawled").alias("text"),
+        )
+        write_docs_segment(spark, recrawl, out_dir, "2025-06-02", n_shards=8)
+        handle = load_tiered(spark, out_dir)
+        _INDEX_CACHE[key] = handle
+    out = wand_topk(handle, _NW_QUERIES, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive embedding-near-dup clustering: LSH-bucketed cosine
     pairs (>= 0.5) -> connected components -> canonical per cluster —
@@ -1466,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_topk": q_boosted_topk,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "suffix_topk": q_suffix_topk,
+        "newest_wins_topk": q_newest_wins_topk,
     }
 
 
@@ -3381,6 +3424,63 @@ SELECT d.doc_id, CAST(coalesce(ce.dl, 0) AS BIGINT) AS dl,
 FROM documents d LEFT JOIN ce USING (doc_id)
 ORDER BY d.doc_id
 """
+
+    # newest-wins over an un-compacted two-unit LSM view: every 10th
+    # doc is re-crawled with its first token replaced by 'recrawled'.
+    # Semantics the oracle pins (plans/tiered.py): tf/dl come from each
+    # doc's NEWEST crawl only (max seg), while n_docs/avgdl/df count
+    # BOTH crawls — the documented tombstone-style stats drift that
+    # holds until compaction folds the stale postings in.
+    nw_terms: list[tuple[int, str]] = []
+    for _qid, _q in _NW_QUERIES:
+        for _t in dict.fromkeys(_q.split()):
+            nw_terms.append((_qid, _t))
+    nw_qt = ", ".join(f"({i}, '{t}')" for i, t in nw_terms)
+    nw_tok = _TOKENIZE_SQL
+    newest_wins = f"""
+WITH units AS (
+    SELECT doc_id, text, 0 AS seg FROM documents
+    UNION ALL
+    SELECT doc_id, regexp_replace(text, '^\\s*\\S+', 'recrawled') AS text,
+           1 AS seg
+    FROM documents WHERE doc_id % 10 = 0
+),
+utoks AS (SELECT doc_id, seg, unnest({nw_tok}) AS term FROM units),
+utf AS (SELECT doc_id, seg, term, count(*) AS tf FROM utoks GROUP BY doc_id, seg, term),
+udl AS (SELECT doc_id, seg, sum(tf) AS dl FROM utf GROUP BY doc_id, seg),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM udl),
+df AS (SELECT term, count(*) AS df FROM utf GROUP BY term),
+eff AS (SELECT doc_id, max(seg) AS seg FROM udl GROUP BY doc_id),
+tf AS (
+    SELECT utf.doc_id, utf.term, utf.tf
+    FROM utf JOIN eff ON utf.doc_id = eff.doc_id AND utf.seg = eff.seg
+),
+dl AS (
+    SELECT udl.doc_id, udl.dl
+    FROM udl JOIN eff ON udl.doc_id = eff.doc_id AND udl.seg = eff.seg
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (VALUES {nw_qt}) AS qt(query_id, term)
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -3451,6 +3551,7 @@ ORDER BY d.doc_id
         "boosted_topk": boosted_topk_sql,
         "embedding_dup_clusters": embedding_dup_clusters_sql,
         "suffix_topk": suffix_topk_sql,
+        "newest_wins_topk": newest_wins,
     }
 
 

@@ -207,6 +207,74 @@ def build_segment(
     return manifest
 
 
+def write_docs_segment(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    snap: str,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    n_salts: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Build + commit one snapshot segment from an ALREADY-EXTRACTED
+    document table (id, text) — the entry point for corpora that skip
+    the html extraction stage (pre-cleaned exports, third-party text
+    dumps, synthetic re-crawl fixtures). Writes the same on-disk unit
+    contract as ``build_segment`` (postings + doc_stats +
+    manifest-last commit marker), so the tiered machinery — compaction,
+    as-of views, tombstones, newest-wins doc versioning — applies
+    unchanged."""
+    seg = f"{_segment_dirs(path)}/{snap}"
+    os.makedirs(seg, exist_ok=True)
+    idx = build_postings(
+        docs,
+        n_shards=n_shards,
+        block_size=block_size,
+        n_salts=n_salts,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
+    idx["doc_stats"].select("doc_id", "dl", "shard").write.mode(
+        "overwrite"
+    ).parquet(f"{seg}/doc_stats")
+
+    written = spark.read.parquet(f"{seg}/postings")
+    dstats = spark.read.parquet(f"{seg}/doc_stats")
+    per_shard = (
+        written.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("postings_emitted"),
+            F.count(F.lit(1)).alias("blocks"),
+            (
+                F.sum(F.length("docs_bin"))
+                + F.sum(F.length("tfs_bin"))
+                + F.sum(F.length("dls_bin"))
+            ).alias("bytes_compressed"),
+        )
+        .join(
+            dstats.groupBy("shard").agg(F.count(F.lit(1)).alias("docs_tokenized")),
+            "shard",
+            "full",
+        )
+        .collect()
+    )
+    manifest = {
+        "snapshot": snap,
+        "n_shards": n_shards,
+        "block_size": block_size,
+        "n_salts": pow2_salts(n_salts),
+        "positional": False,
+        "quarantined": 0,
+        "shards": [r.asDict() for r in per_shard],
+    }
+    with open(_manifest_file(path, snap), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest
+
+
 def build_incremental(
     spark: SparkSession,
     pages: DataFrame,
