@@ -351,11 +351,19 @@ def host_health_probe() -> dict:
 # contended attempt with every attempt's probes on record
 PROBE_AGREE = 2.0
 PROBE_HEALTHY_S = 4.0
+PROBE_FAST_S = 1.6  # top of the measured healthy band on this kernel
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
 
 
 def _probe_clean(before: dict, after: dict) -> bool:
+    # both probes inside the healthy band (sub-PROBE_FAST_S) = clean
+    # regardless of their ratio: at the fast end the sort's own
+    # variance (cache state, scheduler placement) spans 2x without any
+    # co-tenant — the ratio test exists to catch a contention EDGE,
+    # which necessarily drives one probe far above the healthy band
     a, b = before["sort20M_s"], after["sort20M_s"]
+    if max(a, b) <= PROBE_FAST_S:
+        return True
     return max(a, b) / max(min(a, b), 1e-9) <= PROBE_AGREE and max(a, b) <= PROBE_HEALTHY_S
 
 

@@ -499,8 +499,14 @@ class InvertedIndex:
         the term-filtered postings scan — no repartition — because
         every scan task is guaranteed to see whole doc shards:
 
-        - the index was written shard-file (``shard_files`` marker);
-        - single-unit view (a tiered union interleaves units' files);
+        - the index was written shard-file (``shard_files`` marker).
+          Multi-unit tiered views qualify too: ``load_tiered`` sets
+          the flag only when EVERY unit is shard-file laid out and
+          newest-wins versioning is active — a doc's live postings
+          then sit whole in one (shard, unit) file and a re-crawled
+          doc's stale copies are version-masked in whichever task
+          they land, so per-task top-k stays exact without
+          co-locating units;
         - no file exceeds Spark's effective max split size, so the
           file bin-packer can PACK files onto tasks (safe: shards stay
           whole) but never SPLIT one (unsafe: a doc's terms could land
@@ -513,7 +519,7 @@ class InvertedIndex:
         sizes (measured: 64-query WAND batch 1.03s -> 0.62s at sf0.1).
         Falls back to the repartition path whenever any guarantee is
         unverifiable (e.g. non-local filesystem)."""
-        if not self.shard_files or "seg" in self.postings.columns:
+        if not self.shard_files:
             return False
         if self._scan_ok is not None:
             return self._scan_ok
@@ -534,10 +540,14 @@ class InvertedIndex:
                 open_cost = _parse_bytes(
                     conf.get("spark.sql.files.openCostInBytes", "4194304")
                 )
-                par = spark.sparkContext.defaultParallelism
-                bytes_per_core = (sum(sizes) + len(sizes) * open_cost) // max(par, 1)
-                max_split = min(maxpb, max(open_cost, bytes_per_core))
-                ok = max(sizes) <= max_split
+                # Spark's per-scan split size is
+                # min(maxPartitionBytes, max(openCostInBytes,
+                # bytesPerCore)); bytesPerCore varies per relation (a
+                # tiered view unions several scans), but the bound
+                # below is a LOWER bound for every scan, so a file
+                # under it can never be split anywhere
+                max_split_lb = min(maxpb, open_cost)
+                ok = max(sizes) <= max_split_lb
                 if ok:
                     # belt: the planner must not have split any file
                     ok = self.postings.rdd.getNumPartitions() <= len(files)

@@ -158,9 +158,14 @@ def build_segment(
         idx = build_postings(
             clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts
         )
-    # flat write (no partitionBy): queries filter by TERM, never shard —
-    # the shard column rides along; term-sorted row groups do the pruning
-    idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
+    # shard-file layout (operators/postings.write_shard_files): every
+    # doc shard whole in one file, rows (shard, term)-sorted so term
+    # pushdown still prunes row groups — the tiered multi-unit query
+    # view can then skip its per-batch repartition (each doc's live
+    # postings sit whole in one (shard, unit) file)
+    from ..operators.postings import write_shard_files  # noqa: PLC0415
+
+    write_shard_files(idx["postings"], seg)
     # doc stats are a pure projection of the extracted table (dl was
     # computed during extraction) — no re-tokenize, no aggregation.
     # dl=0 docs (whitespace-only text that extraction passes with
@@ -236,7 +241,9 @@ def write_docs_segment(
         id_col=id_col,
         text_col=text_col,
     )
-    idx["postings"].write.mode("overwrite").parquet(f"{seg}/postings")
+    from ..operators.postings import write_shard_files  # noqa: PLC0415
+
+    write_shard_files(idx["postings"], seg)
     idx["doc_stats"].select("doc_id", "dl", "shard").write.mode(
         "overwrite"
     ).parquet(f"{seg}/doc_stats")

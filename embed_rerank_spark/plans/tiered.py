@@ -122,6 +122,16 @@ def _build_positional(path: str) -> bool:
     return flags.pop() if flags else False
 
 
+def _unit_shard_files(path: str, uid: str) -> bool:
+    """Whether a unit's postings were written in the shard-file layout
+    (``write_shard_files`` marker)."""
+    marker = f"{_unit_dir(path, uid)}/LAYOUT.json"
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return json.load(f).get("postings") == "shard_files"
+
+
 def _tombstone_dir(path: str) -> str:
     return f"{path}/tombstones"
 
@@ -267,7 +277,9 @@ def _merge_units(
             out_schema,
         )
     )
-    merged.write.mode("overwrite").parquet(f"{out_dir}/postings")
+    from ..operators.postings import write_shard_files  # noqa: PLC0415
+
+    write_shard_files(merged, out_dir)
 
     dstats = reduce(
         DataFrame.unionByName,
@@ -443,6 +455,16 @@ def load_tiered(
                 for _, uid in units
             ]
         )
+    # the multi-unit view may use the shuffle-free per-shard scan path
+    # when every unit is shard-file laid out: a doc's postings live
+    # whole in one (shard, unit) file, and with newest-wins active a
+    # re-crawled doc's stale copies are version-masked in whichever
+    # task they land, so per-task top-k stays exact without
+    # co-locating units (postings.whole_shard_scan_ok still verifies
+    # file sizes against the planner's split bound at query time)
+    shard_files = (newest_wins or len(units) == 1) and all(
+        _unit_shard_files(path, uid) for _, uid in units
+    )
     # tombstoned docs still PRESENT in a live unit's doc_stats count
     # toward the stats (deleted-docs visibility model); once compaction
     # rewrites their units the stats shrink with the postings. The mask
@@ -455,6 +477,7 @@ def load_tiered(
         avgdl=float(cs["avgdl"]),
         tombstones=(load_tombstones(path) or None) if with_tombstones else None,
         doc_versions=versions,
+        shard_files=shard_files,
     )
 
 

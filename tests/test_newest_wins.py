@@ -26,6 +26,7 @@ from embed_rerank_spark.operators.wand import (
 from embed_rerank_spark.plans.build_index import build_incremental, merge_segments
 from embed_rerank_spark.plans.tiered import (
     compact,
+    live_units,
     load_tiered,
     load_tiered_as_of,
 )
@@ -184,6 +185,29 @@ def test_as_of_still_sees_old_crawl(spark, built):
     assert got == {ids["A"], ids["C"]}
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tiered_view_uses_shard_scan_fast_path(spark, built):
+    """Both units are shard-file laid out and newest-wins is active,
+    so the 2-unit tiered view (with a cross-unit re-crawl) must take
+    the shuffle-free scan path and return EXACTLY the shuffle path's
+    rows — the re-crawled doc's stale copy is version-masked in
+    whichever task it lands."""
+    from dataclasses import replace
+
+    idx = load_tiered(spark, built)
+    assert len(live_units(built)) == 2
+    assert idx.shard_files and idx.whole_shard_scan_ok()
+    qs = [(1, "alpha common"), (2, "fresh words"), (3, "common")]
+    fast = wand_topk(idx, qs, k=10)
+    assert "rangepartitioning(shard" not in _plan(fast)
+    slow = wand_topk(replace(idx, shard_files=False, _scan_ok=None), qs, k=10)
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
 def _tf_dl_rows(idx, query):
     ex = explain_topk(idx, [(1, query)], k=10).collect()
     return sorted((r["doc_id"], r["term"], r["tf"], r["dl"]) for r in ex)
@@ -224,3 +248,4 @@ def test_full_merge_applies_newest_wins(spark, tmp_path_factory):
     assert got == {ids["C"]}
     drow = idx.doc_stats.filter(F.col("doc_id") == ids["A"]).collect()
     assert len(drow) == 1 and drow[0]["dl"] == 5
+
