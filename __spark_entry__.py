@@ -1434,6 +1434,137 @@ def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_cross_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# deterministic PII injection for the scrub contract: every 3rd doc
+# gets an email + phone + ip appended, mirrored verbatim in the oracle
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        ds,
+        F.lit("@example.com or call +1 555 0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.col("text"))
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/scrub.py::pii_scrub) over
+    the corpus with deterministically injected emails/phones/ips."""
+    from embed_rerank_spark.operators.scrub import pii_scrub
+
+    out = pii_scrub(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.md5("scrubbed").alias("scrub_md5")
+    ).orderBy("doc_id")
+
+
+# deterministic crawl-url synthesis for the canonicalization contract:
+# four variants per doc keyed doc_id % 4 — two collapse to the bare
+# path, two to the ?x=1 form (tracking params / fragments / case /
+# default port / trailing slash all exercised); mirrored in the oracle
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = F.concat(F.col("source"), F.lit(".example.com/p/"), (F.col("doc_id") % 40).cast("string"))
+    ubase = F.concat(F.upper(F.col("source")), F.lit(".Example.COM:443/p/"), (F.col("doc_id") % 40).cast("string"))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://www."), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("HTTPS://WWW."), ubase, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("https://www."), base, F.lit("?utm_source=feed&x=1#top")))
+        .otherwise(F.concat(F.lit("https://www."), base, F.lit("?x=1")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-url canonicalization + url-level dedup groups
+    (operators/scrub.py::canonicalize_url / url_dedup_groups)."""
+    from embed_rerank_spark.operators.scrub import url_dedup_groups
+
+    out = url_dedup_groups(_url_docs(spark, sf_dir))
+    return out.select("doc_id", "canon_url", "n_same", "is_canonical").orderBy("doc_id")
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals (operators/textstats.py::
+    repetition_signals): dup-line/paragraph fractions + top n-gram
+    concentration per doc."""
+    from embed_rerank_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.py) at a capacity
+    that makes the sketch exact (>= distinct vocab), so the oracle is
+    the exact top-50 term-count table; the lossy regime is pinned by
+    tests/test_sketches.py instead."""
+    from embed_rerank_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), capacity=65536, top_n=50)
+
+
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field dis_max/best-fields retrieval (operators/bm25.py::
+    dismax_topk_bruteforce): per-field (title/body) BM25 statistics,
+    score = max + tie_breaker * rest."""
+    from embed_rerank_spark.operators.bm25 import dismax_topk_bruteforce
+
+    out = dismax_topk_bruteforce(spark, _docs(spark, sf_dir), QUERY_SET, k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (operators/bm25.py::collapse_topk): best doc
+    per host with the group's candidate count as inner_hits."""
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_scores_bruteforce,
+        collapse_topk,
+        query_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = bm25_scores_bruteforce(docs, query_terms(spark, QUERY_SET))
+    out = collapse_topk(scored, docs.select("doc_id", "source"), k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score"),
+        "source", "inner_hits",
+    )
+
+
+RANGE_FACET_BOUNDARIES = [150.0, 300.0, 450.0]
+
+
+def q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range facets (operators/facets.py::range_facets) over
+    the matching doc set, bucketed by n_chars."""
+    from embed_rerank_spark.operators.facets import range_facets
+
+    return range_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", RANGE_FACET_BOUNDARIES
+    ).select("query_id", "bucket", "lo", "n_docs")
+
+
+def q_infix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-wildcard (*infix*) retrieval via the trigram-filtered
+    dictionary (operators/wand.py::infix_topk)."""
+    from embed_rerank_spark.operators.wand import build_trigram_dictionary, infix_topk
+    from embed_rerank_spark.queryset import INFIX_SET
+
+    index = _cached_index(spark, sf_dir)
+    out = infix_topk(
+        index, INFIX_SET, k=TOP_K, max_expansion=PREFIX_MAX_EXPANSION,
+        tri_dict=build_trigram_dictionary(index),
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1509,6 +1640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "suffix_topk": q_suffix_topk,
         "newest_wins_topk": q_newest_wins_topk,
+        "pii_scrub": q_pii_scrub,
+        "url_dedup": q_url_dedup,
+        "repetition_signals": q_repetition_signals,
+        "heavy_hitters": q_heavy_hitters,
+        "dismax_topk": q_dismax_topk,
+        "collapse_topk": q_collapse_topk,
+        "range_facets": q_range_facets,
+        "infix_topk": q_infix_topk,
     }
 
 
@@ -3481,6 +3620,237 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+    from embed_rerank_spark.operators.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        TRACKING_PARAM_RE,
+    )
+
+    _pii_inject_sql = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or call +1 555 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE text END"
+    )
+    pii_scrub_sql = f"""
+WITH pdocs AS (SELECT doc_id, {_pii_inject_sql} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+FROM pdocs ORDER BY doc_id
+"""
+
+    _url_synth_sql = (
+        "CASE"
+        " WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)"
+        " WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/p/' || CAST(doc_id % 40 AS VARCHAR) || '/'"
+        " WHEN doc_id % 4 = 2 THEN 'https://www.' || source || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&x=1#top'"
+        " ELSE 'https://www.' || source || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '?x=1' END"
+    )
+    _head_re = "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)'"
+    url_dedup_sql = f"""
+WITH urls AS (SELECT doc_id, {_url_synth_sql} AS url FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+s2 AS (SELECT doc_id, u, lower(regexp_extract(u, {_head_re}, 1)) AS head0,
+              substring(u, length(regexp_extract(u, {_head_re}, 1)) + 1) AS tail FROM s1),
+s3 AS (SELECT doc_id,
+              CASE WHEN starts_with(head0, 'https://') THEN regexp_replace(head0, ':443$', '')
+                   ELSE regexp_replace(head0, '(^http://.*):80$', '\\1') END AS head,
+              regexp_replace(tail, '\\?.*$', '') AS path0,
+              CASE WHEN contains(tail, '?') THEN regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END AS query
+       FROM s2),
+s4 AS (SELECT doc_id,
+              head || CASE WHEN regexp_matches(path0, '^/.+/$')
+                           THEN substring(path0, 1, length(path0) - 1) ELSE path0 END
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+       FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&') AS qs
+             FROM s3))
+SELECT doc_id, canon_url,
+       count(*) OVER (PARTITION BY canon_url) AS n_same,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical
+FROM s4 ORDER BY doc_id
+"""
+
+    repetition_sql = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+    list_filter(list_transform(regexp_split_to_array(text, '\\n\\s*\\n'), x -> trim(x)), x -> x <> '') AS paras,
+    {_TOKENIZE_SQL} AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(toks)-1, 0)), i -> toks[i] || ' ' || toks[i+1]) AS bi,
+    list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+  FROM base),
+bstat AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS bfrac FROM (
+    SELECT doc_id, g, count(*) c FROM (SELECT doc_id, unnest(bi) g FROM grams) GROUP BY 1,2) GROUP BY 1),
+tstat AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS tfrac FROM (
+    SELECT doc_id, g, count(*) c FROM (SELECT doc_id, unnest(tri) g FROM grams) GROUP BY 1,2) GROUP BY 1)
+SELECT b.doc_id,
+  len(lines) AS n_lines,
+  round(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+        THEN (list_sum(list_transform(lines, x -> length(x))) - list_sum(list_transform(list_distinct(lines), x -> length(x)))) * 1.0
+             / list_sum(list_transform(lines, x -> length(x))) ELSE 0.0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) ELSE 0.0 END, 6) AS dup_para_frac,
+  round(coalesce(bs.bfrac, 0.0), 6) AS top_bigram_frac,
+  round(coalesce(ts.tfrac, 0.0), 6) AS top_trigram_frac
+FROM base b LEFT JOIN bstat bs USING (doc_id) LEFT JOIN tstat ts USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+    heavy_hitters_sql = f"""
+WITH {_TOKS_CTE},
+cf AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+ranked AS (SELECT row_number() OVER (ORDER BY c DESC, term ASC) AS rank, term, c FROM cf)
+SELECT CAST(rank AS INTEGER) AS rank, term, CAST(c AS BIGINT) AS count_lb,
+       CAST(0 AS BIGINT) AS err_ub
+FROM ranked WHERE rank <= 50
+"""
+
+    _dismax_field_cte = """
+{x}tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(ftoks) AS term FROM {x}doc) GROUP BY doc_id, term),
+{x}dl AS (SELECT doc_id, len(ftoks) AS dl FROM {x}doc),
+{x}stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM {x}dl),
+{x}df AS (SELECT term, count(*) AS df FROM {x}tf GROUP BY term),
+{x}sc AS (
+    SELECT qt.query_id, tf.doc_id, sum(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+    FROM {qt}
+    JOIN {x}tf tf USING (term) JOIN {x}df df USING (term) JOIN {x}dl dl USING (doc_id)
+    CROSS JOIN {x}stats stats
+    GROUP BY qt.query_id, tf.doc_id
+)"""
+    dismax_sql = f"""
+WITH fd AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+tdoc AS (SELECT doc_id, toks[1:least(8, len(toks))] AS ftoks FROM fd),
+bdoc AS (SELECT doc_id, CASE WHEN len(toks) > 8 THEN toks[9:len(toks)]
+                             ELSE []::VARCHAR[] END AS ftoks FROM fd),
+{_dismax_field_cte.format(x='t', qt=qt)},
+{_dismax_field_cte.format(x='b', qt=qt)},
+fpair AS (
+    SELECT query_id, doc_id, coalesce(tsc.s, 0.0) AS st, coalesce(bsc.s, 0.0) AS sb
+    FROM tsc FULL OUTER JOIN bsc USING (query_id, doc_id)
+),
+scored AS (
+    SELECT query_id, doc_id,
+           greatest(st, sb) + 0.3 * (st + sb - greatest(st, sb)) AS score
+    FROM fpair
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    collapse_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+cands AS (
+    SELECT s.query_id, s.doc_id, s.score, d.source FROM scored s
+    JOIN documents d USING (doc_id)
+),
+flagged AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id, source ORDER BY round(score, 6) DESC, doc_id ASC) AS grp_rank,
+           count(*) OVER (PARTITION BY query_id, source) AS inner_hits
+    FROM cands
+),
+ranked AS (
+    SELECT query_id, doc_id, score, source, inner_hits,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM flagged WHERE grp_rank = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score, source, CAST(inner_hits AS BIGINT) AS inner_hits
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    _rb = RANGE_FACET_BOUNDARIES
+    _bucket_whens = [f"WHEN val < {_rb[0]:g} THEN '(-inf,{_rb[0]:g})'"]
+    _lo_whens = [f"WHEN val < {_rb[0]:g} THEN {float(_rb[0]) - 1.0}"]
+    for _i, _b in enumerate(_rb):
+        _hi = f"{_rb[_i + 1]:g}" if _i + 1 < len(_rb) else "inf"
+        _cond = f"val >= {_b:g} AND val < {_rb[_i + 1]:g}" if _i + 1 < len(_rb) else f"val >= {_b:g}"
+        _lab = f"[{_b:g},{_hi})"
+        _bucket_whens.append(f"WHEN {_cond} THEN '{_lab}'")
+        _lo_whens.append(f"WHEN {_cond} THEN {float(_b)}")
+    range_facets_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+vals AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS val FROM documents)
+SELECT query_id,
+       CASE {' '.join(_bucket_whens)} END AS bucket,
+       CASE {' '.join(_lo_whens)} END AS lo,
+       count(*) AS n_docs
+FROM matched JOIN vals USING (doc_id)
+GROUP BY query_id, bucket, lo
+"""
+
+    from embed_rerank_spark.queryset import infixes_values_sql
+
+    infix_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT ifx.query_id, df.term,
+           row_number() OVER (PARTITION BY ifx.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {infixes_values_sql()} JOIN df ON contains(df.term, ifx.ifx)
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {PREFIX_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -3552,6 +3922,14 @@ FROM ranked WHERE rank <= {TOP_K}
         "embedding_dup_clusters": embedding_dup_clusters_sql,
         "suffix_topk": suffix_topk_sql,
         "newest_wins_topk": newest_wins,
+        "pii_scrub": pii_scrub_sql,
+        "url_dedup": url_dedup_sql,
+        "repetition_signals": repetition_sql,
+        "heavy_hitters": heavy_hitters_sql,
+        "dismax_topk": dismax_sql,
+        "collapse_topk": collapse_sql,
+        "range_facets": range_facets_sql,
+        "infix_topk": infix_topk_sql,
     }
 
 

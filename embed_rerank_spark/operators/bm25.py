@@ -417,3 +417,118 @@ def bm25f_topk_bruteforce(
     return bm25_topk_bruteforce(
         spark, fielded_weighted_docs(docs, title_len, title_weight), queries, k, k1, b
     )
+
+
+DISMAX_TIE_BREAKER = 0.3
+
+
+def split_fields(
+    docs: DataFrame,
+    title_len: int = TITLE_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """{'title': ..., 'body': ...}: the corpus as two per-field doc
+    tables (title = the first ``title_len`` tokens — web pages carry
+    their title up front; body = the rest). Pure projections; each
+    field then gets its OWN BM25 statistics (df, dl, avgdl), which is
+    what separates dis_max from the shared-normalization BM25F in
+    ``fielded_weighted_docs``."""
+    toks = tokenize_for_scoring(F.col(text_col))
+    title = F.slice(toks, 1, title_len)
+    body = F.slice(
+        toks, title_len + 1, F.greatest(F.size(toks) - F.lit(title_len), F.lit(0))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), title.alias("t"), body.alias("b"))
+    return {
+        "title": base.select("doc_id", F.array_join("t", " ").alias("text")),
+        "body": base.select("doc_id", F.array_join("b", " ").alias("text")),
+    }
+
+
+def dismax_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    tie_breaker: float = DISMAX_TIE_BREAKER,
+    title_len: int = TITLE_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene ``dis_max``/best-fields
+    multi-field retrieval — each field (title, body) is scored as its
+    own BM25 corpus, and a doc's query score is
+
+        max(field scores) + tie_breaker * (sum - max)
+
+    so a doc matching strongly in ONE field beats a doc matching
+    weakly in both (the behavior ``most_fields``/BM25F inverts).
+
+    Scale shape: one standard brute-force scorer plan per field over
+    per-field projections of the same scan, then a full-outer join of
+    the two (query, doc)-keyed score tables — both sides already
+    aggregated, keys co-partitioned. The index-backed equivalent runs
+    WAND per field over per-field indexes and merges candidates the
+    same way.
+    """
+    fields = split_fields(docs, title_len)
+    qt = query_terms(spark, queries)
+    st = bm25_scores_bruteforce(fields["title"], qt, k1, b).withColumnRenamed(
+        "score", "s_title"
+    )
+    sb = bm25_scores_bruteforce(fields["body"], qt, k1, b).withColumnRenamed(
+        "score", "s_body"
+    )
+    both = st.join(sb, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("s_title", F.lit(0.0)).alias("s_title"),
+        F.coalesce("s_body", F.lit(0.0)).alias("s_body"),
+    )
+    mx = F.greatest("s_title", "s_body")
+    scored = both.select(
+        "query_id",
+        "doc_id",
+        (mx + tie_breaker * (F.col("s_title") + F.col("s_body") - mx)).alias("score"),
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def collapse_topk(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    k: int,
+    group_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, <group_col>, inner_hits):
+    field collapsing (Elasticsearch ``collapse`` / Lucene grouping) —
+    per query keep only the BEST doc of each group (host/domain), rank
+    the survivors, and report ``inner_hits`` = how many candidates the
+    group had, so the UI can render "+ 12 more from this site".
+
+    The degenerate ``n_per_group=1`` diversification plus the group
+    count; kept separate because the contract differs (inner_hits
+    column, one row per group). Scale shape: two windows + one count
+    over the (tiny) per-query candidate set — n_queries x deep_k rows,
+    never the corpus; the meta join broadcasts the candidate side.
+    """
+    cands = F.broadcast(scored).join(doc_meta.select("doc_id", group_col), "doc_id")
+    w_group = Window.partitionBy("query_id", group_col).orderBy(
+        F.desc(F.round(F.col(score_col), TIE_DECIMALS)), F.asc("doc_id")
+    )
+    flagged = cands.select(
+        "query_id",
+        "doc_id",
+        score_col,
+        group_col,
+        F.row_number().over(w_group).alias("grp_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("query_id", group_col))
+        .alias("inner_hits"),
+    )
+    best = flagged.filter(F.col("grp_rank") == 1).drop("grp_rank")
+    return topk(best, k).select(
+        "query_id", "rank", "doc_id", score_col, group_col, "inner_hits"
+    )

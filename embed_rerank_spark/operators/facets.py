@@ -69,3 +69,54 @@ def facet_counts(
         counts.withColumn("facet_rank", F.row_number().over(w))
         .filter(F.col("facet_rank") <= top_n)
     )
+
+
+def range_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    facet_col: str,
+    boundaries: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket, lo, n_docs): numeric range facets
+    (Lucene/ES ``range`` aggregation) — per query, the count of
+    distinct matching docs whose ``facet_col`` falls in each
+    half-open bucket [b_i, b_{i+1}), plus the open tails
+    (-inf, b_0) and [b_last, +inf). ``bucket`` is the human label
+    ("[200,400)"); ``lo`` its numeric sort key (the bucket's lower
+    bound, -inf tail = a value below every boundary).
+
+    Same matching-set shape as ``facet_counts`` (broadcast query terms
+    -> distinct matching docs -> doc-keyed metadata join); the
+    bucketing itself is one chained ``when`` expression — codegen'd,
+    no UDF, and only emitted buckets appear (count 0 rows are absent,
+    Lucene semantics with ``min_doc_count=1``)."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    v = F.col("val")
+    bs = sorted(boundaries)
+    bucket = F.when(v < bs[0], F.lit(f"(-inf,{bs[0]:g})"))
+    lo = F.when(v < bs[0], F.lit(float(bs[0]) - 1.0))
+    for i, b in enumerate(bs):
+        hi_label = f"{bs[i + 1]:g}" if i + 1 < len(bs) else "inf"
+        hi_cond = v < bs[i + 1] if i + 1 < len(bs) else F.lit(True)
+        lab = f"[{b:g},{hi_label})" if i + 1 < len(bs) else f"[{b:g},inf)"
+        bucket = bucket.when((v >= b) & hi_cond, F.lit(lab))
+        lo = lo.when((v >= b) & hi_cond, F.lit(float(b)))
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).cast("double").alias("val")
+    )
+    return (
+        matched.join(vals, "doc_id")
+        .select("query_id", bucket.alias("bucket"), lo.alias("lo"))
+        .groupBy("query_id", "bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

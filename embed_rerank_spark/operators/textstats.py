@@ -335,3 +335,97 @@ def domain_stats(
             (F.count(F.lit(1)) - F.count_distinct("nrm")).alias("dup_docs"),
         )
     )
+
+
+def _nonempty_lines(col: Column, sep: str) -> Column:
+    """array<string>: ``col`` split on ``sep``, trimmed, empties out."""
+    parts = F.transform(F.split(col, sep), lambda p: F.trim(p))
+    return F.filter(parts, lambda p: p != F.lit(""))
+
+
+def _excess_dup_frac(arr: Column, weight) -> Column:
+    """Fraction of ``weight`` carried by EXCESS duplicate occurrences
+    of elements in ``arr`` (an element seen c times contributes c-1
+    excess copies): 1 - weight(distinct)/weight(all). ``weight`` maps
+    an array column to a numeric column (count or total chars)."""
+    total = weight(arr)
+    return F.when(
+        total > 0, (total - weight(F.array_distinct(arr))) / total
+    ).otherwise(F.lit(0.0))
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """array<string>: the doc's token ``n``-grams (space-joined),
+    empty when the doc has fewer than ``n`` tokens. Built by zipping
+    ``n`` shifted slices — pure JVM array ops, no explode."""
+    ln = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, F.greatest(ln, F.lit(0)))
+    for i in range(1, n):
+        nxt = F.slice(toks, i + 1, F.greatest(ln, F.lit(0)))
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
+
+
+def _top_gram_frac(grams: Column) -> Column:
+    """Fraction of the doc's n-grams taken by its single most frequent
+    n-gram: sort the gram array, then one ``aggregate`` pass tracks the
+    longest run of equal adjacent elements — per-row JVM fold, no
+    per-doc groupBy, no Python."""
+    srt = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(srt, zero, step, lambda acc: acc["best"])
+    return F.when(F.size(grams) > 0, best / F.size(grams)).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, top_bigram_frac, top_trigram_frac): the Gopher-rule
+    repetition signals (Rae et al. 2021, table A1) a pretraining
+    corpus filter thresholds on — boilerplate pages repeat nav lines,
+    SEO spam repeats the same bigram, scraped forums repeat quoted
+    paragraphs.
+
+    Definitions (pinned; the dup-char fraction counts chars in EXCESS
+    duplicate occurrences, a deterministic variant of Gopher's
+    duplicate-line character fraction):
+    - ``dup_line_frac``     = 1 - distinct_lines / lines (trimmed,
+      non-empty lines; 0 for docs with no lines)
+    - ``dup_line_char_frac``= 1 - chars(distinct lines)/chars(lines)
+    - ``dup_para_frac``     = same as dup_line_frac over blank-line
+      separated paragraphs
+    - ``top_{bi,tri}gram_frac`` = occurrences of the most frequent
+      token {2,3}-gram / total {2,3}-grams (0 when the doc is shorter
+      than the gram)
+
+    Scale shape: a pure per-row projection — every signal is a JVM
+    array fold over the doc's own tokens/lines (whole-stage codegen,
+    no Python, no explode, no shuffle). At 10^12 docs this pipelines
+    with the scan exactly like ``quality_features``.
+    """
+    c = F.col(text_col)
+    toks = tokenize_for_scoring(c)
+    lines = _nonempty_lines(c, r"\n")
+    paras = _nonempty_lines(c, r"\n\s*\n")
+    n_chars = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.round(_excess_dup_frac(lines, F.size), 6).alias("dup_line_frac"),
+        F.round(_excess_dup_frac(lines, n_chars), 6).alias("dup_line_char_frac"),
+        F.round(_excess_dup_frac(paras, F.size), 6).alias("dup_para_frac"),
+        F.round(_top_gram_frac(_ngrams(toks, 2)), 6).alias("top_bigram_frac"),
+        F.round(_top_gram_frac(_ngrams(toks, 3)), 6).alias("top_trigram_frac"),
+    )

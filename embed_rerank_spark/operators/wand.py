@@ -1224,3 +1224,107 @@ def explain_topk(
         ),
         "query_id long, doc_id long, term string, tf long, dl long, idf double, contribution double",
     )
+
+
+def build_trigram_dictionary(index: InvertedIndex) -> DataFrame:
+    """(tri, term, df): inverted character-trigram index over the term
+    DICTIONARY — the standard infix-wildcard accelerator (Lucene's
+    ngram-filtered dictionary / pg_trgm): a ``*mid*`` query reads only
+    the dictionary rows sharing mid's trigrams instead of running
+    ``contains`` over the whole vocabulary.
+
+    One pass over term_stats: JVM array expr emits each term's
+    distinct trigrams (terms shorter than 3 chars emit nothing — those
+    infixes take the fallback scan). Size ~ (avg term len) x vocab,
+    hash-partitioned by ``tri`` — build once per index, reuse across
+    query batches (callers should persist/cache it; at web scale it is
+    written next to term_stats at build time)."""
+    term = F.col("term")
+    tris = F.when(
+        F.length(term) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(term) - 2),
+                lambda i: term.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return index.term_stats.select(
+        F.explode(tris).alias("tri"), "term", "df"
+    )
+
+
+def expand_infix(
+    index: InvertedIndex,
+    infix: str,
+    max_expansion: int = 64,
+    tri_dict: DataFrame = None,
+) -> list[str]:
+    """Dictionary expansion for a double-wildcard query ``*mid*``:
+    vocabulary terms CONTAINING the infix, df desc / term asc, capped
+    at ``max_expansion``.
+
+    With >= 3 chars of infix, candidates come from the trigram
+    dictionary: terms carrying ALL of the infix's trigrams (a
+    broadcast semi-join of the tiny trigram set into the tri-keyed
+    scan + one count agg), then the cheap residual ``contains`` check
+    on candidates only — never a full-vocabulary contains scan.
+    Shorter infixes can't use trigrams and fall back to the filtered
+    dictionary scan (bounded: the dictionary, not the postings)."""
+    needle = infix.strip().lower()
+    if not needle:
+        return []
+    if tri_dict is None or len(needle) < 3:
+        rows = (
+            index.term_stats.filter(F.col("term").contains(needle))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+    q_tris = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    cands = (
+        tri_dict.filter(F.col("tri").isin(q_tris))
+        .groupBy("term", "df")
+        .agg(F.count_distinct("tri").alias("n_tri"))
+        .filter(F.col("n_tri") == len(q_tris))
+    )
+    rows = (
+        cands.filter(F.col("term").contains(needle))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def infix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+    tri_dict: DataFrame = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): double-wildcard retrieval —
+    each query string is a TERM INFIX (``*mid*``); expands through the
+    trigram dictionary (df-desc capped) and scores as the disjunctive
+    BM25 of the expansion (same contract as prefix/suffix_topk). Pass
+    a cached ``build_trigram_dictionary(index)`` to amortize the
+    dictionary derivation across batches."""
+    if tri_dict is None:
+        tri_dict = build_trigram_dictionary(index)
+    expansions = {
+        qid: expand_infix(index, q, max_expansion, tri_dict) for qid, q in queries
+    }
+    synth: list[tuple[int, str]] = [
+        (qid, " ".join(terms)) for qid, terms in expansions.items() if terms
+    ]
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)

@@ -344,3 +344,20 @@ SUFFIX_SET: list[tuple[int, str]] = [
 def suffixes_values_sql() -> str:
     rows = ", ".join(f"({qid}, '{s}')" for qid, s in SUFFIX_SET)
     return f"(VALUES {rows}) AS sfx(query_id, sfx)"
+
+
+# Double-wildcard (*infix*) set: trigram-expandable infixes, a
+# no-match infix, and a sub-trigram-length infix that exercises the
+# fallback dictionary scan.
+INFIX_SET: list[tuple[int, str]] = [
+    (1, "ash"),   # hash
+    (2, "can"),   # scan
+    (3, "alu"),   # value
+    (4, "zzz"),   # no match -> empty
+    (5, "in"),    # < 3 chars: fallback contains scan (join, window, ...)
+]
+
+
+def infixes_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{s}')" for qid, s in INFIX_SET)
+    return f"(VALUES {rows}) AS ifx(query_id, ifx)"

@@ -1,0 +1,125 @@
+"""Round-3 operators: repetition signals, dis_max, field collapse,
+range facets, trigram infix wildcard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embed_rerank_spark.operators.bm25 import (
+    bm25_scores_bruteforce,
+    collapse_topk,
+    dismax_topk_bruteforce,
+    query_terms,
+)
+from embed_rerank_spark.operators.facets import range_facets
+from embed_rerank_spark.operators.textstats import repetition_signals
+
+
+def test_repetition_signals_values(spark):
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "nav\nnav\nbody text\n\npar\n\npar"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # 6 bigrams, 'a b' x3; 5 trigrams, 'a b a' x2
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[1]["top_trigram_frac"] == 0.4
+    # 5 lines 3 distinct; 21 line chars 15 distinct; 3 paras 2 distinct
+    assert got[2]["n_lines"] == 5
+    assert got[2]["dup_line_frac"] == 0.4
+    assert got[2]["dup_line_char_frac"] == round((21 - 15) / 21, 6)
+    assert got[2]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[3]["n_lines"] == 0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_signals_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dismax_formula_against_per_field_scores(spark):
+    # tie_breaker 0 -> pure best-field max; tie_breaker 1 -> plain sum.
+    # Each field carries its OWN statistics (df/dl/avgdl), so the
+    # per-field reference scorers are the ground truth.
+    filler = " ".join(f"f{i}" for i in range(8))
+    rows = [
+        (1, "apple apple apple " + " ".join(f"x{i}" for i in range(5)) + " " + filler),
+        (2, "apple " + " ".join(f"y{i}" for i in range(7)) + " apple " + filler),
+        (3, "zz " + " ".join(f"w{i}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from embed_rerank_spark.operators.bm25 import split_fields
+
+    fields = split_fields(docs)
+    qt = query_terms(spark, [(1, "apple")])
+    st = {r["doc_id"]: r["score"] for r in bm25_scores_bruteforce(fields["title"], qt).collect()}
+    sb = {r["doc_id"]: r["score"] for r in bm25_scores_bruteforce(fields["body"], qt).collect()}
+    for tie in (0.0, 0.3, 1.0):
+        got = {r["doc_id"]: r["score"] for r in
+               dismax_topk_bruteforce(spark, docs, [(1, "apple")], k=3, tie_breaker=tie).collect()}
+        assert set(got) == set(st) | set(sb)
+        for d, s in got.items():
+            a, b2 = st.get(d, 0.0), sb.get(d, 0.0)
+            want = max(a, b2) + tie * (a + b2 - max(a, b2))
+            assert abs(s - want) < 1e-9
+
+
+def test_collapse_topk_one_per_group_with_inner_hits(spark):
+    scored = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0), (1, 13, 2.0)],
+        "query_id long, doc_id long, score double",
+    )
+    meta = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "b"), (13, "a")], "doc_id long, source string"
+    )
+    got = collapse_topk(scored, meta, k=10).collect()
+    assert [(r["doc_id"], r["source"], r["inner_hits"]) for r in got] == [
+        (10, "a", 3),
+        (12, "b", 1),
+    ]
+
+
+def test_range_facets_buckets_and_tails(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple", 10), (2, "apple", 100), (3, "apple", 250), (4, "none", 999)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = range_facets(spark, docs, [(1, "apple")], "n_chars", [100.0, 200.0]).collect()
+    by_bucket = {r["bucket"]: (r["lo"], r["n_docs"]) for r in got}
+    assert by_bucket == {
+        "(-inf,100)": (99.0, 1),
+        "[100,200)": (100.0, 1),
+        "[200,inf)": (200.0, 1),
+    }
+
+
+def test_infix_trigram_path_matches_fallback(spark):
+    from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
+    from embed_rerank_spark.operators.wand import (
+        build_trigram_dictionary,
+        expand_infix,
+        infix_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    built = build_postings(docs, n_shards=4)
+    cs = built["corpus_stats"].collect()[0]
+    idx = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    td = build_trigram_dictionary(idx)
+    for needle in ["ash", "can", "alu", "zzz"]:
+        assert expand_infix(idx, needle, 16, td) == expand_infix(idx, needle, 16, None)
+    qs = [(1, "ash"), (2, "in"), (3, "zzz")]
+    a = infix_topk(idx, qs, k=5, tri_dict=td).collect()
+    b = infix_topk(idx, qs, k=5, tri_dict=None).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert not [r for r in a if r["query_id"] == 3]  # no-match infix empty
