@@ -90,11 +90,25 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         default="or",
-        choices=["or", "and", "phrase", "boolean", "fuzzy"],
+        choices=["or", "and", "phrase", "boolean", "fuzzy", "prefix", "suffix", "infix"],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; boolean = "
         '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index; '
-        "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion)",
+        "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion); "
+        "prefix/suffix/infix = wildcard retrieval (each query line is the "
+        "term fragment; infix uses the trigram-filtered dictionary)",
+    )
+    q.add_argument(
+        "--collapse-by",
+        default=None,
+        metavar="COLUMN",
+        help="field-collapse results: keep the best doc per value of this "
+        "doc-table column, with inner_hits group counts (needs --corpus)",
+    )
+    q.add_argument(
+        "--corpus",
+        default=None,
+        help="extracted doc table (doc_id + metadata), required by --collapse-by",
     )
     q.add_argument(
         "--tiered",
@@ -230,6 +244,28 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.5, help="Jaccard cut (LSH methods)")
     dd.add_argument("--window", type=int, default=16, help="span window tokens (spans)")
 
+    sc = sub.add_parser(
+        "scrub", help="PII count + redaction (emails/ips/phones -> tokens)"
+    )
+    sc.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    sc.add_argument("--out", required=True)
+
+    ud = sub.add_parser(
+        "url-dedup",
+        help="canonicalize crawl urls and mark one survivor per canonical group",
+    )
+    ud.add_argument("--pages", required=True, help="parquet with doc_id, url")
+    ud.add_argument("--out", required=True)
+
+    hh = sub.add_parser(
+        "heavy-hitters",
+        help="Misra-Gries top corpus terms (bounded-memory sketch)",
+    )
+    hh.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    hh.add_argument("--out", required=True)
+    hh.add_argument("--capacity", type=int, default=4096)
+    hh.add_argument("--top-n", type=int, default=50)
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -318,6 +354,18 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.rewrite import fuzzy_topk
 
                 out = fuzzy_topk(idx, queries, k=args.k)
+            elif args.mode == "prefix":
+                from .operators.wand import prefix_topk
+
+                out = prefix_topk(idx, queries, k=args.k)
+            elif args.mode == "suffix":
+                from .operators.wand import suffix_topk
+
+                out = suffix_topk(idx, queries, k=args.k)
+            elif args.mode == "infix":
+                from .operators.wand import infix_topk
+
+                out = infix_topk(idx, queries, k=args.k)
             elif args.page > 1:
                 from .operators.wand import search_after_topk
 
@@ -329,6 +377,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 out = wand_topk(
                     idx, queries, k=args.k, min_should_match=args.min_should_match
+                )
+            if args.collapse_by:
+                if not args.corpus:
+                    p.error("--collapse-by requires --corpus")
+                from .operators.bm25 import collapse_topk
+
+                meta = spark.read.parquet(args.corpus).select(
+                    "doc_id", args.collapse_by
+                )
+                out = collapse_topk(
+                    out.select("query_id", "doc_id", "score"),
+                    meta,
+                    k=args.k,
+                    group_col=args.collapse_by,
                 )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
@@ -472,6 +534,28 @@ def main(argv: list[str] | None = None) -> int:
                 out = dd_ops.dedup_survivors(corpus.select("doc_id"), pairs)
             else:
                 out = dd_ops.duplicate_span_coverage(corpus, window=args.window)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "scrub":
+            from .operators.scrub import pii_scrub
+
+            out = pii_scrub(spark.read.parquet(args.corpus))
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "url-dedup":
+            from .operators.scrub import url_dedup_groups
+
+            out = url_dedup_groups(spark.read.parquet(args.pages))
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "heavy-hitters":
+            from .operators.sketches import heavy_hitters
+
+            out = heavy_hitters(
+                spark.read.parquet(args.corpus),
+                capacity=args.capacity,
+                top_n=args.top_n,
+            )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "rerank":

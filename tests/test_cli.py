@@ -334,3 +334,66 @@ def test_cli_prf_and_dedup(spark, workspace, tmp_path):
     assert set(clusters.columns) == {"doc_id", "canonical", "is_canonical"}
     spans = spark.read.parquet(str(tmp_path / "spans"))
     assert spans.count() == n_docs
+
+
+def test_cli_scrub_sketch_wildcards_collapse(spark, workspace, tmp_path):
+    """Round-3 subcommands: scrub / url-dedup / heavy-hitters, plus the
+    wildcard query modes and --collapse-by on the query command."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    idx = tmp_path / "index"
+    corpus = str(idx / "segments" / "*" / "extracted")
+    (tmp_path / "wq.tsv").write_text("0\tw1\n")
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "build-index", "--pages", str(d / "pages"), "--index", str(idx),
+            "--shards", "4", "--max-concurrent", "2",
+        ]) == 0
+        assert cli.main([
+            "scrub", "--corpus", corpus, "--out", str(tmp_path / "scrubbed"),
+        ]) == 0
+        pages_urls = spark.read.parquet(corpus).select(
+            "doc_id", F.concat(F.lit("https://h.example.com/p/"),
+                               F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("url")
+        )
+        pages_urls.write.mode("overwrite").parquet(str(tmp_path / "purl"))
+        assert cli.main([
+            "url-dedup", "--pages", str(tmp_path / "purl"),
+            "--out", str(tmp_path / "udup"),
+        ]) == 0
+        assert cli.main([
+            "heavy-hitters", "--corpus", corpus, "--out", str(tmp_path / "hh"),
+            "--capacity", "100000", "--top-n", "5",
+        ]) == 0
+        for mode in ("prefix", "suffix", "infix"):
+            assert cli.main([
+                "query", "--index", str(idx), "--queries", str(tmp_path / "wq.tsv"),
+                "--out", str(tmp_path / f"q_{mode}"), "--mode", mode, "--k", "3",
+            ]) == 0
+        assert cli.main([
+            "query", "--index", str(idx), "--queries", str(d / "queries.tsv"),
+            "--out", str(tmp_path / "q_collapsed"), "--k", "3",
+            "--collapse-by", "url", "--corpus", corpus,
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    n_docs = spark.read.parquet(corpus).count()
+    scrubbed = spark.read.parquet(str(tmp_path / "scrubbed"))
+    assert scrubbed.count() == n_docs and "scrubbed" in scrubbed.columns
+    udup = spark.read.parquet(str(tmp_path / "udup"))
+    assert udup.count() == n_docs
+    assert udup.filter("is_canonical").count() == 7  # one survivor per canon
+    hh = spark.read.parquet(str(tmp_path / "hh"))
+    assert hh.count() == 5 and hh.filter("err_ub = 0").count() == 5
+    for mode in ("prefix", "suffix", "infix"):
+        q = spark.read.parquet(str(tmp_path / f"q_{mode}"))
+        assert q.count() > 0, mode
+    col = spark.read.parquet(str(tmp_path / "q_collapsed"))
+    assert col.count() > 0 and "inner_hits" in col.columns
