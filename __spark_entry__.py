@@ -1565,6 +1565,23 @@ def q_infix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus INTERPOLATED BIGRAM LM
+    (operators/textstats.py::bigram_cross_entropy) — one step closer
+    to CCNet's KenLM filter than the unigram proxy."""
+    from embed_rerank_spark.operators.textstats import bigram_cross_entropy
+
+    return bigram_cross_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total matching docs per query (operators/bm25.py::hit_counts) —
+    the track_total_hits contract next to the top-k kernels."""
+    from embed_rerank_spark.operators.bm25 import hit_counts
+
+    return hit_counts(spark, _docs(spark, sf_dir), QUERY_SET).orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1648,6 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
         "infix_topk": q_infix_topk,
+        "bigram_ce": q_bigram_ce,
+        "hit_counts": q_hit_counts,
     }
 
 
@@ -3851,6 +3870,42 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    bigram_ce_sql = f"""
+WITH base AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base),
+pairs AS (SELECT doc_id, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf2 FROM pairs GROUP BY doc_id, w1, w2),
+cf2 AS (SELECT w1, w2, sum(tf2) AS cf2 FROM tf2 GROUP BY w1, w2),
+u AS (SELECT term, count(*) AS cf FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term),
+tot AS (SELECT sum(cf) AS c FROM u),
+scored AS (
+  SELECT tf2.doc_id, sum(tf2.tf2) AS n_bigrams,
+         -sum(tf2.tf2 * ln(0.7 * cf2.cf2 / u1.cf + (1.0 - 0.7) * u2.cf / tot.c)) / sum(tf2.tf2) AS ce
+  FROM tf2 JOIN cf2 USING (w1, w2)
+  JOIN u u1 ON u1.term = tf2.w1 JOIN u u2 ON u2.term = tf2.w2
+  CROSS JOIN tot
+  GROUP BY tf2.doc_id)
+SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(s.ce, 0.0), 6) AS ce
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+    hit_counts_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, count(DISTINCT tf.doc_id) AS total_hits
+    FROM {qt} JOIN tf USING (term) GROUP BY qt.query_id
+),
+allq AS (SELECT DISTINCT query_id FROM {qt})
+SELECT allq.query_id, CAST(coalesce(m.total_hits, 0) AS BIGINT) AS total_hits
+FROM allq LEFT JOIN matched m USING (query_id)
+ORDER BY allq.query_id
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -3930,6 +3985,8 @@ FROM ranked WHERE rank <= {TOP_K}
         "collapse_topk": collapse_sql,
         "range_facets": range_facets_sql,
         "infix_topk": infix_topk_sql,
+        "bigram_ce": bigram_ce_sql,
+        "hit_counts": hit_counts_sql,
     }
 
 

@@ -532,3 +532,36 @@ def collapse_topk(
     return topk(best, k).select(
         "query_id", "rank", "doc_id", score_col, group_col, "inner_hits"
     )
+
+
+def hit_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, total_hits): the total number of documents matching
+    >= 1 unique query term — the "about 1,240,000 results" figure and
+    the ES ``track_total_hits`` contract, which top-k kernels
+    deliberately avoid computing (WAND prunes exactly the docs a count
+    would have to visit).
+
+    One broadcast of the query terms into the tf table and one
+    count_distinct per query — both map-side combinable; queries with
+    zero matches are emitted with 0 (contract: one row per query).
+    """
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    counts = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id")
+        .agg(F.count_distinct("doc_id").alias("total_hits"))
+    )
+    all_q = spark.createDataFrame(
+        [(qid,) for qid, _ in queries], "query_id long"
+    ).distinct()
+    return all_q.join(counts, "query_id", "left").select(
+        "query_id", F.coalesce("total_hits", F.lit(0)).alias("total_hits")
+    )

@@ -429,3 +429,72 @@ def repetition_signals(
         F.round(_top_gram_frac(_ngrams(toks, 2)), 6).alias("top_bigram_frac"),
         F.round(_top_gram_frac(_ngrams(toks, 3)), 6).alias("top_trigram_frac"),
     )
+
+
+BIGRAM_LAMBDA = 0.7
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    lam: float = BIGRAM_LAMBDA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, ce): per-bigram cross-entropy of each doc
+    under the CORPUS interpolated bigram language model —
+
+        p(w2 | w1) = lam * cf2(w1 w2)/cf(w1) + (1-lam) * cf(w2)/C
+        ce = -(1/n_bigrams) * sum ln p
+
+    the one-step-better KenLM stand-in over ``unigram_cross_entropy``
+    (same filtering role as CCNet's perplexity: low ce = boilerplate
+    made of the corpus's stock phrases, high ce = token soup whose
+    bigrams never co-occur). Interpolation with the unigram model
+    keeps every probability nonzero, so unseen bigrams need no
+    back-off table. Docs with < 2 tokens get ce = 0.
+
+    Scale shape: the bigram stream is the same explode cardinality as
+    the token stream (one row per adjacent pair), aggregated
+    map-side-combinably per doc and per gram; the model joins are
+    keyed by gram/term exactly like the posting build's shuffles. No
+    Python, no windows.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ngrams(tokenize_for_scoring(F.col(text_col)), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    tf2 = grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
+    cf2 = tf2.groupBy("w1", "w2").agg(F.sum("tf2").alias("cf2"))
+    from .bm25 import term_freqs  # noqa: PLC0415
+
+    cf1 = (
+        term_freqs(docs, id_col=id_col, text_col=text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    total = cf1.agg(F.sum("cf").alias("c"))
+    p = lam * F.col("cf2") / F.col("c1") + (1.0 - lam) * F.col("cw") / F.col("c")
+    scored = (
+        tf2.join(cf2, ["w1", "w2"])
+        .join(cf1.select(F.col("term").alias("w1"), F.col("cf").alias("c1")), "w1")
+        .join(cf1.select(F.col("term").alias("w2"), F.col("cf").alias("cw")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf2").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("tf2") * F.log(p)) / F.sum("tf2")).alias("ce"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce("ce", F.lit(0.0)), 6).alias("ce"),
+        )
+    )

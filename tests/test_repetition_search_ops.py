@@ -123,3 +123,34 @@ def test_infix_trigram_path_matches_fallback(spark):
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
     assert not [r for r in a if r["query_id"] == 3]  # no-match infix empty
+
+
+def test_bigram_ce_edges_and_interpolation(spark):
+    from embed_rerank_spark.operators.textstats import bigram_cross_entropy
+    import math
+
+    rows = [(1, "a b a b"), (2, "x"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_cross_entropy(docs, lam=0.7).collect()}
+    # doc 2/3: fewer than 2 tokens -> no bigrams, ce pinned to 0
+    assert got[2]["n_bigrams"] == 0 and got[2]["ce"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["ce"] == 0.0
+    # doc 1: grams ab, ba, ab; unigrams: a x2? a appears 2, b 2, x 1; C=5
+    # p(b|a) = .7*2/2 + .3*2/5 ; p(a|b) = .7*1/2 + .3*2/5
+    p_ab = 0.7 * 2 / 2 + (1.0 - 0.7) * 2 / 5
+    p_ba = 0.7 * 1 / 2 + (1.0 - 0.7) * 2 / 5
+    want = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["ce"] - round(want, 6)) < 1e-6
+
+
+def test_hit_counts_includes_zero_match_queries(spark):
+    from embed_rerank_spark.operators.bm25 import hit_counts
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple tart"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    got = {r["query_id"]: r["total_hits"] for r in
+           hit_counts(spark, docs, [(1, "apple banana"), (2, "zzz")]).collect()}
+    assert got == {1: 3, 2: 0}
