@@ -458,29 +458,64 @@ def cpu_calibration(n_procs: int, n_tasks: int = 64) -> float:
 def scaling_mode() -> None:
     """Same workload at two parallelism levels in fresh subprocesses;
     prints throughput at both + scaling efficiency (raw and normalized
-    by the measured hardware ceiling)."""
+    by the measured hardware ceiling).
+
+    A campaign is CLEAN only when both legs' own host probes are clean
+    AND no phase runs slower on 32 cores than on 8 (a physical
+    impossibility without a co-tenant — the 32-core leg runs second,
+    so a mid-campaign load burst shows up exactly there). Contended
+    campaigns re-run up to SPARK_GRAFT_SCALING_RETRIES times; every
+    attempt's verdict ships in the output either way."""
     import subprocess
 
     lows, highs = 8, CPUS
-    results = {}
-    for cores in (lows, highs):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cores),
-            SPARK_GRAFT_N_PAGES=str(SCALING_PAGES),
-            SPARK_GRAFT_TIERED="0",  # side metrics would skew the ratio
-            # larger query batch: the QPS phase must be compute-bound
-            # (256 queries at sf0.1 are ~60% fixed scan/collect cost)
-            SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES", "1024"),
+
+    def _one_campaign():
+        results = {}
+        for cores in (lows, highs):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                SPARK_GRAFT_N_PAGES=str(SCALING_PAGES),
+                SPARK_GRAFT_TIERED="0",  # side metrics would skew the ratio
+                # larger query batch: the QPS phase must be compute-bound
+                # (256 queries at sf0.1 are ~60% fixed scan/collect cost)
+                SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES", "1024"),
+            )
+            p = subprocess.run(
+                [sys.executable, __file__],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cores] = json.loads(p.stdout.strip().splitlines()[-1])
+        legs_clean = all(results[c].get("probe_clean") for c in (lows, highs))
+        # inversion check: more cores must never be slower per phase
+        inverted = [
+            k
+            for k in results[lows]["queries"]
+            if results[highs]["queries"][k] > results[lows]["queries"][k]
+        ]
+        return results, legs_clean and not inverted, inverted
+
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2"))
+    attempts_meta = []
+    results = None
+    for attempt in range(1, max_attempts + 1):
+        results, clean, inverted = _one_campaign()
+        attempts_meta.append(
+            {
+                "attempt": attempt,
+                "clean": clean,
+                "inverted_phases": inverted,
+                "legs_probe_clean": {
+                    str(c): results[c].get("probe_clean") for c in (lows, highs)
+                },
+            }
         )
-        p = subprocess.run(
-            [sys.executable, __file__],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cores] = json.loads(p.stdout.strip().splitlines()[-1])
+        if clean:
+            break
     t_low = results[lows]["value"]
     t_high = results[highs]["value"]
     speedup = t_low / t_high
@@ -522,6 +557,11 @@ def scaling_mode() -> None:
                 },
                 "per_phase_low": results[lows]["queries"],
                 "per_phase_high": results[highs]["queries"],
+                "campaign_clean": attempts_meta[-1]["clean"],
+                "attempts": attempts_meta,
+                "leg_host_health": {
+                    str(c): results[c].get("host_health") for c in (lows, highs)
+                },
                 "sf": SF,
                 "n_pages": SCALING_PAGES,
             }

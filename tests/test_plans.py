@@ -208,3 +208,62 @@ def test_shard_scan_fast_path_disabled_when_files_could_split(spark, index):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_round3_ops_broadcast_and_no_cartesian(spark):
+    """The round-3 query-surface ops keep the scale-critical shape:
+    tiny query side broadcast, no cartesian products, no sort-merge
+    joins in the match path."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_scores_bruteforce,
+        collapse_topk,
+        dismax_topk_bruteforce,
+        hit_counts,
+        query_terms,
+    )
+    from embed_rerank_spark.operators.facets import range_facets
+
+    qs = [(0, "the data")]
+    for df in (
+        dismax_topk_bruteforce(spark, docs, qs, k=5),
+        range_facets(spark, docs, qs, "n_chars", [100.0, 300.0]),
+        hit_counts(spark, docs, qs),
+        collapse_topk(
+            bm25_scores_bruteforce(docs, query_terms(spark, qs)),
+            docs.select("doc_id", "source"),
+            k=5,
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_ce_joins_by_gram_no_corpus_window(spark):
+    """bigram_ce must be aggs + gram/term-keyed joins — no window over
+    corpus rows, no cartesian (the broadcast of the 1-row total is the
+    only nested loop)."""
+    from embed_rerank_spark.operators.textstats import bigram_cross_entropy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bigram_cross_entropy(docs))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_trigram_expansion_filters_dictionary_scan(spark, index):
+    """The infix candidate scan must push the tiny trigram IN-filter
+    into the dictionary scan (never a full-vocab contains pass)."""
+    from embed_rerank_spark.operators.wand import build_trigram_dictionary
+
+    td = build_trigram_dictionary(index)
+    cand = (
+        td.filter(F.col("tri").isin(["has", "ash"]))
+        .groupBy("term", "df")
+        .agg(F.count_distinct("tri").alias("n_tri"))
+        .filter(F.col("n_tri") == 2)
+    )
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "Exchange" in plan  # one agg shuffle over candidates only
