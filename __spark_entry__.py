@@ -1582,6 +1582,62 @@ def q_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit_counts(spark, _docs(spark, sf_dir), QUERY_SET).orderBy("query_id")
 
 
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term queries (Lucene RegexpQuery semantics: whole-term
+    match): each pattern expands against the term dictionary (df-desc,
+    capped) and scores as the expansion's disjunctive BM25 via WAND
+    (operators/wand.py::regexp_topk)."""
+    from embed_rerank_spark.operators.wand import regexp_topk
+    from embed_rerank_spark.queryset import REGEXP_MAX_EXPANSION, REGEXP_SET
+
+    index = _cached_index(spark, sf_dir)
+    out = regexp_topk(index, REGEXP_SET, k=TOP_K, max_expansion=REGEXP_MAX_EXPANSION)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_docvalue_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-value range drill-down: BM25 top-k over docs whose n_chars
+    doc value lies in [DOCVALUE_LO, DOCVALUE_HI), full-corpus stats
+    (operators/bm25.py::docvalue_range_topk; Lucene filter-context
+    semantics — the filter narrows candidates, never re-weights)."""
+    from embed_rerank_spark.operators.bm25 import docvalue_range_topk
+    from embed_rerank_spark.queryset import DOCVALUE_HI, DOCVALUE_LO
+
+    docs = _docs(spark, sf_dir)
+    doc_values = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("value")
+    )
+    out = docvalue_range_topk(
+        spark, docs, doc_values, QUERY_SET, DOCVALUE_LO, DOCVALUE_HI, k=TOP_K
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_recency_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage function-score rescore: WAND hands a
+    RESCORE_WINDOW-deep candidate set per query to an exponential
+    recency decay (half-life RESCORE_HALF_LIFE days over the
+    deterministic n_chars % 365 age doc-value), which re-ranks within
+    the window only (operators/bm25.py::rescore_by_recency)."""
+    from embed_rerank_spark.operators.bm25 import rescore_by_recency
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.queryset import (
+        RESCORE_HALF_LIFE,
+        RESCORE_NOW,
+        RESCORE_WINDOW,
+    )
+
+    index = _cached_index(spark, sf_dir)
+    candidates = wand_topk(index, QUERY_SET, k=RESCORE_WINDOW)
+    doc_values = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") % 365).cast("double").alias("value")
+    )
+    out = rescore_by_recency(
+        candidates, doc_values, k=TOP_K, now=RESCORE_NOW, half_life=RESCORE_HALF_LIFE
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1667,6 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_topk": q_infix_topk,
         "bigram_ce": q_bigram_ce,
         "hit_counts": q_hit_counts,
+        "regexp_topk": q_regexp_topk,
+        "docvalue_range_topk": q_docvalue_range_topk,
+        "recency_rescore": q_recency_rescore,
     }
 
 
@@ -2106,6 +2165,113 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+    from embed_rerank_spark.queryset import (
+        DOCVALUE_HI,
+        DOCVALUE_LO,
+        REGEXP_MAX_EXPANSION,
+        RESCORE_HALF_LIFE,
+        RESCORE_NOW,
+        RESCORE_WINDOW,
+        regexps_values_sql,
+    )
+
+    regexp_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT rx.query_id, df.term,
+           row_number() OVER (PARTITION BY rx.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {regexps_values_sql()} JOIN df ON regexp_full_match(df.term, rx.pat)
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {REGEXP_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    docvalue_range_topk_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+in_range AS (
+    SELECT doc_id FROM documents
+    WHERE n_chars >= {DOCVALUE_LO} AND n_chars < {DOCVALUE_HI}
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN in_range USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    recency_rescore_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+window_ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS wrank
+    FROM scored
+),
+combined AS (
+    SELECT c.query_id, c.doc_id,
+           c.score * pow(0.5, ({RESCORE_NOW} - (d.n_chars % 365)) / {RESCORE_HALF_LIFE}) AS score
+    FROM window_ranked c JOIN documents d USING (doc_id)
+    WHERE c.wrank <= {RESCORE_WINDOW}
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM combined
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     from embed_rerank_spark.queryset import (
         FUZZY_MAX_EXPANSION,
         SUGGEST_TOP,
@@ -3987,6 +4153,9 @@ ORDER BY allq.query_id
         "infix_topk": infix_topk_sql,
         "bigram_ce": bigram_ce_sql,
         "hit_counts": hit_counts_sql,
+        "regexp_topk": regexp_topk_sql,
+        "docvalue_range_topk": docvalue_range_topk_sql,
+        "recency_rescore": recency_rescore_sql,
     }
 
 

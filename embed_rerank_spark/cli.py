@@ -90,13 +90,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         default="or",
-        choices=["or", "and", "phrase", "boolean", "fuzzy", "prefix", "suffix", "infix"],
+        choices=[
+            "or", "and", "phrase", "boolean", "fuzzy",
+            "prefix", "suffix", "infix", "regexp",
+        ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; boolean = "
         '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index; '
         "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion); "
         "prefix/suffix/infix = wildcard retrieval (each query line is the "
-        "term fragment; infix uses the trigram-filtered dictionary)",
+        "term fragment; infix uses the trigram-filtered dictionary); "
+        "regexp = whole-term regexp dictionary expansion",
     )
     q.add_argument(
         "--collapse-by",
@@ -366,6 +370,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import infix_topk
 
                 out = infix_topk(idx, queries, k=args.k)
+            elif args.mode == "regexp":
+                from .operators.wand import regexp_topk
+
+                out = regexp_topk(idx, queries, k=args.k)
             elif args.page > 1:
                 from .operators.wand import search_after_topk
 

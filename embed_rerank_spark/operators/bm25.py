@@ -211,6 +211,82 @@ def diversify_topk(
     )
 
 
+def docvalue_range_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    doc_values: DataFrame,
+    queries: list[tuple[int, str]],
+    lo,
+    hi,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    value_col: str = "value",
+) -> DataFrame:
+    """Doc-value RANGE-filtered BM25 retrieval (the date-range /
+    numeric-filter drill-down every search UI has): top-k over docs
+    whose ``doc_values.value`` satisfies ``lo <= value < hi``, scored
+    with FULL-corpus statistics — idf/avgdl/N unchanged by the filter,
+    the same filtered-retrieval convention as
+    ``wand_topk(allowed_docs=...)`` (Lucene filter-context semantics:
+    a filter narrows the candidate set, never re-weights terms).
+
+    Unlike the ACL path (a small driver-side allowed list), the range
+    predicate stays DISTRIBUTED: ``doc_values`` is filtered
+    declaratively and semi-joined against the match stream, so an
+    arbitrarily large in-range set never touches the driver. Scale
+    shape: on a time-partitioned corpus (e.g. Iceberg ``days(warc_ts)``
+    partitioning — `sources/web_tables.py`), Catalyst pushes the same
+    range predicate into the doc-values scan and prunes whole
+    partitions; the semi-join broadcasts whichever side AQE measures
+    as small."""
+    qterms = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qterms, k1, b)
+    in_range = doc_values.filter(
+        (F.col(value_col) >= lo) & (F.col(value_col) < hi)
+    ).select("doc_id")
+    return topk(scored.join(in_range, "doc_id", "left_semi"), k).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def rescore_by_recency(
+    candidates: DataFrame,
+    doc_values: DataFrame,
+    k: int = 10,
+    now: float = 365.0,
+    half_life: float = 90.0,
+    value_col: str = "value",
+    score_col: str = "score",
+) -> DataFrame:
+    """Function-score RESCORE window (Elasticsearch ``rescore`` /
+    ``function_score`` with an exponential recency decay): re-rank a
+    first-stage candidate window by
+
+        combined = score * 0.5 ^ ((now - value) / half_life)
+
+    where ``value`` is the doc's timestamp doc-value (same unit as
+    ``now``; days, typically). ``candidates``: (query_id, doc_id,
+    score) rows — a DEEP top-k from the first stage (``wand_topk(k=
+    window)``), so the multiplicative boost only ever reorders within
+    the window it was given, the standard two-stage rescore contract.
+    Scale shape: candidate rows are n_queries x window (tiny);
+    they broadcast into the doc-values join — corpus-sized work
+    happened in the first stage only."""
+    decay = F.pow(
+        F.lit(0.5), (F.lit(float(now)) - F.col(value_col)) / F.lit(float(half_life))
+    )
+    joined = F.broadcast(candidates.select("query_id", "doc_id", score_col)).join(
+        doc_values.select("doc_id", value_col), "doc_id"
+    )
+    combined = joined.select(
+        "query_id",
+        "doc_id",
+        (F.col(score_col) * decay).alias("score"),
+    )
+    return topk(combined, k).select("query_id", "rank", "doc_id", "score")
+
+
 def blend_static_prior(
     scored: DataFrame,
     prior: DataFrame,

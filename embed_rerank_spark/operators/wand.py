@@ -1082,6 +1082,60 @@ def suffix_topk(
     return wand_topk(index, synth, k, k1, b, taat_threshold)
 
 
+def expand_regexp(
+    index: InvertedIndex, pattern: str, max_expansion: int = 64
+) -> list[str]:
+    """Dictionary expansion for a regexp term query (Lucene
+    ``RegexpQuery`` semantics: the pattern must match the WHOLE term,
+    so ``jo.n`` matches ``join`` but not ``jointly``): vocabulary
+    terms full-matching the pattern, df desc / term asc, capped at
+    ``max_expansion``. One filtered pass over the term dictionary —
+    the dictionary is vocabulary-sized (~millions of rows at web
+    scale), not corpus-sized, and the JVM evaluates the anchored
+    ``rlike`` inside the scan. Portable-regex note: callers should
+    stick to the POSIX-ish intersection (literals, ``.``, classes,
+    ``*``/``+``/``?``, alternation) so the engine (Java regex) and any
+    external oracle (RE2/PCRE) agree."""
+    anchored = f"^(?:{pattern})$"
+    rows = (
+        index.term_stats.filter(F.col("term").rlike(anchored))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): regexp retrieval — each query
+    string is a TERM REGEXP; it expands to the full-matching
+    vocabulary terms (df-desc capped) and scores as the disjunctive
+    BM25 of the expansion via the unchanged WAND machinery (same
+    rewrite contract as prefix/suffix/fuzzy: the brute-force oracle is
+    standard BM25 with the expansion as the query's term set)."""
+    expansions = {
+        qid: expand_regexp(index, q.strip().lower(), max_expansion)
+        for qid, q in queries
+    }
+    synth: list[tuple[int, str]] = [
+        (qid, " ".join(terms)) for qid, terms in expansions.items() if terms
+    ]
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
 def _explain_partition(
     batches: Iterator[pa.RecordBatch],
     term_queries: dict[str, list[tuple[int, float]]],

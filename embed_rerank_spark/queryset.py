@@ -361,3 +361,42 @@ INFIX_SET: list[tuple[int, str]] = [
 def infixes_values_sql() -> str:
     rows = ", ".join(f"({qid}, '{s}')" for qid, s in INFIX_SET)
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
+
+
+# Regexp term-query set (Lucene RegexpQuery semantics: the pattern
+# must match the WHOLE term). Patterns stay inside the portable-regex
+# intersection — literals, '.', classes, '*'/'+'/'?', alternation —
+# so the engine (Java regex, anchored rlike) and the DuckDB oracle
+# (RE2 regexp_full_match) agree. Shapes: single-char wildcard,
+# alternation group, dot sandwich, optional-suffix alternation, and a
+# no-match pattern (empty result).
+REGEXP_SET: list[tuple[int, str]] = [
+    (1, "jo.n"),            # join
+    (2, "s(can|ort)"),      # scan, sort
+    (3, ".a.a"),            # data
+    (4, "(fast|slow)e?r?"), # fast, slow
+    (5, "zz+"),             # no match -> empty
+]
+REGEXP_MAX_EXPANSION = 64
+
+
+def regexps_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_SET)
+    return f"(VALUES {rows}) AS rx(query_id, pat)"
+
+
+# Doc-value range filter (date-range / numeric drill-down): the
+# half-open [lo, hi) window over the documents' n_chars doc value.
+# Chosen to keep ~30% of the corpus in range at every sf, so the
+# filter is selective but every query still fills its top-k.
+DOCVALUE_LO = 120
+DOCVALUE_HI = 260
+
+
+# Recency rescore constants: doc "age" doc-value is derived
+# deterministically as n_chars % 365 (days), decayed with a 90-day
+# half-life from now=365; the first stage hands the rescorer a
+# RESCORE_WINDOW-deep candidate set per query.
+RESCORE_WINDOW = 50
+RESCORE_NOW = 365.0
+RESCORE_HALF_LIFE = 90.0
