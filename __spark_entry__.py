@@ -1638,6 +1638,34 @@ def q_recency_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms-over-sampler: terms over-represented in
+    each query's top-SIG_WINDOW BM25 hits vs the corpus, JLH-scored,
+    query's own terms excluded (operators/mlt.py::significant_terms)."""
+    from embed_rerank_spark.operators.mlt import significant_terms
+    from embed_rerank_spark.queryset import SIG_MIN_FG_DF, SIG_TOP_N, SIG_WINDOW
+
+    return significant_terms(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        window=SIG_WINDOW,
+        top_n=SIG_TOP_N,
+        min_fg_df=SIG_MIN_FG_DF,
+    )
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search: which registered (+must/-not/should) queries
+    does each document match (operators/percolate.py::percolate)."""
+    from embed_rerank_spark.operators.percolate import percolate
+    from embed_rerank_spark.queryset import PERCOLATE_SET
+
+    return percolate(_docs(spark, sf_dir), PERCOLATE_SET).select(
+        "query_id", "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1726,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": q_regexp_topk,
         "docvalue_range_topk": q_docvalue_range_topk,
         "recency_rescore": q_recency_rescore,
+        "significant_terms": q_significant_terms,
+        "percolate": q_percolate,
     }
 
 
@@ -2270,6 +2300,88 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    from embed_rerank_spark.queryset import (
+        SIG_MIN_FG_DF,
+        SIG_TOP_N,
+        SIG_WINDOW,
+        percolate_consts_values_sql,
+        percolate_terms_values_sql,
+    )
+
+    significant_terms_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+fg AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {SIG_WINDOW}
+),
+fg_sizes AS (SELECT query_id, count(*) AS fg_size FROM fg GROUP BY query_id),
+fg_term AS (
+    SELECT fg.query_id, tf.term, count(*) AS fg_df
+    FROM fg JOIN tf USING (doc_id) GROUP BY fg.query_id, tf.term
+),
+enriched AS (
+    SELECT f.query_id, f.term, f.fg_df, df.df AS bg_df,
+           f.fg_df * 1.0 / s.fg_size AS fg_frac,
+           df.df * 1.0 / stats.n_docs AS bg_frac
+    FROM fg_term f
+    JOIN fg_sizes s USING (query_id)
+    JOIN df USING (term)
+    CROSS JOIN stats
+    WHERE f.fg_df >= {SIG_MIN_FG_DF}
+      AND NOT EXISTS (SELECT 1 FROM {qt} WHERE qt.query_id = f.query_id AND qt.term = f.term)
+),
+sig AS (
+    SELECT query_id, term, fg_df, bg_df,
+           (fg_frac - bg_frac) * (fg_frac / bg_frac) AS score
+    FROM enriched WHERE fg_frac > bg_frac
+),
+ranked AS (
+    SELECT query_id, term, fg_df, bg_df, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, term ASC) AS term_rank
+    FROM sig
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(term_rank AS INTEGER) AS term_rank,
+       term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
+       round(score, 6) AS score
+FROM ranked WHERE term_rank <= {SIG_TOP_N}
+"""
+
+    percolate_sql = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term
+    FROM documents
+),
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+hits AS (
+    SELECT d.doc_id, pq.query_id,
+           sum(CASE WHEN pq.role = 'must' THEN 1 ELSE 0 END) AS must_hit,
+           sum(CASE WHEN pq.role = 'not' THEN 1 ELSE 0 END) AS not_hit,
+           sum(CASE WHEN pq.role = 'should' THEN 1 ELSE 0 END) AS should_hit
+    FROM dterms d JOIN {percolate_terms_values_sql()} USING (term)
+    GROUP BY d.doc_id, pq.query_id
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id
+FROM hits h JOIN {percolate_consts_values_sql()} USING (query_id)
+WHERE h.must_hit = pc.n_must AND h.not_hit = 0
+  AND (pc.n_must > 0 OR h.should_hit > 0)
 """
 
     from embed_rerank_spark.queryset import (
@@ -4156,6 +4268,8 @@ ORDER BY allq.query_id
         "regexp_topk": regexp_topk_sql,
         "docvalue_range_topk": docvalue_range_topk_sql,
         "recency_rescore": recency_rescore_sql,
+        "significant_terms": significant_terms_sql,
+        "percolate": percolate_sql,
     }
 
 

@@ -183,6 +183,27 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--min-tf", type=int, default=1)
     ml.add_argument("--min-df", type=int, default=1)
 
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: which registered (+must/-not/should) "
+        "queries does each document match",
+    )
+    pc.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    pc.add_argument("--queries", required=True, help="TSV query_id<TAB>query")
+    pc.add_argument("--out", required=True)
+
+    st = sub.add_parser(
+        "significant-terms",
+        help="terms over-represented in each query's top hits vs the "
+        "corpus (JLH score over a sampler window)",
+    )
+    st.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    st.add_argument("--queries", required=True, help="TSV query_id<TAB>query")
+    st.add_argument("--out", required=True)
+    st.add_argument("--window", type=int, default=100)
+    st.add_argument("--top-n", type=int, default=10)
+    st.add_argument("--min-fg-df", type=int, default=2)
+
     bp = sub.add_parser(
         "build-positional-index",
         help="corpus (doc_id, text) -> positional index (phrase/proximity-capable)",
@@ -447,6 +468,27 @@ def main(argv: list[str] | None = None) -> int:
                 max_query_terms=args.max_terms,
                 min_term_freq=args.min_tf,
                 min_doc_freq=args.min_df,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "percolate":
+            from .operators.percolate import percolate
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = percolate(corpus, _read_queries(args.queries))
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "significant-terms":
+            from .operators.mlt import significant_terms
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = significant_terms(
+                spark,
+                corpus,
+                _read_queries(args.queries),
+                window=args.window,
+                top_n=args.top_n,
+                min_fg_df=args.min_fg_df,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

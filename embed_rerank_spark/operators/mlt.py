@@ -118,3 +118,83 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def significant_terms(
+    spark,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 100,
+    top_n: int = 10,
+    min_fg_df: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, score): the Elasticsearch
+    ``significant_terms``-over-a-``sampler`` aggregation — terms
+    over-represented in each query's best-matching documents relative
+    to the whole corpus, scored with the JLH heuristic (ES default):
+
+        score = (fg_frac - bg_frac) * (fg_frac / bg_frac)
+
+    where fg_frac = fg_df / |foreground| over the query's top
+    ``window`` BM25 hits (the ES-recommended sampler bound — an
+    unbounded foreground over a hot term IS the corpus) and
+    bg_frac = bg_df / N over all docs. The query's own terms are
+    excluded (they trivially saturate the foreground); terms must
+    appear in >= ``min_fg_df`` foreground docs and be foreground-
+    enriched (fg_frac > bg_frac). Ranking: round(score, 6) desc,
+    term asc, top_n per query.
+
+    Scale shape: the foreground set is n_queries x window rows — it
+    broadcasts into the per-doc term scan, so the only corpus-sized
+    work is the tf/df aggregation the retrieval stage already does;
+    the significance agg itself groups (query_id, term) over
+    foreground-matched rows only."""
+    from .bm25 import bm25_scores_bruteforce, query_terms, topk
+
+    qterms = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qterms, k1, b)
+    fg = topk(scored, window).select("query_id", "doc_id")
+
+    tfdl = term_freqs_dl(docs)
+    bg_df = doc_freqs(tfdl)
+    n_docs = corpus_stats(doc_lengths_direct(docs)).select("n_docs")
+
+    fg_sizes = fg.groupBy("query_id").agg(F.count("*").alias("fg_size"))
+    fg_term_df = (
+        F.broadcast(fg)
+        .join(tfdl.select("doc_id", "term"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    enriched = (
+        fg_term_df.join(F.broadcast(fg_sizes), "query_id")
+        .join(bg_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .join(qterms.withColumn("is_query_term", F.lit(1)), ["query_id", "term"], "left_anti")
+        .filter(F.col("fg_df") >= min_fg_df)
+        .withColumn("fg_frac", F.col("fg_df") / F.col("fg_size"))
+        .withColumn("bg_frac", F.col("df") / F.col("n_docs"))
+        .filter(F.col("fg_frac") > F.col("bg_frac"))
+        .withColumn(
+            "score",
+            (F.col("fg_frac") - F.col("bg_frac"))
+            * (F.col("fg_frac") / F.col("bg_frac")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), TIE_DECIMALS)), F.asc("term")
+    )
+    return (
+        enriched.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(
+            "query_id",
+            "term_rank",
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"),
+            F.round("score", TIE_DECIMALS).alias("score"),
+        )
+    )

@@ -400,3 +400,65 @@ DOCVALUE_HI = 260
 RESCORE_WINDOW = 50
 RESCORE_NOW = 365.0
 RESCORE_HALF_LIFE = 90.0
+
+
+# Significant-terms aggregation (ES sampler + significant_terms, JLH
+# score) over the standard QUERY_SET: foreground = each query's top
+# SIG_WINDOW BM25 hits; terms must hit >= SIG_MIN_FG_DF foreground
+# docs; top SIG_TOP_N per query.
+SIG_WINDOW = 100
+SIG_TOP_N = 10
+SIG_MIN_FG_DF = 2
+
+
+# Percolation (reverse search): stored queries in the term-membership
+# boolean subset (+must / -not / bare should). Shapes: pure
+# conjunction, must + exclusion, pure disjunction, must + shoulds, an
+# out-of-vocabulary must (matches nothing), and exclusion + should.
+PERCOLATE_SET: list[tuple[int, str]] = [
+    (1, "+join +scan"),
+    (2, "+table -slow"),
+    (3, "fast slow"),
+    (4, "+dup near duplicate"),
+    (5, "+zyzzyva"),
+    (6, "-the fast"),
+]
+
+
+def _parse_percolate(q: str) -> tuple[list[str], list[str], list[str]]:
+    """Independent re-derivation of the percolation clause rules for
+    the oracle (deliberately NOT the engine's parser): musts, then
+    nots minus musts, then shoulds minus both, each sorted."""
+    musts, nots, shoulds = set(), set(), set()
+    for tok in q.strip().lower().split():
+        if tok.startswith("+") and len(tok) > 1:
+            musts.add(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            nots.add(tok[1:])
+        elif tok:
+            shoulds.add(tok)
+    nots -= musts
+    shoulds -= musts | nots
+    return sorted(musts), sorted(nots), sorted(shoulds)
+
+
+def percolate_terms_values_sql() -> str:
+    rows = []
+    for qid, q in PERCOLATE_SET:
+        musts, nots, shoulds = _parse_percolate(q)
+        if not musts and not shoulds:
+            continue
+        rows += [f"({qid}, '{t}', 'must')" for t in musts]
+        rows += [f"({qid}, '{t}', 'not')" for t in nots]
+        rows += [f"({qid}, '{t}', 'should')" for t in shoulds]
+    return f"(VALUES {', '.join(rows)}) AS pq(query_id, term, role)"
+
+
+def percolate_consts_values_sql() -> str:
+    rows = []
+    for qid, q in PERCOLATE_SET:
+        musts, _, shoulds = _parse_percolate(q)
+        if not musts and not shoulds:
+            continue
+        rows.append(f"({qid}, {len(musts)}, {len(shoulds)})")
+    return f"(VALUES {', '.join(rows)}) AS pc(query_id, n_must, n_should)"
