@@ -1666,6 +1666,38 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPERATURE_ALPHA = 0.5
+TEMPERATURE_BUDGET = 250
+PACK_SEQ_LEN = 128
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (XLM-R/LLaMA mixing rule)
+    over the skewed lang column: alpha=0.5 upweights the small
+    languages relative to their share
+    (operators/sampling.py::temperature_mix)."""
+    from embed_rerank_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir),
+        alpha=TEMPERATURE_ALPHA,
+        budget_docs=TEMPERATURE_BUDGET,
+        domain_col="lang",
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: every doc's (seq_id, offset, n_seqs)
+    address under contiguous fill at PACK_SEQ_LEN tokens, md5-shuffled
+    global order, two-phase distributed prefix sum
+    (operators/packing.py::pack_sequences)."""
+    from embed_rerank_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN).select(
+        "doc_id", "tokens", "seq_id", "offset", "n_seqs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1756,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_rescore": q_recency_rescore,
         "significant_terms": q_significant_terms,
         "percolate": q_percolate,
+        "temperature_mix": q_temperature_mix,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2826,6 +2860,48 @@ ORDER BY term_a, term_b
     bucket_sql = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
     )
+    temperature_mix_sql = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+weighted AS (
+    SELECT lang, n_docs,
+           CAST(round(pow(CAST(n_docs AS DOUBLE), {TEMPERATURE_ALPHA}) * 1e6) AS BIGINT) AS w
+    FROM counts
+),
+total AS (SELECT sum(w) AS w_total FROM weighted),
+targets AS (
+    SELECT lang, n_docs,
+           least(n_docs, CAST(floor(({TEMPERATURE_BUDGET} * w) / w_total) AS BIGINT)) AS target
+    FROM weighted CROSS JOIN total
+),
+ranked AS (
+    SELECT d.doc_id, d.lang, t.target,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY {bucket_sql} ASC, d.doc_id ASC) AS rk
+    FROM documents d JOIN targets t USING (lang)
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= target
+"""
+    pack_sequences_sql = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len({_TOKENIZE_SQL}) AS BIGINT) AS tokens,
+           {bucket_sql} AS b
+    FROM documents
+    WHERE len({_TOKENIZE_SQL}) > 0
+),
+cum AS (
+    SELECT doc_id, tokens,
+           coalesce(sum(tokens) OVER (ORDER BY b ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+    FROM toks
+)
+SELECT doc_id, tokens,
+       CAST(floor(g / {PACK_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       CAST(g % {PACK_SEQ_LEN} AS BIGINT) AS offset,
+       CAST(floor((g + tokens - 1) / {PACK_SEQ_LEN}.0)
+            - floor(g / {PACK_SEQ_LEN}.0) + 1 AS BIGINT) AS n_seqs
+FROM cum
+"""
     hash_sample = f"""
 SELECT doc_id, source, CAST({bucket_sql} AS BIGINT) AS bucket
 FROM documents WHERE {bucket_sql} < 100 ORDER BY doc_id
@@ -4270,6 +4346,8 @@ ORDER BY allq.query_id
         "recency_rescore": recency_rescore_sql,
         "significant_terms": significant_terms_sql,
         "percolate": percolate_sql,
+        "temperature_mix": temperature_mix_sql,
+        "pack_sequences": pack_sequences_sql,
     }
 
 

@@ -204,6 +204,26 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--top-n", type=int, default=10)
     st.add_argument("--min-fg-df", type=int, default=2)
 
+    tm = sub.add_parser(
+        "temperature-mix",
+        help="temperature-based domain rebalancing: keep "
+        "floor(budget * n_d^alpha / sum) docs per domain, md5 order",
+    )
+    tm.add_argument("--corpus", required=True, help="parquet doc table")
+    tm.add_argument("--out", required=True)
+    tm.add_argument("--alpha", type=float, default=0.5)
+    tm.add_argument("--budget", type=int, required=True, help="total docs to keep")
+    tm.add_argument("--domain-col", default="source")
+
+    pk = sub.add_parser(
+        "pack",
+        help="training-sequence packing: assign every doc its "
+        "(seq_id, offset, n_seqs) address under contiguous fill",
+    )
+    pk.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--seq-len", type=int, required=True)
+
     bp = sub.add_parser(
         "build-positional-index",
         help="corpus (doc_id, text) -> positional index (phrase/proximity-capable)",
@@ -490,6 +510,22 @@ def main(argv: list[str] | None = None) -> int:
                 top_n=args.top_n,
                 min_fg_df=args.min_fg_df,
             )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "temperature-mix":
+            from .operators.sampling import temperature_mix
+
+            corpus = spark.read.parquet(args.corpus)
+            out = temperature_mix(
+                corpus, args.alpha, args.budget, domain_col=args.domain_col
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "pack":
+            from .operators.packing import pack_sequences
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = pack_sequences(corpus, args.seq_len)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "build-positional-index":

@@ -176,3 +176,78 @@ def select_token_budget(
         return out.localCheckpoint(eager=True)
     finally:
         parts.unpersist()
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    budget_docs: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/domain
+    rebalancing rule of XLM-R / LLaMA-style pipelines): domain d with
+    n_d docs gets a target of
+
+        t_d = min(n_d, floor(budget_docs * w_d / sum(w)))
+        w_d = round(n_d ** alpha * 1e6)   (integer micro-weights)
+
+    alpha < 1 UPWEIGHTS small domains relative to their share (alpha=0
+    -> uniform across domains, alpha=1 -> proportional, i.e. plain
+    subsampling). Weights are integerized at 1e-6 so the target
+    arithmetic is exact bigint math — bit-identical across engines —
+    with only the pow() in IEEE doubles. Within a domain, the t_d
+    kept docs are chosen by the deterministic md5 bucket (hash-shuffle
+    order), id asc tiebreak — membership is reproducible and stable
+    under reordering.
+
+    Scale shape: everything is distributed — per-domain counts are one
+    combinable agg, the weight total is a single broadcast row, and
+    targets broadcast-join back onto the scan. Domains already within
+    their target bypass the ranking window (the ``cap_per_domain``
+    prefilter split), so the per-domain window only shuffles docs of
+    domains that actually need trimming."""
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w",
+        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))) * 1e6)
+        .cast("long"),
+    )
+    total = weighted.agg(F.sum("w").alias("w_total"))
+    targets = (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("n_docs"),
+                # explicit floor: both engines do IEEE double division
+                # of exact bigints here, and floor (not round/truncate
+                # ambiguity) is the pinned semantics
+                F.floor(
+                    (F.lit(int(budget_docs)) * F.col("w")) / F.col("w_total")
+                ),
+            ).cast("long"),
+        )
+        .select(domain_col, "n_docs", "target")
+    )
+    order = [F.asc("_mixb"), F.asc(id_col)]
+    keyed = docs.withColumn("_mixb", sample_bucket(id_col, buckets))
+    under = (
+        keyed.join(
+            F.broadcast(targets.filter(F.col("target") >= F.col("n_docs"))),
+            domain_col,
+            "left_semi",
+        )
+    )
+    over_targets = targets.filter(F.col("target") < F.col("n_docs")).select(
+        domain_col, "target"
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    over = (
+        keyed.join(F.broadcast(over_targets), domain_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("target"))
+        .drop("_rk", "target")
+    )
+    return under.unionByName(over).drop("_mixb")
