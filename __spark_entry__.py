@@ -1698,6 +1698,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats + exact cardinality aggregations over each query's
+    full match set: n_chars stats, distinct sources
+    (operators/facets.py::stats_facets)."""
+    from embed_rerank_spark.operators.facets import stats_facets
+
+    out = stats_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", cardinality_col="source"
+    )
+    return out.select(
+        "query_id",
+        "n_docs",
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        "n_distinct",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1790,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "temperature_mix": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
+        "stats_facets": q_stats_facets,
     }
 
 
@@ -2880,6 +2901,22 @@ ranked AS (
     FROM documents d JOIN targets t USING (lang)
 )
 SELECT doc_id, lang FROM ranked WHERE rk <= target
+"""
+    stats_facets_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       count(*) AS n_docs,
+       CAST(min(d.n_chars) AS BIGINT) AS min_v,
+       CAST(max(d.n_chars) AS BIGINT) AS max_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+       round(avg(d.n_chars), 6) AS avg_v,
+       count(DISTINCT d.source) AS n_distinct
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id
 """
     pack_sequences_sql = f"""
 WITH toks AS (
@@ -4348,6 +4385,7 @@ ORDER BY allq.query_id
         "percolate": percolate_sql,
         "temperature_mix": temperature_mix_sql,
         "pack_sequences": pack_sequences_sql,
+        "stats_facets": stats_facets_sql,
     }
 
 

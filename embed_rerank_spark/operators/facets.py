@@ -120,3 +120,49 @@ def range_facets(
         .groupBy("query_id", "bucket", "lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def stats_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    cardinality_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, min_v, max_v, sum_v, avg_v [, n_distinct]) —
+    the Elasticsearch ``stats`` aggregation (plus an exact
+    ``cardinality`` over ``cardinality_col`` when given) computed over
+    each query's FULL matching doc set, same match semantics as
+    ``facet_counts`` (>= 1 unique query term).
+
+    Scale shape: identical to ``facet_counts`` — the match set
+    collapses to one row per (query, doc) before the value join, then
+    ONE combinable aggregation produces every stat (min/max/sum/count
+    are all partial-aggregatable; avg derives from sum/count so no
+    second pass). Exact distinct (cardinality) is the one
+    non-combinable piece — Spark plans it as the standard two-level
+    expand, still bounded by matches x 2. Output is n_queries rows."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    cols = [F.col(id_col).alias("doc_id"), F.col(value_col).alias("_v")]
+    if cardinality_col is not None:
+        cols.append(F.col(cardinality_col).alias("_c"))
+    joined = matched.join(docs.select(*cols), "doc_id")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        F.sum("_v").alias("sum_v"),
+        F.avg("_v").alias("avg_v"),
+    ]
+    if cardinality_col is not None:
+        aggs.append(F.countDistinct("_c").alias("n_distinct"))
+    return joined.groupBy("query_id").agg(*aggs)

@@ -113,3 +113,29 @@ def test_mlt_term_selection_knobs(spark, docs):
     assert len(capped[sid]) <= 3
     # cap keeps the interestingness-order head of the loose selection
     assert capped[sid] == loose[sid][: len(capped[sid])]
+
+
+def test_stats_facets_values(spark):
+    from embed_rerank_spark.operators.facets import stats_facets
+
+    rows = [
+        (1, "scan fast", 10, "a"),
+        (2, "scan slow", 20, "a"),
+        (3, "other text", 30, "b"),
+        (4, "scan again", 40, "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string"
+    )
+    got = {
+        r["query_id"]: r
+        for r in stats_facets(
+            spark, docs, [(1, "scan"), (2, "zyzzyva")], "n_chars",
+            cardinality_col="source",
+        ).collect()
+    }
+    r = got[1]
+    assert (r["n_docs"], r["min_v"], r["max_v"], r["sum_v"]) == (3, 10, 40, 70)
+    assert abs(r["avg_v"] - 70 / 3) < 1e-9
+    assert r["n_distinct"] == 2
+    assert 2 not in got  # no matches -> no row (facet convention)

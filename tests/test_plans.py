@@ -267,3 +267,55 @@ def test_trigram_expansion_filters_dictionary_scan(spark, index):
     plan = _plan(cand)
     assert "CartesianProduct" not in plan
     assert "Exchange" in plan  # one agg shuffle over candidates only
+
+
+def test_session2_ops_broadcast_and_no_cartesian(spark):
+    """Session-2 round-3 operators keep the scale shape: the small
+    side (registered queries / foreground window / mix targets /
+    doc-value candidates) broadcasts, and nothing plans a cartesian."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from embed_rerank_spark.operators.bm25 import (
+        docvalue_range_topk,
+        rescore_by_recency,
+    )
+    from embed_rerank_spark.operators.facets import stats_facets
+    from embed_rerank_spark.operators.mlt import significant_terms
+    from embed_rerank_spark.operators.percolate import percolate
+    from embed_rerank_spark.operators.sampling import temperature_mix
+
+    qs = [(0, "the data")]
+    dv = docs.select("doc_id", F.col("n_chars").cast("double").alias("value"))
+    cands = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.5)], "query_id long, doc_id long, score double"
+    )
+    for df in (
+        percolate(docs, [(0, "+the data")]),
+        significant_terms(spark, docs, qs, window=10),
+        temperature_mix(docs, 0.5, 100, domain_col="lang"),
+        docvalue_range_topk(spark, docs, dv, qs, 100, 300),
+        rescore_by_recency(cands, dv, k=2),
+        stats_facets(spark, docs, qs, "n_chars", cardinality_col="source"),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_docvalue_range_pushes_predicate_to_docvalues_scan(spark):
+    """The [lo, hi) predicate must reach the doc-values side as a
+    plain filter (partition-prunable on a time-partitioned table),
+    not be evaluated post-join."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from embed_rerank_spark.operators.bm25 import docvalue_range_topk
+
+    dv = docs.select("doc_id", F.col("n_chars").cast("double").alias("value"))
+    out = docvalue_range_topk(spark, docs, dv, [(0, "data")], 100.0, 300.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst collapses the 'value' alias back to the source column:
+    # the filter sits directly on the n_chars scan, both bounds intact
+    assert ">= 100.0" in plan and "< 300.0" in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "Filter" in ln and ">= 100.0" in ln and "< 300.0" in ln
+    ]
+    assert pushed and "n_chars" in pushed[0], plan
