@@ -1718,6 +1718,18 @@ def q_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery: the term must occur within the first
+    SPANFIRST_LIMIT token positions; qualifying docs BM25-scored
+    (operators/positions.py::span_first_topk, positional index)."""
+    from embed_rerank_spark.operators.positions import span_first_topk
+    from embed_rerank_spark.queryset import SPANFIRST_LIMIT, SPANFIRST_SET
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = span_first_topk(index, SPANFIRST_SET, k=TOP_K, limit=SPANFIRST_LIMIT)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1811,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
         "stats_facets": q_stats_facets,
+        "span_first": q_span_first,
     }
 
 
@@ -2901,6 +2914,38 @@ ranked AS (
     FROM documents d JOIN targets t USING (lang)
 )
 SELECT doc_id, lang FROM ranked WHERE rk <= target
+"""
+    from embed_rerank_spark.queryset import SPANFIRST_LIMIT, spanfirst_values_sql
+
+    span_first_sql = f"""
+WITH {_TOKS_CTE},
+toklists AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+),
+qualifying AS (
+    SELECT sf.query_id, t.doc_id, sf.term
+    FROM {spanfirst_values_sql()} CROSS JOIN toklists t
+    WHERE list_position(t.toks, sf.term) BETWEEN 1 AND {SPANFIRST_LIMIT}
+),
+scored AS (
+    SELECT q.query_id, q.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+    FROM qualifying q
+    JOIN tf ON tf.doc_id = q.doc_id AND tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = q.doc_id
+    CROSS JOIN stats
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """
     stats_facets_sql = f"""
 WITH {_TOKS_CTE},
@@ -4386,6 +4431,7 @@ ORDER BY allq.query_id
         "temperature_mix": temperature_mix_sql,
         "pack_sequences": pack_sequences_sql,
         "stats_facets": stats_facets_sql,
+        "span_first": span_first_sql,
     }
 
 

@@ -1135,3 +1135,109 @@ def best_window_snippets(
             F.concat_ws(" ", F.slice("toks", start, length)).alias("snippet"),
         )
     )
+
+
+def _span_first_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, str]],
+    k: int,
+    limit: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, t in queries:
+            if t not in termdata:
+                continue
+            dt, tft, dlt, pf, po = termdata[t]
+            if dt.size == 0:
+                continue
+            # positions per doc are ascending: the run's first element
+            # IS the earliest occurrence — no gather needed
+            first = pf[po[: len(dt)]]
+            mask = first < limit
+            if excl_arr is not None:
+                mask &= ~np.isin(dt, excl_arr)
+            docs = dt[mask]
+            if docs.size == 0:
+                continue
+            tfv = tft[mask].astype(np.float64)
+            dlv = dlt[mask].astype(np.float64)
+            scores = idf[t] * (tfv * (k1 + 1.0)) / (
+                tfv + k1 * (1.0 - b + b * dlv / avgdl)
+            )
+            order = np.lexsort((docs, -np.round(scores, 6)))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def span_first_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    limit: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): SpanFirstQuery retrieval over
+    the positional index (Lucene semantics: the term must occur within
+    the FIRST ``limit`` token positions of the document, 0-based
+    ``first_pos < limit`` — the "match in the title/lead" targeting
+    primitive for fields stored as position prefixes). Qualifying docs
+    are BM25-scored on the term as usual; full-corpus stats. Oracle
+    shape: 1-based ``list_position(tokens, term) BETWEEN 1 AND limit``.
+
+    Scale shape: identical to the other positional readers — the
+    postings scan filters to the query terms, each doc-shard resolves
+    independently (positions ride in the same blocks), and the
+    qualifying test is one vectorized gather of each run's first
+    position — no per-occurrence work at all."""
+    plan: list[tuple[int, str]] = []
+    for qid, q in queries:
+        t = q.strip().lower()
+        if t:
+            plan.append((qid, t))
+    spark = index.postings.sparkSession
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    all_terms = {t for _q, t in plan}
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [(qid, t) for qid, t in plan if t in idf]
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, t in plan}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _span_first_partition(
+            it, plan, k, limit, idf, avgdl, k1, b, excl, vers
+        ),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

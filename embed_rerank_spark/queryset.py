@@ -462,3 +462,20 @@ def percolate_consts_values_sql() -> str:
             continue
         rows.append(f"({qid}, {len(musts)}, {len(shoulds)})")
     return f"(VALUES {', '.join(rows)}) AS pc(query_id, n_must, n_should)"
+
+
+# SpanFirst (term within the first SPANFIRST_LIMIT token positions —
+# Lucene SpanFirstQuery): common terms with varied first positions
+# plus an out-of-vocabulary term (empty result).
+SPANFIRST_SET: list[tuple[int, str]] = [
+    (1, "scan"),
+    (2, "the"),
+    (3, "join"),
+    (4, "zyzzyva"),
+]
+SPANFIRST_LIMIT = 8
+
+
+def spanfirst_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in SPANFIRST_SET)
+    return f"(VALUES {rows}) AS sf(query_id, term)"

@@ -464,3 +464,51 @@ def test_ordered_proximity_matches_python_bruteforce(spark, pos_index):
 
     assert got == want
     assert match_sets[1] != match_sets[2], "ordered NEAR must be asymmetric"
+
+
+def test_span_first_semantics(spark):
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        span_first_topk,
+    )
+
+    rows = [
+        (1, "scan late words here"),       # scan at pos 0
+        (2, "a b c d scan after limit"),   # scan at pos 4
+        (3, "x y scan z"),                 # scan at pos 2
+        (4, "no match here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = load_positional_index(build_positional_postings(docs, n_shards=2))
+    # limit 3: first_pos < 3 qualifies -> docs 1 (pos 0) and 3 (pos 2)
+    got = {r["doc_id"] for r in span_first_topk(idx, [(1, "scan")], limit=3).collect()}
+    assert got == {1, 3}
+    # limit 5 admits doc 2 as well
+    got5 = {r["doc_id"] for r in span_first_topk(idx, [(1, "scan")], limit=5).collect()}
+    assert got5 == {1, 2, 3}
+    # OOV term -> no rows; empty plan -> empty frame with the schema
+    assert span_first_topk(idx, [(1, "zyzzyva")], limit=3).count() == 0
+    assert span_first_topk(idx, [], limit=3).count() == 0
+
+
+def test_span_first_scores_match_bm25(spark):
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        span_first_topk,
+    )
+
+    docs = _docs(spark)
+    idx = load_positional_index(build_positional_postings(docs, n_shards=4))
+    # a huge limit admits every occurrence: span_first == plain BM25
+    got = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in span_first_topk(idx, [(1, "scan")], k=10, limit=10_000).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk_bruteforce(spark, docs, [(1, "scan")], k=10).collect()
+    }
+    assert got == want
