@@ -1730,6 +1730,19 @@ def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: fixed tokens + trailing prefix wildcard,
+    expanded against the dictionary (df desc, capped); dis-max over
+    matched expansions of the full-phrase BM25
+    (operators/positions.py::match_phrase_prefix_topk)."""
+    from embed_rerank_spark.operators.positions import match_phrase_prefix_topk
+    from embed_rerank_spark.queryset import MPP_MAX_EXPANSION, MPP_SET
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = match_phrase_prefix_topk(index, MPP_SET, k=TOP_K, max_expansion=MPP_MAX_EXPANSION)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1824,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stats_facets": q_stats_facets,
         "span_first": q_span_first,
+        "match_phrase_prefix": q_match_phrase_prefix,
     }
 
 
@@ -2942,6 +2956,59 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.queryset import MPP_MAX_EXPANSION, mpp_values_sql
+
+    match_phrase_prefix_sql = f"""
+WITH {_TOKS_CTE},
+joined AS (
+    SELECT doc_id, ' ' || array_to_string({_TOKENIZE_SQL}, ' ') || ' ' AS s
+    FROM documents
+),
+exps AS (
+    SELECT mpp.query_id, mpp.fixed, v.term AS exp,
+           row_number() OVER (
+               PARTITION BY mpp.query_id ORDER BY v.df DESC, v.term ASC
+           ) AS rk
+    FROM {mpp_values_sql()} JOIN df v ON v.term LIKE mpp.prefix || '%'
+),
+capped AS (SELECT query_id, fixed, exp FROM exps WHERE rk <= {MPP_MAX_EXPANSION}),
+matched AS (
+    SELECT c.query_id, j.doc_id, c.exp, c.fixed
+    FROM capped c CROSS JOIN joined j
+    WHERE strpos(j.s, ' ' || CASE WHEN c.fixed = '' THEN '' ELSE c.fixed || ' ' END
+                        || c.exp || ' ') > 0
+),
+mterms AS (
+    SELECT DISTINCT * FROM (
+        SELECT query_id, doc_id, exp,
+               unnest(string_split(
+                   CASE WHEN fixed = '' THEN exp ELSE fixed || ' ' || exp END, ' '
+               )) AS term
+        FROM matched
+    )
+),
+contrib AS (
+    SELECT t.query_id, t.doc_id, t.exp,
+           sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+    FROM mterms t
+    JOIN tf ON tf.doc_id = t.doc_id AND tf.term = t.term
+    JOIN df ON df.term = t.term
+    JOIN dl ON dl.doc_id = t.doc_id
+    CROSS JOIN stats
+    GROUP BY t.query_id, t.doc_id, t.exp
+),
+best AS (SELECT query_id, doc_id, max(score) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM best
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
@@ -4432,6 +4499,7 @@ ORDER BY allq.query_id
         "pack_sequences": pack_sequences_sql,
         "stats_facets": stats_facets_sql,
         "span_first": span_first_sql,
+        "match_phrase_prefix": match_phrase_prefix_sql,
     }
 
 

@@ -1241,3 +1241,134 @@ def span_first_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def _mpp_partition(
+    batches: Iterator[pa.RecordBatch],
+    plan: list[tuple[int, list[str], list[str]]],
+    k: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, fixed, exps in plan:
+            docs_parts, score_parts = [], []
+            for e in exps:
+                docs, scores, _fpos = _phrase_match_score(
+                    termdata, fixed + [e], idf, avgdl, k1, b
+                )
+                if docs.size:
+                    docs_parts.append(docs)
+                    score_parts.append(scores)
+            if not docs_parts:
+                continue
+            docs = np.concatenate(docs_parts)
+            scores = np.concatenate(score_parts)
+            # dis-max over expansions: best full-phrase score per doc
+            perm = np.lexsort((-scores, docs))
+            docs, scores = docs[perm], scores[perm]
+            lead = np.ones(len(docs), dtype=bool)
+            lead[1:] = docs[1:] != docs[:-1]
+            docs, scores = docs[lead], scores[lead]
+            if excl_arr is not None:
+                live = ~np.isin(docs, excl_arr)
+                docs, scores = docs[live], scores[live]
+            if docs.size == 0:
+                continue
+            order = np.lexsort((docs, -np.round(scores, 6)))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def match_phrase_prefix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES/Lucene
+    ``match_phrase_prefix`` over the positional index — the query's
+    LAST token is a prefix wildcard (``"fast ta*"``), expanded against
+    the term dictionary (df desc, term asc, capped at
+    ``max_expansion``, the same Lucene rewrite bound ``prefix_topk``
+    uses); a doc matches when the fixed tokens immediately followed by
+    ANY expansion occur consecutively. Score is the dis-max over
+    matched expansions of the plain phrase BM25 (sum over the unique
+    terms of fixed+expansion, full-corpus stats) — engine tie
+    semantics on the rounded best score.
+
+    Scale shape: the dictionary expansion is a capped, pushdown-
+    friendly ``startswith`` scan of term_stats collected to the
+    driver (bounded by ``max_expansion``); the postings scan filters
+    to fixed+expansion terms only, and each doc-shard answers every
+    (query, expansion) phrase independently with the same vectorized
+    composite-key adjacency kernel ``phrase_topk`` uses — the
+    per-query cost is bounded by ``max_expansion`` rarest-first
+    intersections, never a corpus scan."""
+    from .wand import expand_prefix  # noqa: PLC0415
+
+    spark = index.postings.sparkSession
+    plan_raw: list[tuple[int, list[str], list[str]]] = []
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        toks = [t for t in q.strip().lower().split() if t]
+        if not toks or not toks[-1].endswith("*") or len(toks[-1]) < 2:
+            continue
+        fixed = toks[:-1]
+        exps = expand_prefix(index, toks[-1][:-1], max_expansion)
+        if not exps:
+            continue
+        plan_raw.append((qid, fixed, exps))
+        all_terms.update(fixed)
+        all_terms.update(exps)
+    if not plan_raw:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan: list[tuple[int, list[str], list[str]]] = []
+    live_terms: set[str] = set()
+    for qid, fixed, exps in plan_raw:
+        if any(t not in idf for t in fixed):
+            continue
+        exps = [e for e in exps if e in idf]
+        if not exps:
+            continue
+        plan.append((qid, fixed, exps))
+        live_terms.update(fixed)
+        live_terms.update(exps)
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    filtered = index.postings.filter(F.col("term").isin(list(live_terms)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _mpp_partition(it, plan, k, idf, avgdl, k1, b, excl, vers),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

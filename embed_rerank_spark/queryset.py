@@ -479,3 +479,26 @@ SPANFIRST_LIMIT = 8
 def spanfirst_values_sql() -> str:
     rows = ", ".join(f"({qid}, '{t}')" for qid, t in SPANFIRST_SET)
     return f"(VALUES {rows}) AS sf(query_id, term)"
+
+
+# match_phrase_prefix ("fixed tokens + trailing prefix*" — ES/Lucene
+# MultiPhraseQuery rewrite): adjacency + dictionary expansion shapes,
+# a bare-prefix degenerate, and a dead prefix (empty result).
+MPP_SET: list[tuple[int, str]] = [
+    (1, "fast ta*"),
+    (2, "sort m*"),
+    (3, "sc*"),
+    (4, "hash zz*"),
+    (5, "slow s*"),
+]
+MPP_MAX_EXPANSION = 64
+
+
+def mpp_values_sql() -> str:
+    rows = []
+    for qid, q in MPP_SET:
+        toks = q.strip().lower().split()
+        fixed = " ".join(toks[:-1])
+        prefix = toks[-1][:-1]
+        rows.append(f"({qid}, '{fixed}', '{prefix}')")
+    return f"(VALUES {', '.join(rows)}) AS mpp(query_id, fixed, prefix)"

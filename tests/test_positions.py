@@ -512,3 +512,57 @@ def test_span_first_scores_match_bm25(spark):
         for r in bm25_topk_bruteforce(spark, docs, [(1, "scan")], k=10).collect()
     }
     assert got == want
+
+
+def test_match_phrase_prefix_semantics(spark):
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        match_phrase_prefix_topk,
+        phrase_topk,
+    )
+
+    rows = [
+        (1, "fast table scan here"),      # "fast ta*" -> table
+        (2, "fast tables only"),          # -> tables
+        (3, "a fast tank rolled"),        # -> tank
+        (4, "fast cars no t words"),      # no match
+        (5, "table fast reversed"),       # wrong order -> no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = load_positional_index(build_positional_postings(docs, n_shards=2))
+    got = {r["doc_id"] for r in match_phrase_prefix_topk(idx, [(1, "fast ta*")]).collect()}
+    assert got == {1, 2, 3}
+    # dis-max: each matched doc scores as the best full phrase;
+    # doc 1's score must equal phrase_topk("fast table") on doc 1
+    mpp = {r["doc_id"]: r["score"] for r in match_phrase_prefix_topk(idx, [(1, "fast ta*")]).collect()}
+    ph = {r["doc_id"]: r["score"] for r in phrase_topk(idx, [(1, "fast table")]).collect()}
+    assert abs(mpp[1] - ph[1]) < 1e-9
+    # no-expansion prefix and malformed queries -> empty
+    assert match_phrase_prefix_topk(idx, [(1, "fast zz*")]).count() == 0
+    assert match_phrase_prefix_topk(idx, [(1, "fast table")]).count() == 0
+    assert match_phrase_prefix_topk(idx, [(1, "*")]).count() == 0
+
+
+def test_match_phrase_prefix_single_position_and_cap(spark):
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        match_phrase_prefix_topk,
+    )
+    from embed_rerank_spark.operators.wand import expand_prefix, wand_topk
+
+    docs = _docs(spark)
+    idx = load_positional_index(build_positional_postings(docs, n_shards=4))
+    # bare prefix query degenerates to "any doc containing an expansion,
+    # scored as the best single-term BM25"
+    out = match_phrase_prefix_topk(idx, [(1, "sc*")], k=5).collect()
+    assert len(out) == 5 and all(r["rank"] == i + 1 for i, r in enumerate(out))
+    # max_expansion=1 keeps only the highest-df expansion: the query
+    # then equals a plain single-term BM25 on that expansion
+    top1 = expand_prefix(idx, "s", 1)
+    capped = match_phrase_prefix_topk(idx, [(1, "s*")], k=5, max_expansion=1).collect()
+    single = wand_topk(idx, [(1, top1[0])], k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in capped] == [
+        (r["doc_id"], round(r["score"], 6)) for r in single
+    ]
