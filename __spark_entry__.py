@@ -1743,6 +1743,28 @@ def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_sort_by_docvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-doc-value: the match set ordered by n_chars desc
+    instead of relevance (_score deliberately absent), ties doc_id asc
+    (operators/bm25.py::sort_by_docvalue_topk)."""
+    from embed_rerank_spark.operators.bm25 import sort_by_docvalue_topk
+
+    return sort_by_docvalue_topk(
+        spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", k=TOP_K
+    )
+
+
+def q_cross_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields: term-centric multi-field
+    scoring — each term takes its best field (title/body, per-field
+    stats), the doc sums term bests
+    (operators/bm25.py::cross_fields_topk_bruteforce)."""
+    from embed_rerank_spark.operators.bm25 import cross_fields_topk_bruteforce
+
+    out = cross_fields_topk_bruteforce(spark, _docs(spark, sf_dir), QUERY_SET, k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1838,6 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_facets": q_stats_facets,
         "span_first": q_span_first,
         "match_phrase_prefix": q_match_phrase_prefix,
+        "sort_by_docvalue": q_sort_by_docvalue,
+        "cross_fields_topk": q_cross_fields_topk,
     }
 
 
@@ -2959,6 +2983,23 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    sort_by_docvalue_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+ranked AS (
+    SELECT m.query_id, m.doc_id, CAST(d.n_chars AS DOUBLE) AS sort_value,
+           row_number() OVER (
+               PARTITION BY m.query_id ORDER BY d.n_chars DESC, m.doc_id ASC
+           ) AS rank
+    FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, sort_value
 FROM ranked WHERE rank <= {TOP_K}
 """
     from embed_rerank_spark.queryset import MPP_MAX_EXPANSION, mpp_values_sql
@@ -4280,6 +4321,45 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    _cross_field_cte = """
+{x}tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(ftoks) AS term FROM {x}doc) GROUP BY doc_id, term),
+{x}dl AS (SELECT doc_id, len(ftoks) AS dl FROM {x}doc),
+{x}stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM {x}dl),
+{x}df AS (SELECT term, count(*) AS df FROM {x}tf GROUP BY term),
+{x}ts AS (
+    SELECT qt.query_id, tf.doc_id, tf.term,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS ts
+    FROM {qt}
+    JOIN {x}tf tf USING (term) JOIN {x}df df USING (term) JOIN {x}dl dl USING (doc_id)
+    CROSS JOIN {x}stats stats
+)"""
+    cross_fields_sql = f"""
+WITH fd AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+tdoc AS (SELECT doc_id, toks[1:least(8, len(toks))] AS ftoks FROM fd),
+bdoc AS (SELECT doc_id, CASE WHEN len(toks) > 8 THEN toks[9:len(toks)]
+                             ELSE []::VARCHAR[] END AS ftoks FROM fd),
+{_cross_field_cte.format(x='t', qt=qt)},
+{_cross_field_cte.format(x='b', qt=qt)},
+allts AS (SELECT * FROM tts UNION ALL SELECT * FROM bts),
+best AS (
+    SELECT query_id, doc_id, term, max(ts) AS ts
+    FROM allts GROUP BY query_id, doc_id, term
+),
+scored AS (
+    SELECT query_id, doc_id, sum(ts) AS score FROM best GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     collapse_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -4500,6 +4580,8 @@ ORDER BY allq.query_id
         "stats_facets": stats_facets_sql,
         "span_first": span_first_sql,
         "match_phrase_prefix": match_phrase_prefix_sql,
+        "sort_by_docvalue": sort_by_docvalue_sql,
+        "cross_fields_topk": cross_fields_sql,
     }
 
 

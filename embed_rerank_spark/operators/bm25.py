@@ -641,3 +641,112 @@ def hit_counts(
     return all_q.join(counts, "query_id", "left").select(
         "query_id", F.coalesce("total_hits", F.lit(0)).alias("total_hits")
     )
+
+
+def sort_by_docvalue_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field: str,
+    k: int = 10,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, sort_value): Elasticsearch ``sort``
+    over a doc value — the match set (docs containing >= 1 unique
+    query term) ordered by ``field`` instead of relevance, ties broken
+    doc_id asc (ES same-shard tie behavior), top-k per query. Scores
+    are deliberately not computed (ES leaves ``_score`` null when a
+    sort replaces relevance).
+
+    Scale shape: broadcast query terms into the tf table (one
+    combinable distinct per (query, doc)), join the doc-value column
+    (pruned scan — only ``id_col`` and ``field`` are read), and the
+    rank filter becomes a per-partition group-limit before the
+    query_id shuffle (Spark's WindowGroupLimit / limit-through-window
+    rewrite), so a hot query's full match set is never sorted in one
+    task."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select(F.col(id_col).alias("doc_id"), "term"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).cast("double").alias("sort_value")
+    )
+    cands = matched.join(vals, "doc_id")
+    order = (
+        F.asc("sort_value") if ascending else F.desc("sort_value"),
+        F.asc("doc_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "sort_value")
+    )
+
+
+def cross_fields_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_len: int = TITLE_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES ``multi_match`` type
+    ``cross_fields`` — TERM-centric multi-field scoring. Each query
+    term is scored in each field (title/body, each with its own BM25
+    statistics), the term takes its BEST field, and the doc sums the
+    per-term bests. Unlike ``dis_max`` (field-centric: best whole
+    field wins), cross_fields rewards a doc whose terms are spread
+    ACROSS fields — the "first name in title, last name in body"
+    query shape dis_max under-scores.
+
+    Scale shape: the same two per-field projections and per-field
+    stats tables ``dismax_topk_bruteforce`` builds, but the merge is a
+    union + two combinable hash aggs keyed (query, doc, term) then
+    (query, doc) — no full-outer join, both aggs map-side partial."""
+    fields = split_fields(docs, title_len)
+    qt = query_terms(spark, queries)
+    parts = []
+    for fdocs in fields.values():
+        tfdl = term_freqs_dl(fdocs)
+        stats = corpus_stats(doc_lengths_direct(fdocs))
+        df = doc_freqs(tfdl)
+        idf = (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .select("term", "idf", "avgdl")
+        )
+        scored = (
+            F.broadcast(qt)
+            .join(tfdl, "term")
+            .join(idf, "term")
+            .withColumn(
+                "term_score",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            )
+        )
+        parts.append(scored.select("query_id", "doc_id", "term", "term_score"))
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    best = unioned.groupBy("query_id", "doc_id", "term").agg(
+        F.max("term_score").alias("ts")
+    )
+    scored = best.groupBy("query_id", "doc_id").agg(F.sum("ts").alias("score"))
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")

@@ -125,3 +125,34 @@ def test_rescore_by_recency_decay_formula(spark):
     }
     assert got[20][0] == 1 and got[10][0] == 2
     assert abs(got[20][1] / got[10][1] - 2.0) < 1e-12
+
+
+def test_sort_by_docvalue_orders_matches_by_field(spark):
+    from embed_rerank_spark.operators.bm25 import sort_by_docvalue_topk
+
+    docs = _corpus(spark).withColumn("n_chars", F.length("text"))
+    # "join" matches docs 1 and 3; descending text length: doc 1 first
+    got = sort_by_docvalue_topk(spark, docs, [(1, "join")], "n_chars", k=5).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(1, 1), (2, 3)]
+    # ascending flips the order
+    asc = sort_by_docvalue_topk(
+        spark, docs, [(1, "join")], "n_chars", k=5, ascending=True
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in asc] == [(1, 3), (2, 1)]
+    # relevance plays no role: "the" matches 1 and 5 and the tf-heavy
+    # doc 5 sorts purely by field; k caps output
+    the1 = sort_by_docvalue_topk(spark, docs, [(1, "the")], "n_chars", k=1).collect()
+    assert len(the1) == 1 and the1[0]["doc_id"] == 1
+    # no matches -> no rows
+    assert sort_by_docvalue_topk(spark, docs, [(1, "zzz")], "n_chars", k=5).count() == 0
+
+
+def test_sort_by_docvalue_tiebreak_doc_id_asc(spark):
+    from embed_rerank_spark.operators.bm25 import sort_by_docvalue_topk
+
+    rows = [(1, "tie x"), (2, "tie y"), (3, "tie z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "val", F.lit(7.0)
+    )
+    got = sort_by_docvalue_topk(spark, docs, [(1, "tie")], "val", k=3).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(1, 1), (2, 2), (3, 3)]

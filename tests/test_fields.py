@@ -72,3 +72,52 @@ def test_short_docs_title_only(spark):
         spark, docs, [(1, "a")], k=2, title_len=8, title_weight=2
     ).collect()
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 1]
+
+
+def test_cross_fields_rewards_terms_split_across_fields(spark):
+    from embed_rerank_spark.operators.bm25 import (
+        cross_fields_topk_bruteforce,
+        dismax_topk_bruteforce,
+    )
+
+    # title = first 2 tokens. doc 1 splits the query across fields
+    # (alice in title, smith in body); doc 2 has both only in body.
+    rows = [
+        (1, "alice cooper here is smith writing filler filler"),
+        (2, "other words alice smith in the body text"),
+        (3, "unrelated content entirely different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = [(1, "alice smith")]
+    cf = {r["doc_id"]: r["score"] for r in
+          cross_fields_topk_bruteforce(spark, docs, q, k=5, title_len=2).collect()}
+    assert set(cf) == {1, 2}
+    # term-centric: both docs cover both terms, so both get credit for
+    # both terms; per-term best-field must be >= any single field score
+    dm = {r["doc_id"]: r["score"] for r in
+          dismax_topk_bruteforce(spark, docs, q, k=5, tie_breaker=0.0, title_len=2).collect()}
+    # with tie_breaker=0 dis_max keeps only the best FIELD; cross_fields
+    # keeps the best field PER TERM, so it can only be >= dis_max
+    for d in cf:
+        assert cf[d] >= dm[d] - 1e-12
+    # doc 1's cross_fields score strictly beats its dis_max score: its
+    # terms live in different fields
+    assert cf[1] > dm[1] + 1e-9
+
+
+def test_cross_fields_single_field_degenerates_to_bm25(spark):
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_topk_bruteforce,
+        cross_fields_topk_bruteforce,
+    )
+
+    # title_len larger than any doc: body is empty, title == whole doc,
+    # so cross_fields == plain BM25 over the title "field" == the corpus
+    rows = [(1, "scan fast table"), (2, "scan slow"), (3, "other words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = [(1, "scan table")]
+    cf = [(r["rank"], r["doc_id"], round(r["score"], 6)) for r in
+          cross_fields_topk_bruteforce(spark, docs, q, k=5, title_len=100).collect()]
+    bm = [(r["rank"], r["doc_id"], round(r["score"], 6)) for r in
+          bm25_topk_bruteforce(spark, docs, q, k=5).collect()]
+    assert cf == bm
