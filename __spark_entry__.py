@@ -1765,6 +1765,81 @@ def q_cross_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# date_histogram contract knobs: the synthetic documents table has no
+# timestamp column, so the contract derives a deterministic warc_ts
+# doc-value (epoch + n_chars % 365 days) standing in for the input
+# hint's crawl timestamp; the oracle derives the identical value.
+DATE_HIST_EPOCH = "2024-01-01"
+
+
+def _docs_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "warc_ts",
+        F.to_timestamp(
+            F.date_add(
+                F.lit(DATE_HIST_EPOCH).cast("date"),
+                (F.col("n_chars") % 365).cast("int"),
+            )
+        ),
+    )
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram aggregation: per query, distinct matching docs
+    per ISO calendar week of the derived warc_ts doc-value,
+    min_doc_count=1 (operators/facets.py::date_histogram)."""
+    from embed_rerank_spark.operators.facets import date_histogram
+
+    out = date_histogram(
+        spark, _docs_with_ts(spark, sf_dir), QUERY_SET, "warc_ts", interval="week"
+    )
+    return out.select("query_id", "bucket_start", "n_docs")
+
+
+TOPHITS_K = 2  # hits kept per bucket in the top_hits contract query
+TOPHITS_BUCKETS = 3  # buckets kept per query
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg + top_hits sub-agg: per query, lang buckets ranked
+    by match count (count desc, value asc), top TOPHITS_K BM25 hits
+    within each of the top TOPHITS_BUCKETS buckets
+    (operators/facets.py::top_hits_by_bucket)."""
+    from embed_rerank_spark.operators.facets import top_hits_by_bucket
+
+    out = top_hits_by_bucket(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        "lang",
+        k_hits=TOPHITS_K,
+        top_buckets=TOPHITS_BUCKETS,
+    )
+    return out.select(
+        "query_id",
+        "facet_value",
+        "bucket_rank",
+        "hit_rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+PCT_LEVELS = [0.25, 0.5, 0.9]  # percentiles contract levels
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (exact / linear-interpolation
+    variant) of n_chars over each query's full match set
+    (operators/facets.py::percentiles_facets)."""
+    from embed_rerank_spark.operators.facets import percentiles_facets
+
+    out = percentiles_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", PCT_LEVELS
+    )
+    return out.select("query_id", "pct", F.round("value", 6).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1862,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": q_match_phrase_prefix,
         "sort_by_docvalue": q_sort_by_docvalue,
         "cross_fields_topk": q_cross_fields_topk,
+        "date_histogram": q_date_histogram,
+        "top_hits": q_top_hits,
+        "percentiles": q_percentiles,
     }
 
 
@@ -4489,6 +4567,86 @@ FROM allq LEFT JOIN matched m USING (query_id)
 ORDER BY allq.query_id
 """
 
+    date_histogram_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       strftime(date_trunc('week',
+                DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)),
+                '%Y-%m-%d') AS bucket_start,
+       count(*) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+    top_hits_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+cands AS (
+    SELECT s.query_id, s.doc_id, s.score, d.lang AS facet_value
+    FROM scored s JOIN documents d USING (doc_id)
+),
+branked AS (
+    SELECT query_id, facet_value,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY count(*) DESC, facet_value ASC) AS bucket_rank
+    FROM cands GROUP BY query_id, facet_value
+),
+hits AS (
+    SELECT query_id, facet_value, doc_id, score,
+           row_number() OVER (PARTITION BY query_id, facet_value
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS hit_rank
+    FROM cands
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.facet_value,
+       CAST(b.bucket_rank AS INTEGER) AS bucket_rank,
+       CAST(h.hit_rank AS INTEGER) AS hit_rank,
+       h.doc_id, round(h.score, 6) AS score
+FROM hits h JOIN branked b USING (query_id, facet_value)
+WHERE b.bucket_rank <= {TOPHITS_BUCKETS} AND h.hit_rank <= {TOPHITS_K}
+"""
+
+    pct_quants = ",\n           ".join(
+        f"quantile_cont(v, {p}) AS p{i}" for i, p in enumerate(PCT_LEVELS)
+    )
+    pct_union = "\nUNION ALL\n".join(
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, CAST({p} AS DOUBLE) AS pct,"
+        f" round(p{i}, 6) AS value FROM agg"
+        for i, p in enumerate(PCT_LEVELS)
+    )
+    percentiles_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+agg AS (
+    SELECT query_id,
+           {pct_quants}
+    FROM vals GROUP BY query_id
+)
+{pct_union}
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -4582,6 +4740,9 @@ ORDER BY allq.query_id
         "match_phrase_prefix": match_phrase_prefix_sql,
         "sort_by_docvalue": sort_by_docvalue_sql,
         "cross_fields_topk": cross_fields_sql,
+        "date_histogram": date_histogram_sql,
+        "top_hits": top_hits_sql,
+        "percentiles": percentiles_sql,
     }
 
 

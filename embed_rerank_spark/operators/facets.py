@@ -166,3 +166,150 @@ def stats_facets(
     if cardinality_col is not None:
         aggs.append(F.countDistinct("_c").alias("n_distinct"))
     return joined.groupBy("query_id").agg(*aggs)
+
+
+def date_histogram(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    interval: str = "week",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs) — the Elasticsearch
+    ``date_histogram`` aggregation under a query: for each query, the
+    count of DISTINCT matching documents per calendar bucket of
+    ``ts_col`` (``interval`` in date_trunc units: day/week/month/...),
+    ``min_doc_count=1`` semantics (empty buckets absent).
+    ``bucket_start`` is emitted as the ISO yyyy-MM-dd string of the
+    bucket's first day so the value is engine-portable.
+
+    Scale shape: identical to ``facet_counts`` — the (query, doc)
+    match set collapses before the metadata join; ``date_trunc`` is a
+    codegen'd expression on the joined column, and the final count is
+    one combinable hash agg keyed (query, bucket). Output is
+    n_queries x n_buckets rows (tiny). On a ``days(warc_ts)``
+    partitioned Iceberg table the ts column arrives pre-pruned from
+    partition values, no extra scan cost."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    buckets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_format(F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd").alias(
+            "bucket_start"
+        ),
+    )
+    return (
+        matched.join(buckets, "doc_id")
+        .groupBy("query_id", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def top_hits_by_bucket(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    bucket_col: str,
+    k_hits: int = 3,
+    top_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, facet_value, bucket_rank, hit_rank, doc_id, score) —
+    the Elasticsearch ``terms`` aggregation with a ``top_hits``
+    sub-aggregation: per query, buckets of ``bucket_col`` ranked by
+    matching-doc count (count desc, value asc — engine facet tie
+    semantics), and within each bucket the top ``k_hits`` documents by
+    BM25 (engine tie semantics: rounded score desc, doc_id asc).
+    ``top_buckets`` caps the buckets per query (None = all non-empty).
+
+    Scale shape: one BM25 brute pass produces (query, doc, score);
+    the bucket column joins in on doc_id (the same single big join the
+    scorer's dl join makes); both windows then run over AGGREGATED or
+    k-capped data — the bucket-rank window over (query, bucket) counts
+    (tiny), and the per-bucket hit window benefits from Spark's
+    WindowGroupLimit pushdown (rank filter becomes a per-partition
+    group-limit before the shuffle), so a hot bucket's full match set
+    is never sorted in one task."""
+    from .bm25 import TIE_DECIMALS, bm25_scores_bruteforce
+
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, id_col=id_col, text_col=text_col)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(bucket_col).alias("facet_value")
+    )
+    cands = scored.join(vals, "doc_id")
+    bcounts = cands.groupBy("query_id", "facet_value").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    bw = Window.partitionBy("query_id").orderBy(F.desc("n_docs"), F.asc("facet_value"))
+    branked = bcounts.withColumn("bucket_rank", F.row_number().over(bw))
+    if top_buckets is not None:
+        branked = branked.filter(F.col("bucket_rank") <= top_buckets)
+    hw = Window.partitionBy("query_id", "facet_value").orderBy(
+        F.desc(F.round(F.col("score"), TIE_DECIMALS)), F.asc("doc_id")
+    )
+    hits = (
+        cands.withColumn("hit_rank", F.row_number().over(hw))
+        .filter(F.col("hit_rank") <= k_hits)
+    )
+    return hits.join(
+        F.broadcast(branked.select("query_id", "facet_value", "bucket_rank")),
+        ["query_id", "facet_value"],
+    ).select("query_id", "facet_value", "bucket_rank", "hit_rank", "doc_id", "score")
+
+
+def percentiles_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    percentiles: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, pct, value) — the Elasticsearch ``percentiles``
+    aggregation over each query's full matching doc set, EXACT with
+    linear interpolation (the ES default is approximate t-digest; the
+    contract pins the exact variant so the DuckDB ``quantile_cont``
+    oracle is bit-comparable — both engines use the same
+    R-7/linear-interpolation definition).
+
+    Scale shape: exact percentiles need the per-group value multiset;
+    Spark's ``percentile`` aggregate buffers values per (query) group
+    — bounded by the match-set size per query, which is the same
+    order as the scorer's candidate set. For corpus-scale groups where
+    that buffer is too big, swap ``F.percentile`` for
+    ``F.percentile_approx`` (t-digest, mergeable sketch, combinable
+    map-side) at the cost of oracle exactness — the ES-default
+    behavior. The query-bounded contract shape keeps the exact form."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    )
+    pcts = [float(p) for p in percentiles]
+    agg = matched.join(vals, "doc_id").groupBy("query_id").agg(
+        F.percentile(F.col("_v"), F.array(*[F.lit(p) for p in pcts])).alias("vs")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("pct"), F.col("vs").alias("value")
+    )
+    return (
+        agg.select("query_id", F.explode(pairs).alias("pv"))
+        .select("query_id", F.col("pv.pct").alias("pct"), F.col("pv.value").alias("value"))
+    )

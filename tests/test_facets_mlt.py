@@ -139,3 +139,103 @@ def test_stats_facets_values(spark):
     assert abs(r["avg_v"] - 70 / 3) < 1e-9
     assert r["n_distinct"] == 2
     assert 2 not in got  # no matches -> no row (facet convention)
+
+
+def test_date_histogram_weekly_buckets(spark, docs):
+    """date_histogram == Python recount: distinct matched docs per
+    ISO-Monday week of the derived warc_ts doc-value."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.facets import date_histogram
+
+    docs_ts = docs.withColumn(
+        "warc_ts",
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("n_chars") % 365).cast("int"))
+        ),
+    )
+    qs = QUERY_SET[:3]
+    qt = query_terms(spark, qs)
+    matched = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_scores_bruteforce(docs, qt).select("query_id", "doc_id").collect()
+    }
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    epoch = date(2024, 1, 1)
+    want = Counter()
+    for qid, did in matched:
+        d = epoch + timedelta(days=int(chars[did]) % 365)
+        monday = d - timedelta(days=d.weekday())
+        want[(qid, monday.isoformat())] += 1
+    got = {
+        (r["query_id"], r["bucket_start"]): r["n_docs"]
+        for r in date_histogram(spark, docs_ts, qs, "warc_ts", interval="week").collect()
+    }
+    assert got == dict(want)
+    assert all(n >= 1 for n in got.values())  # min_doc_count=1: no empty buckets
+
+
+def test_top_hits_by_bucket_ranks_and_caps(spark, docs):
+    """top_hits == Python re-rank of the brute-force scores: buckets by
+    count desc/value asc, hits by rounded-score desc/doc_id asc, both
+    caps respected."""
+    from embed_rerank_spark.operators.facets import top_hits_by_bucket
+
+    qs = QUERY_SET[:3]
+    qt = query_terms(spark, qs)
+    scored = bm25_scores_bruteforce(docs, qt).collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    by_q: dict[int, list] = {}
+    for r in scored:
+        by_q.setdefault(r["query_id"], []).append((langs[r["doc_id"]], r["doc_id"], r["score"]))
+    want = {}
+    for qid, rows in by_q.items():
+        counts = Counter(lang for lang, _, _ in rows)
+        branks = {
+            lang: i + 1
+            for i, (lang, _) in enumerate(
+                sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        for lang in counts:
+            if branks[lang] > 2:
+                continue
+            hits = sorted(
+                ((d, s) for lg, d, s in rows if lg == lang),
+                key=lambda ds: (-round(ds[1], 6), ds[0]),
+            )[:2]
+            for hrank, (did, _) in enumerate(hits, 1):
+                want[(qid, lang, hrank)] = (branks[lang], did)
+    out = top_hits_by_bucket(spark, docs, qs, "lang", k_hits=2, top_buckets=2).collect()
+    got = {
+        (r["query_id"], r["facet_value"], r["hit_rank"]): (r["bucket_rank"], r["doc_id"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_percentiles_exact_linear_interpolation(spark, docs):
+    """percentiles_facets == numpy.percentile (linear / R-7) over the
+    matched docs' n_chars."""
+    import numpy as np
+
+    from embed_rerank_spark.operators.facets import percentiles_facets
+
+    qs = QUERY_SET[:2]
+    qt = query_terms(spark, qs)
+    matched = bm25_scores_bruteforce(docs, qt).select("query_id", "doc_id").collect()
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    vals: dict[int, list[float]] = {}
+    for r in matched:
+        vals.setdefault(r["query_id"], []).append(float(chars[r["doc_id"]]))
+    pcts = [0.1, 0.5, 0.99]
+    got = {
+        (r["query_id"], r["pct"]): r["value"]
+        for r in percentiles_facets(spark, docs, qs, "n_chars", pcts).collect()
+    }
+    for qid, vs in vals.items():
+        for p in pcts:
+            want = float(np.percentile(np.array(vs), p * 100, method="linear"))
+            assert abs(got[(qid, p)] - want) < 1e-9, (qid, p)
