@@ -1840,6 +1840,23 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "pct", F.round("value", 6).alias("value"))
 
 
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive BM25 retrieval, results also
+    matching the negative query demoted by BOOSTING_NEGATIVE_BOOST
+    (operators/bm25.py::boosting_topk_bruteforce)."""
+    from embed_rerank_spark.operators.bm25 import boosting_topk_bruteforce
+    from embed_rerank_spark.queryset import BOOSTING_NEGATIVE_BOOST, BOOSTING_SET
+
+    out = boosting_topk_bruteforce(
+        spark,
+        _docs(spark, sf_dir),
+        BOOSTING_SET,
+        k=TOP_K,
+        negative_boost=BOOSTING_NEGATIVE_BOOST,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1940,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "top_hits": q_top_hits,
         "percentiles": q_percentiles,
+        "boosting_topk": q_boosting_topk,
     }
 
 
@@ -4647,6 +4665,50 @@ agg AS (
 {pct_union}
 """
 
+    from embed_rerank_spark.queryset import (
+        BOOSTING_NEGATIVE_BOOST,
+        boosting_neg_values_sql,
+        boosting_pos_values_sql,
+    )
+
+    boosting_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {boosting_pos_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+neg AS (
+    SELECT DISTINCT nq.query_id, tf.doc_id
+    FROM {boosting_neg_values_sql()} JOIN tf USING (term)
+),
+adj AS (
+    SELECT s.query_id, s.doc_id,
+           CASE WHEN n.doc_id IS NOT NULL
+                THEN s.score * {BOOSTING_NEGATIVE_BOOST}
+                ELSE s.score END AS score
+    FROM scored s
+    LEFT JOIN neg n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM adj
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -4743,6 +4805,7 @@ agg AS (
         "date_histogram": date_histogram_sql,
         "top_hits": top_hits_sql,
         "percentiles": percentiles_sql,
+        "boosting_topk": boosting_sql,
     }
 
 

@@ -571,6 +571,52 @@ def dismax_topk_bruteforce(
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
 
 
+def boosting_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str, str]],
+    k: int = 10,
+    negative_boost: float = 0.3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch ``boosting``
+    query — retrieve and score by the positive query, then DEMOTE
+    (multiply by ``negative_boost`` in [0, 1]) any result that also
+    matches >= 1 negative-query term, never excluding it (the
+    difference from a boolean ``-term`` clause). ``queries`` rows are
+    (query_id, positive_query, negative_query).
+
+    Scale shape: the positive side is the standard brute-force scorer
+    plan; the negative side is broadcast(negative terms) ⋈ the SAME tf
+    table collapsed to a distinct (query, doc) flag — both sides
+    aggregate before the final left join on co-partitioned
+    (query_id, doc_id) keys, so the only corpus-sized work is the one
+    tf scan both reuse. Demotion is rank-safe for WAND composition:
+    negative_boost <= 1 means a positive-score block-max bound still
+    upper-bounds the adjusted score, so the index-backed variant could
+    prune exactly with the same bounds."""
+    pos = [(qid, q) for qid, q, _ in queries]
+    neg = [(qid, nq) for qid, _, nq in queries]
+    scored = bm25_scores_bruteforce(docs, query_terms(spark, pos), k1, b)
+    tf = term_freqs(docs)
+    neg_docs = (
+        F.broadcast(query_terms(spark, neg))
+        .join(tf.select("doc_id", "term"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("is_neg", F.lit(True))
+    )
+    adj = scored.join(neg_docs, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("is_neg"), F.col("score") * negative_boost)
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return topk(adj, k).select("query_id", "rank", "doc_id", "score")
+
+
 def collapse_topk(
     scored: DataFrame,
     doc_meta: DataFrame,

@@ -331,6 +331,48 @@ def boosted_terms_values_sql() -> str:
     return f"(VALUES {rows}) AS qt(query_id, term, boost)"
 
 
+# ES `boosting` query set: (query_id, positive_query, negative_query).
+# Docs are retrieved and scored by the positive query; a doc ALSO
+# matching >= 1 negative term keeps its positive score multiplied by
+# BOOSTING_NEGATIVE_BOOST (demoted, never excluded — the difference
+# from boolean -term). Shapes: a plain demote, an out-of-vocabulary
+# negative (no-op), a match-everything negative ("the"), and a
+# hot-stopword positive with a rare-term negative.
+BOOSTING_SET: list[tuple[int, str, str]] = [
+    (1, "fast hash join", "slow scan"),
+    (2, "sort merge join", "zyzzyva"),
+    (3, "customer order line value", "the"),
+    (4, "the a", "dup"),
+]
+BOOSTING_NEGATIVE_BOOST = 0.3
+
+
+def _unique_terms(q: str) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for tok in q.strip().lower().split():
+        if tok and tok not in seen:
+            seen.add(tok)
+            out.append(tok)
+    return out
+
+
+def boosting_pos_values_sql() -> str:
+    """DuckDB VALUES clause of the positive queries' (query_id, term)."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, pos, _ in BOOSTING_SET for t in _unique_terms(pos)
+    )
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def boosting_neg_values_sql() -> str:
+    """DuckDB VALUES clause of the negative queries' (query_id, term)."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, _, neg in BOOSTING_SET for t in _unique_terms(neg)
+    )
+    return f"(VALUES {rows}) AS nq(query_id, term)"
+
+
 # Leading-wildcard (*suffix) set: common suffixes plus one with no
 # vocabulary match (empty result).
 SUFFIX_SET: list[tuple[int, str]] = [

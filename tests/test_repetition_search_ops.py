@@ -154,3 +154,38 @@ def test_hit_counts_includes_zero_match_queries(spark):
     got = {r["query_id"]: r["total_hits"] for r in
            hit_counts(spark, docs, [(1, "apple banana"), (2, "zzz")]).collect()}
     assert got == {1: 3, 2: 0}
+
+
+def test_boosting_demotes_without_excluding(spark):
+    """ES boosting query: a negative match is demoted by exactly
+    negative_boost but never dropped; non-matching docs keep their
+    positive score; an OOV negative is a no-op."""
+    from embed_rerank_spark.operators.bm25 import boosting_topk_bruteforce
+
+    rows = [
+        (1, "apple pie recipe"),
+        (2, "apple apple orchard"),
+        (3, "apple banana smoothie"),
+        (4, "pear tart"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = [(1, "apple", "banana"), (2, "apple", "zyzzyva")]
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in boosting_topk_bruteforce(spark, docs, qs, k=10, negative_boost=0.5).collect()
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores_bruteforce(docs, query_terms(spark, [(1, "apple")])).collect()
+    }
+    # q1: doc 3 matches the negative term -> exactly half its base score
+    assert abs(got[(1, 3)] - 0.5 * base[3]) < 1e-12
+    assert abs(got[(1, 1)] - base[1]) < 1e-12
+    assert abs(got[(1, 2)] - base[2]) < 1e-12
+    # demoted, not excluded: doc 3 still present for q1
+    assert (1, 3) in got
+    # q2: OOV negative is a no-op — scores equal the positive baseline
+    for d in (1, 2, 3):
+        assert abs(got[(2, d)] - base[d]) < 1e-12
+    # no query retrieves the positive-non-matching doc 4
+    assert (1, 4) not in got and (2, 4) not in got
