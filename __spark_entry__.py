@@ -1857,6 +1857,29 @@ def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+RANK_FEATURE_PIVOT = 300.0  # saturation pivot (~corpus median n_chars)
+RANK_FEATURE_BOOST = 0.5
+
+
+def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query (bool should): BM25 + RANK_FEATURE_BOOST
+    * saturation(n_chars, pivot=RANK_FEATURE_PIVOT) — a static per-doc
+    signal blended into relevance
+    (operators/bm25.py::rank_feature_topk)."""
+    from embed_rerank_spark.operators.bm25 import rank_feature_topk
+
+    out = rank_feature_topk(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        "n_chars",
+        k=TOP_K,
+        pivot=RANK_FEATURE_PIVOT,
+        boost=RANK_FEATURE_BOOST,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1958,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "percentiles": q_percentiles,
         "boosting_topk": q_boosting_topk,
+        "rank_feature_topk": q_rank_feature_topk,
     }
 
 
@@ -4709,6 +4733,38 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    rank_feature_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+blended AS (
+    SELECT s.query_id, s.doc_id,
+           s.score + {RANK_FEATURE_BOOST} * (CAST(d.n_chars AS DOUBLE)
+               / (CAST(d.n_chars AS DOUBLE) + {RANK_FEATURE_PIVOT})) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -4806,6 +4862,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "top_hits": top_hits_sql,
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,
+        "rank_feature_topk": rank_feature_sql,
     }
 
 

@@ -737,6 +737,55 @@ def sort_by_docvalue_topk(
     )
 
 
+def rank_feature_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field: str,
+    k: int = 10,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    scaling_factor: float = 1.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch
+    ``rank_feature`` query as a bool ``should`` clause next to the
+    text query — matching docs score BM25 + boost * S(feature), where
+    S is ``saturation`` S(f) = f / (f + pivot) (ES default; pivot
+    pinned explicitly here rather than ES's auto geometric mean, so
+    results are deterministic) or ``log`` S(f) = ln(scaling_factor +
+    f). Static per-doc signals (pagerank, freshness, length priors)
+    enter ranking this way without touching the inverted index.
+
+    Scale shape: the standard brute-force scorer plan plus one pruned
+    (doc_id, field) scan joined on the aggregated (query, doc) score
+    table — the same single big join the scorer's dl join makes; the
+    saturation/log arithmetic is codegen'd. Rank-safe for WAND
+    composition: S is bounded (saturation < 1), so term upper bounds
+    plus boost * S_max still upper-bound the blended score."""
+    if function not in ("saturation", "log"):
+        raise ValueError(f"unsupported rank_feature function: {function!r}")
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, k1, b, id_col, text_col)
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).cast("double").alias("_f")
+    )
+    if function == "saturation":
+        s = F.col("_f") / (F.col("_f") + F.lit(float(pivot)))
+    else:
+        s = F.log(F.lit(float(scaling_factor)) + F.col("_f"))
+    blended = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("score") + F.lit(float(boost)) * s).alias("score"),
+    )
+    return topk(blended, k).select("query_id", "rank", "doc_id", "score")
+
+
 def cross_fields_topk_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

@@ -189,3 +189,39 @@ def test_boosting_demotes_without_excluding(spark):
         assert abs(got[(2, d)] - base[d]) < 1e-12
     # no query retrieves the positive-non-matching doc 4
     assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_rank_feature_saturation_and_log(spark):
+    """rank_feature == base BM25 + boost * S(f) per matching doc, for
+    both saturation and log shapes; unsupported shapes raise."""
+    import math
+
+    import pytest
+
+    from embed_rerank_spark.operators.bm25 import rank_feature_topk
+
+    rows = [(1, "apple pie", 100), (2, "apple tart", 400), (3, "pear", 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores_bruteforce(docs, query_terms(spark, [(1, "apple")])).collect()
+    }
+    sat = {
+        r["doc_id"]: r["score"]
+        for r in rank_feature_topk(
+            spark, docs, [(1, "apple")], "n_chars", pivot=200.0, boost=2.0
+        ).collect()
+    }
+    assert abs(sat[1] - (base[1] + 2.0 * 100 / 300)) < 1e-12
+    assert abs(sat[2] - (base[2] + 2.0 * 400 / 600)) < 1e-12
+    assert 3 not in sat  # rank_feature never matches on its own
+    lg = {
+        r["doc_id"]: r["score"]
+        for r in rank_feature_topk(
+            spark, docs, [(1, "apple")], "n_chars",
+            function="log", scaling_factor=1.0, boost=0.1,
+        ).collect()
+    }
+    assert abs(lg[1] - (base[1] + 0.1 * math.log(101))) < 1e-12
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, docs, [(1, "apple")], "n_chars", function="sigmoid")
