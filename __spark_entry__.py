@@ -122,6 +122,12 @@ def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
         )
 
         built = build_positional_postings(docs, n_shards=8)
+    elif variant == "nextword":
+        from embed_rerank_spark.operators.positions import (  # noqa: PLC0415
+            build_combined_phrase_index,
+        )
+
+        built = build_combined_phrase_index(docs, n_shards=8)
     else:
         raise ValueError(f"unknown index variant {variant!r}")
     from embed_rerank_spark.operators.postings import (  # noqa: PLC0415
@@ -246,6 +252,21 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index = _cached_index(spark, sf_dir, "positional")
     out = phrase_topk(index, PHRASE_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_phrase_nextword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-k via the COMBINED next-word (bigram) index: one
+    term-filtered shard-file scan, adjacency checked on sparse bigram
+    supertoken streams, unigram position payloads skipped at decode —
+    rank/score-identical to phrase_topk and shares its oracle
+    (operators/positions.py::phrase_topk_nextword)."""
+    from embed_rerank_spark.operators.positions import phrase_topk_nextword
+
+    nw = _cached_index(spark, sf_dir, "nextword")
+    out = phrase_topk_nextword(nw, None, PHRASE_SET, k=TOP_K)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -1885,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
         "phrase_topk": q_phrase_topk,
+        "phrase_nextword_topk": q_phrase_nextword_topk,
         "phrase_snippets": q_phrase_snippets,
         "proximity_topk": q_proximity_topk,
         "conjunctive_topk": q_conjunctive_topk,
@@ -4769,6 +4791,8 @@ FROM ranked WHERE rank <= {TOP_K}
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "phrase_topk": phrase,
+        # the next-word path is exact: same oracle as the unigram path
+        "phrase_nextword_topk": phrase,
         "phrase_snippets": phrase_snip,
         "proximity_topk": proximity,
         "conjunctive_topk": conjunctive,

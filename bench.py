@@ -219,6 +219,44 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 f"{tmp}/phrase"
             )
             extra["phrase_topk_64"] = round(time.perf_counter() - t0, 3)
+            # COMBINED next-word (bigram) index over the same corpus,
+            # then the same phrase batch plus a hot-phrase batch
+            # ("the w{k}": the unigram path must decode every position
+            # of the hottest term) through the bigram-adjacency
+            # kernel. Results are identical to phrase_topk; the delta
+            # is pure plan cost (sparser intersection streams, skipped
+            # unigram position decode, same shuffle-free scan).
+            from embed_rerank_spark.operators.positions import (  # noqa: PLC0415
+                build_combined_phrase_index,
+                phrase_topk_nextword,
+            )
+
+            t0 = time.perf_counter()
+            write_index(
+                build_combined_phrase_index(
+                    spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text"),
+                    n_shards=N_SHARDS,
+                ),
+                f"{tmp}/nwindex",
+            )
+            extra["nextword_build"] = round(time.perf_counter() - t0, 3)
+            nw_index = InvertedIndex.load(spark, f"{tmp}/nwindex")
+            t0 = time.perf_counter()
+            phrase_topk_nextword(nw_index, None, phrases, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/phrase_nw")
+            extra["phrase_nextword_64"] = round(time.perf_counter() - t0, 3)
+            hot_phrases = [(i, f"the w{(i * 7) % 9973}") for i in range(64)]
+            t0 = time.perf_counter()
+            phrase_topk(pos_index, hot_phrases, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/phrase_hot_uni")
+            extra["phrase_hot_topk_64"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            phrase_topk_nextword(nw_index, None, hot_phrases, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/phrase_hot_nw")
+            extra["phrase_hot_nextword_64"] = round(time.perf_counter() - t0, 3)
             # PRF (RM3-lite): two WAND passes + feedback-term mining
             from embed_rerank_spark.operators.prf import prf_topk  # noqa: PLC0415
 

@@ -394,6 +394,7 @@ def _phrase_match_score(
     avgdl: float,
     k1: float,
     b: float,
+    match_tokens: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One shard, one phrase: -> (matching doc_ids, BM25 scores,
     first occurrence positions).
@@ -402,13 +403,24 @@ def _phrase_match_score(
     Intersects candidate docs across the phrase's unique terms
     (rarest-first keeps intermediate sets bounded by the rarest term),
     then verifies adjacency with composite (candidate, pos - i) keys —
-    all NumPy set ops, no per-doc Python loop."""
+    all NumPy set ops, no per-doc Python loop.
+
+    ``match_tokens`` (the next-word path): adjacency is verified over
+    THESE streams instead — bigram supertokens whose positions are the
+    first token's position, so a match is positions aligning at
+    consecutive offsets exactly as for unigrams — while BM25 still
+    scores the unique ``tokens`` (unigrams, whose termdata may have
+    positions skipped at decode)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0), np.empty(0, dtype=np.int64))
     uniq = list(dict.fromkeys(tokens))
-    if any(t not in termdata for t in uniq):
+    mtoks = match_tokens if match_tokens is not None else tokens
+    uniq_m = list(dict.fromkeys(mtoks))
+    if any(t not in termdata for t in uniq) or any(
+        t not in termdata for t in uniq_m
+    ):
         return empty
-    # candidate docs: intersection over unique terms, smallest first
-    order = sorted(uniq, key=lambda t: len(termdata[t][0]))
+    # candidate docs: intersection over unique match terms, smallest first
+    order = sorted(uniq_m, key=lambda t: len(termdata[t][0]))
     cand = termdata[order[0]][0]
     for t in order[1:]:
         cand = np.intersect1d(cand, termdata[t][0], assume_unique=True)
@@ -416,7 +428,7 @@ def _phrase_match_score(
             return empty
 
     keys: np.ndarray | None = None
-    for i, t in enumerate(tokens):
+    for i, t in enumerate(mtoks):
         docs_t, tfs_t, _dls_t, pf, po = termdata[t]
         rows = np.searchsorted(docs_t, cand)
         flat_idx, ci = _ragged_gather(po[rows], tfs_t[rows])
@@ -482,9 +494,34 @@ def _sort_dedupe_termdata(
     return docs, tf, dl, pf, po
 
 
+def _sort_dedupe_nopos(
+    docs: np.ndarray, tf: np.ndarray, dl: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``_sort_dedupe_termdata`` for score-only terms whose position
+    stream was skipped at decode: same sort + max-(tf, dl) winner
+    collapse, empty positions (callers must never gather them)."""
+    n = len(docs)
+    if n > 1 and (docs[1:] <= docs[:-1]).any():
+        perm = np.argsort(docs, kind="stable")
+        docs, tf, dl = docs[perm], tf[perm], dl[perm]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        starts, winners = _winner_rows(change, docs, tf, dl)
+        if len(starts) != n:
+            docs, tf, dl = docs[starts], tf[winners], dl[winners]
+    return (
+        docs,
+        tf,
+        dl,
+        np.empty(0, dtype=np.int64),
+        np.zeros(len(docs) + 1, dtype=np.int64),
+    )
+
+
 def load_termdata(
     batches: Iterator[pa.RecordBatch],
     vers: tuple = None,
+    skip_pos: frozenset[str] = frozenset(),
 ) -> dict[int, dict[str, tuple]]:
     """shard -> term -> (docs asc unique, tf, dl, pos_flat, pos_offs)
     from positional posting blocks: the shared decode/sort/dedupe
@@ -494,7 +531,13 @@ def load_termdata(
     — right after decode, so a phrase that only existed in the old
     crawl no longer matches. Remaining multi-unit runs are re-sorted
     and residual duplicate docs (within-unit hash collisions)
-    collapsed to the max-(tf, dl) winner by ``_sort_dedupe_termdata``."""
+    collapsed to the max-(tf, dl) winner by ``_sort_dedupe_termdata``.
+
+    ``skip_pos``: terms whose position streams are NOT decoded (their
+    pos_flat comes back empty) — the next-word phrase path scores
+    unigrams by tf/dl only, and a hot unigram's position stream is the
+    single biggest decode cost it avoids."""
+    from ..functions.codec import decode_block  # noqa: PLC0415
     from .postings import version_arrays, version_keep  # noqa: PLC0415
 
     vmask = version_arrays(vers)
@@ -522,16 +565,24 @@ def load_termdata(
     for sh, term_blocks in shards.items():
         termdata: dict[str, tuple] = {}
         for t, blks in term_blocks.items():
+            skip = t in skip_pos
             blks.sort(key=lambda r: (r[0], r[1]))  # (first_doc, block_id)
             ds, tfs, dls, pfs = [], [], [], []
             for _fd, _bid, nd, db, tb_, lb, pb, seg in blks:
-                d, f, l, pflat, _off = decode_positional_block(db, tb_, lb, pb, nd)
+                if skip:
+                    d, f, l = decode_block(db, tb_, lb, nd)
+                    pflat = np.empty(0, dtype=np.int64)
+                else:
+                    d, f, l, pflat, _off = decode_positional_block(
+                        db, tb_, lb, pb, nd
+                    )
                 if vmask is not None:
                     keep = version_keep(d, seg, *vmask)
                     if not keep.all():
-                        offs = np.concatenate(([0], np.cumsum(f)))
-                        keep_flat, _ = _ragged_gather(offs[:-1][keep], f[keep])
-                        pflat = pflat[keep_flat]
+                        if pflat.size:
+                            offs = np.concatenate(([0], np.cumsum(f)))
+                            keep_flat, _ = _ragged_gather(offs[:-1][keep], f[keep])
+                            pflat = pflat[keep_flat]
                         d, f, l = d[keep], f[keep], l[keep]
                         if not len(d):
                             continue
@@ -542,20 +593,25 @@ def load_termdata(
             if not ds:  # every posting was a stale crawl
                 continue
             tf = np.concatenate(tfs)
-            termdata[t] = _sort_dedupe_termdata(
-                np.concatenate(ds),
-                tf,
-                np.concatenate(dls),
-                np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
-                np.concatenate(([0], np.cumsum(tf))),
-            )
+            if skip:
+                termdata[t] = _sort_dedupe_nopos(
+                    np.concatenate(ds), tf, np.concatenate(dls)
+                )
+            else:
+                termdata[t] = _sort_dedupe_termdata(
+                    np.concatenate(ds),
+                    tf,
+                    np.concatenate(dls),
+                    np.concatenate(pfs) if pfs else np.empty(0, dtype=np.int64),
+                    np.concatenate(([0], np.cumsum(tf))),
+                )
         out[sh] = termdata
     return out
 
 
 def _phrase_partition(
     batches: Iterator[pa.RecordBatch],
-    phrases: list[tuple[int, list[str]]],
+    phrases: list[tuple[int, list[str], list[str] | None]],
     k: int,
     idf: dict[str, float],
     avgdl: float,
@@ -563,20 +619,24 @@ def _phrase_partition(
     b: float,
     excl: tuple[int, ...] = (),
     vers: tuple = None,
+    skip_pos: frozenset[str] = frozenset(),
 ):
     """One task: decode its shards' (phrase-term-only) positional
     postings once per (shard, term), answer every phrase per shard.
-    ``excl`` (deletion tombstones) masks docs from results; ``vers``
-    (newest-wins doc versions) drops stale re-crawl postings at
-    decode."""
-    shards = load_termdata(batches, vers)
+    Each plan row is (query_id, score_tokens, match_tokens-or-None) —
+    match_tokens set = the next-word path (bigram adjacency streams,
+    unigram scoring). ``excl`` (deletion tombstones) masks docs from
+    results; ``vers`` (newest-wins doc versions) drops stale re-crawl
+    postings at decode; ``skip_pos`` terms decode without their
+    position streams (score-only unigrams in the next-word path)."""
+    shards = load_termdata(batches, vers, skip_pos)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
 
     out_q, out_d, out_s, out_p = [], [], [], []
     for _shard, termdata in shards.items():
-        for qid, tokens in phrases:
+        for qid, tokens, mtoks in phrases:
             docs, scores, fpos = _phrase_match_score(
-                termdata, tokens, idf, avgdl, k1, b
+                termdata, tokens, idf, avgdl, k1, b, mtoks
             )
             if docs.size and excl_arr is not None:
                 live = ~np.isin(docs, excl_arr)
@@ -620,12 +680,12 @@ def phrase_topk(
     POSITIONAL index (``build_positional_postings``). Docs containing
     the phrase's tokens consecutively, BM25-scored over the phrase's
     unique terms, engine tie semantics."""
-    phrase_plan: list[tuple[int, list[str]]] = []
+    phrase_plan: list[tuple[int, list[str], list[str] | None]] = []
     all_terms: set[str] = set()
     for qid, q in phrases:
         toks = [t for t in q.strip().lower().split() if t]
         if toks:
-            phrase_plan.append((qid, toks))
+            phrase_plan.append((qid, toks, None))
             all_terms.update(toks)
 
     spark = index.postings.sparkSession
@@ -693,6 +753,193 @@ def phrase_topk_bruteforce(
     ).select("query_id", "doc_id")
     return topk(scored.join(matched, ["query_id", "doc_id"]), k).select(
         "query_id", "rank", "doc_id", "score"
+    )
+
+
+# Joins the two tokens of a next-word supertoken. Control char 0x1f
+# (ASCII unit separator) is not \s+ whitespace, so supertokens survive
+# the scoring tokenizer, and can never appear inside a unigram token
+# (unigrams were themselves produced by whitespace splitting of text
+# that the extraction pipeline has already control-char-scrubbed), so
+# the bigram vocabulary is disjoint from the unigram vocabulary and
+# both can share one termdata namespace in the query kernels.
+NEXTWORD_JOINER = "\x1f"
+
+
+def bigram_supertokens(col):
+    """Scoring tokens -> adjacent-pair supertoken array (length n-1):
+    element i = ``tok_i + NEXTWORD_JOINER + tok_{i+1}``, so supertoken
+    positions ARE first-token positions. Pure JVM expressions."""
+    toks = tokenize_for_scoring(col)
+    n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(NEXTWORD_JOINER, a, b),
+    )
+
+
+def build_nextword_postings(
+    docs: DataFrame,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+    n_salts: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Next-word (bigram) positional index — Williams, Zobel & Bahle,
+    "Fast Phrase Querying with Combined Indexes" (ACM TOIS 2004): one
+    positional posting list per ADJACENT TOKEN PAIR, position = the
+    first token's position. Phrase queries then intersect bigram
+    lists, which are orders of magnitude sparser than the hot unigram
+    lists that dominate phrase cost ("the a": every stopword position
+    in the corpus vs only the positions where they are adjacent).
+
+    Implementation is literally ``build_positional_postings`` over the
+    supertoken stream — same one-agg tf plan, same shuffle keys, same
+    encoder, same salting — so every downstream reader (termdata
+    loader, tiered merge, shard-file writer) works on it unchanged.
+    MUST be built with the same ``n_shards`` as the unigram index it
+    accelerates: phrase kernels need both indexes' postings for a doc
+    in the same shard."""
+    bi = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(bigram_supertokens(F.col(text_col)), " ").alias("text"),
+    )
+    return build_positional_postings(
+        bi, n_shards, block_size, num_partitions, n_salts
+    )
+
+
+def build_combined_phrase_index(
+    docs: DataFrame,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+    n_salts: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """The paper's COMBINED index (Williams/Zobel/Bahle): one postings
+    table holding the unigram positional vocabulary AND the next-word
+    supertoken vocabulary (disjoint by the joiner byte), with
+    term/doc/corpus stats from the UNIGRAM corpus only — so BM25 stats
+    are untouched, dictionary-driven expansions (prefix/fuzzy/suggest)
+    never see supertokens, and one handle serves both plain retrieval
+    and the accelerated phrase path.
+
+    Why one table instead of a sidecar index: written shard-file, a
+    phrase query is ONE term-filtered scan through the shuffle-free
+    whole-shard path — the two-index variant must union two scans and
+    repartition, paying a shuffle per batch that the combined layout
+    pays once at build."""
+    uni = build_positional_postings(
+        docs, n_shards, block_size, num_partitions, n_salts, id_col, text_col
+    )
+    bi = build_nextword_postings(
+        docs, n_shards, block_size, num_partitions, n_salts, id_col, text_col
+    )
+    return {
+        "postings": uni["postings"].unionByName(bi["postings"]),
+        "term_stats": uni["term_stats"],
+        "doc_stats": uni["doc_stats"],
+        "corpus_stats": uni["corpus_stats"],
+    }
+
+
+def phrase_topk_nextword(
+    index: InvertedIndex,
+    nw_index: InvertedIndex | None = None,
+    phrases: list[tuple[int, str]] = (),
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, first_pos): exact phrase top-k
+    via the next-word index — rank/score-identical to ``phrase_topk``
+    (same oracle), different physical plan:
+
+    - adjacency is verified on the n-1 bigram supertoken streams
+      (sparse) instead of the n unigram position streams (dense);
+    - the unigram streams are still scanned for BM25 tf/dl, but their
+      position payloads are SKIPPED at decode (``skip_pos``) — for a
+      stopword-heavy phrase that skip is most of the bytes;
+    - single-token phrases fall back to the unigram kernel in the
+      same job.
+
+    ``index``: either a COMBINED index (``build_combined_phrase_index``
+    — pass ``nw_index=None``; one term-filtered scan, shuffle-free
+    whole-shard fast path) or the plain positional unigram index with
+    ``nw_index`` = the ``build_nextword_postings`` sidecar over the
+    SAME docs and n_shards (two scans unioned + one shard repartition
+    per batch). ``index`` is the tombstones authority either way. A
+    newest-wins versioned multi-unit view is the one shape this path
+    declines: its per-unit doc sets differ, so single-unit bigram
+    streams can't be version-masked consistently — it falls back to
+    the (still exact) unigram kernel rather than silently dropping
+    re-crawled matches."""
+    if index.doc_versions:
+        return phrase_topk(index, phrases, k, k1, b)
+    phrase_plan: list[tuple[int, list[str], list[str] | None]] = []
+    uni_terms: set[str] = set()
+    bi_terms: set[str] = set()
+    for qid, q in phrases:
+        toks = [t for t in q.strip().lower().split() if t]
+        if not toks:
+            continue
+        if len(toks) == 1:
+            phrase_plan.append((qid, toks, None))
+        else:
+            bgs = [
+                toks[i] + NEXTWORD_JOINER + toks[i + 1]
+                for i in range(len(toks) - 1)
+            ]
+            phrase_plan.append((qid, toks, bgs))
+            bi_terms.update(bgs)
+        uni_terms.update(toks)
+
+    spark = index.postings.sparkSession
+    if not phrase_plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double, first_pos long"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(uni_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    vers = index.doc_versions
+    # positions are only needed where adjacency is checked: on bigram
+    # streams, and on unigram streams of single-token phrases
+    single_tok = {t for _qid, toks, mt in phrase_plan if mt is None for t in toks}
+    skip = frozenset(uni_terms - single_tok)
+    n_parts = spark.sparkContext.defaultParallelism
+    if nw_index is None or nw_index is index:
+        # combined index: one scan, whole-shard fast path when written
+        # shard-file — no per-batch shuffle
+        filtered = index.postings.filter(
+            F.col("term").isin(list(uni_terms | bi_terms))
+        )
+        per_shard_src = shard_partitioned(index, filtered, n_parts)
+    else:
+        filtered = index.postings.filter(
+            F.col("term").isin(list(uni_terms))
+        ).unionByName(
+            nw_index.postings.filter(F.col("term").isin(list(bi_terms))),
+            allowMissingColumns=True,
+        )
+        per_shard_src = filtered.repartitionByRange(n_parts, "shard")
+    per_shard = per_shard_src.mapInArrow(
+        lambda it: _phrase_partition(
+            it, phrase_plan, k, idf, avgdl, k1, b, excl, vers, skip
+        ),
+        "query_id long, doc_id long, score double, first_pos long",
+    )
+    return topk(per_shard, k).select(
+        "query_id", "rank", "doc_id", "score", "first_pos"
     )
 
 

@@ -566,3 +566,115 @@ def test_match_phrase_prefix_single_position_and_cap(spark):
     assert [(r["doc_id"], round(r["score"], 6)) for r in capped] == [
         (r["doc_id"], round(r["score"], 6)) for r in single
     ]
+
+
+@pytest.fixture(scope="module")
+def nw_index(spark):
+    from embed_rerank_spark.operators.positions import build_nextword_postings
+
+    built = build_nextword_postings(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), n_shards=4
+    )
+    return load_positional_index(built)
+
+
+def test_phrase_nextword_identical_to_unigram_path(spark, pos_index, nw_index):
+    """The next-word path is exact: same (rank, doc, score, first_pos)
+    as phrase_topk on every PHRASES shape — 3-gram, duplicated token,
+    OOV (empty), and the single-token fallback."""
+    from embed_rerank_spark.operators.positions import phrase_topk_nextword
+
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9), r["first_pos"])
+        for r in phrase_topk(pos_index, PHRASES, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9), r["first_pos"])
+        for r in phrase_topk_nextword(pos_index, nw_index, PHRASES, k=10).collect()
+    }
+    assert got == want
+    assert any(q == 8 for q, _ in got)  # single-token fallback produced rows
+    assert not any(q == 6 for q, _ in got)
+
+
+def test_nextword_supertoken_positions_are_first_token_positions(spark):
+    """Bigram postings: the supertoken's positions equal the first
+    token's positions where the pair is adjacent, tf = adjacency
+    count (overlaps included: 'b b b' has 'b b' at 0 and 1)."""
+    from embed_rerank_spark.operators.positions import (
+        NEXTWORD_JOINER,
+        build_nextword_postings,
+        load_termdata,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b b b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    built = build_nextword_postings(docs, n_shards=1)
+    batches = built["postings"]._collect_as_arrow()
+    shards = load_termdata(iter(batches))
+    td = shards[list(shards)[0]]
+    ab = td["a" + NEXTWORD_JOINER + "b"]
+    d1 = int(np.searchsorted(ab[0], 1))
+    assert ab[1][d1] == 2  # 'a b' at positions 0 and 2
+    po = ab[4]
+    assert list(ab[3][po[d1] : po[d1 + 1]]) == [0, 2]
+    bb = td["b" + NEXTWORD_JOINER + "b"]
+    assert list(bb[1]) == [2]  # doc 2: overlapping 'b b' at 0 and 1
+    assert list(bb[3]) == [0, 1]
+    # a single-token doc contributes no bigrams at all
+    assert not any(k.startswith("solo") for k in td)
+
+
+def test_phrase_nextword_respects_tombstones(spark, nw_index):
+    """Deletion tombstones on the unigram handle mask next-word
+    results exactly as on the unigram path."""
+    import dataclasses
+
+    from embed_rerank_spark.operators.positions import phrase_topk_nextword
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = load_positional_index(build_positional_postings(docs, n_shards=4))
+    full = phrase_topk_nextword(base, nw_index, [(1, "sort merge")], k=5).collect()
+    assert full
+    dead = {r["doc_id"] for r in full[:2]}
+    masked = dataclasses.replace(base, tombstones=frozenset(dead))
+    got = {
+        r["doc_id"]
+        for r in phrase_topk_nextword(masked, nw_index, [(1, "sort merge")], k=5).collect()
+    }
+    assert got and not (got & dead)
+
+
+def test_phrase_combined_index_identical_and_shuffle_free(spark, pos_index, tmp_path_factory):
+    """The combined (unigram + supertoken) index answers phrases
+    identically to both other paths, its stats are the unigram
+    corpus's, and written shard-file the phrase plan has NO exchange
+    after the scan."""
+    from embed_rerank_spark.operators.positions import (
+        build_combined_phrase_index,
+        phrase_topk_nextword,
+    )
+    from embed_rerank_spark.operators.postings import InvertedIndex, write_index
+
+    docs = _docs(spark)
+    out = str(tmp_path_factory.mktemp("combined_idx"))
+    write_index(build_combined_phrase_index(docs, n_shards=4), out)
+    comb = InvertedIndex.load(spark, out)
+    assert comb.n_docs == pos_index.n_docs
+    assert abs(comb.avgdl - pos_index.avgdl) < 1e-9
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(pos_index, PHRASES, k=10).collect()
+    }
+    plan_df = phrase_topk_nextword(comb, None, PHRASES, k=10)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in plan_df.collect()
+    }
+    assert got == want
+    # shuffle-free kernel: no shard repartition feeding the scan
+    assert comb.shard_files and comb.whole_shard_scan_ok()
+    plan = plan_df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning(shard" not in plan
