@@ -91,11 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "--mode",
         default="or",
         choices=[
-            "or", "and", "phrase", "boolean", "fuzzy",
+            "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
             "prefix", "suffix", "infix", "regexp",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
-        "phrase = exact phrase over a POSITIONAL index; boolean = "
+        "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
+        "= same results over a COMBINED next-word index (build-index "
+        "--combined-phrase); boolean = "
         '+must/-not/"phrase"/prefix* grammar over a POSITIONAL index; '
         "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion); "
         "prefix/suffix/infix = wildcard retrieval (each query line is the "
@@ -233,6 +235,12 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--shards", type=int, default=32)
     bp.add_argument("--salts", type=int, default=1)
     bp.add_argument("--block-size", type=int, default=128)
+    bp.add_argument(
+        "--combined-phrase",
+        action="store_true",
+        help="also index next-word (bigram) supertokens in the same "
+        "postings table — query with `query --mode phrase-nextword`",
+    )
 
     d = sub.add_parser(
         "delete", help="record deletion tombstones (masked now, folded in at compact)"
@@ -391,6 +399,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.positions import phrase_topk
 
                 out = phrase_topk(idx, queries, k=args.k)
+            elif args.mode == "phrase-nextword":
+                from .operators.positions import phrase_topk_nextword
+
+                out = phrase_topk_nextword(idx, None, queries, k=args.k)
             elif args.mode == "boolean":
                 from .operators.boolean import boolean_topk
 
@@ -529,12 +541,20 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "build-positional-index":
-            from .operators.positions import build_positional_postings
+            from .operators.positions import (
+                build_combined_phrase_index,
+                build_positional_postings,
+            )
             from .operators.postings import write_index
 
+            builder = (
+                build_combined_phrase_index
+                if args.combined_phrase
+                else build_positional_postings
+            )
             corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
             write_index(
-                build_positional_postings(
+                builder(
                     corpus,
                     n_shards=args.shards,
                     block_size=args.block_size,
@@ -542,7 +562,8 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 args.index,
             )
-            print(f"positional index ready: {args.index}")
+            kind = "combined phrase" if args.combined_phrase else "positional"
+            print(f"{kind} index ready: {args.index}")
         elif args.cmd == "delete":
             from .plans.tiered import delete_docs, load_tombstones
 

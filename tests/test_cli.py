@@ -397,3 +397,51 @@ def test_cli_scrub_sketch_wildcards_collapse(spark, workspace, tmp_path):
         assert q.count() > 0, mode
     col = spark.read.parquet(str(tmp_path / "q_collapsed"))
     assert col.count() > 0 and "inner_hits" in col.columns
+
+
+def test_cli_combined_phrase_index_and_nextword_mode(spark, tmp_path):
+    """build-positional-index --combined-phrase + query
+    --mode phrase-nextword through the spark-submit surface: results
+    identical to the plain phrase mode over the unigram index.
+    Self-contained (own corpus + indexes in tmp_path)."""
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(str(d / "corpus"))
+    (d / "phrases.tsv").write_text("0\tsort merge\n1\tthe a\n")
+    # instance-level patch: earlier tests in this module may leave a
+    # REAL bound `stop` in spark.__dict__, which would shadow a
+    # class-level patch and kill the shared session
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "build-positional-index",
+            "--corpus", str(d / "corpus"),
+            "--index", str(d / "posidx"), "--shards", "4",
+        ]) == 0
+        assert cli.main([
+            "build-positional-index", "--combined-phrase",
+            "--corpus", str(d / "corpus"),
+            "--index", str(d / "combidx"), "--shards", "4",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "posidx"), "--mode", "phrase",
+            "--queries", str(d / "phrases.tsv"), "--out", str(d / "ph"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "combidx"), "--mode", "phrase-nextword",
+            "--queries", str(d / "phrases.tsv"), "--out", str(d / "phnw"), "--k", "5",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    key = lambda r: (r.query_id, r.rank, r.doc_id, round(r.score, 6))  # noqa: E731
+    nw = sorted(map(key, spark.read.parquet(str(d / "phnw")).collect()))
+    ph = sorted(map(key, spark.read.parquet(str(d / "ph")).collect()))
+    assert nw == ph and nw
