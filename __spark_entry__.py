@@ -1901,6 +1901,21 @@ def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+CHUNK_TOKENS = 32  # chunking contract: window size
+CHUNK_OVERLAP = 8  # and overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunking: fixed CHUNK_TOKENS-token sliding windows
+    with CHUNK_OVERLAP overlap per doc, shuffle-free JVM plan
+    (operators/packing.py::chunk_documents)."""
+    from embed_rerank_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2004,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "boosting_topk": q_boosting_topk,
         "rank_feature_topk": q_rank_feature_topk,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4787,6 +4803,26 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    _stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    chunk_documents_sql = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents
+),
+base AS (
+    SELECT doc_id, t, len(t) AS n,
+           CAST(ceil(greatest(len(t) - {CHUNK_OVERLAP}, 1) / {_stride}.0) AS BIGINT)
+               AS nc
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(u AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_TOKENS}, n - u * {_stride}) AS BIGINT) AS n_tokens,
+       array_to_string(
+           t[u * {_stride} + 1 : least(u * {_stride} + {CHUNK_TOKENS}, n)], ' '
+       ) AS chunk_text
+FROM base, unnest(generate_series(0, nc - 1)) AS s(u)
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -4887,6 +4923,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,
         "rank_feature_topk": rank_feature_sql,
+        "chunk_documents": chunk_documents_sql,
     }
 
 

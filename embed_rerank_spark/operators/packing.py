@@ -98,3 +98,52 @@ def pack_sequences(
         return out.localCheckpoint(eager=True)
     finally:
         parts.unpersist()
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): fixed-size sliding
+    token windows with overlap — the chunking step every
+    RAG / embedding pipeline runs before encoding. Chunk i covers
+    token span [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk is clipped at the
+    doc end, and a doc never emits a trailing chunk that a previous
+    chunk fully contains (chunk count = ceil(max(n - overlap, 1) /
+    stride) for n > 0; empty docs emit nothing).
+
+    Scale shape: pure JVM expressions end-to-end — tokenize once,
+    ``sequence`` + ``explode`` for chunk ids, ``slice`` +
+    ``array_join`` for the window text; no shuffle at all (the plan is
+    a single projection pipeline over the scan), embarrassingly
+    parallel at any corpus size. Chunk rows multiply the corpus by
+    ~n/stride — select/filter the docs first, not after."""
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError("need chunk_tokens > overlap >= 0")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("_t"),
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") > 0)
+    n_chunks = F.ceil(
+        F.greatest(F.col("_n") - F.lit(overlap), F.lit(1))
+        / F.lit(float(stride))
+    ).cast("long")
+    exploded = toks.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("_t"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

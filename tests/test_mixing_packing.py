@@ -129,3 +129,37 @@ def test_pack_sequences_drops_empty_and_rejects_bad_len(spark):
     assert {r["doc_id"] for r in out.collect()} == {1}
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(docs, 0)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunk spans, overlap, tail clipping, no contained trailing
+    chunk, empty docs dropped, bad knobs rejected; plan is
+    shuffle-free."""
+    import pytest
+
+    from embed_rerank_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "only"),
+            (3, ""),
+            (4, " ".join(f"u{i}" for i in range(4))),  # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: stride 3, ceil(9/3) = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert rows[(1, 2)]["n_tokens"] == 4
+    assert rows[(2, 0)]["chunk_text"] == "only" and rows[(2, 0)]["n_tokens"] == 1
+    assert not any(k[0] == 3 for k in rows)
+    assert {k for k in rows if k[0] == 4} == {(4, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
