@@ -678,3 +678,28 @@ def test_phrase_combined_index_identical_and_shuffle_free(spark, pos_index, tmp_
     assert comb.shard_files and comb.whole_shard_scan_ok()
     plan = plan_df._jdf.queryExecution().executedPlan().toString().lower()
     assert "rangepartitioning(shard" not in plan
+
+
+def test_sort_dedupe_nopos_matches_positional_winner_rule():
+    """Score-only (skip_pos) termdata from interleaved multi-unit
+    blocks: same sort + max-(tf, dl) duplicate collapse as the
+    positional dedupe, empty positions."""
+    from embed_rerank_spark.operators.positions import (
+        _sort_dedupe_nopos,
+        _sort_dedupe_termdata,
+    )
+
+    docs = np.array([5, 1, 9, 5, 1], dtype=np.int64)
+    tf = np.array([2, 3, 1, 4, 1], dtype=np.int64)
+    dl = np.array([10, 10, 10, 10, 10], dtype=np.int64)
+    d, t, l, pf, po = _sort_dedupe_nopos(docs.copy(), tf.copy(), dl.copy())
+    assert list(d) == [1, 5, 9]
+    assert list(t) == [3, 4, 1]  # max-tf winner per duplicate run
+    assert pf.size == 0 and len(po) == len(d) + 1
+    # parity with the positional dedupe on docs/tf/dl
+    pos_pf = np.arange(int(tf.sum()), dtype=np.int64)
+    pos_po = np.concatenate(([0], np.cumsum(tf)))
+    d2, t2, l2, _pf2, _po2 = _sort_dedupe_termdata(
+        docs.copy(), tf.copy(), dl.copy(), pos_pf, pos_po
+    )
+    assert list(d2) == list(d) and list(t2) == list(t) and list(l2) == list(l)
