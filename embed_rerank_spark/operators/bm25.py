@@ -595,7 +595,11 @@ def boosting_topk_bruteforce(
     tf scan both reuse. Demotion is rank-safe for WAND composition:
     negative_boost <= 1 means a positive-score block-max bound still
     upper-bounds the adjusted score, so the index-backed variant could
-    prune exactly with the same bounds."""
+    prune exactly with the same bounds. ES bounds negative_boost to
+    [0, 1] for the same reason — values above 1 would PROMOTE negative
+    matches and invert every pruning bound, so they are rejected."""
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(f"negative_boost must be in [0, 1], got {negative_boost}")
     pos = [(qid, q) for qid, q, _ in queries]
     neg = [(qid, nq) for qid, _, nq in queries]
     scored = bm25_scores_bruteforce(docs, query_terms(spark, pos), k1, b)
@@ -769,6 +773,10 @@ def rank_feature_topk(
     plus boost * S_max still upper-bound the blended score."""
     if function not in ("saturation", "log"):
         raise ValueError(f"unsupported rank_feature function: {function!r}")
+    # ES validates the same bounds: pivot/boost <= 0 would flip the
+    # saturation sign or demote matches the docstring promises to boost
+    if pivot <= 0 or boost < 0 or scaling_factor <= 0:
+        raise ValueError("need pivot > 0, boost >= 0, scaling_factor > 0")
     qt = query_terms(spark, queries)
     scored = bm25_scores_bruteforce(docs, qt, k1, b, id_col, text_col)
     feat = docs.select(

@@ -319,3 +319,39 @@ def test_docvalue_range_pushes_predicate_to_docvalues_scan(spark):
         if "Filter" in ln and ">= 100.0" in ln and "< 300.0" in ln
     ]
     assert pushed and "n_chars" in pushed[0], plan
+
+
+def test_session3_ops_broadcast_and_no_cartesian(spark):
+    """Session-3 query/agg ops keep the scale-critical shape: tiny
+    query side broadcast, no cartesian products; chunking stays
+    shuffle-free."""
+    from embed_rerank_spark.operators.bm25 import (
+        boosting_topk_bruteforce,
+        rank_feature_topk,
+    )
+    from embed_rerank_spark.operators.facets import (
+        date_histogram,
+        percentiles_facets,
+        top_hits_by_bucket,
+    )
+    from embed_rerank_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs_ts = docs.withColumn(
+        "warc_ts",
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("n_chars") % 365).cast("int"))
+        ),
+    )
+    qs = [(0, "the data")]
+    for df in (
+        boosting_topk_bruteforce(spark, docs, [(0, "the data", "slow")], k=5),
+        rank_feature_topk(spark, docs, qs, "n_chars", k=5, pivot=300.0),
+        date_histogram(spark, docs_ts, qs, "warc_ts"),
+        top_hits_by_bucket(spark, docs, qs, "lang", k_hits=2, top_buckets=2),
+        percentiles_facets(spark, docs, qs, "n_chars", [0.5]),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in _plan(chunk_documents(docs, 32, 8))

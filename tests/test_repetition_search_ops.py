@@ -225,3 +225,28 @@ def test_rank_feature_saturation_and_log(spark):
     assert abs(lg[1] - (base[1] + 0.1 * math.log(101))) < 1e-12
     with pytest.raises(ValueError):
         rank_feature_topk(spark, docs, [(1, "apple")], "n_chars", function="sigmoid")
+
+
+def test_boosting_and_rank_feature_reject_unsound_knobs(spark):
+    """negative_boost outside [0,1] and non-positive pivot/scaling
+    would invert pruning bounds — rejected like ES rejects them."""
+    import pytest
+
+    from embed_rerank_spark.operators.bm25 import (
+        boosting_topk_bruteforce,
+        rank_feature_topk,
+    )
+
+    docs = spark.createDataFrame([(1, "apple")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        boosting_topk_bruteforce(spark, docs, [(1, "apple", "pie")], negative_boost=1.5)
+    with pytest.raises(ValueError):
+        boosting_topk_bruteforce(spark, docs, [(1, "apple", "pie")], negative_boost=-0.1)
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, docs, [(1, "apple")], "doc_id", pivot=0.0)
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, docs, [(1, "apple")], "doc_id", boost=-1.0)
+    with pytest.raises(ValueError):
+        rank_feature_topk(
+            spark, docs, [(1, "apple")], "doc_id", function="log", scaling_factor=0.0
+        )
