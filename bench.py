@@ -246,7 +246,10 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 "overwrite"
             ).parquet(f"{tmp}/phrase_nw")
             extra["phrase_nextword_64"] = round(time.perf_counter() - t0, 3)
-            hot_phrases = [(i, f"the w{(i * 7) % 9973}") for i in range(64)]
+            # "w1" is the zipf head (tf ~ 15/doc, df ~ everywhere): its
+            # position lists are the decode-heavy case the next-word
+            # path exists for ("the" here has tf ~ 1/doc and is cheap)
+            hot_phrases = [(i, f"w1 w{(i * 7) % 9973}") for i in range(64)]
             t0 = time.perf_counter()
             phrase_topk(pos_index, hot_phrases, k=10).write.mode(
                 "overwrite"
@@ -506,7 +509,12 @@ def scaling_mode() -> None:
     attempt's verdict ships in the output either way."""
     import subprocess
 
-    lows, highs = 8, CPUS
+    # SPARK_GRAFT_SCALING_LOW picks the small leg (default 8 vs CPUS).
+    # On this shared box 8 cores already draw a large share of DRAM
+    # bandwidth, so 8->32 measures the bandwidth ceiling, not the plan;
+    # 4->16 keeps both legs under the saturation knee for an N->4N
+    # reading closer to what distinct executor HOSTS would show.
+    lows, highs = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "8")), CPUS
 
     def _one_campaign():
         results = {}
