@@ -1846,6 +1846,122 @@ def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gauss_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gaussian decay rescore: WAND window re-ranked
+    by score * decay^((|value-origin|/scale)^2) over the n_chars%365
+    age doc-value (operators/bm25.py::rescore_by_decay)."""
+    from embed_rerank_spark.operators.bm25 import rescore_by_decay
+    from embed_rerank_spark.operators.wand import wand_topk
+    from embed_rerank_spark.queryset import (
+        RESCORE_HALF_LIFE,
+        RESCORE_NOW,
+        RESCORE_WINDOW,
+    )
+
+    index = _cached_index(spark, sf_dir)
+    candidates = wand_topk(index, QUERY_SET, k=RESCORE_WINDOW)
+    doc_values = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") % 365).cast("double").alias("value")
+    )
+    out = rescore_by_decay(
+        candidates,
+        doc_values,
+        kind="gauss",
+        origin=RESCORE_NOW,
+        scale=RESCORE_HALF_LIFE,
+        decay=0.5,
+        k=TOP_K,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _nested_bool_set():
+    """Fixed nested-bool query trees (ES bool DSL shapes: nested
+    should-group under must, OR of an AND, filter context, msm>1,
+    nested must_not). Built lazily so queryset stays import-light."""
+    from embed_rerank_spark.operators.boolquery import Bool
+
+    return [
+        (1, Bool(must=[Bool(should=["fast", "slow"]), "join"], must_not=["dup"])),
+        (2, Bool(should=[Bool(must=["sort", "merge"]), "hash"])),
+        (3, Bool(must=["scan"], filter=[Bool(should=["table", "row"])])),
+        (4, Bool(must=["the"], should=["dup", "row", "key"], minimum_should_match=2)),
+        (5, Bool(must=["data"], must_not=[Bool(must=["slow", "scan"])])),
+    ]
+
+
+def q_nested_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested bool DSL: must/should/must_not/filter trees with
+    minimum_should_match, evaluated as a Catalyst join tree
+    (operators/boolquery.py::nested_bool_topk)."""
+    from embed_rerank_spark.operators.boolquery import nested_bool_topk
+
+    out = nested_bool_topk(spark, _docs(spark, sf_dir), _nested_bool_set(), k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-analyzer retrieval (Lucene StopFilter at index AND query
+    time): BM25 over the stop-filtered token stream — df, dl, avgdl
+    all reflect the analyzed stream; an all-stopword query matches
+    nothing (functions/udfs.py::analyze_stop)."""
+    from embed_rerank_spark.functions.udfs import analyze_query_stop, analyze_stop
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+
+    out = bm25_topk_bruteforce(
+        spark,
+        analyze_stop(_docs(spark, sf_dir)),
+        analyze_query_stop(QUERY_SET),
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: whole-query did-you-mean — per-slot
+    candidate terms (levenshtein<=1, original first, cf desc) scored
+    as sequences under the corpus interpolated bigram LM; best
+    sequence per query (operators/rewrite.py::phrase_suggest)."""
+    from embed_rerank_spark.operators.rewrite import phrase_suggest
+    from embed_rerank_spark.queryset import SPELL_SET
+
+    return phrase_suggest(spark, _docs(spark, sf_dir), SPELL_SET).select(
+        "query_id", "suggestion", F.round("score", 6).alias("score")
+    )
+
+
+COMPOSITE_PAGE = 6  # composite-agg contract page size
+COMPOSITE_AFTER = ("en", "src12")  # page-2 after_key (mid-keyspace)
+
+
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: (lang, source) buckets of each
+    query's matching doc set in composite-key order, paginated by
+    after_key — page 1 from the start, page 2 resuming strictly after
+    COMPOSITE_AFTER (operators/facets.py::composite_agg)."""
+    from embed_rerank_spark.operators.facets import composite_agg
+
+    docs = _docs(spark, sf_dir)
+    p1 = composite_agg(
+        spark, docs, QUERY_SET, ("lang", "source"), page_size=COMPOSITE_PAGE
+    ).withColumn("page", F.lit(1))
+    p2 = composite_agg(
+        spark,
+        docs,
+        QUERY_SET,
+        ("lang", "source"),
+        page_size=COMPOSITE_PAGE,
+        after=COMPOSITE_AFTER,
+    ).withColumn("page", F.lit(2))
+    return p1.unionByName(p2).select(
+        "query_id", "page", "bucket_rank", "key1", "key2", "n_docs"
+    )
+
+
 PCT_LEVELS = [0.25, 0.5, 0.9]  # percentiles contract levels
 
 
@@ -2016,6 +2132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_fields_topk": q_cross_fields_topk,
         "date_histogram": q_date_histogram,
         "top_hits": q_top_hits,
+        "composite_agg": q_composite_agg,
+        "phrase_suggest": q_phrase_suggest,
+        "analyzed_topk": q_analyzed_topk,
+        "nested_bool_topk": q_nested_bool_topk,
+        "gauss_rescore": q_gauss_rescore,
         "percentiles": q_percentiles,
         "boosting_topk": q_boosting_topk,
         "rank_feature_topk": q_rank_feature_topk,
@@ -2553,6 +2674,42 @@ window_ranked AS (
 combined AS (
     SELECT c.query_id, c.doc_id,
            c.score * pow(0.5, ({RESCORE_NOW} - (d.n_chars % 365)) / {RESCORE_HALF_LIFE}) AS score
+    FROM window_ranked c JOIN documents d USING (doc_id)
+    WHERE c.wrank <= {RESCORE_WINDOW}
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM combined
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    gauss_rescore_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+window_ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS wrank
+    FROM scored
+),
+combined AS (
+    SELECT c.query_id, c.doc_id,
+           c.score * pow(0.5, pow(abs({RESCORE_NOW} - (d.n_chars % 365)) / {RESCORE_HALF_LIFE}, 2)) AS score
     FROM window_ranked c JOIN documents d USING (doc_id)
     WHERE c.wrank <= {RESCORE_WINDOW}
 ),
@@ -4701,6 +4858,263 @@ FROM hits h JOIN branked b USING (query_id, facet_value)
 WHERE b.bucket_rank <= {TOPHITS_BUCKETS} AND h.hit_rank <= {TOPHITS_K}
 """
 
+    composite_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT m.query_id, d.lang AS key1, d.source AS key2, count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY m.query_id, d.lang, d.source
+),
+p1 AS (
+    SELECT query_id, 1 AS page, rk, key1, key2, n_docs FROM (
+        SELECT b.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY key1 ASC, key2 ASC) AS rk
+        FROM buckets b
+    ) WHERE rk <= {COMPOSITE_PAGE}
+),
+p2 AS (
+    SELECT query_id, 2 AS page, rk, key1, key2, n_docs FROM (
+        SELECT b.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY key1 ASC, key2 ASC) AS rk
+        FROM buckets b
+        WHERE (key1, key2) > ('{COMPOSITE_AFTER[0]}', '{COMPOSITE_AFTER[1]}')
+    ) WHERE rk <= {COMPOSITE_PAGE}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(page AS INTEGER) AS page,
+       CAST(rk AS INTEGER) AS bucket_rank, key1, key2, n_docs
+FROM p1
+UNION ALL
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(page AS INTEGER) AS page,
+       CAST(rk AS INTEGER) AS bucket_rank, key1, key2, n_docs
+FROM p2
+"""
+
+    # Nested-bool oracle: generated per query tree, mirroring
+    # nested_bool_topk's algebra exactly — leaf = a term slice of the
+    # per-(term,doc) BM25 score base; must = inner joins; filter =
+    # distinct inner join, score 0; should = union + group with
+    # count >= msm (default 1 when no must/filter); must_not =
+    # NOT EXISTS.
+    from embed_rerank_spark.operators.boolquery import Bool  # noqa: PLC0415
+
+    def _bool_node_sql(node) -> str:
+        if isinstance(node, str):
+            return f"(SELECT doc_id, score FROM tscore WHERE term = '{node}')"
+        musts = [_bool_node_sql(c) for c in node.must]
+        filts = [_bool_node_sql(c) for c in node.filter]
+        shs = [_bool_node_sql(c) for c in node.should]
+        nots = [_bool_node_sql(c) for c in node.must_not]
+        msm = node.msm()
+        froms: list[str] = []
+        score_terms: list[str] = []
+        for i, s in enumerate(musts):
+            froms.append(f"{s} m{i}")
+            score_terms.append(f"m{i}.score")
+        for i, s in enumerate(filts):
+            froms.append(f"(SELECT DISTINCT doc_id FROM {s} fi{i}) f{i}")
+        sh_join = ""
+        where: list[str] = []
+        if shs:
+            union = "\n    UNION ALL\n    ".join(
+                f"SELECT * FROM {s} u{i}" for i, s in enumerate(shs)
+            )
+            sh_sub = (
+                "(SELECT doc_id, sum(score) AS ss, count(*) AS sn FROM (\n    "
+                + union
+                + "\n  ) GROUP BY doc_id)"
+            )
+            if froms:
+                sh_join = f"LEFT JOIN {sh_sub} sh USING (doc_id)"
+                where.append(f"coalesce(sh.sn, 0) >= {msm}")
+                score_terms.append("coalesce(sh.ss, 0)")
+            else:
+                froms.append(f"{sh_sub} sh")
+                where.append(f"sh.sn >= {max(msm, 1)}")
+                score_terms.append("sh.ss")
+        if not froms:
+            raise ValueError("bool node needs at least one positive clause")
+        score_expr = " + ".join(score_terms) if score_terms else "0.0"
+        from_chain = froms[0] + "".join(
+            f"\n  JOIN {f} USING (doc_id)" for f in froms[1:]
+        )
+        for s in nots:
+            where.append(
+                f"NOT EXISTS (SELECT 1 FROM {s} nx WHERE nx.doc_id = "
+                + froms[0].rsplit(" ", 1)[-1]
+                + ".doc_id)"
+            )
+        where_sql = ("\n  WHERE " + "\n    AND ".join(where)) if where else ""
+        first_alias = froms[0].rsplit(" ", 1)[-1]
+        return (
+            f"(SELECT {first_alias}.doc_id AS doc_id, {score_expr} AS score"
+            f"\n  FROM {from_chain}"
+            + (f"\n  {sh_join}" if sh_join else "")
+            + where_sql
+            + ")"
+        )
+
+    _nb_parts = [
+        f"SELECT {qid} AS query_id, doc_id, score FROM {_bool_node_sql(tree)} q{qid}"
+        for qid, tree in _nested_bool_set()
+    ]
+    nested_bool_sql = f"""
+WITH {_TOKS_CTE},
+tscore AS (
+    SELECT tf.term, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+allq AS (
+{chr(10).join("  " + p + (" UNION ALL" if i < len(_nb_parts) - 1 else "") for i, p in enumerate(_nb_parts))}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM allq
+) WHERE rank <= {TOP_K}
+"""
+
+    # Stop-analyzer BM25 oracle: the standard BM25 SQL over the
+    # stop-filtered token stream, with query terms passed through the
+    # same analyzer (all-stopword queries contribute no VALUES rows).
+    from embed_rerank_spark.functions.udfs import STOPWORDS_EN  # noqa: PLC0415
+    from embed_rerank_spark.queryset import QUERY_SET as _QS  # noqa: PLC0415
+
+    _an_stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    _an_tok = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t <> '' AND NOT list_contains([{_an_stop}], t))"
+    )
+    _an_qt_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in _QS
+        for t in sorted(
+            {w for w in q.strip().lower().split() if w not in STOPWORDS_EN}
+        )
+    )
+    analyzed_sql = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_an_tok}) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (VALUES {_an_qt_rows}) AS qt(query_id, term)
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    # Phrase-suggester oracle: generated per SPELL_SET query (the
+    # lattice shape is per-query), exhaustive candidate-sequence
+    # enumeration via cross joins — mirrors phrase_suggest exactly:
+    # candidates = vocab within 1 edit (original first, cf desc, term
+    # asc, cap 4; the raw token if no vocab neighbor), score =
+    # ln p(c1) + sum ln(0.7*cf2/cf + 0.3*cf/C) floored at 1e-12,
+    # winner per query by round(score,6) desc, suggestion asc.
+    from embed_rerank_spark.queryset import SPELL_SET  # noqa: PLC0415
+
+    def _suggest_one(qid: int, toks: list[str]) -> str:
+        cand_ctes, froms, ujoins, bjoins = [], [], [], []
+        for i, t in enumerate(toks):
+            cand_ctes.append(
+                f"""c{qid}_{i} AS (
+  SELECT term FROM (
+    SELECT u.term, row_number() OVER (
+        ORDER BY (u.term = '{t}') DESC, u.cf DESC, u.term ASC) AS rk
+    FROM u
+    WHERE abs(length(u.term) - {len(t)}) <= 1
+      AND levenshtein(u.term, '{t}') <= 1
+  ) WHERE rk <= 4
+  UNION ALL
+  SELECT '{t}' WHERE NOT EXISTS (
+    SELECT 1 FROM u
+    WHERE abs(length(u.term) - {len(t)}) <= 1
+      AND levenshtein(u.term, '{t}') <= 1)
+)"""
+            )
+            froms.append(f"c{qid}_{i} s{i}")
+            ujoins.append(f"LEFT JOIN u u{i} ON u{i}.term = s{i}.term")
+        parts = ["ln(greatest(coalesce(u0.cf, 0) / tot.c, 1e-12))"]
+        for i in range(1, len(toks)):
+            bjoins.append(
+                f"LEFT JOIN cf2 b{i} ON b{i}.w1 = s{i-1}.term AND b{i}.w2 = s{i}.term"
+            )
+            parts.append(
+                f"ln(greatest(CASE WHEN coalesce(u{i-1}.cf, 0) > 0"
+                f" THEN 0.7 * coalesce(b{i}.cf2, 0) / u{i-1}.cf ELSE 0 END"
+                f" + 0.3 * coalesce(u{i}.cf, 0) / tot.c, 1e-12))"
+            )
+        concat = " || ' ' || ".join(f"s{i}.term" for i in range(len(toks)))
+        score = "\n             + ".join(parts)
+        sel = (
+            f"SELECT {qid} AS query_id, {concat} AS suggestion,\n"
+            f"       round({score}, 6) AS score\n"
+            f"FROM {' CROSS JOIN '.join(froms)}\n"
+            + "\n".join(ujoins + bjoins)
+            + "\nCROSS JOIN tot"
+        )
+        return ",\n".join(cand_ctes) + f",\nseq{qid} AS (\n{sel}\n)"
+
+    _sg_parts = [
+        _suggest_one(qid, q.strip().lower().split()) for qid, q in SPELL_SET
+    ]
+    _sg_union = "\nUNION ALL\n".join(
+        f"SELECT * FROM seq{qid}" for qid, _q in SPELL_SET
+    )
+    phrase_suggest_sql = f"""
+WITH base AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+u AS (SELECT term, count(*) AS cf
+      FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term),
+tot AS (SELECT sum(cf) AS c FROM u),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base),
+cf2 AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+               count(*) AS cf2
+        FROM bg GROUP BY 1, 2),
+{",".join(_sg_parts)},
+allseq AS (
+{_sg_union}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, suggestion, score FROM (
+    SELECT query_id, suggestion, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, suggestion ASC) AS rk
+    FROM allseq
+) WHERE rk = 1
+"""
+
     pct_quants = ",\n           ".join(
         f"quantile_cont(v, {p}) AS p{i}" for i, p in enumerate(PCT_LEVELS)
     )
@@ -4909,6 +5323,7 @@ FROM base, unnest(generate_series(0, nc - 1)) AS s(u)
         "regexp_topk": regexp_topk_sql,
         "docvalue_range_topk": docvalue_range_topk_sql,
         "recency_rescore": recency_rescore_sql,
+        "gauss_rescore": gauss_rescore_sql,
         "significant_terms": significant_terms_sql,
         "percolate": percolate_sql,
         "temperature_mix": temperature_mix_sql,
@@ -4920,6 +5335,10 @@ FROM base, unnest(generate_series(0, nc - 1)) AS s(u)
         "cross_fields_topk": cross_fields_sql,
         "date_histogram": date_histogram_sql,
         "top_hits": top_hits_sql,
+        "composite_agg": composite_sql,
+        "phrase_suggest": phrase_suggest_sql,
+        "analyzed_topk": analyzed_sql,
+        "nested_bool_topk": nested_bool_sql,
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,
         "rank_feature_topk": rank_feature_sql,

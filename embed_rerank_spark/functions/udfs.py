@@ -112,3 +112,47 @@ def tokenize_preserve_case(col: Column) -> Column:
     tokenizer, ``mlx_reranker_backend.py:205-223``)."""
     toks = F.split(F.trim(col), r"\s+")
     return F.filter(toks, lambda t: t != F.lit(""))
+
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def analyze_stop(
+    docs,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, text): the corpus passed through a stop-token analyzer
+    (Lucene StopFilter / the ES ``stop`` analyzer) — tokens in
+    ``stopwords`` are dropped from the token stream BEFORE indexing,
+    so document lengths, df, and avgdl all reflect the analyzed
+    stream (stopword removal is an index-time decision in Lucene for
+    exactly this reason: it changes the norms, not just the matches).
+
+    Pure JVM projection (split -> filter -> re-join); composes with
+    the unchanged build/WAND/brute machinery the way the BM25F
+    weighted stream does. Query strings must pass through
+    ``analyze_query_stop`` so both sides see the same analyzer — the
+    analyzer contract every Lucene-lineage engine enforces.
+    """
+    toks = tokenize_for_scoring(F.col(text_col))
+    kept = F.filter(toks, lambda t: ~t.isin(*stopwords))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.array_join(kept, " ").alias("text")
+    )
+
+
+def analyze_query_stop(
+    queries: list[tuple[int, str]],
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> list[tuple[int, str]]:
+    """Query-side of the stop analyzer: same token filter, applied to
+    the (tiny, driver-held) query strings. A query that is ALL
+    stopwords analyzes to the empty string and matches nothing — the
+    standard Lucene outcome."""
+    out = []
+    for qid, q in queries:
+        kept = [t for t in q.strip().lower().split() if t not in stopwords]
+        out.append((qid, " ".join(kept)))
+    return out

@@ -287,6 +287,50 @@ def rescore_by_recency(
     return topk(combined, k).select("query_id", "rank", "doc_id", "score")
 
 
+def rescore_by_decay(
+    candidates: DataFrame,
+    doc_values: DataFrame,
+    kind: str = "gauss",
+    origin: float = 365.0,
+    scale: float = 90.0,
+    decay: float = 0.5,
+    k: int = 10,
+    value_col: str = "value",
+    score_col: str = "score",
+) -> DataFrame:
+    """The full Elasticsearch ``function_score`` decay family over a
+    rescore window: multiplier m(d), d = |value - origin|, with
+    m(scale) = decay by construction —
+
+        gauss:  m = decay ^ (d / scale)^2        (bell; flat near origin)
+        exp:    m = decay ^ (d / scale)          (memoryless)
+        linear: m = max(0, 1 - d*(1-decay)/scale) (hard zero cutoff)
+
+    combined = score * m, re-ranked within the candidate window
+    (same two-stage contract as ``rescore_by_recency``, which is the
+    one-sided exp special case). Scale shape identical: the window is
+    n_queries x window rows, broadcast into one doc-values join."""
+    d = F.abs(F.lit(float(origin)) - F.col(value_col))
+    if kind == "gauss":
+        mult = F.pow(F.lit(float(decay)), F.pow(d / F.lit(float(scale)), F.lit(2.0)))
+    elif kind == "exp":
+        mult = F.pow(F.lit(float(decay)), d / F.lit(float(scale)))
+    elif kind == "linear":
+        mult = F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - d * F.lit((1.0 - float(decay)) / float(scale)),
+        )
+    else:
+        raise ValueError(f"unknown decay kind: {kind!r}")
+    joined = F.broadcast(candidates.select("query_id", "doc_id", score_col)).join(
+        doc_values.select("doc_id", value_col), "doc_id"
+    )
+    combined = joined.select(
+        "query_id", "doc_id", (F.col(score_col) * mult).alias("score")
+    )
+    return topk(combined, k).select("query_id", "rank", "doc_id", "score")
+
+
 def blend_static_prior(
     scored: DataFrame,
     prior: DataFrame,

@@ -313,3 +313,63 @@ def percentiles_facets(
         agg.select("query_id", F.explode(pairs).alias("pv"))
         .select("query_id", F.col("pv.pct").alias("pct"), F.col("pv.value").alias("value"))
     )
+
+
+def composite_agg(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    sources: tuple[str, str] = ("lang", "source"),
+    page_size: int = 4,
+    after: tuple[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, key1, key2, n_docs, bucket_rank) — the Elasticsearch
+    ``composite`` aggregation: buckets over the cartesian key
+    ``sources = (key1, key2)`` of each query's matching doc set,
+    streamed in deterministic composite-key order (key1 asc, key2
+    asc), one page of ``page_size`` buckets per call, resuming
+    STRICTLY AFTER the ``after`` composite key (ES ``after_key``
+    pagination — the mechanism that lets a client walk a
+    billion-bucket aggregation without the coordinator materializing
+    it). ``bucket_rank`` is the 1-based position within the page.
+
+    Scale shape: the after-key predicate is a row-value comparison on
+    the AGGREGATED (query, key1, key2) bucket table, applied before
+    the per-query ordering window — so a resumed page never re-sorts
+    buckets it already emitted, and Spark's WindowGroupLimit pushdown
+    turns the rank filter into a per-partition group-limit. Buckets,
+    not docs, cross the final shuffle. With key sources that are also
+    the table's partition columns, the after-key filter prunes
+    partitions at the scan (the composite agg's reason to exist at
+    10^12 docs)."""
+    k1, k2 = sources
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(k1).alias("key1"),
+        F.col(k2).alias("key2"),
+    )
+    buckets = matched.join(vals, "doc_id").groupBy("query_id", "key1", "key2").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if after is not None:
+        a1, a2 = after
+        buckets = buckets.filter(
+            (F.col("key1") > F.lit(a1))
+            | ((F.col("key1") == F.lit(a1)) & (F.col("key2") > F.lit(a2)))
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("key1"), F.asc("key2"))
+    return (
+        buckets.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= page_size)
+        .select("query_id", "key1", "key2", "n_docs", "bucket_rank")
+    )

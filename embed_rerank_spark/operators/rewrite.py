@@ -308,3 +308,161 @@ def spell_correct(
     return spark.createDataFrame(
         rows, "query_id long, corrected string, n_corrections long"
     )
+
+
+# ---- Phrase suggester (ES "phrase" suggest: did-you-mean over a ----
+# ---- bigram LM instead of per-term edit distance alone)         ----
+
+SUGGEST_MAX_CAND = 4  # candidate terms per query slot (incl. the original)
+SUGGEST_LAMBDA = 0.7  # bigram/unigram interpolation (matches textstats LM)
+SUGGEST_FLOOR = 1e-12  # probability floor for OOV/zero-mass sequences
+SUGGEST_MAX_SEQ = 4096  # enumeration guard: max candidate sequences/query
+
+
+def phrase_suggest(
+    spark,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    max_distance: int = 1,
+    max_candidates: int = SUGGEST_MAX_CAND,
+    lam: float = SUGGEST_LAMBDA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, suggestion, score): the Elasticsearch ``phrase``
+    suggester — whole-query did-you-mean. Each query token generates
+    candidate terms (itself plus vocabulary terms within
+    ``max_distance`` edits, original first, then collection-frequency
+    desc / term asc, capped at ``max_candidates``); every candidate
+    SEQUENCE is scored under the corpus interpolated bigram LM
+
+        ln p(c1) + sum_i ln( lam*cf2(c_{i-1} c_i)/cf(c_{i-1})
+                             + (1-lam)*cf(c_i)/C )
+
+    (unigram start, probabilities floored at SUGGEST_FLOOR so OOV
+    tokens stay scorable), and the best-scoring sequence wins (ties:
+    rounded score desc, suggestion string asc). Unlike per-term
+    ``spell_correct``, context picks the fix: a real-word error
+    corrects when its neighbors make another candidate's bigrams
+    likelier — the reason ES layers this suggester over the term one.
+
+    Scale shape: two corpus-side aggregations feed a driver-side
+    lattice. Candidate generation is one levenshtein-filtered scan of
+    the unigram table (vocabulary-sized, length-difference guard);
+    bigram counts are computed ONLY for candidate adjacent pairs —
+    the tiny pair list broadcast-joins into the exploded bigram
+    stream BEFORE its combinable count agg, so corpus work is one
+    filtered pass regardless of vocabulary size. The enumeration is
+    queries x <= SUGGEST_MAX_SEQ driver tuples (planning-sized); a
+    lattice wider than the guard deterministically trims its longest
+    slot lists first."""
+    import itertools  # noqa: PLC0415
+    import math  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+    from .bm25 import term_freqs  # noqa: PLC0415
+    from .textstats import _ngrams  # noqa: PLC0415
+
+    toks_per_q = [
+        (qid, q.strip().lower().split()) for qid, q in queries if q.strip()
+    ]
+    orig_terms = sorted({t for _qid, ts in toks_per_q for t in ts})
+    if not orig_terms:
+        return spark.createDataFrame(
+            [], "query_id long, suggestion string, score double"
+        )
+
+    cf1 = (
+        term_freqs(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    total = cf1.agg(F.sum("cf").alias("c")).collect()[0]["c"]
+    c_total = float(total or 0)
+
+    qdf = spark.createDataFrame([(t,) for t in orig_terms], "orig string")
+    cand = (
+        cf1.join(F.broadcast(qdf))
+        .filter(
+            (F.abs(F.length("term") - F.length("orig")) <= max_distance)
+            & (F.levenshtein("term", "orig") <= max_distance)
+        )
+        .withColumn("is_orig", (F.col("term") == F.col("orig")).cast("int"))
+    )
+    w = Window.partitionBy("orig").orderBy(
+        F.desc("is_orig"), F.desc("cf"), F.asc("term")
+    )
+    picked = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_candidates)
+        .collect()
+    )
+    cands: dict[str, list[str]] = {t: [] for t in orig_terms}
+    cf_map: dict[str, float] = {}
+    for r in sorted(picked, key=lambda r: (r["orig"], r["rk"])):
+        cands[r["orig"]].append(r["term"])
+        cf_map[r["term"]] = float(r["cf"])
+    for t in orig_terms:
+        if not cands[t]:
+            cands[t] = [t]  # unfixable OOV passes through, floor-scored
+
+    pairs: set[tuple[str, str]] = set()
+    for _qid, ts in toks_per_q:
+        slots = [cands[t] for t in ts]
+        while math.prod(len(s) for s in slots) > SUGGEST_MAX_SEQ:
+            slots[max(range(len(slots)), key=lambda i: len(slots[i]))] = slots[
+                max(range(len(slots)), key=lambda i: len(slots[i]))
+            ][:-1]
+        for a, b in zip(slots, slots[1:]):
+            pairs.update(itertools.product(a, b))
+    cf2_map: dict[tuple[str, str], float] = {}
+    if pairs:
+        pdf = spark.createDataFrame(sorted(pairs), "w1 string, w2 string")
+        grams = docs.select(
+            F.explode(_ngrams(tokenize_for_scoring(F.col(text_col)), 2)).alias("g")
+        ).select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        for r in (
+            grams.join(F.broadcast(pdf), ["w1", "w2"])
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cf2"))
+            .collect()
+        ):
+            cf2_map[(r["w1"], r["w2"])] = float(r["cf2"])
+
+    def p1(t: str) -> float:
+        if c_total <= 0:
+            return SUGGEST_FLOOR
+        return max(cf_map.get(t, 0.0) / c_total, SUGGEST_FLOOR)
+
+    def p2(a: str, b: str) -> float:
+        ca = cf_map.get(a, 0.0)
+        bg = lam * cf2_map.get((a, b), 0.0) / ca if ca > 0 else 0.0
+        uni = (1.0 - lam) * cf_map.get(b, 0.0) / c_total if c_total > 0 else 0.0
+        return max(bg + uni, SUGGEST_FLOOR)
+
+    out = []
+    for qid, ts in toks_per_q:
+        slots = [cands[t] for t in ts]
+        while math.prod(len(s) for s in slots) > SUGGEST_MAX_SEQ:
+            slots[max(range(len(slots)), key=lambda i: len(slots[i]))] = slots[
+                max(range(len(slots)), key=lambda i: len(slots[i]))
+            ][:-1]
+        best: tuple | None = None
+        for seq in itertools.product(*slots):
+            s = round(
+                math.log(p1(seq[0]))
+                + sum(math.log(p2(a, b)) for a, b in zip(seq, seq[1:])),
+                6,
+            )
+            key = (-s, " ".join(seq))
+            if best is None or key < best[0]:
+                best = (key, " ".join(seq), s)
+        out.append((qid, best[1], float(best[2])))
+    return spark.createDataFrame(
+        out, "query_id long, suggestion string, score double"
+    )

@@ -239,3 +239,68 @@ def test_percentiles_exact_linear_interpolation(spark, docs):
         for p in pcts:
             want = float(np.percentile(np.array(vs), p * 100, method="linear"))
             assert abs(got[(qid, p)] - want) < 1e-9, (qid, p)
+
+
+def test_composite_agg_page_walk_reconstructs_all_buckets(spark, docs):
+    """Walking composite pages with after = the previous page's last
+    key reproduces every (query, key1, key2) bucket exactly once, in
+    composite-key order, with counts equal to the one-shot facet
+    group-by — the ES after_key pagination contract."""
+    from embed_rerank_spark.operators.facets import composite_agg
+
+    queries = QUERY_SET[:3]
+    full = composite_agg(
+        spark, docs, queries, ("lang", "source"), page_size=10_000
+    ).collect()
+    want = {}
+    for r in full:
+        want.setdefault(r["query_id"], []).append((r["key1"], r["key2"], r["n_docs"]))
+
+    page = 5
+    got: dict[int, list] = {}
+    after = None
+    for _ in range(100):
+        rows = composite_agg(
+            spark, docs, queries, ("lang", "source"), page_size=page, after=after
+        ).collect()
+        if not rows:
+            break
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["bucket_rank"])):
+            assert 1 <= r["bucket_rank"] <= page
+            got.setdefault(r["query_id"], []).append(
+                (r["key1"], r["key2"], r["n_docs"])
+            )
+        # global after-key: the smallest last-key across queries still
+        # in flight guarantees no bucket is skipped; dedupe handles the
+        # overlap a per-query walker would not produce.
+        last = min(
+            (rs[-1]["key1"], rs[-1]["key2"])
+            for rs in [
+                sorted(
+                    [r for r in rows if r["query_id"] == q], key=lambda r: r["bucket_rank"]
+                )
+                for q in {r["query_id"] for r in rows}
+            ]
+        )
+        after = last
+    for q, buckets in want.items():
+        seen = []
+        for b in got.get(q, []):
+            if b not in seen:
+                seen.append(b)
+        assert seen == buckets, f"query {q}: page walk diverged"
+
+
+def test_composite_agg_after_key_is_strict(spark, docs):
+    """Buckets equal to the after key are excluded; only strictly
+    greater composite keys appear."""
+    from embed_rerank_spark.operators.facets import composite_agg
+
+    queries = QUERY_SET[:2]
+    after = ("en", "src12")
+    rows = composite_agg(
+        spark, docs, queries, ("lang", "source"), page_size=50, after=after
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (r["key1"], r["key2"]) > after

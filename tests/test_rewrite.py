@@ -193,3 +193,95 @@ def test_doc_tfidf_topn_matches_python(spark):
             (d, i + 1, t, c, round(s, 6)) for i, (t, c, s) in enumerate(scored[:3])
         )
     assert got == expect
+
+
+def test_phrase_suggest_context_beats_per_term(spark):
+    """The bigram LM corrects a REAL-WORD error from context — 'jon'
+    is in the vocabulary (per-term spell_correct would keep it), but
+    after 'hash' the corpus overwhelmingly continues with 'join', so
+    the phrase suggester rewrites the whole query; a pass-through OOV
+    token with no neighbor survives verbatim."""
+    from embed_rerank_spark.operators.rewrite import phrase_suggest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast hash join beats sort merge join"),
+            (2, "the fast hash join wins again"),
+            (3, "hash join hash join hash join"),
+            (4, "jon wrote one line"),
+            (5, "slow table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["query_id"]: (r["suggestion"], r["score"])
+        for r in phrase_suggest(
+            spark,
+            docs,
+            [(1, "hash jon"), (2, "xyzzyplugh scan"), (3, "hash join")],
+        ).collect()
+    }
+    assert out[1][0] == "hash join"
+    assert out[2][0].endswith(" scan") and out[2][0].startswith("xyzzyplugh")
+    assert out[3][0] == "hash join"
+    # a correct query is its own best suggestion and outscores the typo'd one
+    assert out[3][1] >= out[1][1]
+
+
+def test_phrase_suggest_matches_bruteforce_lattice(spark):
+    """Engine winner == exhaustive NumPy-free Python reference over
+    the same candidate lattice and interpolated bigram LM."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from embed_rerank_spark.operators.rewrite import (
+        SUGGEST_FLOOR,
+        SUGGEST_LAMBDA,
+        phrase_suggest,
+    )
+
+    rows = DOCS
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, "tabl jon"), (2, "fast sow"), (3, "scan"), (4, "the sow the")]
+
+    toks = {d: t.split() for d, t in rows}
+    cf = Counter(w for ws in toks.values() for w in ws)
+    cf2 = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    c_total = sum(cf.values())
+    vocab = sorted(cf)
+
+    def cands(t):
+        near = [v for v in vocab if abs(len(v) - len(t)) <= 1 and _lev(v, t) <= 1]
+        near.sort(key=lambda v: (-(v == t), -cf[v], v))
+        return near[:4] if near else [t]
+
+    def p1(w):
+        return max(cf.get(w, 0) / c_total, SUGGEST_FLOOR)
+
+    def p2(a, b):
+        bg = SUGGEST_LAMBDA * cf2.get((a, b), 0) / cf[a] if cf.get(a) else 0.0
+        return max(bg + (1 - SUGGEST_LAMBDA) * cf.get(b, 0) / c_total, SUGGEST_FLOOR)
+
+    want = {}
+    for qid, q in queries:
+        ts = q.split()
+        best = None
+        for seq in itertools.product(*(cands(t) for t in ts)):
+            s = round(
+                math.log(p1(seq[0]))
+                + sum(math.log(p2(a, b)) for a, b in zip(seq, seq[1:])),
+                6,
+            )
+            key = (-s, " ".join(seq))
+            if best is None or key < best:
+                best = key
+        want[qid] = (best[1], -best[0])
+
+    got = {
+        r["query_id"]: (r["suggestion"], r["score"])
+        for r in phrase_suggest(spark, docs, queries).collect()
+    }
+    assert got == want
