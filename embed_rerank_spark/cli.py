@@ -148,6 +148,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --tiered: query the index AS OF this snapshot id "
         "(historical view from on-disk units)",
     )
+    q.add_argument(
+        "--analyzer",
+        default="none",
+        choices=["none", "stop"],
+        help="stop = apply the stop-token analyzer to the query strings "
+        "(must match the index's build-time --analyzer)",
+    )
 
     sg = sub.add_parser("suggest", help="autocomplete: per-prefix top completions")
     sg.add_argument("--index", required=True)
@@ -241,6 +248,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also index next-word (bigram) supertokens in the same "
         "postings table — query with `query --mode phrase-nextword`",
     )
+    bp.add_argument(
+        "--analyzer",
+        default="none",
+        choices=["none", "stop"],
+        help="stop = drop English stopwords from the token stream before "
+        "indexing (Lucene StopFilter; df/dl/avgdl reflect the analyzed "
+        "stream) — query with the matching `query --analyzer stop`",
+    )
 
     d = sub.add_parser(
         "delete", help="record deletion tombstones (masked now, folded in at compact)"
@@ -319,6 +334,63 @@ def main(argv: list[str] | None = None) -> int:
     hh.add_argument("--capacity", type=int, default=4096)
     hh.add_argument("--top-n", type=int, default=50)
 
+    nb = sub.add_parser(
+        "nested-bool",
+        help="ES bool-DSL retrieval: nested must/should/must_not/filter "
+        "trees evaluated as a Catalyst join tree",
+    )
+    nb.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    nb.add_argument(
+        "--queries",
+        required=True,
+        help='TSV query_id<TAB>json, e.g. {"bool": {"must": ["scan"], '
+        '"should": ["hash", "sort"], "minimum_should_match": 1}}',
+    )
+    nb.add_argument("--out", required=True)
+    nb.add_argument("--k", type=int, default=10)
+
+    ps = sub.add_parser(
+        "phrase-suggest",
+        help="whole-query did-you-mean over the corpus bigram LM "
+        "(the ES phrase suggester)",
+    )
+    ps.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    ps.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--max-distance", type=int, default=1)
+    ps.add_argument("--max-candidates", type=int, default=4)
+
+    ca = sub.add_parser(
+        "composite-agg",
+        help="two-key composite buckets over each query's match set, "
+        "paginated in composite-key order",
+    )
+    ca.add_argument("--corpus", required=True, help="parquet doc table")
+    ca.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    ca.add_argument("--out", required=True)
+    ca.add_argument("--sources", default="lang,source",
+                    help="comma-separated pair of bucket key columns")
+    ca.add_argument("--page-size", type=int, default=4)
+    ca.add_argument("--after", default=None,
+                    help="resume after this composite key: key1,key2")
+
+    dr = sub.add_parser(
+        "decay-rescore",
+        help="function_score decay (gauss/exp/linear) over a retrieved "
+        "candidate window, combined multiplicatively with the base score",
+    )
+    dr.add_argument("--candidates", required=True,
+                    help="parquet with query_id, doc_id, score")
+    dr.add_argument("--doc-values", required=True,
+                    help="parquet with doc_id and the numeric value column")
+    dr.add_argument("--out", required=True)
+    dr.add_argument("--kind", default="gauss", choices=["gauss", "exp", "linear"])
+    dr.add_argument("--origin", type=float, default=365.0)
+    dr.add_argument("--scale", type=float, default=90.0)
+    dr.add_argument("--decay", type=float, default=0.5)
+    dr.add_argument("--k", type=int, default=10)
+    dr.add_argument("--value-col", default="value")
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -381,6 +453,10 @@ def main(argv: list[str] | None = None) -> int:
 
                 idx.tombstones = load_tombstones(args.index) or None
             queries = _read_queries(args.queries)
+            if args.analyzer == "stop":
+                from .functions.udfs import analyze_query_stop
+
+                queries = analyze_query_stop(queries)
             if args.synonyms:
                 from .operators.rewrite import expand_synonyms
 
@@ -553,6 +629,10 @@ def main(argv: list[str] | None = None) -> int:
                 else build_positional_postings
             )
             corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            if args.analyzer == "stop":
+                from .functions.udfs import analyze_stop
+
+                corpus = analyze_stop(corpus)
             write_index(
                 builder(
                     corpus,
@@ -662,6 +742,62 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.corpus),
                 capacity=args.capacity,
                 top_n=args.top_n,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "nested-bool":
+            import json as _json
+
+            from .operators.boolquery import Bool, nested_bool_topk
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            trees = [
+                (qid, Bool.from_json(_json.loads(q)))
+                for qid, q in _read_queries(args.queries)
+            ]
+            out = nested_bool_topk(spark, corpus, trees, k=args.k)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "phrase-suggest":
+            from .operators.rewrite import phrase_suggest
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = phrase_suggest(
+                spark,
+                corpus,
+                _read_queries(args.queries),
+                max_distance=args.max_distance,
+                max_candidates=args.max_candidates,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "composite-agg":
+            from .operators.facets import composite_agg
+
+            key1, key2 = args.sources.split(",")
+            after = tuple(args.after.split(",")) if args.after else None
+            out = composite_agg(
+                spark,
+                spark.read.parquet(args.corpus),
+                _read_queries(args.queries),
+                sources=(key1, key2),
+                page_size=args.page_size,
+                after=after,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "decay-rescore":
+            from .operators.bm25 import rescore_by_decay
+
+            out = rescore_by_decay(
+                spark.read.parquet(args.candidates),
+                spark.read.parquet(args.doc_values),
+                kind=args.kind,
+                origin=args.origin,
+                scale=args.scale,
+                decay=args.decay,
+                k=args.k,
+                value_col=args.value_col,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

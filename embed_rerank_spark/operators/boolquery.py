@@ -68,6 +68,39 @@ class Bool:
                 out |= c.terms() if isinstance(c, Bool) else {c}
         return out
 
+    @classmethod
+    def from_json(cls, obj) -> "Bool":
+        """Parse the ES-wire shape: ``{"bool": {"must": [...], ...}}``
+        (the ``bool`` wrapper optional), where each clause is either a
+        term string, ``{"term": "word"}``, or a nested bool object.
+        Unknown keys raise — a silently ignored clause would change
+        which documents match."""
+        if isinstance(obj, str):
+            raise ValueError("top-level query must be an object, not a bare term")
+        node = obj.get("bool", obj)
+        known = {"must", "should", "must_not", "filter", "minimum_should_match"}
+        unknown = set(node) - known
+        if unknown:
+            raise ValueError(f"unknown bool clause(s): {sorted(unknown)}")
+
+        def clause(c):
+            if isinstance(c, str):
+                return c
+            if isinstance(c, dict) and set(c) == {"term"}:
+                return c["term"]
+            if isinstance(c, dict):
+                return cls.from_json(c)
+            raise ValueError(f"bad clause: {c!r}")
+
+        msm = node.get("minimum_should_match")
+        return cls(
+            must=[clause(c) for c in node.get("must", [])],
+            should=[clause(c) for c in node.get("should", [])],
+            must_not=[clause(c) for c in node.get("must_not", [])],
+            filter=[clause(c) for c in node.get("filter", [])],
+            minimum_should_match=None if msm is None else int(msm),
+        )
+
 
 def _scored_terms(docs: DataFrame, id_col: str, text_col: str,
                   k1: float, b: float) -> DataFrame:

@@ -154,3 +154,28 @@ def test_decay_family_semantics(spark):
     assert g[5] > e[5]  # |130-100| < scale: bell is flatter near origin
     with _pt.raises(ValueError):
         rescore_by_decay(cands, vals, kind="nope")
+
+
+def test_bool_from_json_parses_wire_shape_and_rejects_unknown():
+    import pytest as _pytest
+
+    from embed_rerank_spark.operators.boolquery import Bool
+
+    tree = Bool.from_json({
+        "bool": {
+            "must": ["scan", {"term": "table"}],
+            "should": [{"bool": {"must": ["sort", "merge"]}}, "hash"],
+            "must_not": ["dup"],
+            "minimum_should_match": 1,
+        }
+    })
+    assert tree.must == ["scan", "table"]
+    assert tree.must_not == ["dup"] and tree.minimum_should_match == 1
+    assert isinstance(tree.should[0], Bool) and tree.should[0].must == ["sort", "merge"]
+    assert tree.terms() == {"scan", "table", "sort", "merge", "hash", "dup"}
+    # the "bool" wrapper is optional
+    assert Bool.from_json({"must": ["a"]}).must == ["a"]
+    with _pytest.raises(ValueError):
+        Bool.from_json({"bool": {"shuold": ["typo"]}})
+    with _pytest.raises(ValueError):
+        Bool.from_json("bare-term")

@@ -445,3 +445,83 @@ def test_cli_combined_phrase_index_and_nextword_mode(spark, tmp_path):
     nw = sorted(map(key, spark.read.parquet(str(d / "phnw")).collect()))
     ph = sorted(map(key, spark.read.parquet(str(d / "ph")).collect()))
     assert nw == ph and nw
+
+
+def test_cli_session5_surfaces(spark, tmp_path):
+    """Session-5 subcommands: nested-bool / phrase-suggest /
+    composite-agg / decay-rescore, plus the stop analyzer on the
+    positional build + query path."""
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text", "lang", "source").write.mode(
+        "overwrite"
+    ).parquet(str(d / "corpus"))
+    (d / "nb.tsv").write_text(
+        '0\t{"bool": {"must": ["sort"], "should": ["hash", "merge"]}}\n'
+        '1\t{"bool": {"should": [{"bool": {"must": ["scan", "table"]}}, '
+        '"join"], "must_not": ["dup"]}}\n'
+    )
+    (d / "sugg.tsv").write_text("0\tsord merge\n")
+    (d / "agg.tsv").write_text("0\tdata\n")
+    (d / "anq.tsv").write_text("0\tthe a an\n1\tsort merge\n")
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "nested-bool", "--corpus", str(d / "corpus"),
+            "--queries", str(d / "nb.tsv"), "--out", str(d / "nb"), "--k", "5",
+        ]) == 0
+        assert cli.main([
+            "phrase-suggest", "--corpus", str(d / "corpus"),
+            "--queries", str(d / "sugg.tsv"), "--out", str(d / "sugg"),
+        ]) == 0
+        assert cli.main([
+            "composite-agg", "--corpus", str(d / "corpus"),
+            "--queries", str(d / "agg.tsv"), "--out", str(d / "agg"),
+            "--sources", "lang,source", "--page-size", "3",
+        ]) == 0
+        # decay-rescore over a synthetic candidate window + doc values
+        spark.createDataFrame(
+            [(0, 1, 2.0), (0, 2, 1.5), (0, 3, 1.0)],
+            "query_id long, doc_id long, score double",
+        ).write.mode("overwrite").parquet(str(d / "cands"))
+        spark.createDataFrame(
+            [(1, 300.0), (2, 360.0), (3, 900.0)],
+            "doc_id long, value double",
+        ).write.mode("overwrite").parquet(str(d / "dv"))
+        assert cli.main([
+            "decay-rescore", "--candidates", str(d / "cands"),
+            "--doc-values", str(d / "dv"), "--out", str(d / "dec"),
+            "--kind", "gauss", "--origin", "365", "--scale", "90", "--k", "3",
+        ]) == 0
+        assert cli.main([
+            "build-positional-index", "--analyzer", "stop",
+            "--corpus", str(d / "corpus"),
+            "--index", str(d / "anidx"), "--shards", "4",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "anidx"), "--analyzer", "stop",
+            "--queries", str(d / "anq.tsv"), "--out", str(d / "anq"), "--k", "5",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    nb = spark.read.parquet(str(d / "nb"))
+    assert nb.count() > 0
+    assert set(nb.columns) == {"query_id", "rank", "doc_id", "score"}
+    sugg = spark.read.parquet(str(d / "sugg")).collect()
+    assert len(sugg) == 1 and "sort merge" in sugg[0].suggestion
+    agg = spark.read.parquet(str(d / "agg"))
+    assert agg.count() == 3  # one page of 3 buckets
+    assert set(agg.columns) == {"query_id", "key1", "key2", "n_docs", "bucket_rank"}
+    dec = spark.read.parquet(str(d / "dec")).collect()
+    # doc 2 sits nearest the origin -> largest multiplier wins rank 1
+    assert [r.doc_id for r in sorted(dec, key=lambda r: r.rank)][0] == 2
+    anq = spark.read.parquet(str(d / "anq"))
+    assert anq.filter("query_id = 0").count() == 0  # all-stopword query
+    assert anq.filter("query_id = 1").count() > 0
