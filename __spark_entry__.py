@@ -2032,6 +2032,60 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
 
 
+def _chunk_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked documents as an ES-style child table: parent = doc,
+    child = chunk, child_id arithmetic-packed so the oracle can
+    reproduce it (doc_id * 65536 + chunk_id; chunk counts per doc are
+    far below 65536 at the contract window size)."""
+    from embed_rerank_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    return chunks.select(
+        F.col("doc_id").alias("parent_id"),
+        (F.col("doc_id") * 65536 + F.col("chunk_id")).alias("child_id"),
+        F.col("chunk_text").alias("text"),
+    )
+
+
+def q_has_child_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child / nested retrieval: parents (documents) ranked by
+    the MAX BM25 score of their matching children (chunks), child
+    norms computed over the chunk corpus
+    (operators/nesteddocs.py::has_child_topk)."""
+    from embed_rerank_spark.operators.nesteddocs import has_child_topk
+
+    out = has_child_topk(
+        spark, _chunk_children(spark, sf_dir), QUERY_SET, score_mode="max", k=TOP_K
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "parent_id",
+        F.round("score", 6).alias("score"),
+        "n_matching",
+    )
+
+
+def q_has_parent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent retrieval: children (chunks) ranked by their
+    parent document's BM25 score
+    (operators/nesteddocs.py::has_parent_topk)."""
+    from embed_rerank_spark.operators.nesteddocs import has_parent_topk
+
+    out = has_parent_topk(
+        spark,
+        _docs(spark, sf_dir),
+        _chunk_children(spark, sf_dir),
+        QUERY_SET,
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "rank", "child_id", F.round("score", 6).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2141,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "rank_feature_topk": q_rank_feature_topk,
         "chunk_documents": q_chunk_documents,
+        "has_child_topk": q_has_child_topk,
+        "has_parent_topk": q_has_parent_topk,
     }
 
 
@@ -5237,6 +5293,104 @@ SELECT doc_id,
 FROM base, unnest(generate_series(0, nc - 1)) AS s(u)
 """
 
+    # children = chunked documents (parent = doc, child_id arithmetic-
+    # packed as doc_id * 65536 + chunk_id, mirroring _chunk_children)
+    _children_cte = f"""
+ctoksrc AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents
+),
+cbase AS (
+    SELECT doc_id, t, len(t) AS n,
+           CAST(ceil(greatest(len(t) - {CHUNK_OVERLAP}, 1) / {_stride}.0) AS BIGINT)
+               AS nc
+    FROM ctoksrc WHERE len(t) > 0
+),
+children AS (
+    SELECT doc_id AS parent_id,
+           doc_id * 65536 + CAST(u AS BIGINT) AS child_id,
+           t[u * {_stride} + 1 : least(u * {_stride} + {CHUNK_TOKENS}, n)] AS ct
+    FROM cbase, unnest(generate_series(0, nc - 1)) AS s(u)
+),
+ctoks AS (SELECT child_id, unnest(ct) AS term FROM children),
+ctf AS (SELECT child_id, term, count(*) AS tf FROM ctoks GROUP BY child_id, term),
+cdl AS (SELECT child_id, sum(tf) AS dl FROM ctf GROUP BY child_id),
+cstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM cdl),
+cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+cmatched AS (
+    SELECT qt.query_id, ctf.child_id,
+           ln((cstats.n_docs - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+             * (ctf.tf * (1.2 + 1.0))
+             / (ctf.tf + 1.2 * (1.0 - 0.75 + 0.75 * cdl.dl / cstats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN ctf USING (term) JOIN cdf USING (term) JOIN cdl USING (child_id)
+    CROSS JOIN cstats
+),
+cscored AS (
+    SELECT query_id, child_id, sum(term_score) AS score
+    FROM cmatched GROUP BY query_id, child_id
+)"""
+
+    has_child_sql = f"""
+WITH {_children_cte},
+per_parent AS (
+    SELECT query_id, child_id // 65536 AS parent_id,
+           max(score) AS score, count(*) AS n_matching
+    FROM cscored GROUP BY query_id, child_id // 65536
+),
+ranked AS (
+    SELECT query_id, parent_id, score, n_matching,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, parent_id ASC) AS rank
+    FROM per_parent
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       parent_id, round(score, 6) AS score, n_matching
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    has_parent_sql = f"""
+WITH {_TOKS_CTE},
+pmatched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+pscored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM pmatched GROUP BY query_id, doc_id
+),
+ctoksrc AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS t FROM documents
+),
+cbase AS (
+    SELECT doc_id, len(t) AS n,
+           CAST(ceil(greatest(len(t) - {CHUNK_OVERLAP}, 1) / {_stride}.0) AS BIGINT)
+               AS nc
+    FROM ctoksrc WHERE len(t) > 0
+),
+children AS (
+    SELECT doc_id AS parent_id, doc_id * 65536 + CAST(u AS BIGINT) AS child_id
+    FROM cbase, unnest(generate_series(0, nc - 1)) AS s(u)
+),
+fanned AS (
+    SELECT s.query_id, c.child_id, s.score
+    FROM pscored s JOIN children c ON c.parent_id = s.doc_id
+),
+ranked AS (
+    SELECT query_id, child_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, child_id ASC) AS rank
+    FROM fanned
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       child_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
@@ -5343,6 +5497,8 @@ FROM base, unnest(generate_series(0, nc - 1)) AS s(u)
         "boosting_topk": boosting_sql,
         "rank_feature_topk": rank_feature_sql,
         "chunk_documents": chunk_documents_sql,
+        "has_child_topk": has_child_sql,
+        "has_parent_topk": has_parent_sql,
     }
 
 
