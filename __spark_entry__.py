@@ -2086,6 +2086,45 @@ def q_has_parent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 50  # first-iteration pair-count contract window
+BPE_MERGES = 8  # merge steps for the training contract
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration-0 statistics: adjacent symbol pairs of
+    the char+</w> alphabet weighted by word frequency, top
+    BPE_TOP_PAIRS by (count desc, pair asc)
+    (operators/bpe.py::_pair_counts)."""
+    from embed_rerank_spark.operators.bpe import (
+        _initial_symbols,
+        _pair_counts,
+        word_counts,
+    )
+
+    st = _initial_symbols(word_counts(_docs(spark, sf_dir)))
+    return (
+        _pair_counts(st)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(BPE_TOP_PAIRS)
+        .select("a", "b", "cnt")
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    ordered merge table after BPE_MERGES steps. Iterative algorithm —
+    no single-statement SQL oracle; exact parity with a pure-Python
+    reference implementation is pinned in tests/test_bpe.py
+    (operators/bpe.py::bpe_train)."""
+    from embed_rerank_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(spark, _docs(spark, sf_dir), n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step long, a string, b string, cnt long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2197,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "has_child_topk": q_has_child_topk,
         "has_parent_topk": q_has_parent_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -5499,6 +5540,24 @@ FROM ranked WHERE rank <= {TOP_K}
         "chunk_documents": chunk_documents_sql,
         "has_child_topk": has_child_sql,
         "has_parent_topk": has_parent_sql,
+        "bpe_pair_counts": f"""
+WITH words AS (
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest({_TOKENIZE_SQL}) AS word FROM documents)
+    GROUP BY word
+),
+syms AS (
+    SELECT n, list_concat(regexp_extract_all(word, '.'), ['</w>']) AS s
+    FROM words
+),
+pairs AS (
+    SELECT s[u] AS a, s[u + 1] AS b, n
+    FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(u)
+),
+counted AS (SELECT a, b, sum(n) AS cnt FROM pairs GROUP BY a, b)
+SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+FROM counted ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}
+""",
     }
 
 

@@ -1,0 +1,101 @@
+"""Distributed BPE training parity against a pure-Python Sennrich
+reference (pair counting over the word-frequency dict, leftmost
+non-overlapping merge, count-desc/pair-asc tie rule)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from embed_rerank_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_train,
+    bpe_vocab,
+    word_counts,
+)
+
+CORPUS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "wide wider widest new low"),
+    (3, "low new lower newer"),
+]
+
+
+def _ref_bpe(texts: list[str], n_merges: int, min_pair_count: int = 2):
+    words = Counter(w for t in texts for w in t.strip().lower().split())
+    symtab = {w: tuple(list(w) + [END_OF_WORD]) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            seq = symtab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w in symtab:
+            seq, out, i = symtab[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symtab[w] = tuple(out)
+    return merges, symtab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").repartition(7)
+
+
+def test_merges_match_reference(spark, docs):
+    merges, symtab = bpe_train(spark, docs, n_merges=12)
+    ref_merges, ref_symtab = _ref_bpe([t for _, t in CORPUS], 12)
+    assert merges == ref_merges and len(merges) > 3
+    got = {r.word: tuple(r.syms) for r in symtab.collect()}
+    assert got == ref_symtab
+
+
+def test_early_stop_on_min_pair_count(spark):
+    # every word unique, all pair counts 1 -> zero merges at floor 2
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(spark, docs, n_merges=5, min_pair_count=2)
+    assert merges == []
+    # floor 1 merges greedily and still terminates deterministically
+    merges1, _ = bpe_train(spark, docs, n_merges=3, min_pair_count=1)
+    ref1, _ = _ref_bpe(["ab cd ef"], 3, min_pair_count=1)
+    assert merges1 == ref1 and len(merges1) == 3
+
+
+def test_vocab_totals(spark, docs):
+    _, symtab = bpe_train(spark, docs, n_merges=6)
+    vocab = bpe_vocab(symtab).collect()
+    wc = {r.word: r.n for r in word_counts(docs).collect()}
+    syms = {r.word: r.syms for r in symtab.collect()}
+    want: Counter = Counter()
+    for w, seq in syms.items():
+        for s in seq:
+            want[s] += wc[w]
+    got = {r.token: r.total for r in vocab}
+    assert got == dict(want)
+    # ordering pinned: total desc, token asc
+    keys = [(r.token, r.total) for r in vocab]
+    assert keys == sorted(keys, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_partition_invariance(spark, docs):
+    m1, _ = bpe_train(spark, docs, n_merges=8)
+    m2, _ = bpe_train(spark, docs.repartition(3), n_merges=8)
+    assert m1 == m2

@@ -79,6 +79,7 @@ def test_every_query_has_oracle_or_is_documented():
         "rerank_topk",
         "media_pipeline",
         "embed_digest",
+        "bpe_merges",  # iterative; Python-reference parity in test_bpe.py
     }
     assert missing <= documented_rows_only, missing
 
