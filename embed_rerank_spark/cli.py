@@ -391,6 +391,32 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--k", type=int, default=10)
     dr.add_argument("--value-col", default="value")
 
+    hc = sub.add_parser(
+        "has-child",
+        help="ES has_child: rank parents by an aggregate of their "
+        "matching children's BM25 scores (child-corpus norms)",
+    )
+    hc.add_argument("--children", required=True,
+                    help="parquet with parent_id, child_id, text")
+    hc.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    hc.add_argument("--out", required=True)
+    hc.add_argument("--k", type=int, default=10)
+    hc.add_argument("--score-mode", default="max",
+                    choices=["max", "sum", "avg", "min"])
+    hc.add_argument("--min-children", type=int, default=1)
+    hc.add_argument("--max-children", type=int, default=None)
+
+    bpe = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table over the corpus "
+        "(Sennrich subword units; word-frequency-table iterations)",
+    )
+    bpe.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    bpe.add_argument("--merges", type=int, required=True)
+    bpe.add_argument("--out", required=True,
+                     help="output dir: merges/ (step,a,b,cnt) + vocab/ parquet")
+    bpe.add_argument("--min-pair-count", type=int, default=2)
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -801,6 +827,33 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
+        elif args.cmd == "has-child":
+            from .operators.nesteddocs import has_child_topk
+
+            out = has_child_topk(
+                spark,
+                spark.read.parquet(args.children),
+                _read_queries(args.queries),
+                score_mode=args.score_mode,
+                k=args.k,
+                min_children=args.min_children,
+                max_children=args.max_children,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "bpe-train":
+            from .operators.bpe import bpe_train, bpe_vocab
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            merges, symtab = bpe_train(
+                spark, corpus, args.merges, min_pair_count=args.min_pair_count
+            )
+            spark.createDataFrame(
+                [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+                "step long, a string, b string, cnt long",
+            ).write.mode("overwrite").parquet(f"{args.out}/merges")
+            bpe_vocab(symtab).write.mode("overwrite").parquet(f"{args.out}/vocab")
+            print(f"learned {len(merges)} merges -> {args.out}")
         elif args.cmd == "rerank":
             from .operators.postings import InvertedIndex
             from .operators.rerank import rerank_candidates

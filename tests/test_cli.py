@@ -525,3 +525,48 @@ def test_cli_session5_surfaces(spark, tmp_path):
     anq = spark.read.parquet(str(d / "anq"))
     assert anq.filter("query_id = 0").count() == 0  # all-stopword query
     assert anq.filter("query_id = 1").count() > 0
+
+
+def test_cli_has_child_and_bpe_train(spark, tmp_path):
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    spark.createDataFrame(
+        [
+            (10, 101, "alpha beta"),
+            (10, 102, "alpha alpha"),
+            (20, 201, "alpha gamma"),
+            (30, 301, "delta"),
+        ],
+        "parent_id long, child_id long, text string",
+    ).write.mode("overwrite").parquet(str(d / "children"))
+    spark.createDataFrame(
+        [(0, "low lower lowest low low new newer newest new")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(d / "corpus"))
+    (d / "q.tsv").write_text("0\talpha\n")
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "has-child", "--children", str(d / "children"),
+            "--queries", str(d / "q.tsv"), "--out", str(d / "hc"),
+            "--score-mode", "sum", "--min-children", "1",
+        ]) == 0
+        assert cli.main([
+            "bpe-train", "--corpus", str(d / "corpus"),
+            "--merges", "4", "--out", str(d / "bpe"),
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    hc = spark.read.parquet(str(d / "hc"))
+    assert {r.parent_id for r in hc.collect()} == {10, 20}
+    assert set(hc.columns) == {"query_id", "rank", "parent_id", "score", "n_matching"}
+    merges = spark.read.parquet(str(d / "bpe" / "merges"))
+    assert merges.count() == 4
+    vocab = spark.read.parquet(str(d / "bpe" / "vocab"))
+    assert vocab.count() > 0 and set(vocab.columns) == {"token", "n_words", "total"}
