@@ -2125,6 +2125,35 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOST_FIELDS_BOOSTS = (2.0, 1.0)  # title^2 body — the ES most_fields idiom
+RANDOM_SCORE_SEED = "42"
+
+
+def q_most_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match most_fields (operators/bm25.py::
+    most_fields_topk_bruteforce): per-field BM25 statistics, score =
+    boost-weighted SUM over fields (title^2)."""
+    from embed_rerank_spark.operators.bm25 import most_fields_topk_bruteforce
+
+    out = most_fields_topk_bruteforce(
+        spark, _docs(spark, sf_dir), QUERY_SET, k=TOP_K,
+        field_boosts=MOST_FIELDS_BOOSTS,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score random_score (operators/bm25.py::
+    random_score_topk): the match set ranked by a deterministic
+    per-(seed, doc) md5 uniform."""
+    from embed_rerank_spark.operators.bm25 import random_score_topk
+
+    out = random_score_topk(
+        spark, _docs(spark, sf_dir), QUERY_SET, seed=RANDOM_SCORE_SEED, k=TOP_K
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2238,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_topk": q_has_parent_topk,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "most_fields_topk": q_most_fields_topk,
+        "random_score": q_random_score,
     }
 
 
@@ -4733,6 +4764,55 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    most_fields_sql = f"""
+WITH fd AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+tdoc AS (SELECT doc_id, toks[1:least(8, len(toks))] AS ftoks FROM fd),
+bdoc AS (SELECT doc_id, CASE WHEN len(toks) > 8 THEN toks[9:len(toks)]
+                             ELSE []::VARCHAR[] END AS ftoks FROM fd),
+{_dismax_field_cte.format(x='t', qt=qt)},
+{_dismax_field_cte.format(x='b', qt=qt)},
+fpair AS (
+    SELECT query_id, doc_id, coalesce(tsc.s, 0.0) AS st, coalesce(bsc.s, 0.0) AS sb
+    FROM tsc FULL OUTER JOIN bsc USING (query_id, doc_id)
+),
+scored AS (
+    SELECT query_id, doc_id,
+           {MOST_FIELDS_BOOSTS[0]} * st + {MOST_FIELDS_BOOSTS[1]} * sb AS score
+    FROM fpair
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    random_score_sql = f"""
+WITH {_TOKS_CTE},
+matches AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+scored AS (
+    SELECT query_id, doc_id,
+           CAST(concat('0x', substr(
+               md5('{RANDOM_SCORE_SEED}' || ':' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) / CAST(power(16, 15) AS DOUBLE) AS score
+    FROM matches
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     _cross_field_cte = """
 {x}tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(ftoks) AS term FROM {x}doc) GROUP BY doc_id, term),
 {x}dl AS (SELECT doc_id, len(ftoks) AS dl FROM {x}doc),
@@ -5558,6 +5638,8 @@ counted AS (SELECT a, b, sum(n) AS cnt FROM pairs GROUP BY a, b)
 SELECT a, b, CAST(cnt AS BIGINT) AS cnt
 FROM counted ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}
 """,
+        "most_fields_topk": most_fields_sql,
+        "random_score": random_score_sql,
     }
 
 

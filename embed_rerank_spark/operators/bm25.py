@@ -615,6 +615,91 @@ def dismax_topk_bruteforce(
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
 
 
+def most_fields_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    field_boosts: tuple[float, float] = (1.0, 1.0),
+    title_len: int = TITLE_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ``multi_match`` type
+    ``most_fields`` — the third member of the ES multi-field family
+    (best_fields = ``dismax_topk_bruteforce``, cross_fields =
+    ``cross_fields_topk_bruteforce``): each field scores as its own
+    BM25 corpus and a doc's score is the BOOST-WEIGHTED SUM of its
+    per-field scores, rewarding docs that say the same thing in many
+    fields (the inverse preference of best_fields).
+
+    Scale shape identical to dis_max: one brute plan per per-field
+    projection of the same scan, one full-outer join of two already-
+    aggregated (query, doc)-keyed tables."""
+    fields = split_fields(docs, title_len)
+    qt = query_terms(spark, queries)
+    w_title, w_body = field_boosts
+    st = bm25_scores_bruteforce(fields["title"], qt, k1, b).withColumnRenamed(
+        "score", "s_title"
+    )
+    sb = bm25_scores_bruteforce(fields["body"], qt, k1, b).withColumnRenamed(
+        "score", "s_body"
+    )
+    scored = st.join(sb, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            w_title * F.coalesce("s_title", F.lit(0.0))
+            + w_body * F.coalesce("s_body", F.lit(0.0))
+        ).alias("score"),
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def random_score_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    seed: str = "0",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES ``function_score`` with
+    ``random_score`` — the match set (docs sharing >= 1 query term)
+    ranked by a DETERMINISTIC per-(seed, doc) uniform in [0, 1):
+    ``conv(md5(seed || ':' || doc_id)[:15], 16, 10) / 16^15``. Same
+    seed -> same order across runs, engines (the md5 is the DuckDB
+    oracle's too), and partitionings; a new seed reshuffles. The
+    standard "show me a random sample of matching docs" surface.
+
+    Scale shape: one broadcast semi-join builds the match set, the
+    uniform is a pure JVM projection, top-k per query as usual —
+    no corpus-wide sort."""
+    qterms = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matches = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    scored = matches.withColumn("score", u)
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
 def boosting_topk_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

@@ -121,3 +121,57 @@ def test_cross_fields_single_field_degenerates_to_bm25(spark):
     bm = [(r["rank"], r["doc_id"], round(r["score"], 6)) for r in
           bm25_topk_bruteforce(spark, docs, q, k=5).collect()]
     assert cf == bm
+
+
+def test_most_fields_is_boost_weighted_sum(spark):
+    """most_fields == w_t * title-BM25 + w_b * body-BM25; with
+    tie_breaker=1 and unit boosts it equals dis_max exactly (max +
+    1.0 * rest == sum)."""
+    from embed_rerank_spark.operators.bm25 import (
+        dismax_topk_bruteforce,
+        most_fields_topk_bruteforce,
+    )
+
+    rows = [
+        (1, "scan fast table body words about scan here scan again"),
+        (2, "other title terms entirely scan scan scan scan scan scan"),
+        (3, "scan table scan table filler filler filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = [(1, "scan table")]
+    mf = {(r.doc_id): round(r.score, 9) for r in
+          most_fields_topk_bruteforce(
+              spark, docs, q, k=5, title_len=4, field_boosts=(1.0, 1.0)
+          ).collect()}
+    dm1 = {(r.doc_id): round(r.score, 9) for r in
+           dismax_topk_bruteforce(
+               spark, docs, q, k=5, title_len=4, tie_breaker=1.0
+           ).collect()}
+    assert mf == dm1 and mf
+    # a title boost reorders: doc whose match sits in the title gains
+    mf2 = {r.doc_id: r.score for r in
+           most_fields_topk_bruteforce(
+               spark, docs, q, k=5, title_len=4, field_boosts=(3.0, 1.0)
+           ).collect()}
+    mf1 = {r.doc_id: r.score for r in
+           most_fields_topk_bruteforce(
+               spark, docs, q, k=5, title_len=4, field_boosts=(1.0, 1.0)
+           ).collect()}
+    assert all(mf2[d] >= mf1[d] - 1e-12 for d in mf1)
+    assert mf2[3] > mf1[3] + 1e-9  # doc 3's terms are all in the title
+
+
+def test_random_score_deterministic_and_seed_sensitive(spark):
+    from embed_rerank_spark.operators.bm25 import random_score_topk
+
+    rows = [(i, f"w{i % 5} common") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = [(0, "common")]
+    a = [(r.rank, r.doc_id, round(r.score, 9)) for r in
+         random_score_topk(spark, docs, q, seed="s1", k=10).collect()]
+    b = [(r.rank, r.doc_id, round(r.score, 9)) for r in
+         random_score_topk(spark, docs.repartition(5), q, seed="s1", k=10).collect()]
+    assert a == b  # same seed, partitioning-invariant
+    c = [r.doc_id for r in random_score_topk(spark, docs, q, seed="s2", k=10).collect()]
+    assert c != [d for _, d, _ in a]  # a new seed reshuffles
+    assert all(0.0 <= s < 1.0 for _, _, s in a)
