@@ -2154,6 +2154,31 @@ def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+DSIR_BUDGET = 100
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"  # "make the crawl look like src0"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): keep the DSIR_BUDGET
+    docs whose hashed unigram+bigram distribution is most like the
+    DSIR_TARGET_SOURCE subset (operators/dsir.py::dsir_select)."""
+    from embed_rerank_spark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_select(
+        docs,
+        docs.filter(F.col("source") == DSIR_TARGET_SOURCE),
+        budget=DSIR_BUDGET,
+        n_buckets=DSIR_BUCKETS,
+    )
+    return out.select(
+        "doc_id",
+        F.round("weight", 6).alias("weight"),
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2269,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "most_fields_topk": q_most_fields_topk,
         "random_score": q_random_score,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -5640,6 +5666,53 @@ FROM counted ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}
 """,
         "most_fields_topk": most_fields_sql,
         "random_score": random_score_sql,
+        "dsir_select": f"""
+WITH rt AS (SELECT doc_id, source, {_TOKENIZE_SQL} AS t FROM documents),
+grams AS (
+    SELECT doc_id, source,
+           unnest(list_concat(
+               t, [t[u] || ' ' || t[u + 1] FOR u IN generate_series(1, len(t) - 1)]
+           )) AS gram
+    FROM rt
+),
+feats AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket,
+           count(*) AS cnt
+    FROM grams GROUP BY doc_id, source, bucket
+),
+rtot AS (SELECT bucket, sum(cnt) AS total FROM feats GROUP BY bucket),
+rden AS (SELECT sum(total) + 1.0 * {DSIR_BUCKETS} AS denom FROM rtot),
+praw AS (
+    SELECT bucket, ln((total + 1.0) / denom) AS lr FROM rtot CROSS JOIN rden
+),
+ttot AS (
+    SELECT bucket, sum(cnt) AS total
+    FROM feats WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+),
+tden AS (SELECT sum(total) + 1.0 * {DSIR_BUCKETS} AS denom FROM ttot),
+ptgt AS (
+    SELECT bucket, ln((total + 1.0) / denom) AS lt FROM ttot CROSS JOIN tden
+),
+weights AS (
+    SELECT f.doc_id,
+           sum(f.cnt * (coalesce(p.lt, (SELECT ln(1.0 / denom) FROM tden))
+                        - r.lr)) AS weight
+    FROM feats f
+    JOIN praw r USING (bucket)
+    LEFT JOIN ptgt p USING (bucket)
+    GROUP BY f.doc_id
+),
+ranked AS (
+    SELECT doc_id, weight,
+           row_number() OVER (ORDER BY round(weight, 6) DESC, doc_id ASC)
+               AS sel_rank
+    FROM weights
+)
+SELECT doc_id, round(weight, 6) AS weight, CAST(sel_rank AS BIGINT) AS sel_rank
+FROM ranked WHERE sel_rank <= {DSIR_BUDGET}
+""",
     }
 
 

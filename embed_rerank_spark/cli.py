@@ -417,6 +417,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="output dir: merges/ (step,a,b,cnt) + vocab/ parquet")
     bpe.add_argument("--min-pair-count", type=int, default=2)
 
+    ds = sub.add_parser(
+        "dsir-select",
+        help="DSIR data selection: keep the budget docs whose hashed "
+        "n-gram distribution is most like the target corpus",
+    )
+    ds.add_argument("--corpus", required=True, help="raw parquet with doc_id, text")
+    ds.add_argument("--target", required=True, help="target parquet with doc_id, text")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--budget", type=int, required=True)
+    ds.add_argument("--buckets", type=int, default=8192)
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -854,6 +865,17 @@ def main(argv: list[str] | None = None) -> int:
             ).write.mode("overwrite").parquet(f"{args.out}/merges")
             bpe_vocab(symtab).write.mode("overwrite").parquet(f"{args.out}/vocab")
             print(f"learned {len(merges)} merges -> {args.out}")
+        elif args.cmd == "dsir-select":
+            from .operators.dsir import dsir_select
+
+            out = dsir_select(
+                spark.read.parquet(args.corpus).select("doc_id", "text"),
+                spark.read.parquet(args.target).select("doc_id", "text"),
+                budget=args.budget,
+                n_buckets=args.buckets,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
         elif args.cmd == "rerank":
             from .operators.postings import InvertedIndex
             from .operators.rerank import rerank_candidates

@@ -570,3 +570,30 @@ def test_cli_has_child_and_bpe_train(spark, tmp_path):
     assert merges.count() == 4
     vocab = spark.read.parquet(str(d / "bpe" / "vocab"))
     assert vocab.count() > 0 and set(vocab.columns) == {"token", "n_words", "total"}
+
+
+def test_cli_dsir_select(spark, tmp_path):
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(str(d / "raw"))
+    docs.filter("source = 'src0'").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(str(d / "tgt"))
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "dsir-select", "--corpus", str(d / "raw"), "--target", str(d / "tgt"),
+            "--out", str(d / "sel"), "--budget", "50", "--buckets", "256",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    sel = spark.read.parquet(str(d / "sel"))
+    assert sel.count() == 50
+    assert set(sel.columns) == {"doc_id", "weight", "sel_rank"}
