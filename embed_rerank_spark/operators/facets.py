@@ -168,6 +168,56 @@ def stats_facets(
     return joined.groupBy("query_id").agg(*aggs)
 
 
+def approx_stats_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    cardinality_col: str,
+    percentiles: list[float],
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, n_distinct_approx, pcts) — the 100 TB form
+    of ``stats_facets`` + ``percentiles_facets``: Elasticsearch's
+    ACTUAL defaults are sketches, and so are Spark's —
+    ``approx_count_distinct`` is HyperLogLog++ (relative error
+    ``rsd``, ES ``cardinality`` ditto) and ``percentile_approx`` is
+    the mergeable quantile sketch behind ES ``percentiles``
+    (rank error ~ 1/``accuracy``). Both are COMBINABLE map-side
+    partial aggregates with constant-size state, so the per-group
+    memory that bounds the exact forms (a count-distinct expand, a
+    per-group value buffer) disappears: corpus-scale match sets
+    aggregate in one pass at fixed memory per partition.
+
+    Not oracle-hashable by construction (sketch internals differ
+    across engines); the contract instead pins error bounds against
+    the exact operators in ``tests/test_facets_mlt.py``."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(cardinality_col).alias("_c"),
+    )
+    pcts = [float(p) for p in percentiles]
+    return matched.join(vals, "doc_id").groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("_c", rsd).alias("n_distinct_approx"),
+        F.percentile_approx(
+            F.col("_v"), F.array(*[F.lit(p) for p in pcts]), accuracy
+        ).alias("pcts"),
+    )
+
+
 def date_histogram(
     spark: SparkSession,
     docs: DataFrame,

@@ -304,3 +304,57 @@ def test_composite_agg_after_key_is_strict(spark, docs):
     assert rows
     for r in rows:
         assert (r["key1"], r["key2"]) > after
+
+
+def test_approx_stats_error_bounds(spark):
+    """The sketch forms track the exact aggregations within their
+    published bounds: HLL++ n_distinct within 3*rsd relative error,
+    percentile_approx within the rank-error window of the exact
+    percentile (here: exact at accuracy >> n, loose band at small
+    accuracy)."""
+    from embed_rerank_spark.operators.facets import (
+        approx_stats_facets,
+        percentiles_facets,
+        stats_facets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = [(0, "data"), (1, "scan table")]
+    pcts = [0.25, 0.5, 0.9]
+
+    exact = {
+        r.query_id: r
+        for r in stats_facets(
+            spark, docs, queries, value_col="n_chars", cardinality_col="source"
+        ).collect()
+    }
+    exact_p = {
+        (r.query_id, r.pct): r.value
+        for r in percentiles_facets(
+            spark, docs, queries, value_col="n_chars", percentiles=pcts
+        ).collect()
+    }
+    approx = {
+        r.query_id: r
+        for r in approx_stats_facets(
+            spark,
+            docs,
+            queries,
+            value_col="n_chars",
+            cardinality_col="source",
+            percentiles=pcts,
+            rsd=0.05,
+            accuracy=10000,
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for qid, r in approx.items():
+        assert r.n_docs == exact[qid].n_docs  # count is exact either way
+        nd = exact[qid].n_distinct
+        assert abs(r.n_distinct_approx - nd) <= max(1, 3 * 0.05 * nd)
+        for p, got in zip(pcts, r.pcts):
+            want = exact_p[(qid, p)]
+            # accuracy=10000 >> n: rank error < 1 -> an exact order
+            # statistic; linear interpolation differs by < one step
+            lo, hi = want * 0.9 - 1, want * 1.1 + 1
+            assert lo <= got <= hi, (qid, p, got, want)
