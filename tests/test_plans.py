@@ -355,3 +355,43 @@ def test_session3_ops_broadcast_and_no_cartesian(spark):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastHashJoin" in plan, plan
     assert "Exchange" not in _plan(chunk_documents(docs, 32, 8))
+
+
+def test_session5_ops_broadcast_and_no_cartesian(spark):
+    """Session-5 ops keep the scale shape: query/model sides broadcast,
+    no cartesian products anywhere (the decay/boolquery CROSS JOINs of
+    one-row stats plan as broadcast nested loops, never a shuffle
+    cartesian)."""
+    from embed_rerank_spark.operators.bm25 import (
+        most_fields_topk_bruteforce,
+        random_score_topk,
+    )
+    from embed_rerank_spark.operators.boolquery import Bool, nested_bool_topk
+    from embed_rerank_spark.operators.dsir import dsir_select, importance_weights
+    from embed_rerank_spark.operators.nesteddocs import (
+        has_child_topk,
+        has_parent_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    children = docs.selectExpr(
+        "doc_id as parent_id", "doc_id * 2 as child_id", "text"
+    )
+    qs = [(0, "the data")]
+    trees = [(0, Bool(must=["data"], should=["scan", "table"]))]
+    tgt = docs.filter("source = 'src0'")
+    for df in (
+        has_child_topk(spark, children, qs, k=5),
+        has_parent_topk(spark, docs, children, qs, k=5),
+        most_fields_topk_bruteforce(spark, docs, qs, k=5),
+        random_score_topk(spark, docs, qs, k=5),
+        nested_bool_topk(spark, docs, trees, k=5),
+        importance_weights(docs, tgt, n_buckets=64),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    # the DSIR prefix-count cut materializes eagerly; guard its
+    # weights stage instead (above) and its output size here
+    sel = dsir_select(docs, tgt, budget=10, n_buckets=64)
+    assert sel.count() == 10
