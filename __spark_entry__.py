@@ -2179,6 +2179,18 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADJ_FILTERS = [("data", "data"), ("scan", "scan"), ("sort", "sort"), ("tbl", "table")]
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: per-filter and per-filter-pair
+    intersection doc counts over named term filters
+    (operators/facets.py::adjacency_matrix)."""
+    from embed_rerank_spark.operators.facets import adjacency_matrix
+
+    return adjacency_matrix(spark, _docs(spark, sf_dir), ADJ_FILTERS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2295,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_fields_topk": q_most_fields_topk,
         "random_score": q_random_score,
         "dsir_select": q_dsir_select,
+        "adjacency_matrix": q_adjacency_matrix,
     }
 
 
@@ -5712,6 +5725,30 @@ ranked AS (
 )
 SELECT doc_id, round(weight, 6) AS weight, CAST(sel_rank AS BIGINT) AS sel_rank
 FROM ranked WHERE sel_rank <= {DSIR_BUDGET}
+""",
+        "adjacency_matrix": f"""
+WITH flt(name, term) AS (
+    VALUES {", ".join(f"('{n}', '{t}')" for n, t in ADJ_FILTERS)}
+),
+toks AS (
+    SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents
+),
+membership AS (
+    SELECT DISTINCT t.doc_id, f.name
+    FROM toks t JOIN flt f USING (term)
+),
+singles AS (
+    SELECT name AS key, count(*) AS n_docs FROM membership GROUP BY name
+),
+pairs AS (
+    SELECT a.name || '&' || b.name AS key, count(*) AS n_docs
+    FROM membership a JOIN membership b USING (doc_id)
+    WHERE a.name < b.name
+    GROUP BY a.name || '&' || b.name
+)
+SELECT key, CAST(n_docs AS BIGINT) AS n_docs FROM singles
+UNION ALL
+SELECT key, CAST(n_docs AS BIGINT) AS n_docs FROM pairs
 """,
     }
 

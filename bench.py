@@ -310,6 +310,22 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 ksub=16, refine=50,
             ).write.mode("overwrite").parquet(f"{tmp}/ivfpq")
             extra["ivf_pq_topk_64"] = round(time.perf_counter() - t0, 3)
+            # LLM-pipeline throughput: DSIR selection toward the
+            # first-source subset, and 8 BPE merges (one corpus pass +
+            # vocabulary-sized iterations) over the extracted corpus
+            from embed_rerank_spark.operators.bpe import bpe_train  # noqa: PLC0415
+            from embed_rerank_spark.operators.dsir import dsir_select  # noqa: PLC0415
+
+            docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            t0 = time.perf_counter()
+            dsir_select(
+                docs_tbl, docs_tbl.filter(F.col("source") == "src0"),
+                budget=1000,
+            ).write.mode("overwrite").parquet(f"{tmp}/dsir")
+            extra["dsir_select"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            bpe_train(spark, corpus_df, n_merges=8)
+            extra["bpe_train_8"] = round(time.perf_counter() - t0, 3)
             timings["_extra"] = extra
 
         # --- tiered-compaction side metrics (reported under "tiered",

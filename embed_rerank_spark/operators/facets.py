@@ -218,6 +218,51 @@ def approx_stats_facets(
     )
 
 
+def adjacency_matrix(
+    spark: SparkSession,
+    docs: DataFrame,
+    filters: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, n_docs) — the Elasticsearch ``adjacency_matrix``
+    aggregation: for named term filters, one bucket per filter
+    (``key = name``) counting its matching docs, and one per
+    UNORDERED filter pair (``key = nameA&nameB``, names sorted)
+    counting the intersection; empty buckets absent (the ES
+    min_doc_count=1 behavior). The co-occurrence / market-basket
+    surface ("docs matching both 'gpu' and 'python'").
+
+    Scale shape: one broadcast semi-join marks (doc, name) membership
+    (distinct-collapsed), then the pair space comes from a self-join
+    ON doc_id whose per-doc fan-out is bounded by len(filters)^2 —
+    ES caps filters at 100 for exactly this reason — followed by one
+    combinable count agg. No corpus-sized shuffle beyond the tf
+    table's."""
+    fdf = spark.createDataFrame(filters, "name string, term string")
+    tf = term_freqs(docs, id_col, text_col)
+    membership = (
+        F.broadcast(fdf)
+        .join(tf.select("doc_id", "term"), "term")
+        .select("doc_id", "name")
+        .distinct()
+    )
+    singles = membership.groupBy(F.col("name").alias("key")).agg(
+        F.count("*").alias("n_docs")
+    )
+    m2 = membership.select("doc_id", F.col("name").alias("name2"))
+    pairs = (
+        membership.join(m2, "doc_id")
+        .filter(F.col("name") < F.col("name2"))
+        .select(
+            F.concat(F.col("name"), F.lit("&"), F.col("name2")).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return singles.unionByName(pairs)
+
+
 def date_histogram(
     spark: SparkSession,
     docs: DataFrame,

@@ -358,3 +358,28 @@ def test_approx_stats_error_bounds(spark):
             # statistic; linear interpolation differs by < one step
             lo, hi = want * 0.9 - 1, want * 1.1 + 1
             assert lo <= got <= hi, (qid, p, got, want)
+
+
+def test_adjacency_matrix_buckets(spark):
+    from embed_rerank_spark.operators.facets import adjacency_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "gpu python fast"),
+            (2, "gpu slow"),
+            (3, "python gpu gpu"),
+            (4, "rust only"),
+            (5, "python rust"),
+        ],
+        "doc_id long, text string",
+    )
+    filters = [("gpu", "gpu"), ("py", "python"), ("rs", "rust")]
+    got = {r.key: r.n_docs for r in adjacency_matrix(spark, docs, filters).collect()}
+    assert got == {
+        "gpu": 3,
+        "py": 3,
+        "rs": 2,
+        "gpu&py": 2,   # docs 1, 3 (tf>1 collapses to one membership)
+        "py&rs": 1,    # doc 5
+        # gpu&rs absent: empty intersection (min_doc_count=1)
+    }
