@@ -2182,6 +2182,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADJ_FILTERS = [("data", "data"), ("scan", "scan"), ("sort", "sort"), ("tbl", "table")]
 
 
+def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: per-doc minimum_should_match read from a
+    doc field (derived deterministically as 1 + doc_id % 3)
+    (operators/bm25.py::terms_set_topk)."""
+    from embed_rerank_spark.operators.bm25 import terms_set_topk
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "required_matches", F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))
+    )
+    out = terms_set_topk(spark, docs, QUERY_SET, "required_matches", k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter and per-filter-pair
     intersection doc counts over named term filters
@@ -2308,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": q_random_score,
         "dsir_select": q_dsir_select,
         "adjacency_matrix": q_adjacency_matrix,
+        "terms_set_topk": q_terms_set_topk,
     }
 
 
@@ -5749,6 +5763,36 @@ pairs AS (
 SELECT key, CAST(n_docs AS BIGINT) AS n_docs FROM singles
 UNION ALL
 SELECT key, CAST(n_docs AS BIGINT) AS n_docs FROM pairs
+""",
+        "terms_set_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score,
+           count(*) AS matched_terms
+    FROM matched GROUP BY query_id, doc_id
+),
+qual AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s
+    WHERE s.matched_terms >= 1 + (s.doc_id % 3)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM qual
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """,
     }
 

@@ -430,6 +430,66 @@ def bm25_topk_msm_bruteforce(
     return topk(qual, k).select("query_id", "rank", "doc_id", "score")
 
 
+def terms_set_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    msm_field: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch ``terms_set``
+    query — like minimum_should_match, but the minimum is PER
+    DOCUMENT, read from ``msm_field`` (the
+    ``minimum_should_match_field`` contract: e.g. a doc that stores
+    required_matches=3 needs 3 distinct query terms, its neighbor
+    with 1 needs only 1). Scoring is the plain disjunctive Okapi sum
+    over qualifying docs.
+
+    Scale shape: identical to the static-msm scorer — the per-doc
+    minimum joins in with the doc-length projection (same doc-keyed
+    join, no new shuffle) and the HAVING filter compares the rideshare
+    matched-term count against it."""
+    qt = query_terms(spark, queries)
+    tfdl = term_freqs_dl(docs, id_col, text_col)
+    dl = doc_lengths_direct(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf", "avgdl")
+    )
+    matched = (
+        F.broadcast(qt)
+        .join(tfdl, "term")
+        .join(idf, "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+    minima = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(msm_field).alias("_msm")
+    )
+    qual = scored.join(minima, "doc_id").filter(
+        F.col("matched_terms") >= F.col("_msm")
+    )
+    return topk(qual, k).select("query_id", "rank", "doc_id", "score")
+
+
 def bm25_topk_conjunctive_bruteforce(
     spark: SparkSession,
     docs: DataFrame,

@@ -175,3 +175,41 @@ def test_random_score_deterministic_and_seed_sensitive(spark):
     c = [r.doc_id for r in random_score_topk(spark, docs, q, seed="s2", k=10).collect()]
     assert c != [d for _, d, _ in a]  # a new seed reshuffles
     assert all(0.0 <= s < 1.0 for _, _, s in a)
+
+
+def test_terms_set_per_doc_minimum(spark):
+    """terms_set honors each doc's own minimum: identical content,
+    different required_matches -> different qualification."""
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_topk_msm_bruteforce,
+        terms_set_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan table fast", 1),
+            (2, "scan table fast", 2),
+            (3, "scan table fast", 3),
+            (4, "scan only here", 1),
+            (5, "scan only here", 2),
+        ],
+        "doc_id long, text string, req long",
+    )
+    q = [(0, "scan table")]
+    got = {r.doc_id for r in terms_set_topk(spark, docs, q, "req", k=10).collect()}
+    # docs 1-2 match 2 terms (req 1, 2 ok; doc 3 needs 3 > 2 -> out);
+    # doc 4 matches 1 term (req 1 ok); doc 5 needs 2 > 1 -> out
+    assert got == {1, 2, 4}
+    # with a constant minimum the result equals static msm
+    docs_const = docs.withColumn("req", docs.req * 0 + 2)
+    a = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in terms_set_topk(spark, docs_const, q, "req", k=10).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in bm25_topk_msm_bruteforce(
+            spark, docs_const.select("doc_id", "text"), q, k=10, msm=2
+        ).collect()
+    )
+    assert a == b and a
