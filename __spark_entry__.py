@@ -2195,6 +2195,32 @@ def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+HIST_INTERVAL = 200.0
+PIN_SET = [(1, [7, 3]), (3, [499, 0]), (5, [42])]
+
+
+def q_histogram_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric histogram aggregation: distinct matching docs per
+    fixed-width n_chars bucket (operators/facets.py::
+    histogram_facets)."""
+    from embed_rerank_spark.operators.facets import histogram_facets
+
+    return histogram_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", HIST_INTERVAL
+    )
+
+
+def q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: curated ids first in listed order, organic
+    BM25 fills the rest (operators/facets.py::pinned_topk)."""
+    from embed_rerank_spark.operators.facets import pinned_topk
+
+    out = pinned_topk(spark, _docs(spark, sf_dir), QUERY_SET, PIN_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score"), "pinned"
+    )
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter and per-filter-pair
     intersection doc counts over named term filters
@@ -2322,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "adjacency_matrix": q_adjacency_matrix,
         "terms_set_topk": q_terms_set_topk,
+        "histogram_facets": q_histogram_facets,
+        "pinned_topk": q_pinned_topk,
     }
 
 
@@ -5792,6 +5820,57 @@ ranked AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "histogram_facets": f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents
+),
+matched AS (
+    SELECT DISTINCT qt.query_id, t.doc_id
+    FROM {qt} JOIN toks t USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket_lo,
+       count(*) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL}
+""",
+        "pinned_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+pins(query_id, doc_id, pin_pos) AS (
+    VALUES {", ".join(f"({qid}, {did}, {pos})" for qid, ids in PIN_SET for pos, did in enumerate(ids))}
+),
+unioned AS (
+    SELECT coalesce(s.query_id, p.query_id) AS query_id,
+           coalesce(s.doc_id, p.doc_id) AS doc_id,
+           coalesce(s.score, 0.0) AS score,
+           p.pin_pos IS NOT NULL AS pinned,
+           coalesce(p.pin_pos, 2147483648) AS pin_pos
+    FROM scored s FULL OUTER JOIN pins p USING (query_id, doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score, pinned,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pinned DESC, pin_pos ASC,
+                                       round(score, 6) DESC, doc_id ASC) AS rank
+    FROM unioned
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score, pinned
 FROM ranked WHERE rank <= {TOP_K}
 """,
     }

@@ -218,6 +218,111 @@ def approx_stats_facets(
     )
 
 
+def histogram_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    interval: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_lo, n_docs) — the Elasticsearch numeric
+    ``histogram`` aggregation: distinct matching docs per fixed-width
+    bucket, ``bucket_lo = floor(v / interval) * interval`` (the ES
+    bucket-key rule), ``min_doc_count=1`` (empty buckets absent).
+    The fixed-interval sibling of ``range_facets``' explicit
+    boundaries and ``date_histogram``'s calendar buckets.
+
+    Same matching-set shape as ``facet_counts``; the bucket key is one
+    codegen'd floor expression, the count one combinable hash agg."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            F.floor(F.col(value_col).cast("double") / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).alias("bucket_lo"),
+    )
+    return (
+        matched.join(vals, "doc_id")
+        .groupBy("query_id", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def pinned_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    pins: list[tuple[int, list[int]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, pinned) — the Elasticsearch
+    ``pinned`` query: per query, the listed doc ids come FIRST in
+    their listed order (score null-equivalent, emitted as the organic
+    score when the doc also matches, else 0), then organic BM25
+    results (pinned docs removed) fill the remaining ranks. The
+    editorial-curation surface ("always show the landing page for
+    this query").
+
+    Scale shape: the pin list is planning-sized and broadcasts as a
+    (query_id, doc_id, pin_pos) table into the scored stream; ranking
+    is the usual per-query window with (is_pinned desc, pin_pos asc)
+    prepended to the engine tie rule."""
+    from .bm25 import bm25_scores_bruteforce, query_terms
+
+    qterms = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qterms, k1=k1, b=b,
+                                    id_col=id_col, text_col=text_col)
+    pin_rows = [
+        (qid, did, pos)
+        for qid, ids in pins
+        for pos, did in enumerate(ids)
+    ]
+    pdf = spark.createDataFrame(
+        pin_rows or [(None, None, None)],
+        "query_id long, doc_id long, pin_pos long",
+    ).filter(F.col("query_id").isNotNull())
+    # full-outer joins can't broadcast (both sides may produce
+    # unmatched rows); the pin side is planning-sized, so the shuffle
+    # it adds is one tiny exchange on the already-aggregated stream
+    joined = scored.join(pdf, ["query_id", "doc_id"], "full_outer")
+    both = joined.select(
+        "query_id",
+        "doc_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.col("pin_pos").isNotNull().alias("pinned"),
+        F.coalesce("pin_pos", F.lit(2**31)).alias("pin_pos"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pinned"),
+        F.asc("pin_pos"),
+        F.desc(F.round(F.col("score"), 6)),
+        F.asc("doc_id"),
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "pinned")
+    )
+
+
 def adjacency_matrix(
     spark: SparkSession,
     docs: DataFrame,

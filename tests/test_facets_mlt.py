@@ -383,3 +383,49 @@ def test_adjacency_matrix_buckets(spark):
         "py&rs": 1,    # doc 5
         # gpu&rs absent: empty intersection (min_doc_count=1)
     }
+
+
+def test_histogram_facets_bucket_rule(spark):
+    from embed_rerank_spark.operators.facets import histogram_facets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan", 50),
+            (2, "scan", 199),
+            (3, "scan", 200),
+            (4, "scan", 450),
+            (5, "other", 450),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r.query_id, r.bucket_lo): r.n_docs
+        for r in histogram_facets(spark, docs, [(0, "scan")], "n_chars", 200.0).collect()
+    }
+    assert got == {(0, 0.0): 2, (0, 200.0): 1, (0, 400.0): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_facets(spark, docs, [(0, "scan")], "n_chars", 0)
+
+
+def test_pinned_topk_order(spark):
+    from embed_rerank_spark.operators.facets import pinned_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan scan scan"),
+            (2, "scan scan"),
+            (3, "scan"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = [(0, "scan")]
+    out = sorted(
+        (r.rank, r.doc_id, r.pinned) for r in
+        pinned_topk(spark, docs, q, [(0, [3, 4])], k=4).collect()
+    )
+    # pins first in listed order (4 never matches organically but IS
+    # returned), then organic by score with pinned docs deduped
+    assert out == [(1, 3, True), (2, 4, True), (3, 1, False), (4, 2, False)]
