@@ -2221,6 +2221,23 @@ def q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSITIVES_SET = [(1, [7, 3, 22]), (2, [11]), (5, [42, 0])]
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-k BM25 docs
+    per query minus the labeled positives
+    (operators/mining.py::mine_hard_negatives)."""
+    from embed_rerank_spark.operators.mining import mine_hard_negatives
+
+    out = mine_hard_negatives(
+        spark, _docs(spark, sf_dir), QUERY_SET, POSITIVES_SET, k=TOP_K
+    )
+    return out.select(
+        "query_id", "neg_rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter and per-filter-pair
     intersection doc counts over named term filters
@@ -2350,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set_topk": q_terms_set_topk,
         "histogram_facets": q_histogram_facets,
         "pinned_topk": q_pinned_topk,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -5872,6 +5890,38 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score, pinned
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "hard_negatives": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+pos(query_id, doc_id) AS (
+    VALUES {", ".join(f"({qid}, {did})" for qid, ids in POSITIVES_SET for did in ids)}
+),
+negs AS (
+    SELECT s.* FROM scored s
+    ANTI JOIN pos p USING (query_id, doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS neg_rank
+    FROM negs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE neg_rank <= {TOP_K}
 """,
     }
 
