@@ -58,14 +58,21 @@ def has_child_topk(
     k: int = 10,
     min_children: int = 1,
     max_children: int | None = None,
+    inner_hits: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
     parent_col: str = "parent_id",
     id_col: str = "child_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(query_id, rank, parent_id, score, n_matching): top-k parents
-    per query under ``score_mode`` over matching-child BM25 scores."""
+    """(query_id, rank, parent_id, score, n_matching[, hits]): top-k
+    parents per query under ``score_mode`` over matching-child BM25
+    scores. ``inner_hits=m`` appends each parent's top-m matching
+    children as an ordered array of (child_id, score) structs — the
+    ES ``inner_hits`` response block ("which chunk matched"). The
+    per-(query, parent) child window runs over candidate-sized rows
+    and the hit arrays are built only for surviving parents (semi-join
+    on the ranked output)."""
     if score_mode not in SCORE_MODES:
         raise ValueError(f"score_mode must be one of {SCORE_MODES}")
     if min_children < 1:
@@ -83,9 +90,9 @@ def has_child_topk(
         "avg": F.avg("score"),
         "min": F.min("score"),
     }[score_mode]
+    linked = child_scores.join(link, "doc_id")
     per_parent = (
-        child_scores.join(link, "doc_id")
-        .groupBy("query_id", "parent_id")
+        linked.groupBy("query_id", "parent_id")
         .agg(agg.alias("score"), F.count("*").alias("n_matching"))
         .filter(F.col("n_matching") >= min_children)
     )
@@ -94,7 +101,36 @@ def has_child_topk(
     ranked = topk(
         per_parent.withColumnRenamed("parent_id", "doc_id"), k
     ).withColumnRenamed("doc_id", "parent_id")
-    return ranked.select("query_id", "rank", "parent_id", "score", "n_matching")
+    out = ranked.select("query_id", "rank", "parent_id", "score", "n_matching")
+    if inner_hits is None:
+        return out
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    survivors = out.select("query_id", "parent_id")
+    cw = Window.partitionBy("query_id", "parent_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    hits = (
+        linked.join(survivors, ["query_id", "parent_id"], "left_semi")
+        .withColumn("_cr", F.row_number().over(cw))
+        .filter(F.col("_cr") <= inner_hits)
+        .groupBy("query_id", "parent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_cr", F.col("doc_id").alias("child_id"), "score"))
+            ).alias("_h")
+        )
+        .select(
+            "query_id",
+            "parent_id",
+            F.transform(
+                F.col("_h"), lambda h: F.struct(h.child_id.alias("child_id"), h.score.alias("score"))
+            ).alias("hits"),
+        )
+    )
+    return out.join(hits, ["query_id", "parent_id"]).select(
+        "query_id", "rank", "parent_id", "score", "n_matching", "hits"
+    )
 
 
 def has_parent_topk(

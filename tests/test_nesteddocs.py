@@ -135,3 +135,24 @@ def test_has_parent_fans_parent_score_to_children(spark, children):
     ranks = {r.child_id: r.rank for r in rows}
     assert ranks[101] < ranks[102]
     assert set(out.columns) == {"query_id", "rank", "child_id", "score"}
+
+
+def test_inner_hits_block(spark, children):
+    out = has_child_topk(
+        spark, children, [(0, "alpha")], score_mode="max", inner_hits=2
+    ).collect()
+    hits = {r.parent_id: [(h.child_id, round(h.score, 6)) for h in r.hits] for r in out}
+    assert set(hits) == {10, 20}
+    # parent 10: chunk 102 (alpha tf=2) outranks 101 (tf=1)
+    assert [c for c, _ in hits[10]] == [102, 101]
+    assert [c for c, _ in hits[20]] == [201]
+    # hit scores descend and the parent's max-mode score == best hit
+    by_parent = {r.parent_id: round(r.score, 6) for r in out}
+    for p, hs in hits.items():
+        assert hs == sorted(hs, key=lambda t: (-t[1], t[0]))
+        assert by_parent[p] == hs[0][1]
+    # inner_hits=1 truncates per parent
+    one = has_child_topk(
+        spark, children, [(0, "alpha")], inner_hits=1
+    ).collect()
+    assert all(len(r.hits) == 1 for r in one)
