@@ -1210,6 +1210,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 4
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities, 4 fixed L1-normalized
+    iterations) over the same deterministic link graph as pagerank
+    (operators/graph.py::hits). Oracle: iterations unrolled as
+    chained DuckDB CTEs."""
+    from embed_rerank_spark.operators.graph import hits
+
+    edges, _ = _link_edges_pr(spark, sf_dir)
+    out = hits(edges, iters=_HITS_ITERS)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (min-label propagation to fixpoint) over a
     deterministic multi-component lattice: positions p < N - N%G get
@@ -2309,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits,
         "connected_components": q_connected_components,
         "ivf_pq_topk": q_ivf_pq_topk,
         "authority_blend": q_authority_blend,
@@ -4325,6 +4345,39 @@ r{next} AS (
 WITH {pr_body}
 SELECT id AS doc_id, round(pr, 6) AS pr FROM r{_PR_ITERS} ORDER BY doc_id
 """
+
+    _hits_init = """,
+nnodes AS (SELECT count(*) AS n FROM nodes),
+a0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nnodes) AS auth FROM nodes)"""
+    _hits_iter = """,
+hr{next} AS (
+    SELECT nd.id, coalesce(s.s, CAST(0.0 AS DOUBLE)) AS s
+    FROM nodes nd LEFT JOIN (
+        SELECT e.src AS id, sum(a.auth) AS s
+        FROM edges e JOIN a{cur} a ON a.id = e.dst GROUP BY e.src
+    ) s ON s.id = nd.id
+),
+h{next} AS (SELECT id, s / sum(s) OVER () AS hub FROM hr{next}),
+ar{next} AS (
+    SELECT nd.id, coalesce(s.s, CAST(0.0 AS DOUBLE)) AS s
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS id, sum(h.hub) AS s
+        FROM edges e JOIN h{next} h ON h.id = e.src GROUP BY e.dst
+    ) s ON s.id = nd.id
+),
+a{next} AS (SELECT id, s / sum(s) OVER () AS auth FROM ar{next})"""
+    hits_body = (
+        _pr_edges
+        + _hits_init
+        + "".join(
+            _hits_iter.format(next=i + 1, cur=i) for i in range(_HITS_ITERS)
+        )
+    )
+    hits_sql = f"""
+WITH {hits_body}
+SELECT h.id AS doc_id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.id = h.id
+"""
     authority_blend_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -5671,6 +5724,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "ivf_pq_topk": cosine_topk,  # full-probe + full-refine IVF-PQ == exact cosine
         "embedding_near_dup": embedding_near_dup,
         "pagerank": pagerank_sql,
+        "hits_scores": hits_sql,
         "connected_components": connected_components_sql,
         "authority_blend": authority_blend_sql,
         "substring_dedup": substring_dedup_sql,

@@ -285,6 +285,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    ht = sub.add_parser(
+        "hits", help="link table (src,dst) -> HITS hubs & authorities"
+    )
+    ht.add_argument("--edges", required=True, help="parquet with src, dst")
+    ht.add_argument("--out", required=True)
+    ht.add_argument("--iters", type=int, default=4)
+
     pf = sub.add_parser(
         "prf", help="pseudo-relevance-feedback retrieval (RM3-lite two-pass)"
     )
@@ -724,6 +731,12 @@ def main(argv: list[str] | None = None) -> int:
 
             edges = spark.read.parquet(args.edges)
             out = pagerank(edges, damping=args.damping, iters=args.iters)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "hits":
+            from .operators.graph import hits
+
+            out = hits(spark.read.parquet(args.edges), iters=args.iters)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "prf":

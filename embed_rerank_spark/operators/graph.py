@@ -98,6 +98,75 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(id, hub, auth): Kleinberg HITS after exactly ``iters``
+    iterations — per step, hub(u) = sum of auth over u's out-links,
+    then auth(v) = sum of hub over v's in-links, each vector
+    L1-normalized (sum = 1; any per-step scaling is rank-equivalent,
+    and L1 keeps the unrolled DuckDB oracle free of sqrt ordering
+    concerns). Fixed-iteration like ``pagerank`` so the output is a
+    pure deterministic function of the edge set.
+
+    Scale shape: the edge table is partitioned once per join side and
+    reused every iteration; per step two keyed joins + two combinable
+    aggs + two one-row normalizers broadcast back in. Lineage cut
+    every ``checkpoint_every`` steps."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    e_by_dst = e.repartition("dst").persist()
+    e_by_src = e.repartition("src").persist()
+    e_by_dst.count(), e_by_src.count()
+
+    auth = nodes.select("id", F.lit(1.0 / n).alias("auth")).persist()
+    hub = nodes.select("id", F.lit(1.0 / n).alias("hub")).persist()
+    auth.count(), hub.count()
+    for it in range(iters):
+        hraw = (
+            e_by_dst.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hfull = nodes.join(
+            hraw.withColumnRenamed("src", "id"), "id", "left"
+        ).select("id", F.coalesce("s", F.lit(0.0)).alias("s"))
+        hsum = hfull.agg(F.sum("s").alias("t"))
+        new_hub = hfull.crossJoin(F.broadcast(hsum)).select(
+            "id", (F.col("s") / F.col("t")).alias("hub")
+        )
+        araw = (
+            e_by_src.join(new_hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        afull = nodes.join(
+            araw.withColumnRenamed("dst", "id"), "id", "left"
+        ).select("id", F.coalesce("s", F.lit(0.0)).alias("s"))
+        asum = afull.agg(F.sum("s").alias("t"))
+        new_auth = afull.crossJoin(F.broadcast(asum)).select(
+            "id", (F.col("s") / F.col("t")).alias("auth")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_hub = new_hub.localCheckpoint(eager=True)
+            new_auth = new_auth.localCheckpoint(eager=True)
+        old_h, old_a = hub, auth
+        hub, auth = new_hub.persist(), new_auth.persist()
+        hub.count(), auth.count()
+        old_h.unpersist(), old_a.unpersist()
+    e_by_dst.unpersist(), e_by_src.unpersist()
+    return hub.join(auth, "id").select("id", "hub", "auth")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",

@@ -222,3 +222,60 @@ def test_anchor_token_stream_inlink_cap_deterministic(spark):
     }
     assert out[9]["s0"] == 1 and out[9]["s1"] == 1  # two smallest srcs win
     assert out[9]["s2"] == 0 and out[9]["s4"] == 0
+
+
+def _numpy_hits(pairs, iters):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        h = np.zeros(n)
+        for s, d in pairs:
+            h[idx[s]] += auth[idx[d]]
+        hub = h / h.sum()
+        a = np.zeros(n)
+        for s, d in pairs:
+            a[idx[d]] += hub[idx[s]]
+        auth = a / a.sum()
+    return {v: (hub[idx[v]], auth[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy_reference(spark, web_graph):
+    from embed_rerank_spark.operators.graph import hits
+
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(_edges_df(spark, web_graph), iters=4).collect()
+    }
+    want = _numpy_hits(web_graph, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12), v
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12), v
+    # the two hubs are the top authorities; node 9 (no in-links) has 0
+    auths = {v: a for v, (_, a) in got.items()}
+    assert sorted(auths, key=auths.get, reverse=True)[:2] == sorted(
+        [0, 1], key=lambda v: -auths[v]
+    )
+    assert auths[9] == 0.0
+
+
+def test_hits_checkpoint_boundary_equivalent(spark, web_graph):
+    """Lineage cuts must not change values beyond float-summation
+    order: unlike pagerank (per-node updates only), HITS has a GLOBAL
+    L1-normalizer sum whose accumulation order shifts with the
+    checkpoint's partitioning — ulp-level differences are expected,
+    anything larger is a bug."""
+    from embed_rerank_spark.operators.graph import hits
+
+    e = _edges_df(spark, web_graph)
+    a = {r["id"]: (r["hub"], r["auth"])
+         for r in hits(e, iters=3, checkpoint_every=2).collect()}
+    b = {r["id"]: (r["hub"], r["auth"])
+         for r in hits(e, iters=3, checkpoint_every=100).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v][0] == pytest.approx(b[v][0], abs=1e-12)
+        assert a[v][1] == pytest.approx(b[v][1], abs=1e-12)
