@@ -2257,6 +2257,60 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCK_HOSTS = ["h3.example.com", "blocked.org"]
+BLOCK_PATHS = ["/p/1"]
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl urls over the documents table (the
+    testdata tables carry no url column): host from doc_id % 20,
+    path from doc_id — pure integer/string arithmetic both engines
+    reproduce."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl blocklist filtering: host-suffix and path-prefix rules as
+    one codegen'd pass (operators/scrub.py::url_blocklist_filter)."""
+    from embed_rerank_spark.operators.scrub import url_blocklist_filter
+
+    out = url_blocklist_filter(
+        _synth_urls(spark, sf_dir),
+        host_suffixes=BLOCK_HOSTS,
+        path_prefixes=BLOCK_PATHS,
+    )
+    return out.select("doc_id", "url", "blocked", "block_rule")
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff feeding incremental reindex: added / deleted /
+    changed urls between two derived crawls
+    (operators/scrub.py::crawl_delta)."""
+    from embed_rerank_spark.operators.scrub import crawl_delta
+
+    pages = _synth_urls(spark, sf_dir)
+    old = pages.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 3)
+    new = pages.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7).select(
+        "url",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawl_delta(old, new)
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter and per-filter-pair
     intersection doc counts over named term filters
@@ -2388,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facets": q_histogram_facets,
         "pinned_topk": q_pinned_topk,
         "hard_negatives": q_hard_negatives,
+        "url_blocklist": q_url_blocklist,
+        "crawl_delta": q_crawl_delta,
     }
 
 
@@ -5976,6 +6032,55 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neg_rank AS INTEGER) AS neg_rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE neg_rank <= {TOP_K}
+""",
+        "url_blocklist": f"""
+WITH pages AS (
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+parsed AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+    FROM pages
+),
+ruled AS (
+    SELECT doc_id, url,
+           CASE
+{chr(10).join(f"               WHEN host = '{h}' OR host LIKE '%.{h}' THEN 'host:{h}'" for h in BLOCK_HOSTS)}
+{chr(10).join(f"               WHEN path LIKE '{p}%' THEN 'path:{p}'" for p in BLOCK_PATHS)}
+               ELSE NULL
+           END AS block_rule
+    FROM parsed
+)
+SELECT doc_id, url, block_rule IS NOT NULL AS blocked, block_rule FROM ruled
+""",
+        "crawl_delta": """
+WITH pages AS (
+    SELECT doc_id, text,
+           'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+old AS (
+    SELECT url, md5(text) AS old_fp FROM pages WHERE doc_id % 10 <> 3
+),
+new AS (
+    SELECT url,
+           md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END)
+               AS new_fp
+    FROM pages WHERE doc_id % 10 <> 7
+),
+joined AS (SELECT * FROM old FULL OUTER JOIN new USING (url))
+SELECT url,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'deleted'
+            WHEN old_fp <> new_fp THEN 'changed' END AS change,
+       old_fp, new_fp
+FROM joined
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
 """,
     }
 

@@ -332,6 +332,25 @@ def main(argv: list[str] | None = None) -> int:
     ud.add_argument("--pages", required=True, help="parquet with doc_id, url")
     ud.add_argument("--out", required=True)
 
+    uf = sub.add_parser(
+        "url-filter",
+        help="crawl blocklist: mark pages whose host/path match rules",
+    )
+    uf.add_argument("--pages", required=True, help="parquet with url column")
+    uf.add_argument("--out", required=True)
+    uf.add_argument("--block-hosts", default="",
+                    help="comma-separated host suffixes to block")
+    uf.add_argument("--block-paths", default="",
+                    help="comma-separated path prefixes to block")
+
+    cd = sub.add_parser(
+        "crawl-delta",
+        help="snapshot diff: added/deleted/changed urls between crawls",
+    )
+    cd.add_argument("--old", required=True, help="old crawl parquet (url, text)")
+    cd.add_argument("--new", required=True, help="new crawl parquet (url, text)")
+    cd.add_argument("--out", required=True)
+
     hh = sub.add_parser(
         "heavy-hitters",
         help="Misra-Gries top corpus terms (bounded-memory sketch)",
@@ -783,6 +802,24 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.scrub import url_dedup_groups
 
             out = url_dedup_groups(spark.read.parquet(args.pages))
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "url-filter":
+            from .operators.scrub import url_blocklist_filter
+
+            out = url_blocklist_filter(
+                spark.read.parquet(args.pages),
+                host_suffixes=[h for h in args.block_hosts.split(",") if h],
+                path_prefixes=[p for p in args.block_paths.split(",") if p],
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "crawl-delta":
+            from .operators.scrub import crawl_delta
+
+            out = crawl_delta(
+                spark.read.parquet(args.old), spark.read.parquet(args.new)
+            )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "heavy-hitters":

@@ -142,3 +142,71 @@ def url_dedup_groups(
         "n_same",
         (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
     )
+
+
+def url_blocklist_filter(
+    pages: DataFrame,
+    host_suffixes: list[str] = (),
+    path_prefixes: list[str] = (),
+    url_col: str = "url",
+) -> DataFrame:
+    """pages + (blocked: boolean, block_rule: string|null) — crawl
+    blocklist filtering (the UT1/adult-blocklist step every
+    Common-Crawl-derived pipeline runs before anything else): a url
+    is blocked when its HOST equals or is a subdomain of any
+    ``host_suffixes`` entry, or its PATH starts with any
+    ``path_prefixes`` entry. First matching rule (host rules first,
+    each list in given order) is reported; pipelines keep
+    ``~blocked`` and audit the rest.
+
+    Scale shape: one codegen'd projection per rule chained into a
+    single pass — the rule lists are config-sized, no join at all, so
+    the filter composes with partition pruning and costs one scan."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    rule_expr = F.lit(None).cast("string")
+    # build the when-chain in reverse so earlier rules win
+    for p in reversed(list(path_prefixes)):
+        rule_expr = F.when(path.startswith(p), F.lit(f"path:{p}")).otherwise(rule_expr)
+    for h in reversed(list(host_suffixes)):
+        rule_expr = F.when(
+            (host == h) | host.endswith("." + h), F.lit(f"host:{h}")
+        ).otherwise(rule_expr)
+    return pages.withColumn("block_rule", rule_expr).withColumn(
+        "blocked", F.col("block_rule").isNotNull()
+    )
+
+
+def crawl_delta(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, change, old_fp, new_fp): the snapshot diff that feeds an
+    incremental reindex — ``added`` (url only in the new crawl),
+    ``deleted`` (only in the old), ``changed`` (present in both with a
+    different content fingerprint), unchanged urls absent. The delta
+    IS the L0 segment the LSM ingest path needs: only added/changed
+    docs re-extract and re-index, deleted urls become tombstones.
+
+    Scale shape: one md5 fingerprint projection per side and ONE
+    url-keyed full-outer join — snapshots co-partitioned/bucketed by
+    url make it shuffle-free; nothing is collected."""
+    o = old_pages.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("old_fp")
+    )
+    n = new_pages.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("new_fp")
+    )
+    joined = o.join(n, "url", "full_outer")
+    return joined.select(
+        "url",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit(None))
+        .alias("change"),
+        "old_fp",
+        "new_fp",
+    ).filter(F.col("change").isNotNull())

@@ -71,3 +71,46 @@ def test_url_dedup_groups_survivor(spark):
     assert got[5]["n_same"] == 2 and got[5]["is_canonical"]
     assert got[9]["n_same"] == 2 and not got[9]["is_canonical"]
     assert got[7]["n_same"] == 1 and got[7]["is_canonical"]
+
+
+def test_url_blocklist_rule_precedence_and_subdomains(spark):
+    from embed_rerank_spark.operators.scrub import url_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/p/9"),
+            (2, "https://sub.ads.example.com/x"),
+            (3, "https://adsxexample.com/p/1"),      # NOT a subdomain match
+            (4, "https://ok.example.net/p/1deep"),   # path prefix
+            (5, "https://ads.example.com/p/1"),      # host rule wins over path
+            (6, "https://clean.example.net/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: (r.blocked, r.block_rule)
+        for r in url_blocklist_filter(
+            pages, host_suffixes=["ads.example.com"], path_prefixes=["/p/1"]
+        ).collect()
+    }
+    assert out[1] == (True, "host:ads.example.com")
+    assert out[2] == (True, "host:ads.example.com")   # subdomain
+    assert out[3] == (True, "path:/p/1")              # host miss, path hit
+    assert out[4] == (True, "path:/p/1")
+    assert out[5] == (True, "host:ads.example.com")   # host rules first
+    assert out[6] == (False, None)
+
+
+def test_crawl_delta_truth_table(spark):
+    from embed_rerank_spark.operators.scrub import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    got = {r.url: r.change for r in crawl_delta(old, new).collect()}
+    assert got == {"u2": "changed", "u3": "deleted", "u4": "added"}
