@@ -2311,6 +2311,32 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_delta(old, new)
 
 
+LTR_CANDIDATES = 20
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature logging: per-(query, candidate) training features
+    (bm25, coverage, tf/dl/df stats) from ONE matched-terms agg
+    (operators/ltr.py::ltr_features)."""
+    from embed_rerank_spark.operators.ltr import ltr_features
+
+    out = ltr_features(
+        spark, _docs(spark, sf_dir), QUERY_SET, k_candidates=LTR_CANDIDATES
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        "matched_terms",
+        F.round("query_coverage", 6).alias("query_coverage"),
+        "sum_tf",
+        "dl",
+        "min_df",
+        F.round("max_idf", 6).alias("max_idf"),
+    )
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter and per-filter-pair
     intersection doc counts over named term filters
@@ -2444,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_blocklist": q_url_blocklist,
         "crawl_delta": q_crawl_delta,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -6081,6 +6108,49 @@ SELECT url,
        old_fp, new_fp
 FROM joined
 WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+""",
+        "ltr_features": f"""
+WITH {_TOKS_CTE},
+idf AS (
+    SELECT df.term, df.df,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf,
+           stats.avgdl
+    FROM df CROSS JOIN stats
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, i.df, i.idf,
+           i.idf * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / i.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN idf i USING (term) JOIN dl USING (doc_id)
+),
+feats AS (
+    SELECT query_id, doc_id,
+           sum(term_score) AS bm25,
+           count(*) AS matched_terms,
+           sum(tf) AS sum_tf,
+           min(dl) AS dl,
+           min(df) AS min_df,
+           max(idf) AS max_idf
+    FROM matched GROUP BY query_id, doc_id
+),
+nq AS (
+    SELECT query_id, count(*) AS n_qterms FROM {qt} GROUP BY query_id
+),
+ranked AS (
+    SELECT f.*,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+    FROM feats f
+)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INTEGER) AS rank,
+       r.doc_id, round(r.bm25, 6) AS bm25,
+       CAST(r.matched_terms AS BIGINT) AS matched_terms,
+       round(CAST(r.matched_terms AS DOUBLE) / nq.n_qterms, 6) AS query_coverage,
+       CAST(r.sum_tf AS BIGINT) AS sum_tf, CAST(r.dl AS BIGINT) AS dl,
+       CAST(r.min_df AS BIGINT) AS min_df, round(r.max_idf, 6) AS max_idf
+FROM ranked r JOIN nq USING (query_id)
+WHERE r.rank <= {LTR_CANDIDATES}
 """,
     }
 
