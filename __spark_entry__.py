@@ -1921,6 +1921,27 @@ def q_nested_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s-stemming analyzer retrieval (Harman 1991 plural stripping at
+    index AND query time): BM25 over the stemmed token stream
+    (functions/udfs.py::analyze_s_stem)."""
+    from embed_rerank_spark.functions.udfs import (
+        analyze_query_s_stem,
+        analyze_s_stem,
+    )
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+
+    out = bm25_topk_bruteforce(
+        spark,
+        analyze_s_stem(_docs(spark, sf_dir)),
+        analyze_query_s_stem(QUERY_SET),
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop-analyzer retrieval (Lucene StopFilter at index AND query
     time): BM25 over the stop-filtered token stream — df, dl, avgdl
@@ -2450,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": q_composite_agg,
         "phrase_suggest": q_phrase_suggest,
         "analyzed_topk": q_analyzed_topk,
+        "stemmed_topk": q_stemmed_topk,
         "nested_bool_topk": q_nested_bool_topk,
         "gauss_rescore": q_gauss_rescore,
         "percentiles": q_percentiles,
@@ -5414,6 +5436,54 @@ FROM (
             {w for w in q.strip().lower().split() if w not in STOPWORDS_EN}
         )
     )
+    from embed_rerank_spark.functions.udfs import _s_stem_py  # noqa: PLC0415
+
+    _stem_case = (
+        "CASE WHEN t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies' "
+        "THEN substr(t, 1, len(t) - 3) || 'y' "
+        "WHEN t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' "
+        "AND t NOT LIKE '%oes' THEN substr(t, 1, len(t) - 1) "
+        "WHEN t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss' "
+        "THEN substr(t, 1, len(t) - 1) ELSE t END"
+    )
+    _stem_tok = f"list_transform({_TOKENIZE_SQL}, t -> {_stem_case})"
+    _stem_qt_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in _QS
+        for t in sorted({_s_stem_py(w) for w in q.strip().lower().split()})
+    )
+    stemmed_sql = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_stem_tok}) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (VALUES {_stem_qt_rows}) AS qt(query_id, term)
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     analyzed_sql = f"""
 WITH toks AS (
     SELECT doc_id, unnest({_an_tok}) AS term
@@ -5849,6 +5919,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "composite_agg": composite_sql,
         "phrase_suggest": phrase_suggest_sql,
         "analyzed_topk": analyzed_sql,
+        "stemmed_topk": stemmed_sql,
         "nested_bool_topk": nested_bool_sql,
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,

@@ -151,8 +151,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--analyzer",
         default="none",
-        choices=["none", "stop"],
-        help="stop = apply the stop-token analyzer to the query strings "
+        choices=["none", "stop", "stem"],
+        help="apply the stop or s-stem analyzer to the query strings "
         "(must match the index's build-time --analyzer)",
     )
 
@@ -251,10 +251,11 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument(
         "--analyzer",
         default="none",
-        choices=["none", "stop"],
-        help="stop = drop English stopwords from the token stream before "
-        "indexing (Lucene StopFilter; df/dl/avgdl reflect the analyzed "
-        "stream) — query with the matching `query --analyzer stop`",
+        choices=["none", "stop", "stem"],
+        help="stop = drop English stopwords; stem = Harman s-stemmer "
+        "(plural collapsing) — applied to the token stream before "
+        "indexing (df/dl/avgdl reflect the analyzed stream); query with "
+        "the MATCHING `query --analyzer`",
     )
 
     d = sub.add_parser(
@@ -520,6 +521,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.udfs import analyze_query_stop
 
                 queries = analyze_query_stop(queries)
+            elif args.analyzer == "stem":
+                from .functions.udfs import analyze_query_s_stem
+
+                queries = analyze_query_s_stem(queries)
             if args.synonyms:
                 from .operators.rewrite import expand_synonyms
 
@@ -696,6 +701,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.udfs import analyze_stop
 
                 corpus = analyze_stop(corpus)
+            elif args.analyzer == "stem":
+                from .functions.udfs import analyze_s_stem
+
+                corpus = analyze_s_stem(corpus)
             write_index(
                 builder(
                     corpus,

@@ -156,3 +156,66 @@ def analyze_query_stop(
         kept = [t for t in q.strip().lower().split() if t not in stopwords]
         out.append((qid, " ".join(kept)))
     return out
+
+
+def _s_stem_token(t):
+    """Column-level Harman (1991) s-stemmer: the three-rule English
+    plural stripper (''ies''->''y'' unless e/a-preceded; ''es''->''e''
+    unless a/e/o-preceded; ''-s'' dropped unless ''us''/''ss'').
+    Weaker than Porter by design — every rule is a pure string
+    expression both Spark codegen and the DuckDB oracle evaluate
+    identically, which a full Porter stemmer's measure() loop is not."""
+    return (
+        F.when(
+            t.endswith("ies")
+            & ~t.endswith("eies")
+            & ~t.endswith("aies"),
+            F.concat(F.substring(t, 1, F.length(t) - 3), F.lit("y")),
+        )
+        .when(
+            t.endswith("es")
+            & ~t.endswith("aes")
+            & ~t.endswith("ees")
+            & ~t.endswith("oes"),
+            F.substring(t, 1, F.length(t) - 1),
+        )
+        .when(
+            t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+            F.substring(t, 1, F.length(t) - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def analyze_s_stem(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, text): the corpus through an s-stemming analyzer
+    (Lucene EnglishMinimalStemFilter lineage) — plural forms collapse
+    onto their singular so ``table`` matches ``tables`` and df/dl/
+    avgdl reflect the stemmed stream. Pure JVM projection; pair with
+    ``analyze_query_s_stem`` (the Lucene same-analyzer contract)."""
+    toks = tokenize_for_scoring(F.col(text_col))
+    stemmed = F.transform(toks, _s_stem_token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.array_join(stemmed, " ").alias("text")
+    )
+
+
+def _s_stem_py(t: str) -> str:
+    if t.endswith("ies") and not (t.endswith("eies") or t.endswith("aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not (
+        t.endswith("aes") or t.endswith("ees") or t.endswith("oes")
+    ):
+        return t[:-1]
+    if t.endswith("s") and not (t.endswith("us") or t.endswith("ss")):
+        return t[:-1]
+    return t
+
+
+def analyze_query_s_stem(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Query-side of the s-stemmer: same rules on the driver-held
+    query strings."""
+    return [
+        (qid, " ".join(_s_stem_py(t) for t in q.strip().lower().split()))
+        for qid, q in queries
+    ]

@@ -67,3 +67,35 @@ def test_analyzed_bm25_recomputes_stats_and_drops_stop_queries(spark):
     )
     got = {r["doc_id"]: r["score"] for r in by_q[1]}
     assert abs(got[1] - want) < 1e-6
+
+
+def test_s_stem_collapses_plurals(spark):
+    """Stemmed retrieval: 'tables' queries match 'table' docs and vice
+    versa; df reflects the collapsed form."""
+    from embed_rerank_spark.functions.udfs import (
+        analyze_query_s_stem,
+        analyze_s_stem,
+        _s_stem_py,
+    )
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+
+    # rule table (Harman 1991): stems needn't be words
+    # rule-1-excluded "eies" falls through the cascade to rule 2
+    assert [_s_stem_py(w) for w in
+            ["tables", "queries", "trees", "bus", "class", "eies", "cat"]] == [
+        "table", "query", "tree", "bus", "class", "eie", "cat"
+    ]
+    docs = spark.createDataFrame(
+        [(1, "table scan"), (2, "tables everywhere"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk_bruteforce(
+        spark,
+        analyze_s_stem(docs),
+        analyze_query_s_stem([(0, "tables")]),
+        k=5,
+    ).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    # the stemmed stream is what norms see: both docs have df(table)=2
+    stemmed = {r.doc_id: r.text for r in analyze_s_stem(docs).collect()}
+    assert stemmed[2] == "table everywhere"

@@ -597,3 +597,34 @@ def test_cli_dsir_select(spark, tmp_path):
     sel = spark.read.parquet(str(d / "sel"))
     assert sel.count() == 50
     assert set(sel.columns) == {"doc_id", "weight", "sel_rank"}
+
+
+def test_cli_stem_analyzer_path(spark, tmp_path):
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    spark.createDataFrame(
+        [(1, "table scan fast"), (2, "tables everywhere"), (3, "other words")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(d / "corpus"))
+    (d / "q.tsv").write_text("0\ttables\n")
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "build-positional-index", "--analyzer", "stem",
+            "--corpus", str(d / "corpus"), "--index", str(d / "idx"),
+            "--shards", "2",
+        ]) == 0
+        assert cli.main([
+            "query", "--index", str(d / "idx"), "--analyzer", "stem",
+            "--queries", str(d / "q.tsv"), "--out", str(d / "hits"), "--k", "5",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    hits = spark.read.parquet(str(d / "hits"))
+    assert {r.doc_id for r in hits.collect()} == {1, 2}  # plural collapsed
