@@ -304,6 +304,21 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery over the positional index: include-term
+    occurrences with no exclude term within SPAN_NOT_WINDOW tokens;
+    BM25 over the include term
+    (operators/positions.py::span_not_topk)."""
+    from embed_rerank_spark.operators.positions import span_not_topk
+    from embed_rerank_spark.queryset import SPAN_NOT_SET, SPAN_NOT_WINDOW
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = span_not_topk(index, SPAN_NOT_SET, k=TOP_K, window=SPAN_NOT_WINDOW)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k over the compressed index:
     leapfrog intersection with block-max skipping (operators/wand.py
@@ -2472,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "analyzed_topk": q_analyzed_topk,
         "stemmed_topk": q_stemmed_topk,
+        "span_not_topk": q_span_not_topk,
         "nested_bool_topk": q_nested_bool_topk,
         "gauss_rescore": q_gauss_rescore,
         "percentiles": q_percentiles,
@@ -2645,6 +2661,54 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+    from embed_rerank_spark.queryset import (  # noqa: PLC0415
+        SPAN_NOT_SET,
+        SPAN_NOT_WINDOW,
+    )
+
+    _sn_rows = ", ".join(f"({q}, '{i}', '{e}')" for q, i, e in SPAN_NOT_SET)
+    span_not_sql = f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+sn(query_id, inc, exc) AS (VALUES {_sn_rows}),
+inc_pos AS (
+    SELECT sn.query_id, p.doc_id, p.pos, sn.exc
+    FROM sn JOIN posn p ON p.term = sn.inc
+),
+blocked AS (
+    SELECT DISTINCT i.query_id, i.doc_id, i.pos
+    FROM inc_pos i
+    JOIN posn e ON e.doc_id = i.doc_id AND e.term = i.exc
+    WHERE abs(e.pos - i.pos) <= {SPAN_NOT_WINDOW}
+),
+matched AS (
+    SELECT DISTINCT i.query_id, i.doc_id
+    FROM inc_pos i
+    ANTI JOIN blocked b
+        ON b.query_id = i.query_id AND b.doc_id = i.doc_id AND b.pos = i.pos
+),
+term_scores AS (
+    SELECT sq.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+    FROM (SELECT query_id, inc AS term FROM sn) sq
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM term_scores s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     conjunctive = f"""
 WITH {_TOKS_CTE},
 qtc AS (
@@ -5920,6 +5984,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "phrase_suggest": phrase_suggest_sql,
         "analyzed_topk": analyzed_sql,
         "stemmed_topk": stemmed_sql,
+        "span_not_topk": span_not_sql,
         "nested_bool_topk": nested_bool_sql,
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,

@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         default="or",
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
-            "prefix", "suffix", "infix", "regexp",
+            "prefix", "suffix", "infix", "regexp", "span-not",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -102,7 +102,15 @@ def main(argv: list[str] | None = None) -> int:
         "fuzzy = spell-tolerant OR (Levenshtein<=1 dictionary expansion); "
         "prefix/suffix/infix = wildcard retrieval (each query line is the "
         "term fragment; infix uses the trigram-filtered dictionary); "
-        "regexp = whole-term regexp dictionary expansion",
+        "regexp = whole-term regexp dictionary expansion; "
+        "span-not = include term NOT within --near-window of the exclude "
+        "term (each query line: 'include exclude', POSITIONAL index)",
+    )
+    q.add_argument(
+        "--near-window",
+        type=int,
+        default=3,
+        help="span-not only: exclusion slop in tokens",
     )
     q.add_argument(
         "--collapse-by",
@@ -571,6 +579,16 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import regexp_topk
 
                 out = regexp_topk(idx, queries, k=args.k)
+            elif args.mode == "span-not":
+                from .operators.positions import span_not_topk
+
+                pairs = [
+                    (qid, *q.split(None, 1)) for qid, q in queries
+                    if len(q.split()) >= 2
+                ]
+                out = span_not_topk(
+                    idx, pairs, k=args.k, window=args.near_window
+                )
             elif args.page > 1:
                 from .operators.wand import search_after_topk
 

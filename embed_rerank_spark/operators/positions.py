@@ -1044,6 +1044,93 @@ def _proximity_match(
     return cand[np.unique(c1[ok])]
 
 
+def _span_not_match(
+    termdata: dict[str, tuple], t_inc: str, t_exc: str, window: int
+) -> np.ndarray:
+    """Docs with at least one occurrence of ``t_inc`` that has NO
+    ``t_exc`` occurrence within ``window`` tokens (Lucene SpanNotQuery
+    with symmetric pre/post slop). Docs containing ``t_inc`` but not
+    ``t_exc`` at all qualify outright. Same merged-searchsorted
+    vectorization as ``_proximity_match`` — the nearest ``t_exc`` on
+    each side of every ``t_inc`` occurrence decides, no per-doc
+    loop."""
+    if t_inc not in termdata:
+        return np.empty(0, dtype=np.int64)
+    d1, tf1, _dl1, pf1, po1 = termdata[t_inc]
+    if t_exc not in termdata:
+        return d1.astype(np.int64, copy=True)
+    d2, tf2, _dl2, pf2, po2 = termdata[t_exc]
+    only = np.setdiff1d(d1, d2, assume_unique=True)
+    cand = np.intersect1d(d1, d2, assume_unique=True)
+    if cand.size == 0:
+        return only.astype(np.int64)
+    r1 = np.searchsorted(d1, cand)
+    r2 = np.searchsorted(d2, cand)
+    f1, c1 = _ragged_gather(po1[r1], tf1[r1])
+    p1 = pf1[f1]
+    SPAN = np.int64(1) << 32
+    f2, c2 = _ragged_gather(po2[r2], tf2[r2])
+    key2 = c2.astype(np.int64) * SPAN + pf2[f2]
+    key1 = c1.astype(np.int64) * SPAN + p1
+    idx = np.searchsorted(key2, key1, side="left")
+    blocked = np.zeros(len(key1), dtype=bool)
+    right = np.minimum(idx, len(key2) - 1)
+    if len(key2):
+        same_doc = key2[right] // SPAN == c1
+        gap = key2[right] % SPAN - p1
+        blocked |= same_doc & (np.abs(gap) <= window)
+        left = np.maximum(idx - 1, 0)
+        same_doc = key2[left] // SPAN == c1
+        gap = p1 - key2[left] % SPAN
+        blocked |= same_doc & (np.abs(gap) <= window)
+    free = cand[np.unique(c1[~blocked])]
+    return np.union1d(only, free).astype(np.int64)
+
+
+def _span_not_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, str, str]],
+    k: int,
+    window: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, t_inc, t_exc in queries:
+            docs = _span_not_match(termdata, t_inc, t_exc, window)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
+            if docs.size == 0:
+                continue
+            dt, tft, dlt, _pf, _po = termdata[t_inc]
+            rows = np.searchsorted(dt, docs)
+            tfv = tft[rows].astype(np.float64)
+            dlv = dlt[rows].astype(np.float64)
+            scores = idf[t_inc] * (tfv * (k1 + 1.0)) / (
+                tfv + k1 * (1.0 - b + b * dlv / avgdl)
+            )
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
 def _proximity_partition(
     batches: Iterator[pa.RecordBatch],
     queries: list[tuple[int, str, str]],
@@ -1144,6 +1231,62 @@ def proximity_topk(
     per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _proximity_partition(
             it, plan, k, window, idf, avgdl, k1, b, excl, ordered, vers
+        ),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def span_not_topk(
+    index: InvertedIndex,
+    pairs: list[tuple[int, str, str]],
+    k: int = 10,
+    window: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene SpanNotQuery retrieval
+    — docs with an occurrence of the INCLUDE term that has no EXCLUDE
+    term within ``window`` tokens (symmetric pre/post slop; "apple
+    not near pie"). Scored as plain BM25 over the include term; an
+    OOV exclude term never blocks (plain term query). Oracle shape:
+    positions anti-join — an include position survives when NO
+    exclude position lies within the window."""
+    plan: list[tuple[int, str, str]] = []
+    inc_terms: set[str] = set()
+    all_terms: set[str] = set()
+    for qid, inc_raw, exc_raw in pairs:
+        ti = inc_raw.strip().lower()
+        te = exc_raw.strip().lower()
+        if ti:
+            plan.append((qid, ti, te))
+            inc_terms.add(ti)
+            all_terms.update((ti, te) if te else (ti,))
+
+    spark = index.postings.sparkSession
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(inc_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [(qid, ti, te) for qid, ti, te in plan if ti in idf]
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, ti, te in plan for t in (ti, te) if t}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _span_not_partition(
+            it, plan, k, window, idf, avgdl, k1, b, excl, vers
         ),
         "query_id long, doc_id long, score double",
     )

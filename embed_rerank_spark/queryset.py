@@ -544,3 +544,15 @@ def mpp_values_sql() -> str:
         prefix = toks[-1][:-1]
         rows.append(f"({qid}, '{fixed}', '{prefix}')")
     return f"(VALUES {', '.join(rows)}) AS mpp(query_id, fixed, prefix)"
+
+
+# SpanNot query set (include term, exclude term): common include with
+# common/rare/OOV excludes plus the self-exclusion degenerate (every
+# occurrence blocks itself at gap 0 -> zero rows).
+SPAN_NOT_SET: list[tuple[int, str, str]] = [
+    (1, "fast", "table"),
+    (2, "scan", "slow"),
+    (3, "join", "zyzzyva"),
+    (4, "scan", "scan"),
+]
+SPAN_NOT_WINDOW = 3

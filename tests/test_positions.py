@@ -703,3 +703,39 @@ def test_sort_dedupe_nopos_matches_positional_winner_rule():
         docs.copy(), tf.copy(), dl.copy(), pos_pf, pos_po
     )
     assert list(d2) == list(d) and list(t2) == list(t) and list(l2) == list(l)
+
+
+def test_span_not_semantics(spark):
+    """SpanNot truth table on a hand corpus: blocked-by-window,
+    free-occurrence, no-exclude-in-doc, OOV exclude, self-exclusion."""
+    from embed_rerank_spark.operators.positions import span_not_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie on the table"),          # pie 1 after apple: blocked
+            (2, "apple sauce and more apple pie"),  # first apple is >3 from pie
+            (3, "apple orchard in autumn"),         # no pie at all
+            (4, "pie pie pie apple pie"),           # surrounded: blocked
+            (5, "no fruit here"),
+        ],
+        "doc_id long, text string",
+    )
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+    )
+
+    idx = load_positional_index(build_positional_postings(docs, n_shards=2))
+    got = {r.doc_id for r in span_not_topk(
+        idx, [(0, "apple", "pie")], k=10, window=3
+    ).collect()}
+    assert got == {2, 3}
+    # OOV exclude never blocks: plain term query over 'apple'
+    got2 = {r.doc_id for r in span_not_topk(
+        idx, [(0, "apple", "zzzunseen")], k=10, window=3
+    ).collect()}
+    assert got2 == {1, 2, 3, 4}
+    # self-exclusion: every occurrence blocks itself at gap 0
+    assert span_not_topk(idx, [(0, "apple", "apple")], k=10).count() == 0
+    # OOV include -> no rows
+    assert span_not_topk(idx, [(0, "zzz", "pie")], k=10).count() == 0
