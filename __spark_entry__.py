@@ -1106,6 +1106,30 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+MRL_PREFIX_DIM = 16
+MRL_REFINE = 3
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN: prefix-dim cosine candidates, exact
+    full-dim refine (operators/similarity.py::matryoshka_topk). The
+    oracle replays BOTH stages in SQL, so the partial-refine path is
+    what's checked — not a degenerate full scan."""
+    from embed_rerank_spark.operators.similarity import matryoshka_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = vectors.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = matryoshka_topk(
+        vectors, queries_df, k=TOP_K, prefix_dim=MRL_PREFIX_DIM,
+        refine_factor=MRL_REFINE,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs over the embeddings table."""
     from embed_rerank_spark.operators.dedup import embedding_near_dup
@@ -2440,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "matryoshka_topk": q_matryoshka_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -4440,6 +4465,38 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10
 """
+    matryoshka_sql = f"""
+WITH {cosine_core},
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 5),
+stage1 AS (
+    SELECT q.query_id, v.vec_id,
+           list_dot_product(qv[1:{MRL_PREFIX_DIM}], ve[1:{MRL_PREFIX_DIM}])
+             / (sqrt(list_dot_product(qv[1:{MRL_PREFIX_DIM}], qv[1:{MRL_PREFIX_DIM}]))
+                * sqrt(list_dot_product(ve[1:{MRL_PREFIX_DIM}], ve[1:{MRL_PREFIX_DIM}]))) AS pcos
+    FROM q CROSS JOIN v
+),
+cands AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(pcos, 6) DESC, vec_id ASC) AS r1
+        FROM stage1
+    ) WHERE r1 <= {TOP_K * MRL_REFINE}
+),
+refined AS (
+    SELECT c.query_id, c.vec_id,
+           list_dot_product(q.qv, v.ve)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.ve, v.ve))) AS cosine
+    FROM cands c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM refined
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
     embedding_near_dup = f"""
 WITH {cosine_core}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -5936,6 +5993,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
+        "matryoshka_topk": matryoshka_sql,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
         "ivf_pq_topk": cosine_topk,  # full-probe + full-refine IVF-PQ == exact cosine

@@ -68,6 +68,86 @@ def cosine_topk_bruteforce(
     )
 
 
+def matryoshka_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dim: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): two-stage ANN for
+    Matryoshka-trained embeddings (Kusupati et al. 2022, MRL — models
+    like text-embedding-3 / nomic that front-load information so any
+    PREFIX of the vector is itself a valid embedding): stage 1 ranks
+    by cosine over the first ``prefix_dim`` dims (cheap — the scan
+    reads and multiplies ``prefix_dim/dim`` of the data), stage 2
+    re-scores the top ``k * refine_factor`` candidates with FULL-dim
+    exact cosine. With refine >= corpus the result equals exact brute
+    force (the oracle config); at scale prefix_dim/refine trade
+    recall for a ~dim/prefix_dim cut in stage-1 FLOPs and bytes.
+
+    Scale shape: both stages are the declarative brute plan (broadcast
+    query side, per-query rank windows); the candidate set between
+    them is queries x (k * refine_factor) rows — planning-sized, one
+    semi-join back into the full-dim table."""
+    if prefix_dim < 1 or refine_factor < 1:
+        raise ValueError("prefix_dim and refine_factor must be >= 1")
+    pref_v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(_as_double(F.col(vec_col)), 1, prefix_dim).alias("v"),
+    ).withColumn("vnorm", _norm(F.col("v")))
+    pref_q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.slice(_as_double(F.col(qvec_col)), 1, prefix_dim).alias("qv"),
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    stage1 = F.broadcast(pref_q).crossJoin(pref_v).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm"))).alias(
+            "pcos"
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("pcos"), 6)), F.asc("vec_id")
+    )
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k * refine_factor)
+        .select("query_id", "vec_id")
+    )
+    full_v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vnorm", _norm(F.col("v")))
+    full_q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        _as_double(F.col(qvec_col)).alias("qv"),
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    refined = (
+        cands.join(full_v, "vec_id")
+        .join(F.broadcast(full_q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm"))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
     return rng.standard_normal((bits, dim)).tolist()
