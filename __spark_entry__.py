@@ -1875,6 +1875,40 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "bucket_start", "n_docs")
 
 
+PIPE_MOVING_WINDOW = 3  # trailing buckets in the moving_fn average
+PIPE_MIN_DOCS = 2  # bucket_selector threshold (applied post-pipeline)
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over a weekly date_histogram of
+    matching docs: cumulative_sum, derivative, moving_fn trailing
+    average, bucket_script chars-per-doc, and a bucket_selector
+    (n_docs >= PIPE_MIN_DOCS, applied AFTER the pipeline metrics so a
+    surviving bucket's derivative references its true predecessor)
+    (operators/facets.py::pipeline_aggs)."""
+    from embed_rerank_spark.operators.facets import pipeline_aggs
+
+    out = pipeline_aggs(
+        spark,
+        _docs_with_ts(spark, sf_dir),
+        QUERY_SET,
+        "warc_ts",
+        interval="week",
+        moving_window=PIPE_MOVING_WINDOW,
+        min_doc_count=PIPE_MIN_DOCS,
+        metric_col="n_chars",
+    )
+    return out.select(
+        "query_id",
+        "bucket_start",
+        "n_docs",
+        "cum_docs",
+        "deriv_docs",
+        "moving_avg_docs",
+        "metric_per_doc",
+    )
+
+
 TOPHITS_K = 2  # hits kept per bucket in the top_hits contract query
 TOPHITS_BUCKETS = 3  # buckets kept per query
 
@@ -2507,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_docvalue": q_sort_by_docvalue,
         "cross_fields_topk": q_cross_fields_topk,
         "date_histogram": q_date_histogram,
+        "pipeline_aggs": q_pipeline_aggs,
         "top_hits": q_top_hits,
         "composite_agg": q_composite_agg,
         "phrase_suggest": q_phrase_suggest,
@@ -5374,6 +5409,38 @@ FROM matched m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+    pipeline_aggs_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           strftime(date_trunc('week',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)),
+                    '%Y-%m-%d') AS bucket_start,
+           count(*) AS n_docs,
+           sum(CAST(d.n_chars AS DOUBLE)) AS metric_sum
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+piped AS (
+    SELECT query_id, bucket_start, n_docs,
+           sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket_start
+                             ROWS UNBOUNDED PRECEDING) AS cum_docs,
+           n_docs - lag(n_docs, 1) OVER (PARTITION BY query_id
+                                         ORDER BY bucket_start) AS deriv_docs,
+           round(avg(CAST(n_docs AS DOUBLE)) OVER (
+                   PARTITION BY query_id ORDER BY bucket_start
+                   ROWS BETWEEN {PIPE_MOVING_WINDOW - 1} PRECEDING AND CURRENT ROW),
+                 6) AS moving_avg_docs,
+           round(metric_sum / n_docs, 6) AS metric_per_doc
+    FROM buckets
+)
+SELECT * FROM piped WHERE n_docs >= {PIPE_MIN_DOCS}
+"""
+
     top_hits_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -6037,6 +6104,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "sort_by_docvalue": sort_by_docvalue_sql,
         "cross_fields_topk": cross_fields_sql,
         "date_histogram": date_histogram_sql,
+        "pipeline_aggs": pipeline_aggs_sql,
         "top_hits": top_hits_sql,
         "composite_agg": composite_sql,
         "phrase_suggest": phrase_suggest_sql,

@@ -573,3 +573,94 @@ def composite_agg(
         .filter(F.col("bucket_rank") <= page_size)
         .select("query_id", "key1", "key2", "n_docs", "bucket_rank")
     )
+
+
+def pipeline_aggs(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    interval: str = "week",
+    moving_window: int = 3,
+    min_doc_count: int = 1,
+    metric_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs, cum_docs, deriv_docs,
+    moving_avg_docs, metric_per_doc) — the Elasticsearch PIPELINE
+    aggregation family computed over a ``date_histogram`` of matching
+    documents, one row per non-empty bucket:
+
+    - ``cum_docs``      — ``cumulative_sum`` of the bucket doc count;
+    - ``deriv_docs``    — ``derivative`` (count minus previous bucket's
+      count; null for the first bucket, ES emits no value there);
+    - ``moving_avg_docs`` — ``moving_fn`` unweightedAvg over the
+      trailing ``moving_window`` buckets (window includes the current
+      bucket, shrinks at the series head — MovingFunctions semantics);
+    - ``metric_per_doc`` — a ``bucket_script``: sum(``metric_col``)
+      over the bucket's docs divided by the bucket doc count.
+
+    Gap policy "skip" (the ES default for derivative/moving_fn with
+    ``min_doc_count=1``): pipeline steps run over the sequence of
+    NON-EMPTY buckets in bucket order. ``min_doc_count`` acts as a
+    ``bucket_selector`` applied AFTER the pipeline metrics are
+    computed (ES evaluates sibling pipelines before the selector
+    prunes the response), so a surviving bucket's derivative still
+    references its true predecessor.
+
+    Scale shape: the (query, doc) match set collapses before the
+    metadata join (same as ``date_histogram``); the windows run
+    per-query over the AGGREGATED bucket rows — n_queries x n_buckets,
+    planning-sized — so the lag/cumsum/moving windows never touch doc
+    rows and cannot skew regardless of corpus size."""
+    if moving_window < 1:
+        raise ValueError("moving_window must be >= 1")
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_format(F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd").alias(
+            "bucket_start"
+        ),
+        F.col(metric_col).cast("double").alias("metric"),
+    )
+    buckets = (
+        matched.join(meta, "doc_id")
+        .groupBy("query_id", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("metric").alias("metric_sum"),
+        )
+    )
+    seq = Window.partitionBy("query_id").orderBy(F.asc("bucket_start"))
+    cum = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = seq.rowsBetween(-(moving_window - 1), Window.currentRow)
+    out = (
+        buckets.withColumn("cum_docs", F.sum("n_docs").over(cum))
+        .withColumn(
+            "deriv_docs", F.col("n_docs") - F.lag("n_docs", 1).over(seq)
+        )
+        .withColumn(
+            "moving_avg_docs", F.round(F.avg("n_docs").over(mov), 6)
+        )
+        .withColumn(
+            "metric_per_doc",
+            F.round(F.col("metric_sum") / F.col("n_docs"), 6),
+        )
+    )
+    return out.filter(F.col("n_docs") >= min_doc_count).select(
+        "query_id",
+        "bucket_start",
+        "n_docs",
+        "cum_docs",
+        "deriv_docs",
+        "moving_avg_docs",
+        "metric_per_doc",
+    )

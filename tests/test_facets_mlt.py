@@ -429,3 +429,48 @@ def test_pinned_topk_order(spark):
     # pins first in listed order (4 never matches organically but IS
     # returned), then organic by score with pinned docs deduped
     assert out == [(1, 3, True), (2, 4, True), (3, 1, False), (4, 2, False)]
+
+
+def test_pipeline_aggs_semantics(spark):
+    """Hand-built corpus: derivative/cumsum/moving-avg computed over
+    non-empty buckets in order, bucket_selector applied AFTER the
+    pipeline metrics (a surviving bucket keeps its true derivative)."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.facets import pipeline_aggs
+
+    rows = [
+        # week of 2024-01-01: 1 matching doc; week of 01-08: 3 docs;
+        # week of 01-15 has only a NON-matching doc (gap: skip);
+        # week of 01-22: 2 docs.
+        (0, "apple pie", "2024-01-01", 10),
+        (1, "apple tart", "2024-01-08", 20),
+        (2, "apple cake", "2024-01-09", 30),
+        (3, "apple jam", "2024-01-10", 40),
+        (4, "banana bread", "2024-01-15", 50),
+        (5, "apple cider", "2024-01-22", 60),
+        (6, "apple sauce", "2024-01-23", 70),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, day string, n_chars long"
+    ).withColumn("warc_ts", F.to_timestamp("day"))
+    out = pipeline_aggs(
+        spark,
+        docs,
+        [(1, "apple")],
+        "warc_ts",
+        interval="week",
+        moving_window=2,
+        min_doc_count=2,
+    ).orderBy("bucket_start").collect()
+    # min_doc_count=2 drops the 1-doc first bucket AFTER metrics ran
+    assert [r.bucket_start for r in out] == ["2024-01-08", "2024-01-22"]
+    b2, b4 = out
+    assert (b2.n_docs, b2.cum_docs, b2.deriv_docs) == (3, 4, 2)
+    assert b2.moving_avg_docs == 2.0  # trailing-2 window: (1 + 3) / 2
+    assert b2.metric_per_doc == 30.0  # (20 + 30 + 40) / 3
+    # gap week (no matching docs) is skipped: derivative vs 01-08
+    assert (b4.n_docs, b4.cum_docs, b4.deriv_docs) == (2, 6, -1)
+    assert b4.moving_avg_docs == 2.5  # (3 + 2) / 2
+    with pytest.raises(ValueError):
+        pipeline_aggs(spark, docs, [(1, "apple")], "warc_ts", moving_window=0)
