@@ -2238,6 +2238,64 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed, well-ordered merge table for the BPE-encode contract (encode
+# with a GIVEN tokenizer — the tokenizer is an input, so the contract
+# pins a deterministic table targeting the synthetic vocabulary;
+# well-ordered = a merge's inputs exist before the merge, the property
+# every trained table has). Includes multi-level chains (at->atc->atch),
+# end-of-word merges, a same-symbol pair (g,g), and a never-firing pair.
+BPE_ENCODE_MERGES = [
+    ("a", "t"), ("g", "g"), ("e", "r"), ("er", "</w>"), ("at", "c"),
+    ("atc", "h"), ("atch", "</w>"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "w"), ("ow", "</w>"), ("l", "u"), ("q", "z"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding of the full corpus with a fixed merge table:
+    corpus-weighted token statistics under the tokenizer (the encode
+    loop runs over the distinct-word vocabulary only; the oracle
+    unrolls the merge table as delimiter-guarded sequential replaces)
+    (operators/bpe.py::bpe_token_counts)."""
+    from embed_rerank_spark.operators.bpe import bpe_token_counts
+
+    out = bpe_token_counts(_docs(spark, sf_dir), BPE_ENCODE_MERGES)
+    return out.select("token", "n_words", "total")
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB replay of bpe_token_counts: each word becomes
+    chr(31)-wrapped symbols (chr(31) never occurs in corpus text), and
+    each merge in table order is one replace() — replace scans left to
+    right non-overlapping, exactly the training-side apply step; the
+    double-delimiter wrapping means no boundary sharing between
+    adjacent matches and no intra-symbol false matches."""
+    d = "chr(31)"
+    expr = (
+        f"{d} || array_to_string(list_concat(regexp_extract_all(word, '.'),"
+        f" ['</w>']), {d}||{d}) || {d}"
+    )
+    for a, b in BPE_ENCODE_MERGES:
+        expr = (
+            f"replace({expr}, {d}||'{a}'||{d}||{d}||'{b}'||{d},"
+            f" {d}||'{a}{b}'||{d})"
+        )
+    return f"""
+WITH words AS (
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest({_TOKENIZE_SQL}) AS word FROM documents)
+    GROUP BY word
+),
+enc AS (
+    SELECT word, n,
+           unnest(string_split(trim({expr}, chr(31)), chr(31)||chr(31))) AS token
+    FROM words
+)
+SELECT token, count(DISTINCT word) AS n_words, sum(n) AS total
+FROM enc GROUP BY token
+"""
+
+
 MOST_FIELDS_BOOSTS = (2.0, 1.0)  # title^2 body — the ES most_fields idiom
 RANDOM_SCORE_SEED = "42"
 
@@ -2558,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_topk": q_has_parent_topk,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "most_fields_topk": q_most_fields_topk,
         "random_score": q_random_score,
         "dsir_select": q_dsir_select,
@@ -6136,6 +6195,7 @@ counted AS (SELECT a, b, sum(n) AS cnt FROM pairs GROUP BY a, b)
 SELECT a, b, CAST(cnt AS BIGINT) AS cnt
 FROM counted ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}
 """,
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "most_fields_topk": most_fields_sql,
         "random_score": random_score_sql,
         "dsir_select": f"""

@@ -189,3 +189,129 @@ def bpe_vocab(symtab: DataFrame, top_n: int | None = None) -> DataFrame:
         .orderBy(F.desc("total"), F.asc("token"))
     )
     return out.limit(top_n) if top_n else out
+
+
+_ENCODE_UDF_CACHE: dict[tuple[tuple[str, str], ...], object] = {}
+
+
+def _encode_udf(merges: list[tuple[str, str]]):
+    """(word) -> subword array: apply the trained merge table to one
+    word — merges applied IN TABLE ORDER, each as a leftmost
+    non-overlapping scan (identical to the training-side apply step,
+    so encode(train_corpus) reproduces the final training symtab).
+    Arrow-batched; the merge table rides in the serialized closure
+    (merge tables are small — 32k pairs ~ 1 MB; for larger tables
+    broadcast a dict and reference it here). Cached per merge table so
+    repeated plans reuse one UDF object."""
+    key = tuple((a, b) for a, b in merges)
+    if key not in _ENCODE_UDF_CACHE:
+        table = list(key)
+
+        @pandas_udf("array<string>")
+        def encode(words: pd.Series) -> pd.Series:
+            out = []
+            for word in words:
+                syms = list(word)
+                syms.append(END_OF_WORD)
+                present = set(syms)
+                for a, b in table:
+                    if len(syms) < 2 or a not in present or b not in present:
+                        continue
+                    merged = []
+                    i, m = 0, len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    if len(merged) < len(syms):
+                        syms = merged
+                        present = set(syms)
+                out.append(syms)
+            return pd.Series(out)
+
+        _ENCODE_UDF_CACHE[key] = encode
+    return _ENCODE_UDF_CACHE[key]
+
+
+def bpe_word_map(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, n, subwords): every DISTINCT corpus word encoded with the
+    merge table, plus its corpus frequency. The central scale trick of
+    BPE encoding on Spark: the corpus is tokenized once (combinable
+    word-count agg), and the Python encode loop runs over the
+    VOCABULARY — tens of millions of rows at web scale — never over
+    the trillions of word occurrences; occurrences get their tokens
+    back via a join on ``word``."""
+    return word_counts(docs, id_col, text_col).withColumn(
+        "subwords", _encode_udf(merges)(F.col("word"))
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, tokens): each document encoded to its BPE
+    token sequence — the tokenization step every LLM training pipeline
+    runs over its full corpus (and the input to token-budget data
+    selection, sequence packing, and context-length stats).
+
+    Scale shape: tokenize -> posexplode is the corpus-sized map; the
+    word -> subwords segmentation joins in from the vocabulary-sized
+    ``bpe_word_map`` (Catalyst broadcasts it when it fits, which a
+    32k-merge tokenizer's closure over a web vocab usually does not —
+    then it is the one shuffle join, same shape as the scorer's dl
+    join); per-doc reassembly is one combinable collect_list keyed by
+    doc_id, sorted by word position and flattened JVM-side."""
+    wmap = bpe_word_map(docs, merges, id_col, text_col).select("word", "subwords")
+    occs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_for_scoring(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        occs.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "subwords"))
+                    ),
+                    lambda s: s["subwords"],
+                )
+            ).alias("tokens")
+        )
+        .select("doc_id", F.size("tokens").alias("n_tokens"), "tokens")
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, n_words, total): corpus token statistics under the
+    trained tokenizer — ``total`` is the corpus-weighted occurrence
+    count (what token-budget selection needs), ``n_words`` the number
+    of distinct words the token appears in. One explode + one
+    combinable agg over the vocabulary-sized word map; never touches
+    doc rows."""
+    wm = bpe_word_map(docs, merges, id_col, text_col)
+    return (
+        wm.select("word", "n", F.explode("subwords").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count_distinct("word").alias("n_words"),
+            F.sum("n").alias("total"),
+        )
+    )

@@ -99,3 +99,41 @@ def test_partition_invariance(spark, docs):
     m1, _ = bpe_train(spark, docs, n_merges=8)
     m2, _ = bpe_train(spark, docs.repartition(3), n_merges=8)
     assert m1 == m2
+
+
+def test_bpe_apply_exact_sequences(spark):
+    """Hand-checked encode: leftmost non-overlapping repeats, chained
+    merges, end-of-word merges, never-firing merges, word order kept."""
+    from embed_rerank_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(0, "batch data aggg"), (1, "scan batch")],
+        "doc_id long, text string",
+    )
+    merges = [
+        ("a", "t"), ("g", "g"), ("at", "c"), ("atc", "h"),
+        ("atch", "</w>"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+        ("q", "z"),
+    ]
+    out = {r.doc_id: (r.n_tokens, r.tokens) for r in bpe_apply(docs, merges).collect()}
+    # aggg: a g g g </w> -> (g,g) leftmost non-overlapping -> a gg g </w>
+    assert out[0] == (
+        10,
+        ["b", "atch</w>", "d", "at", "a", "</w>", "a", "gg", "g", "</w>"],
+    )
+    assert out[1] == (4, ["scan", "</w>", "b", "atch</w>"])
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark, docs):
+    """Encoding the training corpus with the trained merge table yields
+    exactly the final training symtab — the apply step and the encoder
+    are the same algorithm."""
+    from embed_rerank_spark.operators.bpe import bpe_train, bpe_word_map
+
+    merges, symtab = bpe_train(spark, docs, n_merges=6)
+    trained = {r.word: list(r.syms) for r in symtab.collect()}
+    encoded = {
+        r.word: list(r.subwords)
+        for r in bpe_word_map(docs, [(a, b) for a, b, _ in merges]).collect()
+    }
+    assert encoded == trained
