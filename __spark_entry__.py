@@ -128,6 +128,16 @@ def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
         )
 
         built = build_combined_phrase_index(docs, n_shards=8)
+    elif variant == "impact":
+        # index sorting: doc ids re-assigned in (n_chars desc, doc_id
+        # asc) order so posting lists are stored in static-score order
+        from embed_rerank_spark.operators.impact import (  # noqa: PLC0415
+            impact_dictionary,
+            with_impact_ids,
+        )
+
+        dictionary = impact_dictionary(docs, score_col="n_chars")
+        built = build_postings(with_impact_ids(docs, dictionary), n_shards=8)
     else:
         raise ValueError(f"unknown index variant {variant!r}")
     from embed_rerank_spark.operators.postings import (  # noqa: PLC0415
@@ -150,6 +160,9 @@ def _cached_index(spark: SparkSession, sf_dir: str, variant: str = "plain"):
         avgdl=float(cs["avgdl"]),
         shard_files=True,
     )
+    if variant == "impact":
+        dictionary.write.mode("overwrite").parquet(f"{out_dir}/impact_dict")
+        handle = (handle, spark.read.parquet(f"{out_dir}/impact_dict"))
     _INDEX_CACHE[key] = handle
     return handle
 
@@ -242,6 +255,18 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _cached_index(spark, sf_dir)
     out = wand_topk(index, QUERY_SET, k=TOP_K)
     return out.select("query_id", "rank", "doc_id", SF.round("score", 6).alias("score"))
+
+
+def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-sorting early termination (operators/impact.py): over an
+    index whose doc ids are assigned in (n_chars desc, doc_id asc)
+    order, top-k BY STATIC SCORE among docs matching any query term —
+    decoding only the first O(k) postings blocks per (term, shard)."""
+    from embed_rerank_spark.operators.impact import impact_ordered_topk
+
+    index, dictionary = _cached_index(spark, sf_dir, variant="impact")
+    out = impact_ordered_topk(index, dictionary, QUERY_SET, k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", "static")
 
 
 def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2502,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
+        "impact_topk": q_impact_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_nextword_topk": q_phrase_nextword_topk,
         "phrase_snippets": q_phrase_snippets,
@@ -6067,6 +6093,21 @@ FROM ranked WHERE rank <= {TOP_K}
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
+        "impact_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+ranked AS (
+    SELECT m.query_id, m.doc_id, CAST(d.n_chars AS DOUBLE) AS static,
+           row_number() OVER (PARTITION BY m.query_id
+                              ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
+    FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, static
+FROM ranked WHERE rank <= {TOP_K}
+""",
         "phrase_topk": phrase,
         # the next-word path is exact: same oracle as the unigram path
         "phrase_nextword_topk": phrase,
