@@ -1934,6 +1934,39 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_MAX_DOCS = 2  # rare_terms bucket threshold
+RARE_TOP_N = 15
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation over the n_chars keyword field:
+    long-tail values of each query's match set — <= RARE_MAX_DOCS
+    matching docs, rarest first (operators/facets.py::rare_terms)."""
+    from embed_rerank_spark.operators.facets import rare_terms
+
+    out = rare_terms(
+        spark, _docs(spark, sf_dir), QUERY_SET, bucket_col="n_chars",
+        max_doc_count=RARE_MAX_DOCS, top_n=RARE_TOP_N,
+    )
+    return out.select("query_id", "term", "n_docs", "term_rank")
+
+
+MULTI_TERMS_N = 10
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation: composite (lang, source) buckets of
+    the match set ordered by doc count desc
+    (operators/facets.py::multi_terms)."""
+    from embed_rerank_spark.operators.facets import multi_terms
+
+    out = multi_terms(
+        spark, _docs(spark, sf_dir), QUERY_SET, ("lang", "source"),
+        top_n=MULTI_TERMS_N,
+    )
+    return out.select("query_id", "key1", "key2", "n_docs", "bucket_rank")
+
+
 TOPHITS_K = 2  # hits kept per bucket in the top_hits contract query
 TOPHITS_BUCKETS = 3  # buckets kept per query
 
@@ -2626,6 +2659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_fields_topk": q_cross_fields_topk,
         "date_histogram": q_date_histogram,
         "pipeline_aggs": q_pipeline_aggs,
+        "rare_terms": q_rare_terms,
+        "multi_terms": q_multi_terms,
         "top_hits": q_top_hits,
         "composite_agg": q_composite_agg,
         "phrase_suggest": q_phrase_suggest,
@@ -6205,6 +6240,50 @@ FROM ranked WHERE rank <= {TOP_K}
         "cross_fields_topk": cross_fields_sql,
         "date_histogram": date_histogram_sql,
         "pipeline_aggs": pipeline_aggs_sql,
+        "rare_terms": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+counts AS (
+    SELECT m.query_id, CAST(d.n_chars AS VARCHAR) AS term, count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+kept AS (
+    SELECT query_id, term, n_docs FROM counts WHERE n_docs <= {RARE_MAX_DOCS}
+),
+ranked AS (
+    SELECT query_id, term, n_docs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_docs ASC, term ASC) AS term_rank
+    FROM kept
+)
+SELECT query_id, term, n_docs, CAST(term_rank AS INTEGER) AS term_rank
+FROM ranked WHERE term_rank <= {RARE_TOP_N}
+""",
+        "multi_terms": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT m.query_id, d.lang AS key1, d.source AS key2, count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT query_id, key1, key2, n_docs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_docs DESC, key1 ASC, key2 ASC) AS bucket_rank
+    FROM buckets
+)
+SELECT query_id, key1, key2, n_docs, CAST(bucket_rank AS INTEGER) AS bucket_rank
+FROM ranked WHERE bucket_rank <= {MULTI_TERMS_N}
+""",
+
         "top_hits": top_hits_sql,
         "composite_agg": composite_sql,
         "phrase_suggest": phrase_suggest_sql,

@@ -664,3 +664,111 @@ def pipeline_aggs(
         "moving_avg_docs",
         "metric_per_doc",
     )
+
+
+def rare_terms(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    bucket_col: str | None = None,
+    max_doc_count: int = 1,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term, n_docs, term_rank): the Elasticsearch
+    ``rare_terms`` aggregation — the LONG-TAIL counterpart of
+    ``terms``: only values appearing in <= ``max_doc_count`` of the
+    query's matching documents, ordered count ASC then value asc
+    (rarest first), capped at ``top_n``. ``bucket_col`` names the
+    keyword field to bucket (the ES shape; cast to string for a
+    portable key); ``None`` buckets the ANALYZED TEXT terms of the
+    match set instead, with the query's own terms excluded (they match
+    every foreground doc by construction) — the significant-text-style
+    variant. ES implements rare_terms with a CuckooFilter because a
+    coordinator can't hold the tail; here the tail lives in the
+    distributed agg and only the <= top_n survivors ship.
+
+    Scale shape: same two joins as ``facet_counts`` — the match set
+    collapses to one row per (query, doc) before the value join; the
+    (query, value) count is map-side combinable; the <= max_doc_count
+    filter runs post-agg (a pre-agg global-df prefilter would be
+    wrong: rarity is WITHIN the match set)."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .select("query_id", "doc_id")
+    )
+    if bucket_col is None:
+        vals = tf.select("doc_id", "term")
+    else:
+        vals = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(bucket_col).cast("string").alias("term"),
+        )
+    counts = (
+        matched.join(vals, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+    )
+    if bucket_col is None:
+        counts = counts.join(qt, ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.asc("n_docs"), F.asc("term"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select("query_id", "term", "n_docs", "term_rank")
+    )
+
+
+def multi_terms(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    key_cols: tuple[str, str],
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, key1, key2, n_docs, bucket_rank): the Elasticsearch
+    ``multi_terms`` aggregation — buckets keyed by a COMPOSITE of two
+    fields, ordered by matching-doc count desc (the default terms
+    order; ``composite_agg`` is the key-ordered/pageable sibling),
+    ties key1 asc then key2 asc, top ``top_n`` per query.
+
+    Scale shape: identical to ``facet_counts`` with a two-column key —
+    match set collapses first, one combinable agg, the rank window
+    runs over aggregated bucket rows only."""
+    k1, k2 = key_cols
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .select("query_id", "doc_id")
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(k1).alias("key1"),
+        F.col(k2).alias("key2"),
+    )
+    buckets = (
+        matched.join(vals, "doc_id")
+        .groupBy("query_id", "key1", "key2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc("key1"), F.asc("key2")
+    )
+    return (
+        buckets.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= top_n)
+        .select("query_id", "key1", "key2", "n_docs", "bucket_rank")
+    )

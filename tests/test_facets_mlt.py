@@ -474,3 +474,65 @@ def test_pipeline_aggs_semantics(spark):
     assert b4.moving_avg_docs == 2.5  # (3 + 2) / 2
     with pytest.raises(ValueError):
         pipeline_aggs(spark, docs, [(1, "apple")], "warc_ts", moving_window=0)
+
+
+def test_rare_terms_semantics(spark):
+    """Query terms excluded, threshold respected, rarest-first order."""
+    from embed_rerank_spark.operators.facets import rare_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple unique0 shared"),
+            (1, "apple unique1 shared"),
+            (2, "apple shared common"),
+            (3, "pear common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.term, r.n_docs, r.term_rank)
+        for r in rare_terms(spark, docs, [(1, "apple")], max_doc_count=2)
+        .orderBy("term_rank")
+        .collect()
+    ]
+    # match set = docs 0,1,2; 'apple' excluded (query term); 'shared'
+    # df=3 > 2 excluded; rarest first, ties term asc
+    assert out == [
+        ("common", 1, 1), ("unique0", 1, 2), ("unique1", 1, 3),
+    ]
+    # field mode: bucket a keyword column instead of analyzed text
+    from pyspark.sql import functions as F
+
+    docs_f = docs.withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+    out_f = [
+        (r.term, r.n_docs)
+        for r in rare_terms(
+            spark, docs_f, [(1, "apple")], bucket_col="grp", max_doc_count=1
+        ).collect()
+    ]
+    # matched docs 0,1,2 -> grp 0:2 docs (excluded), grp 1:1 doc
+    assert out_f == [("1", 1)]
+
+
+def test_multi_terms_order(spark):
+    from embed_rerank_spark.operators.facets import multi_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple", "en", "web"),
+            (1, "apple", "en", "web"),
+            (2, "apple", "de", "web"),
+            (3, "apple", "en", "news"),
+            (4, "pear", "fr", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = [
+        (r.key1, r.key2, r.n_docs, r.bucket_rank)
+        for r in multi_terms(spark, docs, [(1, "apple")], ("lang", "source"))
+        .orderBy("bucket_rank")
+        .collect()
+    ]
+    assert out == [
+        ("en", "web", 2, 1), ("de", "web", 1, 2), ("en", "news", 1, 3),
+    ]
