@@ -269,6 +269,40 @@ def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", "static")
 
 
+# ES _routing contract: each query is pinned to one tenant (source
+# value); answered only from that tenant's partition with per-tenant
+# BM25 stats (operators/routing.py module docstring).
+ROUTED_QUERIES = [
+    (qid, f"src{(qid * 7) % 20}", q) for qid, q in QUERY_SET[:6]
+]
+
+
+def q_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard routing as storage partition pruning: per-tenant BM25
+    top-k over the partitionBy(source) layout — the scan reads only
+    the queried tenants' directories (operators/routing.py)."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from embed_rerank_spark.operators.routing import routed_topk, write_routed
+
+    key = (sf_dir, "routed_docs")
+    path = _INDEX_CACHE.get(key)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = (
+            f"{_index_cache_root()}/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{tag}-routed"
+        )
+        write_routed(_docs(spark, sf_dir), path, routing_col="source")
+        _INDEX_CACHE[key] = path
+    docs = spark.read.parquet(path)
+    out = routed_topk(spark, docs, ROUTED_QUERIES, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase top-k over the POSITIONAL compressed index: docs
     containing the phrase tokens consecutively, BM25-scored over the
@@ -2561,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
         "impact_topk": q_impact_topk,
+        "routed_topk": q_routed_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_nextword_topk": q_phrase_nextword_topk,
         "phrase_snippets": q_phrase_snippets,
@@ -6128,6 +6163,45 @@ FROM ranked WHERE rank <= {TOP_K}
     return {
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
+        "routed_topk": f"""
+WITH rq AS (
+    SELECT * FROM (VALUES {", ".join(f"({qid}, '{val}')" for qid, val, _ in ROUTED_QUERIES)})
+      AS t(query_id, routing)
+),
+toksr AS (
+    SELECT d.source AS routing, d.doc_id, unnest({_TOKENIZE_SQL}) AS term
+    FROM documents d
+    WHERE d.source IN ({", ".join(f"'{v}'" for v in sorted({val for _, val, _ in ROUTED_QUERIES}))})
+),
+tfr AS (SELECT routing, doc_id, term, count(*) AS tf FROM toksr GROUP BY 1, 2, 3),
+dlr AS (SELECT routing, doc_id, sum(tf) AS dl FROM tfr GROUP BY 1, 2),
+statsr AS (SELECT routing, count(*) AS n_docs, avg(dl) AS avgdl FROM dlr GROUP BY 1),
+dfr AS (SELECT routing, term, count(*) AS df FROM tfr GROUP BY 1, 2),
+matched AS (
+    SELECT qt.query_id, tfr.doc_id,
+           ln((s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+             * (tfr.tf * (1.2 + 1.0))
+             / (tfr.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlr.dl / s.avgdl)) AS term_score
+    FROM {qt}
+    JOIN rq ON rq.query_id = qt.query_id
+    JOIN tfr ON tfr.routing = rq.routing AND tfr.term = qt.term
+    JOIN dfr ON dfr.routing = rq.routing AND dfr.term = qt.term
+    JOIN dlr ON dlr.routing = rq.routing AND dlr.doc_id = tfr.doc_id
+    JOIN statsr s ON s.routing = rq.routing
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
         "impact_topk": f"""
 WITH {_TOKS_CTE},
 matched AS (
