@@ -602,6 +602,45 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_ALPHA = 0.7  # weight of the BM25 list in the linear blend
+
+
+def q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, score-level: per-query min-max normalized
+    convex combination (alpha * BM25 + (1-alpha) * Jaccard, depth 30
+    each) — the ES "linear" retriever counterpart of hybrid_rrf
+    (operators/fusion.py::linear_fuse)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.bm25 import topk
+    from embed_rerank_spark.operators.fusion import linear_fuse
+    from embed_rerank_spark.operators.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    index = _cached_index(spark, sf_dir)
+    sparse = wand_topk(index, QUERY_SET, k=RRF_DEPTH)
+    d = docs.select(
+        "doc_id", F.array_distinct(tokenize_for_scoring(F.col("text"))).alias("ptoks")
+    )
+    qdf = spark.createDataFrame(QUERY_SET, "query_id long, query string").select(
+        "query_id", F.array_distinct(tokenize_for_scoring(F.col("query"))).alias("qtoks")
+    )
+    jac_scored = F.broadcast(qdf).crossJoin(d).select(
+        "query_id",
+        "doc_id",
+        (
+            F.size(F.array_intersect("qtoks", "ptoks"))
+            / F.greatest(F.size(F.array_union("qtoks", "ptoks")), F.lit(1))
+        ).alias("score"),
+    )
+    lexical = topk(jac_scored, RRF_DEPTH)
+    fused = linear_fuse(
+        [(sparse, HYBRID_ALPHA), (lexical, 1.0 - HYBRID_ALPHA)], k=TOP_K
+    )
+    return fused.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset (search_after) pagination: PAGE 2 of the ranking — each
     page re-runs WAND with the previous page's last (rounded_score,
@@ -2612,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_snippets": q_best_snippets,
         "lmd_topk": q_lmd_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_linear": q_hybrid_linear,
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
         "fuzzy_topk": q_fuzzy_topk,
@@ -3585,6 +3625,70 @@ contribs AS (
 fused AS (
     SELECT query_id, doc_id, sum(contrib) AS score
     FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    hybrid_linear_sql = f"""
+WITH {_TOKS_CTE},
+bm25_matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+bm25_ranked AS (
+    SELECT query_id, doc_id, sum(term_score) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sum(term_score), 6) DESC, doc_id ASC) AS rank
+    FROM bm25_matched GROUP BY query_id, doc_id
+),
+q AS (
+    SELECT query_id, list_distinct(list_filter(
+        regexp_split_to_array(trim(lower(query)), '\\s+'), t -> t <> '')) AS qtoks
+    FROM {_queries_values()}
+),
+d AS (
+    SELECT doc_id, list_distinct({_TOKENIZE_SQL}) AS ptoks FROM documents
+),
+jac_ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM (
+        SELECT query_id, doc_id,
+               CAST(len(list_intersect(qtoks, ptoks)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(qtoks, ptoks))), 1) AS score
+        FROM q CROSS JOIN d
+    )
+),
+pools AS (
+    SELECT 's' AS src, query_id, doc_id, score FROM bm25_ranked WHERE rank <= {RRF_DEPTH}
+    UNION ALL
+    SELECT 'j' AS src, query_id, doc_id, score FROM jac_ranked WHERE rank <= {RRF_DEPTH}
+),
+nrm AS (
+    SELECT query_id, doc_id,
+           (CASE WHEN src = 's' THEN {HYBRID_ALPHA} ELSE 1.0 - {HYBRID_ALPHA} END)
+             * (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) AS contrib
+    FROM (
+        SELECT src, query_id, doc_id, score,
+               min(score) OVER (PARTITION BY src, query_id) AS mn,
+               max(score) OVER (PARTITION BY src, query_id) AS mx
+        FROM pools
+    )
+),
+fused AS (
+    SELECT query_id, doc_id, sum(contrib) AS score FROM nrm GROUP BY query_id, doc_id
 ),
 ranked AS (
     SELECT query_id, doc_id, score,
@@ -6234,6 +6338,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "best_snippets": best_snippets_sql,
         "lmd_topk": lmd_sql,
         "hybrid_rrf": hybrid_rrf_sql,
+        "hybrid_linear": hybrid_linear_sql,
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,
         "fuzzy_topk": fuzzy_topk_sql,

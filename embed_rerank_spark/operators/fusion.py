@@ -53,3 +53,52 @@ def rrf_fuse(
         u = u.unionByName(c)
     fused = u.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("score"))
     return topk(fused, k)
+
+
+def linear_fuse(
+    rankings: list[tuple[DataFrame, float]], k: int = 10
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): weighted CONVEX combination of
+    score-bearing ranked lists — the other standard hybrid besides RRF
+    (Elasticsearch 8.18 "linear" retriever / OpenSearch hybrid
+    min_max+arithmetic_mean normalization). Each input (query_id,
+    doc_id, score) list is min-max normalized PER QUERY over its own
+    retrieved pool (a degenerate pool where max == min normalizes to
+    1.0 — every retrieved doc is equally best), then blended as
+    sum(weight_i * norm_i); a doc absent from a list contributes 0
+    for it. Unlike RRF this preserves score MAGNITUDE within each
+    list, so a dominant-score hit stays dominant after fusion.
+
+    Scale: inputs are n_queries x depth rows; normalization windows,
+    the union and the blend agg all run over that planning-sized set —
+    fusion cost independent of corpus size, same as ``rrf_fuse``."""
+    if not rankings:
+        raise ValueError("linear_fuse needs at least one ranking")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wq = Window.partitionBy("query_id")
+    parts = []
+    for df, weight in rankings:
+        nrm = (
+            df.select("query_id", "doc_id", "score")
+            .withColumn("mn", F.min("score").over(wq))
+            .withColumn("mx", F.max("score").over(wq))
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.lit(float(weight))
+                    * F.when(
+                        F.col("mx") > F.col("mn"),
+                        (F.col("score") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")),
+                    ).otherwise(F.lit(1.0))
+                ).alias("contrib"),
+            )
+        )
+        parts.append(nrm)
+    u = parts[0]
+    for c in parts[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("score"))
+    return topk(fused, k)

@@ -60,3 +60,34 @@ def test_doc_missing_from_a_list_contributes_nothing(spark):
 def test_empty_input_rejected(spark):
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_linear_fuse_semantics(spark):
+    """Min-max per list per query; degenerate pool -> 1.0; absent doc
+    contributes 0; weights blend."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.fusion import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (1, 12, 0.0)],
+        "query_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 7.0), (1, 13, 7.0)],  # degenerate: max == min
+        "query_id long, doc_id long, score double",
+    )
+    out = {
+        r.doc_id: round(r.score, 6)
+        for r in linear_fuse([(a, 0.6), (b, 0.4)], k=10).collect()
+    }
+    # a normalized: 10->1.0, 11->0.5, 12->0.0; b degenerate: 11,13 -> 1.0
+    assert out == {
+        10: 0.6,            # 0.6*1.0 + absent
+        11: round(0.6 * 0.5 + 0.4, 6),
+        13: 0.4,            # absent + 0.4*1.0
+        12: 0.0,
+    }
+    with pytest.raises(ValueError):
+        linear_fuse([], k=5)
