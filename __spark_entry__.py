@@ -1204,6 +1204,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn-with-filter (pre-filter semantics): exact cosine top-k
+    among vectors with label = 1 only — the predicate pushes into the
+    scan before any dot products
+    (operators/similarity.py::filtered_cosine_topk)."""
+    from embed_rerank_spark.operators.similarity import filtered_cosine_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = vectors.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = filtered_cosine_topk(vectors, queries_df, F.col("label") == 1, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 MRL_PREFIX_DIM = 16
 MRL_REFINE = 3
 
@@ -2690,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "filtered_knn": q_filtered_knn,
         "matryoshka_topk": q_matryoshka_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4759,6 +4777,30 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10
 """
+    filtered_knn_sql = f"""
+WITH vf AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings WHERE label = 1
+),
+q AS (
+    SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+    SELECT q.query_id, vf.vec_id,
+           list_dot_product(qv, ve)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cosine
+    FROM q CROSS JOIN vf
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
     matryoshka_sql = f"""
 WITH {cosine_core},
 q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 5),
@@ -6374,6 +6416,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "text_quality": text_quality,
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
+        "filtered_knn": filtered_knn_sql,
         "matryoshka_topk": matryoshka_sql,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine

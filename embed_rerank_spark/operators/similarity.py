@@ -627,3 +627,31 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def filtered_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    flt,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): exact cosine top-k restricted
+    to vectors satisfying ``flt`` (a boolean Column over the vectors
+    table) — the Elasticsearch ``knn``-with-``filter`` query with
+    PRE-filter semantics: the predicate applies DURING the search, so
+    every query still gets ``k`` hits if k matches exist (a
+    post-filter would silently thin results below k; ES kNN made the
+    same call). With ES's HNSW the filter constrains graph traversal;
+    here it constrains the scan — Catalyst pushes the predicate into
+    the parquet read, so the crossJoin's right side shrinks BEFORE any
+    dot products happen, and the cost scales with the filtered
+    fraction. For the bucketed scale path, compose the same filter
+    into ``lsh_topk``'s candidate table instead."""
+    return cosine_topk_bruteforce(
+        vectors.filter(flt), queries, k=k,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    )

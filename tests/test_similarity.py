@@ -312,3 +312,39 @@ def test_matryoshka_full_refine_equals_exact(spark):
 
     with _pytest.raises(ValueError):
         matryoshka_topk(vectors, queries, k=5, prefix_dim=0)
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    """Every hit satisfies the filter; pre-filter still fills k (a
+    post-filter of the unfiltered top-k would thin below k); the
+    predicate reaches the parquet scan (PushedFilters)."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        filtered_cosine_topk,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in vectors.select("vec_id", "label").collect()}
+    queries = vectors.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = filtered_cosine_topk(vectors, queries, F.col("label") == 1, k=5)
+    rows = out.collect()
+    assert all(labels[r.vec_id] == 1 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}  # pre-filter fills k
+    # post-filtering the unfiltered top-5 would NOT fill k for at
+    # least one query (label-1 fraction ~ 1/n_labels)
+    unf = cosine_topk_bruteforce(vectors, queries, k=5).collect()
+    thinned = {}
+    for r in unf:
+        thinned.setdefault(r.query_id, 0)
+        if labels[r.vec_id] == 1:
+            thinned[r.query_id] += 1
+    assert any(v < 5 for v in thinned.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
