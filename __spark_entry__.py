@@ -1204,6 +1204,86 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+QC_DIM = 16  # hashed-feature dimensionality of the quality classifier
+QC_ITERS = 3  # full-batch GD steps (unrolled in the oracle)
+QC_LR = 0.5
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (operators/classifier.py): hashed-bag
+    logistic regression, QC_ITERS full-batch GD steps on the
+    deterministic lang=='en' labels, scoring every doc. Oracle: the
+    same GD steps unrolled as chained DuckDB CTEs."""
+    from embed_rerank_spark.operators.classifier import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    out = quality_scores(
+        spark, docs, labels, dim=QC_DIM, iters=QC_ITERS, lr=QC_LR
+    )
+    return out.select("doc_id", "y", F.round("p", 6).alias("p"))
+
+
+def _quality_lr_oracle_sql() -> str:
+    """GD unrolled: w0 = 0 (so the first pass scores exactly 0.5
+    everywhere), then per step a gradient CTE over the fixed feature
+    table and a weight/bias update CTE — the pagerank unrolled-CTE
+    pattern applied to model training."""
+    head = f"""
+x AS (
+    SELECT f.doc_id, f.feat, CAST(f.s AS DOUBLE) / dl.dl AS val
+    FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {QC_DIM} AS feat,
+               sum(tf) AS s
+        FROM tf GROUP BY 1, 2
+    ) f JOIN dl USING (doc_id)
+),
+lbl AS (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lbl),
+p0 AS (SELECT doc_id, y, CAST(0.5 AS DOUBLE) AS p FROM lbl)"""
+    steps = []
+    for i in range(QC_ITERS):
+        w_update = (
+            f"SELECT feat, 0.0 - {QC_LR} * g AS w FROM g{i}"
+            if i == 0
+            else f"SELECT g.feat, w.w - {QC_LR} * g.g AS w "
+            f"FROM g{i} g JOIN w{i} w USING (feat)"
+        )
+        b_update = (
+            f"SELECT 0.0 - {QC_LR} * g AS b FROM gb{i}"
+            if i == 0
+            else f"SELECT b.b - {QC_LR} * g.g AS b FROM gb{i} g CROSS JOIN b{i} b"
+        )
+        steps.append(f""",
+g{i} AS (
+    SELECT x.feat, sum((p.p - p.y) * x.val) / (SELECT n FROM nn) AS g
+    FROM x JOIN p{i} p USING (doc_id) GROUP BY x.feat
+),
+gb{i} AS (SELECT avg(p - y) AS g FROM p{i}),
+w{i + 1} AS ({w_update}),
+b{i + 1} AS ({b_update}),
+p{i + 1} AS (
+    SELECT l.doc_id, l.y,
+           1.0 / (1.0 + exp(-((SELECT b FROM b{i + 1}) + coalesce(z.z, 0.0)))) AS p
+    FROM lbl l LEFT JOIN (
+        SELECT x.doc_id, sum(w.w * x.val) AS z
+        FROM x JOIN w{i + 1} w USING (feat) GROUP BY x.doc_id
+    ) z USING (doc_id)
+)""")
+    return f"""
+WITH {_TOKS_CTE},
+{head}{"".join(steps)}
+SELECT doc_id, y, round(p, 6) AS p FROM p{QC_ITERS}
+"""
+
+
 def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES knn-with-filter (pre-filter semantics): exact cosine top-k
     among vectors with label = 1 only — the predicate pushes into the
@@ -2708,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "filtered_knn": q_filtered_knn,
+        "quality_classifier": q_quality_classifier,
         "matryoshka_topk": q_matryoshka_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -6417,6 +6498,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "fingerprint": fingerprint,
         "cosine_topk": cosine_topk,
         "filtered_knn": filtered_knn_sql,
+        "quality_classifier": _quality_lr_oracle_sql(),
         "matryoshka_topk": matryoshka_sql,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
