@@ -463,6 +463,56 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--budget", type=int, required=True)
     ds.add_argument("--buckets", type=int, default=8192)
 
+    be = sub.add_parser(
+        "bpe-encode",
+        help="encode a corpus with a trained BPE merge table "
+        "(vocabulary-sized encode, per-doc token sequences)",
+    )
+    be.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    be.add_argument("--merges", required=True,
+                    help="merges parquet from bpe-train (step,a,b[,cnt])")
+    be.add_argument("--out", required=True,
+                    help="output dir: docs/ (doc_id,n_tokens,tokens) + "
+                    "token_counts/ (token,n_words,total)")
+
+    qc = sub.add_parser(
+        "quality-train",
+        help="train the hashed-feature logistic quality filter and "
+        "score every document",
+    )
+    qc.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    qc.add_argument("--labels", required=True,
+                    help="parquet with doc_id, y (0.0/1.0)")
+    qc.add_argument("--out", required=True, help="scores parquet (doc_id,y,p)")
+    qc.add_argument("--dim", type=int, default=64)
+    qc.add_argument("--iters", type=int, default=3)
+    qc.add_argument("--lr", type=float, default=0.5)
+
+    rt = sub.add_parser(
+        "routed-query",
+        help="per-tenant BM25 over a partitionBy(routing) layout "
+        "(partition pruning = the shard router)",
+    )
+    rt.add_argument("--docs", required=True, help="routed-layout parquet dir")
+    rt.add_argument("--queries", required=True,
+                    help="tsv: query_id<TAB>routing<TAB>query")
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--routing-col", default="source")
+    rt.add_argument("--k", type=int, default=10)
+
+    iq = sub.add_parser(
+        "impact-query",
+        help="top-k by static score among term matches over an "
+        "impact-ordered index (early termination)",
+    )
+    iq.add_argument("--index", required=True,
+                    help="index built over impact ids")
+    iq.add_argument("--dictionary", required=True,
+                    help="impact_dictionary parquet (doc_id,impact_id,static)")
+    iq.add_argument("--queries", required=True, help="tsv: query_id<TAB>query")
+    iq.add_argument("--out", required=True)
+    iq.add_argument("--k", type=int, default=10)
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -950,6 +1000,65 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.target).select("doc_id", "text"),
                 budget=args.budget,
                 n_buckets=args.buckets,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "bpe-encode":
+            from .operators.bpe import bpe_apply, bpe_token_counts
+
+            merges_rows = (
+                spark.read.parquet(args.merges).orderBy("step").collect()
+            )
+            merges = [(r["a"], r["b"]) for r in merges_rows]
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            bpe_apply(corpus, merges).write.mode("overwrite").parquet(
+                f"{args.out}/docs"
+            )
+            bpe_token_counts(corpus, merges).write.mode("overwrite").parquet(
+                f"{args.out}/token_counts"
+            )
+            print(f"wrote {args.out} ({len(merges)} merges applied)")
+        elif args.cmd == "quality-train":
+            from .operators.classifier import quality_scores
+
+            out = quality_scores(
+                spark,
+                spark.read.parquet(args.corpus).select("doc_id", "text"),
+                spark.read.parquet(args.labels).select("doc_id", "y"),
+                dim=args.dim,
+                iters=args.iters,
+                lr=args.lr,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "routed-query":
+            from .operators.routing import routed_topk
+
+            routed_queries = []
+            with open(args.queries) as f:
+                for line in f:
+                    if line.strip():
+                        qid, routing, query = line.rstrip("\n").split("\t", 2)
+                        routed_queries.append((int(qid), routing, query))
+            out = routed_topk(
+                spark,
+                spark.read.parquet(args.docs),
+                routed_queries,
+                k=args.k,
+                routing_col=args.routing_col,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "impact-query":
+            from .operators.impact import impact_ordered_topk
+            from .operators.postings import InvertedIndex
+
+            idx = InvertedIndex.load(spark, args.index)
+            out = impact_ordered_topk(
+                idx,
+                spark.read.parquet(args.dictionary),
+                _read_queries(args.queries),
+                k=args.k,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

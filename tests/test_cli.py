@@ -628,3 +628,86 @@ def test_cli_stem_analyzer_path(spark, tmp_path):
 
     hits = spark.read.parquet(str(d / "hits"))
     assert {r.doc_id for r in hits.collect()} == {1, 2}  # plural collapsed
+
+
+def test_cli_session6_surfaces(spark, tmp_path):
+    """Session-6 subcommands: bpe-encode, quality-train, routed-query,
+    impact-query — each runs end-to-end and writes sane parquet."""
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        str(d / "corpus")
+    )
+    spark.createDataFrame(
+        [(1, "a", "t"), (2, "t", "h")], "step long, a string, b string"
+    ).write.parquet(str(d / "merges"))
+    docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).write.parquet(str(d / "labels"))
+
+    from embed_rerank_spark.operators.impact import (
+        impact_dictionary,
+        with_impact_ids,
+    )
+    from embed_rerank_spark.operators.postings import build_postings, write_index
+    from embed_rerank_spark.operators.routing import write_routed
+
+    write_routed(
+        docs.select("doc_id", "text", "source"), str(d / "routed"),
+        routing_col="source",
+    )
+    dictionary = impact_dictionary(docs, score_col="n_chars")
+    dictionary.write.parquet(str(d / "dict"))
+    write_index(
+        build_postings(with_impact_ids(docs, dictionary), n_shards=4),
+        str(d / "iidx"),
+    )
+    (d / "rq.tsv").write_text("1\tsrc3\tfast hash join\n2\tsrc5\tslow scan\n")
+    (d / "iq.tsv").write_text("1\tfast hash join\n")
+
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "bpe-encode", "--corpus", str(d / "corpus"),
+            "--merges", str(d / "merges"), "--out", str(d / "enc"),
+        ]) == 0
+        assert cli.main([
+            "quality-train", "--corpus", str(d / "corpus"),
+            "--labels", str(d / "labels"), "--out", str(d / "scores"),
+            "--dim", "8", "--iters", "2",
+        ]) == 0
+        assert cli.main([
+            "routed-query", "--docs", str(d / "routed"),
+            "--queries", str(d / "rq.tsv"), "--out", str(d / "rout"),
+        ]) == 0
+        assert cli.main([
+            "impact-query", "--index", str(d / "iidx"),
+            "--dictionary", str(d / "dict"),
+            "--queries", str(d / "iq.tsv"), "--out", str(d / "iout"),
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    enc = spark.read.parquet(str(d / "enc/docs"))
+    assert enc.count() == docs.count()
+    assert set(enc.columns) == {"doc_id", "n_tokens", "tokens"}
+    scores = spark.read.parquet(str(d / "scores"))
+    assert scores.filter((F.col("p") < 0) | (F.col("p") > 1)).count() == 0
+    rout = spark.read.parquet(str(d / "rout"))
+    assert rout.count() > 0 and rout.filter(F.col("rank") == 1).count() >= 1
+    iout = spark.read.parquet(str(d / "iout"))
+    assert iout.count() > 0
+    # impact results really are static-score-descending per query
+    rows = sorted(
+        ((r.query_id, r["rank"], r.static) for r in iout.collect())
+    )
+    for (q1, r1, s1), (q2, r2, s2) in zip(rows, rows[1:]):
+        if q1 == q2:
+            assert s1 >= s2
