@@ -326,6 +326,48 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             t0 = time.perf_counter()
             bpe_train(spark, corpus_df, n_merges=8)
             extra["bpe_train_8"] = round(time.perf_counter() - t0, 3)
+            # index-sorting early termination: impact-ordered build
+            # over the documents table + a 64-query top-k-by-static
+            # batch that decodes only the first blocks per (term,shard)
+            from embed_rerank_spark.operators.impact import (  # noqa: PLC0415
+                impact_dictionary,
+                impact_ordered_topk,
+                with_impact_ids,
+            )
+            from embed_rerank_spark.operators.postings import (  # noqa: PLC0415
+                InvertedIndex,
+                build_postings,
+            )
+
+            t0 = time.perf_counter()
+            idict = impact_dictionary(docs_tbl, score_col="n_chars")
+            ibuilt = build_postings(
+                with_impact_ids(docs_tbl, idict), n_shards=N_SHARDS
+            )
+            ibuilt["postings"].write.mode("overwrite").parquet(f"{tmp}/impact_postings")
+            idict.write.mode("overwrite").parquet(f"{tmp}/impact_dict")
+            ics = ibuilt["corpus_stats"].collect()[0]
+            extra["impact_build"] = round(time.perf_counter() - t0, 3)
+            ihandle = InvertedIndex(
+                postings=spark.read.parquet(f"{tmp}/impact_postings"),
+                term_stats=ibuilt["term_stats"],
+                doc_stats=ibuilt["doc_stats"],
+                n_docs=ics["n_docs"],
+                avgdl=float(ics["avgdl"]),
+            )
+            doc_vocab = [
+                "join", "hash", "row", "batch", "scan", "filter", "merge",
+                "order",
+            ]
+            iq = [
+                (i, f"{doc_vocab[i % 8]} {doc_vocab[(i + 3) % 8]}")
+                for i in range(64)
+            ]
+            t0 = time.perf_counter()
+            impact_ordered_topk(
+                ihandle, spark.read.parquet(f"{tmp}/impact_dict"), iq, k=10
+            ).write.mode("overwrite").parquet(f"{tmp}/impact_topk")
+            extra["impact_topk_64"] = round(time.perf_counter() - t0, 3)
             timings["_extra"] = extra
 
         # --- tiered-compaction side metrics (reported under "tiered",
