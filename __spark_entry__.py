@@ -1325,6 +1325,82 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MV_CHUNKS = 4  # synthetic chunks-per-doc grouping over the embeddings table
+
+
+def _mv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level vector table: every MV_CHUNKS consecutive vec_ids
+    form one 'document' — the deterministic stand-in for a chunked
+    long-document corpus (operators/packing.py::chunk_documents ->
+    operators/embed.py::embed_texts at serving time)."""
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectors.select(
+        F.expr(f"vec_id div {MV_CHUNKS}").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+
+
+def q_pooled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled chunk->doc vectors, then exact cosine top-10 over
+    the pooled index (operators/multivector.py::pool_embeddings +
+    cosine_topk_bruteforce) — the 'represent then retrieve' long-doc
+    path. Oracle rebuilds the pooled vectors in SQL (list_avg per
+    position), so the pooling arithmetic itself is checked."""
+    from embed_rerank_spark.operators.multivector import pool_embeddings
+    from embed_rerank_spark.operators.similarity import cosine_topk_bruteforce
+
+    chunks = _mv_chunks(spark, sf_dir)
+    pooled = pool_embeddings(chunks, group_col="doc_id", pooling="mean")
+    queries_df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = cosine_topk_bruteforce(
+        pooled, queries_df, k=TOP_K, id_col="doc_id", vec_col="embedding"
+    )
+    return out.select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_maxp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxP long-doc retrieval (Dai & Callan 2019): score every chunk,
+    doc score = best chunk (operators/multivector.py::maxp_topk) —
+    the 'retrieve then collapse' path."""
+    from embed_rerank_spark.operators.multivector import maxp_topk
+
+    chunks = _mv_chunks(spark, sf_dir)
+    queries_df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = maxp_topk(chunks, queries_df, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction (Khattab & Zaharia 2020): the
+    first two chunked docs act as multi-vector queries; score(q, d) =
+    sum over q's vectors of the max cosine against any chunk of d
+    (operators/multivector.py::max_sim_topk)."""
+    from embed_rerank_spark.operators.multivector import max_sim_topk
+
+    chunks = _mv_chunks(spark, sf_dir)
+    qvecs = chunks.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = max_sim_topk(chunks, qvecs, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs over the embeddings table."""
     from embed_rerank_spark.operators.dedup import embedding_near_dup
@@ -2790,6 +2866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn": q_filtered_knn,
         "quality_classifier": q_quality_classifier,
         "matryoshka_topk": q_matryoshka_topk,
+        "pooled_topk": q_pooled_topk,
+        "maxp_topk": q_maxp_topk,
+        "late_interaction_topk": q_late_interaction_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -4914,6 +4993,79 @@ ranked AS (
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+    mv_chunks_cte = f"""
+c AS (SELECT vec_id // {MV_CHUNKS} AS doc_id, vec_id, ve FROM v)
+"""
+    pooled_topk_sql = f"""
+WITH {cosine_core},
+{mv_chunks_cte},
+grp AS (
+    SELECT doc_id, list(ve ORDER BY vec_id) AS vs, count(*) AS n FROM c GROUP BY 1
+),
+pooled AS (
+    SELECT doc_id,
+           list_transform(range(1, len(vs[1]) + 1),
+                          i -> list_avg(list_transform(vs, x -> x[i]))) AS pe
+    FROM grp
+),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 5),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           list_dot_product(qv, pe)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(pe, pe))) AS cosine
+    FROM q CROSS JOIN pooled p
+),
+ranked AS (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    maxp_topk_sql = f"""
+WITH {cosine_core},
+{mv_chunks_cte},
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 5),
+best AS (
+    SELECT q.query_id, c.doc_id,
+           max(list_dot_product(qv, ve)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve)))) AS cosine
+    FROM q CROSS JOIN c GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 6) DESC, doc_id ASC) AS rank
+    FROM best
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    late_interaction_sql = f"""
+WITH {cosine_core},
+{mv_chunks_cte},
+q AS (
+    SELECT vec_id // {MV_CHUNKS} AS query_id, vec_id AS qpos, ve AS qv
+    FROM v WHERE vec_id // {MV_CHUNKS} < 2
+),
+best AS (
+    SELECT q.query_id, q.qpos, c.doc_id,
+           max(list_dot_product(qv, ve)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve)))) AS b
+    FROM q CROSS JOIN c GROUP BY 1, 2, 3
+),
+tot AS (SELECT query_id, doc_id, sum(b) AS score FROM best GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM tot
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     embedding_near_dup = f"""
 WITH {cosine_core}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6500,6 +6652,9 @@ FROM ranked WHERE rank <= {TOP_K}
         "filtered_knn": filtered_knn_sql,
         "quality_classifier": _quality_lr_oracle_sql(),
         "matryoshka_topk": matryoshka_sql,
+        "pooled_topk": pooled_topk_sql,
+        "maxp_topk": maxp_topk_sql,
+        "late_interaction_topk": late_interaction_sql,
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
         "ivf_pq_topk": cosine_topk,  # full-probe + full-refine IVF-PQ == exact cosine

@@ -513,6 +513,24 @@ def main(argv: list[str] | None = None) -> int:
     iq.add_argument("--out", required=True)
     iq.add_argument("--k", type=int, default=10)
 
+    kn = sub.add_parser(
+        "knn",
+        help="cosine top-k over an embedding parquet: exact, chunk "
+        "mean/max-pooled, MaxP, or late-interaction MaxSim",
+    )
+    kn.add_argument("--vectors", required=True,
+                    help="parquet with (id, embedding[, doc col])")
+    kn.add_argument("--queries", required=True,
+                    help="parquet with (query_id, qvec) — multi-row per "
+                    "query_id for --mode maxsim")
+    kn.add_argument("--out", required=True)
+    kn.add_argument("--mode", default="exact",
+                    choices=["exact", "pooled-mean", "pooled-max", "maxp", "maxsim"])
+    kn.add_argument("--id-col", default="vec_id")
+    kn.add_argument("--doc-col", default="doc_id",
+                    help="chunk->doc grouping column (pooled/maxp/maxsim)")
+    kn.add_argument("--k", type=int, default=10)
+
     r = sub.add_parser("rerank", help="retrieve + deterministic rerank")
     r.add_argument("--index", required=True)
     r.add_argument("--corpus", required=True, help="extracted table (doc_id, text)")
@@ -1060,6 +1078,30 @@ def main(argv: list[str] | None = None) -> int:
                 _read_queries(args.queries),
                 k=args.k,
             )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "knn":
+            from .operators.multivector import max_sim_topk, maxp_topk, pool_embeddings
+            from .operators.similarity import cosine_topk_bruteforce
+
+            vectors = spark.read.parquet(args.vectors)
+            queries = spark.read.parquet(args.queries)
+            if args.mode == "exact":
+                out = cosine_topk_bruteforce(
+                    vectors, queries, k=args.k, id_col=args.id_col
+                )
+            elif args.mode in ("pooled-mean", "pooled-max"):
+                pooled = pool_embeddings(
+                    vectors, group_col=args.doc_col,
+                    pooling=args.mode.removeprefix("pooled-"),
+                )
+                out = cosine_topk_bruteforce(
+                    pooled, queries, k=args.k, id_col="doc_id"
+                )
+            elif args.mode == "maxp":
+                out = maxp_topk(vectors, queries, k=args.k, group_col=args.doc_col)
+            else:
+                out = max_sim_topk(vectors, queries, k=args.k, group_col=args.doc_col)
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "rerank":

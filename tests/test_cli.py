@@ -711,3 +711,57 @@ def test_cli_session6_surfaces(spark, tmp_path):
     for (q1, r1, s1), (q2, r2, s2) in zip(rows, rows[1:]):
         if q1 == q2:
             assert s1 >= s2
+
+
+def test_cli_knn_modes(spark, tmp_path):
+    """knn subcommand: exact / pooled / maxp / maxsim all run and the
+    pooled doc space is the chunk space collapsed by doc_id."""
+    import embed_rerank_spark.cli as cli
+
+    d = tmp_path
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    chunks = vecs.select(
+        F.expr("vec_id div 4").alias("doc_id"), "vec_id", "embedding"
+    )
+    chunks.write.parquet(str(d / "vecs"))
+    vecs.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).write.parquet(str(d / "q"))
+    chunks.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).write.parquet(str(d / "mq"))
+
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        for mode, qdir, outdir in [
+            ("exact", "q", "o_exact"),
+            ("pooled-mean", "q", "o_pool"),
+            ("maxp", "q", "o_maxp"),
+            ("maxsim", "mq", "o_maxsim"),
+        ]:
+            assert cli.main([
+                "knn", "--vectors", str(d / "vecs"),
+                "--queries", str(d / qdir), "--out", str(d / outdir),
+                "--mode", mode, "--k", "5",
+            ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+
+    exact = spark.read.parquet(str(d / "o_exact"))
+    assert exact.filter(F.col("rank") == 1).count() == 3
+    pool = spark.read.parquet(str(d / "o_pool"))
+    n_docs = chunks.select("doc_id").distinct().count()
+    assert pool.filter(F.col("vec_id") >= n_docs).count() == 0
+    maxp = spark.read.parquet(str(d / "o_maxp"))
+    # a query vector's own doc contains it -> cosine 1.0 at rank 1
+    assert all(
+        abs(r.cosine - 1.0) < 1e-9
+        for r in maxp.filter(F.col("rank") == 1).collect()
+    )
+    maxsim = spark.read.parquet(str(d / "o_maxsim"))
+    top = maxsim.filter(F.col("rank") == 1).collect()[0]
+    assert top.doc_id == 0 and abs(top.score - 4.0) < 1e-9
