@@ -1401,6 +1401,26 @@ def q_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AT_SHARDS = 8
+AT_SHARD_SIZE = 10
+
+
+def q_approx_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation as it actually runs distributed
+    (operators/facets.py::approx_terms): per-shard top shard_size
+    buckets merged with doc_count_error_upper_bound and
+    sum_other_doc_count surfaced. The oracle replays the sharded
+    protocol (md5 shards, local cutoffs, error bounds) — so what's
+    checked is the approximation CONTRACT, not an exact count."""
+    from embed_rerank_spark.operators.facets import approx_terms
+
+    out = approx_terms(
+        _docs(spark, sf_dir), bucket_col=None, size=10,
+        shard_size=AT_SHARD_SIZE, n_shards=AT_SHARDS,
+    )
+    return out.orderBy("term_rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs over the embeddings table."""
     from embed_rerank_spark.operators.dedup import embedding_near_dup
@@ -2869,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pooled_topk": q_pooled_topk,
         "maxp_topk": q_maxp_topk,
         "late_interaction_topk": q_late_interaction_topk,
+        "approx_terms": q_approx_terms,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -6655,6 +6676,47 @@ FROM ranked WHERE rank <= {TOP_K}
         "pooled_topk": pooled_topk_sql,
         "maxp_topk": maxp_topk_sql,
         "late_interaction_topk": late_interaction_sql,
+        "approx_terms": f"""
+WITH {_TOKS_CTE},
+counts AS (
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {AT_SHARDS} AS shard,
+           term, count(*) AS dc
+    FROM tf GROUP BY 1, 2
+),
+ranked AS (
+    SELECT shard, term, dc,
+           row_number() OVER (PARTITION BY shard ORDER BY dc DESC, term ASC) AS r
+    FROM counts
+),
+reported AS (SELECT * FROM ranked WHERE r <= {AT_SHARD_SIZE}),
+shard_terms AS (SELECT shard, count(*) AS n_terms FROM counts GROUP BY 1),
+cuts AS (
+    SELECT s.shard,
+           CASE WHEN s.n_terms > {AT_SHARD_SIZE} THEN m.min_dc ELSE 0 END AS cut
+    FROM shard_terms s
+    JOIN (SELECT shard, min(dc) AS min_dc FROM reported GROUP BY 1) m USING (shard)
+),
+tot AS (
+    SELECT (SELECT sum(cut) FROM cuts) AS total_cut,
+           (SELECT sum(dc) FROM counts) AS grand_total
+),
+merged AS (
+    SELECT r.term, sum(r.dc) AS doc_count, sum(c.cut) AS rep_cut
+    FROM reported r JOIN cuts c USING (shard) GROUP BY 1
+),
+top AS (
+    SELECT term, doc_count,
+           (SELECT total_cut FROM tot) - rep_cut AS error_ub,
+           row_number() OVER (ORDER BY doc_count DESC, term ASC) AS term_rank
+    FROM merged QUALIFY term_rank <= 10
+)
+SELECT term, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(error_ub AS BIGINT) AS error_ub,
+       CAST((SELECT grand_total FROM tot) - sum(doc_count) OVER () AS BIGINT) AS sum_other,
+       CAST(term_rank AS INTEGER) AS term_rank
+FROM top
+""",
         "ivf_ann_topk": cosine_topk,  # full-probe IVF == exact cosine
         "lsh_ann_topk": cosine_topk,  # zero-bit LSH == exact cosine
         "ivf_pq_topk": cosine_topk,  # full-probe + full-refine IVF-PQ == exact cosine

@@ -188,6 +188,19 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--top-n", type=int, default=None,
                     help="keep top-n facet values per query (count desc, value asc)")
 
+    at = sub.add_parser(
+        "approx-terms",
+        help="sharded terms aggregation with ES doc_count_error_upper_bound",
+    )
+    at.add_argument("--corpus", required=True,
+                    help="parquet with doc_id, text (or a keyword col)")
+    at.add_argument("--out", required=True)
+    at.add_argument("--bucket-col", default=None,
+                    help="keyword field to bucket; omit for analyzed text")
+    at.add_argument("--size", type=int, default=10)
+    at.add_argument("--shard-size", type=int, default=10)
+    at.add_argument("--n-shards", type=int, default=8)
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: query-by-document over the BM25 index"
     )
@@ -711,6 +724,18 @@ def main(argv: list[str] | None = None) -> int:
                 _read_queries(args.queries),
                 facet_col=args.facet_col,
                 top_n=args.top_n,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "approx-terms":
+            from .operators.facets import approx_terms
+
+            out = approx_terms(
+                spark.read.parquet(args.corpus),
+                bucket_col=args.bucket_col,
+                size=args.size,
+                shard_size=args.shard_size,
+                n_shards=args.n_shards,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

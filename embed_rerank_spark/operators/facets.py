@@ -772,3 +772,100 @@ def multi_terms(
         .filter(F.col("bucket_rank") <= top_n)
         .select("query_id", "key1", "key2", "n_docs", "bucket_rank")
     )
+
+
+def approx_terms(
+    docs: DataFrame,
+    bucket_col: str | None = None,
+    size: int = 10,
+    shard_size: int = 10,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_count, error_ub, sum_other, term_rank): the
+    Elasticsearch ``terms`` aggregation AS IT ACTUALLY RUNS
+    DISTRIBUTED — each shard reports only its local top
+    ``shard_size`` buckets, the coordinator merges those candidate
+    lists, and the approximation error is SURFACED, not silent:
+
+    - ``doc_count`` may undercount (a shard where the term fell below
+      its local cutoff contributed nothing);
+    - ``error_ub`` is ES's ``doc_count_error_upper_bound``: the sum,
+      over shards that did NOT report the term, of that shard's
+      smallest reported count (0 for exhausted shards that reported
+      every bucket they had — they hide nothing);
+    - ``sum_other`` is ``sum_other_doc_count``: total bucket mass not
+      in the returned top ``size``.
+
+    Shards are the deterministic md5 bucket of doc_id
+    (sampling.sample_bucket) so results are engine-portable and
+    oracle-checkable. ``bucket_col`` buckets a keyword field;
+    ``None`` buckets the analyzed text's distinct (doc, term) pairs.
+
+    Scale shape (the whole point): the exact global terms agg
+    shuffles every (term, count) partial to a term-keyed reducer —
+    fine, Spark does it in one combinable agg — but the ES protocol
+    caps coordinator traffic at n_shards x shard_size rows no matter
+    the vocabulary size. This operator reproduces that contract:
+    after the per-shard agg (map-side combinable), everything
+    downstream is planning-sized (n_shards x shard_size rows), and
+    the window runs over candidates only. Raise shard_size to trade
+    error for traffic — exactly ES's knob."""
+    from .sampling import sample_bucket
+
+    if bucket_col is None:
+        vals = term_freqs(docs, id_col, text_col).select("doc_id", "term")
+    else:
+        vals = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(bucket_col).cast("string").alias("term"),
+        ).filter(F.col("term").isNotNull())
+    counts = (
+        vals.withColumn("shard", sample_bucket("doc_id", n_shards))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("dc"), F.asc("term"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    reported = ranked.filter(F.col("r") <= shard_size)
+    shard_terms = counts.groupBy("shard").agg(F.count(F.lit(1)).alias("n_terms"))
+    cuts = (
+        reported.groupBy("shard")
+        .agg(F.min("dc").alias("min_dc"))
+        .join(shard_terms, "shard")
+        .select(
+            "shard",
+            F.when(F.col("n_terms") > shard_size, F.col("min_dc"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    totals = cuts.agg(F.sum("cut").alias("total_cut")).crossJoin(
+        counts.agg(F.sum("dc").alias("grand_total"))
+    )
+    merged = (
+        reported.join(F.broadcast(cuts), "shard")
+        .groupBy("term")
+        .agg(F.sum("dc").alias("doc_count"), F.sum("cut").alias("rep_cut"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_count",
+            (F.col("total_cut") - F.col("rep_cut")).alias("error_ub"),
+            "grand_total",
+        )
+    )
+    wr = Window.orderBy(F.desc("doc_count"), F.asc("term"))
+    top = merged.withColumn("term_rank", F.row_number().over(wr)).filter(
+        F.col("term_rank") <= size
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return top.select(
+        "term",
+        "doc_count",
+        "error_ub",
+        (F.col("grand_total") - F.sum("doc_count").over(wall)).alias("sum_other"),
+        "term_rank",
+    )

@@ -536,3 +536,58 @@ def test_multi_terms_order(spark):
     assert out == [
         ("en", "web", 2, 1), ("de", "web", 1, 2), ("en", "news", 1, 3),
     ]
+
+
+def test_approx_terms_error_bound_semantics(spark):
+    """Sharded terms agg: with shard_size large enough the merge is
+    exact with zero error (every shard exhausted); with a tight
+    shard_size each term's true undercount is within error_ub."""
+    from embed_rerank_spark.operators.facets import approx_terms
+
+    rows = []
+    did = 0
+    # 40 docs, keyword field: 'a' x 18, 'b' x 12, 'c' x 6, d0..d3 x 1
+    for val, n in [("a", 18), ("b", 12), ("c", 6)] + [
+        (f"d{i}", 1) for i in range(4)
+    ]:
+        for _ in range(n):
+            rows.append((did, val))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, kw string")
+
+    exact = approx_terms(
+        docs, bucket_col="kw", size=10, shard_size=100, n_shards=4
+    ).collect()
+    truth = {"a": 18, "b": 12, "c": 6, "d0": 1, "d1": 1, "d2": 1, "d3": 1}
+    got = {r["term"]: r for r in exact}
+    assert {t: r["doc_count"] for t, r in got.items()} == truth
+    assert all(r["error_ub"] == 0 for r in exact)  # all shards exhausted
+    assert all(r["sum_other"] == 0 for r in exact)  # top-10 covers all 7
+
+    # tight: each shard reports only its single top bucket
+    approx = approx_terms(
+        docs, bucket_col="kw", size=3, shard_size=1, n_shards=4
+    ).collect()
+    by_term = {r["term"]: r for r in approx}
+    for t, r in by_term.items():
+        assert r["doc_count"] <= truth[t]
+        assert truth[t] - r["doc_count"] <= r["error_ub"]
+    # sum_other accounts for every bucket row not in the returned set
+    total = sum(truth.values())
+    for r in approx:
+        assert r["sum_other"] == total - sum(
+            x["doc_count"] for x in approx
+        )
+
+
+def test_approx_terms_analyzed_text_path(spark):
+    from embed_rerank_spark.operators.facets import approx_terms
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma" if i % 2 else "delta")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = approx_terms(docs, size=4, shard_size=10, n_shards=2).collect()
+    got = {r["term"]: r["doc_count"] for r in out}
+    assert got["alpha"] == 10 and got["beta"] == 10
+    assert got["gamma"] == 5 and got["delta"] == 5
