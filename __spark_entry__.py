@@ -1401,6 +1401,111 @@ def q_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 15
+MMR_K = 5
+MMR_LAM = 0.5  # exact binary fraction -> bit-identical across engines
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (operators/diversity.py::mmr_topk):
+    greedy maximal-marginal-relevance over the cosine top-POOL
+    candidates. The oracle unrolls all K greedy selection steps as
+    chained CTEs over the same 6-decimal-rounded relevance/pairwise
+    tables, so the sequential selection itself is what's checked."""
+    from embed_rerank_spark.operators.diversity import mmr_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = vectors.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = mmr_topk(vectors, queries_df, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        F.round("mmr", 6).alias("mmr"), F.round("rel", 6).alias("rel"),
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_oracle_sql() -> str:
+    """The K greedy steps unrolled: step i scores every not-yet-picked
+    candidate against the selected set sel{i-1} and picks the argmax
+    (obj desc, vec_id asc) — the quality-classifier unrolled-CTE
+    pattern applied to a sequential selection."""
+    lam, oml = MMR_LAM, 1.0 - MMR_LAM
+    parts = [f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v ORDER BY vec_id LIMIT 3),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           list_dot_product(qv, ve)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cosine
+    FROM q CROSS JOIN v
+),
+rel AS (
+    SELECT query_id, vec_id, round(cosine, 6) AS rel FROM (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS r
+        FROM scored
+    ) WHERE r <= {MMR_POOL}
+),
+cv AS (SELECT r.query_id, r.vec_id, v.ve FROM rel r JOIN v USING (vec_id)),
+halfsim AS (
+    SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+           round(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve))
+                    * sqrt(list_dot_product(b.ve, b.ve))), 6) AS s
+    FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+),
+simb AS (
+    SELECT query_id, va, vb, s FROM halfsim
+    UNION ALL SELECT query_id, vb, va, s FROM halfsim
+),
+p1 AS (
+    SELECT query_id, vec_id, rel AS mmr, rel FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id ASC) AS rr
+        FROM rel
+    ) WHERE rr = 1
+),
+sel1 AS (SELECT query_id, vec_id FROM p1)"""]
+    for i in range(2, MMR_K + 1):
+        parts.append(f""",
+obj{i} AS (
+    SELECT r.query_id, r.vec_id, r.rel,
+           round({lam!r} * r.rel - {oml!r} * max(sb.s), 6) AS obj
+    FROM rel r
+    JOIN simb sb ON sb.query_id = r.query_id AND sb.va = r.vec_id
+    JOIN sel{i - 1} se ON se.query_id = sb.query_id AND se.vec_id = sb.vb
+    LEFT JOIN sel{i - 1} ex
+      ON ex.query_id = r.query_id AND ex.vec_id = r.vec_id
+    WHERE ex.vec_id IS NULL
+    GROUP BY r.query_id, r.vec_id, r.rel
+),
+p{i} AS (
+    SELECT query_id, vec_id, obj AS mmr, rel FROM (
+        SELECT query_id, vec_id, rel, obj,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY obj DESC, vec_id ASC) AS rr
+        FROM obj{i}
+    ) WHERE rr = 1
+),
+sel{i} AS (
+    SELECT query_id, vec_id FROM sel{i - 1}
+    UNION ALL SELECT query_id, vec_id FROM p{i}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS INTEGER) AS rank, vec_id, "
+        f"round(mmr, 6) AS mmr, rel FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    parts.append(f"\n{unions}\nORDER BY query_id, rank")
+    return "".join(parts)
+
+
 AT_SHARDS = 8
 AT_SHARD_SIZE = 10
 
@@ -2890,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxp_topk": q_maxp_topk,
         "late_interaction_topk": q_late_interaction_topk,
         "approx_terms": q_approx_terms,
+        "mmr_topk": q_mmr_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -6674,6 +6780,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "quality_classifier": _quality_lr_oracle_sql(),
         "matryoshka_topk": matryoshka_sql,
         "pooled_topk": pooled_topk_sql,
+        "mmr_topk": _mmr_oracle_sql(),
         "maxp_topk": maxp_topk_sql,
         "late_interaction_topk": late_interaction_sql,
         "approx_terms": f"""

@@ -538,7 +538,12 @@ def main(argv: list[str] | None = None) -> int:
                     "query_id for --mode maxsim")
     kn.add_argument("--out", required=True)
     kn.add_argument("--mode", default="exact",
-                    choices=["exact", "pooled-mean", "pooled-max", "maxp", "maxsim"])
+                    choices=["exact", "pooled-mean", "pooled-max", "maxp",
+                             "maxsim", "mmr"])
+    kn.add_argument("--pool", type=int, default=20,
+                    help="candidate pool size for --mode mmr")
+    kn.add_argument("--lam", type=float, default=0.5,
+                    help="relevance/diversity tradeoff for --mode mmr")
     kn.add_argument("--id-col", default="vec_id")
     kn.add_argument("--doc-col", default="doc_id",
                     help="chunk->doc grouping column (pooled/maxp/maxsim)")
@@ -1125,6 +1130,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.mode == "maxp":
                 out = maxp_topk(vectors, queries, k=args.k, group_col=args.doc_col)
+            elif args.mode == "mmr":
+                from .operators.diversity import mmr_topk
+
+                out = mmr_topk(
+                    vectors, queries, k=args.k, pool=args.pool,
+                    lam=args.lam, id_col=args.id_col,
+                )
             else:
                 out = max_sim_topk(vectors, queries, k=args.k, group_col=args.doc_col)
             out.write.mode("overwrite").parquet(args.out)
