@@ -2240,6 +2240,21 @@ def q_cross_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_common_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene CommonTermsQuery (ES cutoff_frequency): terms with
+    df > cutoff*n_docs score but can't gate matching — candidates come
+    from the low-frequency terms, falling back to an OR over the
+    common terms only when a query has none
+    (operators/bm25.py::common_terms_topk)."""
+    from embed_rerank_spark.operators.bm25 import common_terms_topk
+    from embed_rerank_spark.queryset import COMMON_TERMS_SET, CUTOFF_FREQUENCY
+
+    out = common_terms_topk(
+        spark, _docs(spark, sf_dir), COMMON_TERMS_SET, cutoff=CUTOFF_FREQUENCY, k=TOP_K
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # date_histogram contract knobs: the synthetic documents table has no
 # timestamp column, so the contract derives a deterministic warc_ts
 # doc-value (epoch + n_chars % 365 days) standing in for the input
@@ -3069,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "crawl_delta": q_crawl_delta,
         "ltr_features": q_ltr_features,
+        "common_terms_topk": q_common_terms_topk,
     }
 
 
@@ -3087,6 +3103,11 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 
 
 def oracle_sql() -> dict[str, str]:
+    from embed_rerank_spark.queryset import (  # noqa: PLC0415
+        CUTOFF_FREQUENCY as _CT_CUTOFF,
+        common_terms_values_sql,
+    )
+
     qt = query_terms_values_sql()
     bm25 = f"""
 WITH {_TOKS_CTE},
@@ -7221,6 +7242,48 @@ SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INTEGER) AS rank,
        CAST(r.min_df AS BIGINT) AS min_df, round(r.max_idf, 6) AS max_idf
 FROM ranked r JOIN nq USING (query_id)
 WHERE r.rank <= {LTR_CANDIDATES}
+""",
+        "common_terms_topk": f"""
+WITH {_TOKS_CTE},
+qcls AS (
+    SELECT cq.query_id, cq.term,
+           (coalesce(df.df, 0) > {_CT_CUTOFF} * stats.n_docs) AS is_common
+    FROM {common_terms_values_sql()}
+    LEFT JOIN df USING (term) CROSS JOIN stats
+),
+qflag AS (
+    SELECT query_id,
+           max(CASE WHEN NOT is_common THEN 1 ELSE 0 END) = 1 AS any_low
+    FROM qcls GROUP BY query_id
+),
+matched AS (
+    SELECT q.query_id, tf.doc_id, q.is_common,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qcls q
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+cands AS (
+    SELECT DISTINCT m.query_id, m.doc_id
+    FROM matched m JOIN qflag USING (query_id)
+    WHERE (NOT any_low) OR (NOT m.is_common)
+),
+scored AS (
+    SELECT m.query_id, m.doc_id, sum(m.term_score) AS score
+    FROM matched m
+    JOIN cands c ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+    GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """,
     }
 

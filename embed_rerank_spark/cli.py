@@ -397,6 +397,23 @@ def main(argv: list[str] | None = None) -> int:
     nb.add_argument("--out", required=True)
     nb.add_argument("--k", type=int, default=10)
 
+    ct = sub.add_parser(
+        "common-terms",
+        help="Lucene CommonTermsQuery (ES cutoff_frequency): terms with "
+        "df > cutoff*n_docs score but don't gate matching; the match set "
+        "comes from the low-frequency terms (fallback: OR over common)",
+    )
+    ct.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    ct.add_argument("--queries", required=True, help="TSV query_id<TAB>text")
+    ct.add_argument("--out", required=True)
+    ct.add_argument("--k", type=int, default=10)
+    ct.add_argument(
+        "--cutoff",
+        type=float,
+        default=0.01,
+        help="df fraction above which a term is 'common' (Lucene default-ish)",
+    )
+
     ps = sub.add_parser(
         "phrase-suggest",
         help="whole-query did-you-mean over the corpus bigram LM "
@@ -968,6 +985,15 @@ def main(argv: list[str] | None = None) -> int:
                 for qid, q in _read_queries(args.queries)
             ]
             out = nested_bool_topk(spark, corpus, trees, k=args.k)
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "common-terms":
+            from .operators.bm25 import common_terms_topk
+
+            corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+            out = common_terms_topk(
+                spark, corpus, _read_queries(args.queries), cutoff=args.cutoff, k=args.k
+            )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         elif args.cmd == "phrase-suggest":

@@ -1042,3 +1042,84 @@ def cross_fields_topk_bruteforce(
     )
     scored = best.groupBy("query_id", "doc_id").agg(F.sum("ts").alias("score"))
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def common_terms_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    cutoff: float = 0.01,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene ``CommonTermsQuery``
+    (ES ``cutoff_frequency``): query terms whose df exceeds
+    ``cutoff * n_docs`` are HIGH-frequency — they contribute to the
+    score but cannot match a document on their own. Matching is gated
+    by the low-frequency terms (OR over them); only when a query has
+    NO low-frequency terms does it fall back to a plain OR over the
+    common terms. Out-of-vocabulary terms are low-frequency (df 0),
+    so a query whose only low terms are OOV matches nothing — the
+    Lucene behavior (its low-freq subquery exists but hits 0 docs).
+
+    Why it exists at 100 TB: stopword-ish terms have postings the
+    size of the corpus. Gating the match set by rare terms first
+    means the common terms' huge postings are only consulted FOR
+    DOCS ALREADY CANDIDATES (here: the score agg is semi-joined to
+    the candidate set; on the index path the same shape is
+    wand_topk(allowed_docs=low_matches)) — the classic
+    "common terms never drive iteration" optimization, without
+    losing their scoring contribution the way a stopword filter
+    would."""
+    qt = query_terms(spark, queries)
+    tfdl = term_freqs_dl(docs)
+    dl = doc_lengths_direct(docs)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    qclass = (
+        F.broadcast(qt)
+        .join(df, "term", "left")
+        .crossJoin(F.broadcast(stats).select("n_docs"))
+        .select(
+            "query_id",
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) > cutoff * F.col("n_docs")).alias(
+                "is_common"
+            ),
+        )
+    )
+    qflag = qclass.groupBy("query_id").agg(
+        (F.max(F.when(~F.col("is_common"), 1).otherwise(0)) == 1).alias("any_low")
+    )
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf", "avgdl")
+    )
+    matched = (
+        F.broadcast(qclass)
+        .join(tfdl, "term")
+        .join(idf, "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    cands = (
+        matched.join(F.broadcast(qflag), "query_id")
+        .filter((~F.col("any_low")) | (~F.col("is_common")))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = (
+        matched.join(cands, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")

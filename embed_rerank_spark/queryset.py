@@ -405,6 +405,36 @@ def infixes_values_sql() -> str:
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
 
 
+# CommonTermsQuery set (Lucene CommonTermsQuery / ES cutoff_frequency):
+# terms whose df > CUTOFF_FREQUENCY * n_docs are "common" — they score
+# but cannot gate matching. On this corpus nearly every vocabulary
+# term sits at df ~0.75-0.80 and "dup" at 0.05, so cutoff 0.5 splits
+# cleanly. Shapes: one low term gating two common scorers; all-common
+# (fallback OR over common terms); an OOV-only low side (Lucene: the
+# low-freq subquery exists but hits zero docs -> empty); low terms
+# mixing a real rare term with OOVs; a single low term.
+COMMON_TERMS_SET: list[tuple[int, str]] = [
+    (1, "dup table scan"),
+    (2, "the a fast"),
+    (3, "zyzzyva fast join"),
+    (4, "dup near duplicate"),
+    (5, "dup"),
+]
+CUTOFF_FREQUENCY = 0.5
+
+
+def common_terms_values_sql() -> str:
+    out = []
+    for qid, q in COMMON_TERMS_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS cq(query_id, term)"
+
+
 # Regexp term-query set (Lucene RegexpQuery semantics: the pattern
 # must match the WHOLE term). Patterns stay inside the portable-regex
 # intersection — literals, '.', classes, '*'/'+'/'?', alternation —
