@@ -2240,6 +2240,47 @@ def q_cross_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# ES _termvectors contract knobs: a fixed deterministic doc set.
+TERMVECTORS_DOC_IDS = [0, 1, 2]
+
+# function_score contract knobs: log1p length prior, multiply mode,
+# a max_boost low enough to clamp some docs, and a min_score that
+# actually prunes part of the combined tail.
+FSCORE_FACTOR = 1.0
+FSCORE_MAX_BOOST = 6.0
+FSCORE_MIN_SCORE = 8.0
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score + field_value_factor: BM25 * clamped
+    factor*log1p(n_chars), min_score pruning the combined tail
+    (operators/bm25.py::function_score_topk)."""
+    from embed_rerank_spark.operators.bm25 import function_score_topk
+
+    out = function_score_topk(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        "n_chars",
+        k=TOP_K,
+        factor=FSCORE_FACTOR,
+        modifier="log1p",
+        boost_mode="multiply",
+        max_boost=FSCORE_MAX_BOOST,
+        min_score=FSCORE_MIN_SCORE,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors API: per (doc, term) tf + 0-based position list
+    + corpus-wide doc_freq/ttf (term_statistics=true)
+    (operators/termvectors.py::term_vectors)."""
+    from embed_rerank_spark.operators.termvectors import term_vectors
+
+    return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
+
+
 def q_common_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene CommonTermsQuery (ES cutoff_frequency): terms with
     df > cutoff*n_docs score but can't gate matching — candidates come
@@ -3085,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "ltr_features": q_ltr_features,
         "common_terms_topk": q_common_terms_topk,
+        "term_vectors": q_term_vectors,
+        "function_score_topk": q_function_score_topk,
     }
 
 
@@ -7280,6 +7323,51 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "term_vectors": f"""
+WITH toksp AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents)
+),
+tfv AS (
+    SELECT doc_id, term, count(*) AS tf,
+           array_to_string(list_sort(list(pos)), ',') AS positions
+    FROM toksp GROUP BY doc_id, term
+),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tfv GROUP BY term)
+SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, t.positions,
+       CAST(s.df AS BIGINT) AS df, CAST(s.ttf AS BIGINT) AS ttf
+FROM tfv t JOIN stats s USING (term)
+WHERE t.doc_id IN ({", ".join(str(d) for d in TERMVECTORS_DOC_IDS)})
+""",
+        "function_score_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+blended AS (
+    SELECT s.query_id, s.doc_id,
+           s.score * least({FSCORE_FACTOR} * ln(1.0 + d.n_chars), {FSCORE_MAX_BOOST}) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM blended WHERE score >= {FSCORE_MIN_SCORE}
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score

@@ -1044,6 +1044,69 @@ def cross_fields_topk_bruteforce(
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
 
 
+def function_score_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field: str,
+    k: int = 10,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    boost_mode: str = "multiply",
+    max_boost: float = float("inf"),
+    min_score: float | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES ``function_score`` with a
+    ``field_value_factor`` function — fvf = factor * modifier(field),
+    clamped to ``max_boost``, combined with the BM25 query score per
+    ``boost_mode`` (multiply or sum); docs below ``min_score`` drop
+    AFTER combining (the ES contract: min_score prunes final scores).
+    Modifiers follow ES: none, log1p, sqrt, reciprocal.
+
+    Distinct from ``rank_feature_topk``: that is a bounded *should*
+    clause (always additive, saturation-shaped); function_score
+    rescales the query score itself, so multiply mode can demote as
+    well as promote — the classic popularity/length-prior reweight.
+
+    Scale shape: the brute-force scorer plan plus one pruned
+    (doc_id, field) projection joined on the aggregated (query, doc)
+    scores — identical join count to rank_feature; all arithmetic is
+    codegen'd. WAND composition caveat: multiply mode is rank-safe
+    only with fvf <= max_boost, which is why the clamp is applied
+    index-side before the ceiling enters term upper bounds."""
+    if modifier not in ("none", "log1p", "sqrt", "reciprocal"):
+        raise ValueError(f"unsupported field_value_factor modifier: {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unsupported boost_mode: {boost_mode!r}")
+    if factor < 0 or max_boost <= 0:
+        raise ValueError("need factor >= 0 and max_boost > 0")
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, k1, b, id_col, text_col)
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).cast("double").alias("_f")
+    )
+    raw = F.lit(float(factor)) * {
+        "none": F.col("_f"),
+        "log1p": F.log(F.lit(1.0) + F.col("_f")),
+        "sqrt": F.sqrt(F.col("_f")),
+        "reciprocal": F.lit(1.0) / F.col("_f"),
+    }[modifier]
+    fvf = F.least(raw, F.lit(float(max_boost)))
+    combined = (
+        F.col("score") * fvf if boost_mode == "multiply" else F.col("score") + fvf
+    )
+    blended = scored.join(feat, "doc_id").select(
+        "query_id", "doc_id", combined.alias("score")
+    )
+    if min_score is not None:
+        blended = blended.filter(F.col("score") >= float(min_score))
+    return topk(blended, k).select("query_id", "rank", "doc_id", "score")
+
+
 def common_terms_topk(
     spark: SparkSession,
     docs: DataFrame,
