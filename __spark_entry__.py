@@ -2281,6 +2281,19 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_interval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene interval queries (ES intervals, ordered + max_gaps):
+    in-order strictly-increasing term chains with a span slack budget,
+    BM25-scored over the positional index
+    (operators/positions.py::interval_topk)."""
+    from embed_rerank_spark.operators.positions import interval_topk
+    from embed_rerank_spark.queryset import INTERVAL_SET
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = interval_topk(index, INTERVAL_SET, k=TOP_K)
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_common_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene CommonTermsQuery (ES cutoff_frequency): terms with
     df > cutoff*n_docs score but can't gate matching — candidates come
@@ -3128,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "term_vectors": q_term_vectors,
         "function_score_topk": q_function_score_topk,
+        "interval_topk": q_interval_topk,
     }
 
 
@@ -3149,6 +3163,8 @@ def oracle_sql() -> dict[str, str]:
     from embed_rerank_spark.queryset import (  # noqa: PLC0415
         CUTOFF_FREQUENCY as _CT_CUTOFF,
         common_terms_values_sql,
+        interval_matched_sql,
+        interval_terms_values_sql,
     )
 
     qt = query_terms_values_sql()
@@ -7368,6 +7384,35 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM blended WHERE score >= {FSCORE_MIN_SCORE}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "interval_topk": f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+matched AS ({interval_matched_sql()}),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {interval_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score

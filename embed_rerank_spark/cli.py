@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         default="or",
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
-            "prefix", "suffix", "infix", "regexp", "span-not",
+            "prefix", "suffix", "infix", "regexp", "span-not", "interval",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -104,7 +104,15 @@ def main(argv: list[str] | None = None) -> int:
         "term fragment; infix uses the trigram-filtered dictionary); "
         "regexp = whole-term regexp dictionary expansion; "
         "span-not = include term NOT within --near-window of the exclude "
-        "term (each query line: 'include exclude', POSITIONAL index)",
+        "term (each query line: 'include exclude', POSITIONAL index); "
+        "interval = Lucene ordered intervals with --max-gaps slack "
+        "(each query line: the in-order terms, POSITIONAL index)",
+    )
+    q.add_argument(
+        "--max-gaps",
+        type=int,
+        default=2,
+        help="interval only: max extra tokens inside the matched span",
     )
     q.add_argument(
         "--near-window",
@@ -682,6 +690,14 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import regexp_topk
 
                 out = regexp_topk(idx, queries, k=args.k)
+            elif args.mode == "interval":
+                from .operators.positions import interval_topk
+
+                out = interval_topk(
+                    idx,
+                    [(qid, q, args.max_gaps) for qid, q in queries],
+                    k=args.k,
+                )
             elif args.mode == "span-not":
                 from .operators.positions import span_not_topk
 

@@ -1762,3 +1762,159 @@ def match_phrase_prefix_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def _interval_match(
+    termdata: dict[str, tuple], terms: list[str], max_gaps: int
+) -> np.ndarray:
+    """One shard, one ordered interval query: doc_ids where the terms
+    occur in order at strictly increasing positions with total slack
+    (span - len(terms)) <= ``max_gaps`` — Lucene ``Intervals.ordered``
+    wrapped in ``maxgaps``. Exactness without enumeration: for a fixed
+    start occurrence of terms[0], chaining each next term to its
+    NEAREST following occurrence minimizes every subsequent position
+    (greedy is optimal step-by-step), so the greedy chain's span is
+    minimal for that start; a doc matches iff some start's greedy
+    chain satisfies the gap budget — identical to the existential
+    positions self-join the SQL oracle runs. One vectorized
+    searchsorted pass per query term, no per-doc Python loop.
+
+    Duplicate terms are legal ("the ... the"): side='right' probes
+    force strictly increasing positions, so a single occurrence can't
+    satisfy two slots."""
+    empty = np.empty(0, dtype=np.int64)
+    uniq = list(dict.fromkeys(terms))
+    if any(t not in termdata for t in uniq):
+        return empty
+    order = sorted(uniq, key=lambda t: len(termdata[t][0]))
+    cand = termdata[order[0]][0]
+    for t in order[1:]:
+        cand = np.intersect1d(cand, termdata[t][0], assume_unique=True)
+        if cand.size == 0:
+            return empty
+    # chain starts: every occurrence of terms[0] in candidate docs
+    d0, tf0, _dl0, pf0, po0 = termdata[terms[0]]
+    rows0 = np.searchsorted(d0, cand)
+    f0, c0 = _ragged_gather(po0[rows0], tf0[rows0])
+    start = pf0[f0].astype(np.int64)
+    curkey = c0.astype(np.int64) * _MAXPOS + start
+    alive = np.ones(len(curkey), dtype=bool)
+    for t in terms[1:]:
+        dt, tft, _dlt, pft, pot = termdata[t]
+        rt = np.searchsorted(dt, cand)
+        ft, ct = _ragged_gather(pot[rt], tft[rt])
+        keyt = ct.astype(np.int64) * _MAXPOS + pft[ft]
+        if keyt.size == 0:
+            return empty
+        idx = np.searchsorted(keyt, curkey, side="right")
+        ok = idx < len(keyt)
+        idx = np.minimum(idx, len(keyt) - 1)
+        ok &= (keyt[idx] // _MAXPOS) == (curkey // _MAXPOS)
+        alive &= ok
+        curkey = keyt[idx]
+    span_ok = alive & (
+        (curkey % _MAXPOS) - start + 1 - len(terms) <= max_gaps
+    )
+    return cand[np.unique(c0[span_ok])]
+
+
+def _interval_partition(
+    batches: Iterator[pa.RecordBatch],
+    plan: list[tuple[int, list[str], int]],
+    k: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, terms, max_gaps in plan:
+            docs = _interval_match(termdata, terms, max_gaps)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
+            if docs.size == 0:
+                continue
+            scores = np.zeros(len(docs))
+            for t in dict.fromkeys(terms):
+                dt, tft, dlt, _pf, _po = termdata[t]
+                rows = np.searchsorted(dt, docs)
+                tfv = tft[rows].astype(np.float64)
+                dlv = dlt[rows].astype(np.float64)
+                scores += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlv / avgdl)
+                )
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def interval_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene interval queries —
+    ``Intervals.maxgaps(max_gaps, Intervals.ordered(terms...))`` as an
+    ES ``intervals`` match with ``ordered: true``. Each query is
+    (query_id, whitespace terms, max_gaps); a doc matches when the
+    terms occur in order with at most ``max_gaps`` total extra tokens
+    inside the spanning window, and matches score BM25 over the
+    query's unique terms (engine tie semantics). max_gaps=0 over
+    distinct adjacent terms degenerates to the exact phrase operator.
+
+    Generalizes ``proximity_topk(ordered=True)`` from 2 terms to k
+    and from pair-distance to Lucene's span-slack budget. Scale
+    shape: identical to the other positional kernels — postings
+    pre-partitioned by shard, one mapInArrow pass, per-(term, chain)
+    searchsorted; candidate sets bounded by the rarest term."""
+    plan: list[tuple[int, list[str], int]] = []
+    all_terms: set[str] = set()
+    for qid, text, max_gaps in queries:
+        terms = [t for t in text.strip().lower().split() if t]
+        if len(terms) >= 2 and max_gaps >= 0:
+            plan.append((qid, terms, int(max_gaps)))
+            all_terms.update(terms)
+
+    spark = index.postings.sparkSession
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [(qid, ts, g) for qid, ts, g in plan if all(t in idf for t in ts)]
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, ts, _g in plan for t in ts}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _interval_partition(it, plan, k, idf, avgdl, k1, b, excl, vers),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -405,6 +405,62 @@ def infixes_values_sql() -> str:
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
 
 
+# Lucene interval query set (Intervals.maxgaps(g, ordered(terms))):
+# (query_id, whitespace terms, max_gaps). Shapes: adjacency
+# (max_gaps=0, the phrase degenerate), a slack pair, a 3-term chain,
+# a duplicated term (strictly increasing positions required), an OOV
+# term (empty result), and a wide 3-term window.
+INTERVAL_SET: list[tuple[int, str, int]] = [
+    (1, "fast join", 0),
+    (2, "fast join", 3),
+    (3, "sort merge join", 2),
+    (4, "the the", 4),
+    (5, "fast zyzzyva", 2),
+    (6, "slow scan table", 6),
+]
+
+
+def interval_terms_values_sql() -> str:
+    out = []
+    for qid, text, _g in INTERVAL_SET:
+        seen = set()
+        for tok in text.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+def interval_matched_sql() -> str:
+    """UNION ALL of one existential positions self-join per interval
+    query: doc matches when an in-order strictly-increasing position
+    chain exists with span slack <= max_gaps — the SQL mirror of the
+    greedy searchsorted chain (greedy nearest-next is span-minimal
+    per start, so the existentials agree)."""
+    parts = []
+    for qid, text, gaps in INTERVAL_SET:
+        terms = [t for t in text.strip().lower().split() if t]
+        k = len(terms)
+        joins = []
+        conds = [f"p1.term = '{terms[0]}'"]
+        for i in range(2, k + 1):
+            joins.append(
+                f"JOIN posn p{i} ON p{i}.doc_id = p1.doc_id "
+                f"AND p{i}.pos > p{i - 1}.pos"
+            )
+            conds.append(f"p{i}.term = '{terms[i - 1]}'")
+        conds.append(f"p{k}.pos - p1.pos + 1 - {k} <= {gaps}")
+        parts.append(
+            f"SELECT {qid} AS query_id, p1.doc_id FROM posn p1 "
+            + " ".join(joins)
+            + " WHERE "
+            + " AND ".join(conds)
+            + " GROUP BY p1.doc_id"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # CommonTermsQuery set (Lucene CommonTermsQuery / ES cutoff_frequency):
 # terms whose df > CUTOFF_FREQUENCY * n_docs are "common" — they score
 # but cannot gate matching. On this corpus nearly every vocabulary
