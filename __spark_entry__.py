@@ -2281,6 +2281,78 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# t_test contract knobs: (query_id, term_a, term_b) population pairs.
+T_TEST_SET = [(1, "fast", "slow"), (2, "dup", "the"), (3, "hash", "merge")]
+
+
+def _round6(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Round every double column to 6 places (driver-compare contract);
+    integer/string columns pass through."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "double" and f.name not in keep:
+            cols.append(F.round(f.name, 6).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats over each query's match set: population
+    variance/std + sigma bounds from one combinable moment agg
+    (operators/facets.py::extended_stats_facets)."""
+    from embed_rerank_spark.operators.facets import extended_stats_facets
+
+    return _round6(
+        extended_stats_facets(spark, _docs(spark, sf_dir), QUERY_SET, "n_chars")
+    )
+
+
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg: n_chars weighted by token count over each
+    query's match set (operators/facets.py::weighted_avg_facets)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.facets import weighted_avg_facets
+
+    return _round6(
+        weighted_avg_facets(
+            spark,
+            _docs(spark, sf_dir),
+            QUERY_SET,
+            "n_chars",
+            F.size(tokenize_for_scoring(F.col("text"))),
+        )
+    )
+
+
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over (n_chars, token count): population
+    moments, covariance, correlation from one raw-power-sum agg
+    (operators/facets.py::matrix_stats_facets)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.facets import matrix_stats_facets
+
+    return _round6(
+        matrix_stats_facets(
+            spark,
+            _docs(spark, sf_dir),
+            QUERY_SET,
+            "n_chars",
+            F.size(tokenize_for_scoring(F.col("text"))),
+        )
+    )
+
+
+def q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test (independent/Welch) between two term-filtered
+    populations on n_chars (operators/facets.py::t_test_facets)."""
+    from embed_rerank_spark.operators.facets import t_test_facets
+
+    return _round6(
+        t_test_facets(spark, _docs(spark, sf_dir), T_TEST_SET, "n_chars")
+    )
+
+
 def q_interval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene interval queries (ES intervals, ordered + max_gaps):
     in-order strictly-increasing term chains with a span slack budget,
@@ -3142,6 +3214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "function_score_topk": q_function_score_topk,
         "interval_topk": q_interval_topk,
+        "extended_stats": q_extended_stats,
+        "weighted_avg": q_weighted_avg,
+        "matrix_stats": q_matrix_stats,
+        "t_test": q_t_test,
     }
 
 
@@ -7417,6 +7493,117 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "extended_stats": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+base AS (
+    SELECT query_id, count(*) AS n_docs, min(v) AS min_v, max(v) AS max_v,
+           sum(v) AS sum_v, sum(v * v) AS sum_of_squares
+    FROM vals GROUP BY query_id
+),
+derived AS (
+    SELECT *, sum_v / n_docs AS avg_v,
+           greatest(sum_of_squares / n_docs - (sum_v / n_docs) * (sum_v / n_docs), 0.0) AS variance
+    FROM base
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_docs,
+       round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+       round(sum_v, 6) AS sum_v, round(avg_v, 6) AS avg_v,
+       round(sum_of_squares, 6) AS sum_of_squares,
+       round(variance, 6) AS variance,
+       round(sqrt(variance), 6) AS std_deviation,
+       round(avg_v + 2.0 * sqrt(variance), 6) AS std_upper,
+       round(avg_v - 2.0 * sqrt(variance), 6) AS std_lower
+FROM derived
+""",
+        "weighted_avg": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v, CAST(dl.dl AS DOUBLE) AS w
+    FROM matched m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(v * w) / sum(w), 6) AS weighted_avg
+FROM vals GROUP BY query_id
+""",
+        "matrix_stats": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS x, CAST(dl.dl AS DOUBLE) AS y
+    FROM matched m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+),
+base AS (
+    SELECT query_id, count(*) AS n,
+           sum(x) AS sx, sum(x*x) AS sx2, sum(x*x*x) AS sx3, sum(x*x*x*x) AS sx4,
+           sum(y) AS sy, sum(y*y) AS sy2, sum(y*y*y) AS sy3, sum(y*y*y*y) AS sy4,
+           sum(x*y) AS sxy
+    FROM vals GROUP BY query_id
+),
+m AS (
+    SELECT query_id, n,
+           sx / n AS mx, sy / n AS my,
+           greatest(sx2 / n - (sx / n) * (sx / n), 0.0) AS m2x,
+           greatest(sy2 / n - (sy / n) * (sy / n), 0.0) AS m2y,
+           sx3 / n - 3 * (sx / n) * sx2 / n + 2 * pow(sx / n, 3) AS m3x,
+           sy3 / n - 3 * (sy / n) * sy2 / n + 2 * pow(sy / n, 3) AS m3y,
+           sx4 / n - 4 * (sx / n) * sx3 / n + 6 * pow(sx / n, 2) * sx2 / n - 3 * pow(sx / n, 4) AS m4x,
+           sy4 / n - 4 * (sy / n) * sy3 / n + 6 * pow(sy / n, 2) * sy2 / n - 3 * pow(sy / n, 4) AS m4y,
+           sxy / n - (sx / n) * (sy / n) AS cov
+    FROM base
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n AS BIGINT) AS n_docs,
+       round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+       round(m2x, 6) AS var_x, round(m2y, 6) AS var_y,
+       round(m3x / pow(m2x, 1.5), 6) AS skew_x,
+       round(m3y / pow(m2y, 1.5), 6) AS skew_y,
+       round(m4x / (m2x * m2x), 6) AS kurt_x,
+       round(m4y / (m2y * m2y), 6) AS kurt_y,
+       round(cov, 6) AS covariance,
+       round(cov / sqrt(m2x * m2y), 6) AS correlation
+FROM m
+""",
+        "t_test": f"""
+WITH {_TOKS_CTE},
+sides AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({qid}, '{t}', '{s}')"
+        for qid, ta, tb in T_TEST_SET
+        for s, t in (("a", ta), ("b", tb))
+    )}) AS v(query_id, term, side)
+),
+matched AS (
+    SELECT DISTINCT s.query_id, s.side, tf.doc_id
+    FROM sides s JOIN tf ON tf.term = s.term
+),
+vals AS (
+    SELECT m.query_id, m.side, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+agg AS (
+    SELECT query_id, side, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+    FROM vals GROUP BY query_id, side
+),
+j AS (
+    SELECT a.query_id, a.n AS n_a, b.n AS n_b,
+           a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+           (a.s2 - a.n * (a.s1 / a.n) * (a.s1 / a.n)) / (a.n - 1) AS va,
+           (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n)) / (b.n - 1) AS vb
+    FROM (SELECT * FROM agg WHERE side = 'a') a
+    JOIN (SELECT * FROM agg WHERE side = 'b') b USING (query_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       CASE WHEN n_a > 1 AND n_b > 1
+            THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) END AS t_stat
+FROM j
 """,
     }
 

@@ -869,3 +869,234 @@ def approx_terms(
         (F.col("grand_total") - F.sum("doc_count").over(wall)).alias("sum_other"),
         "term_rank",
     )
+
+
+def _matched_values(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    cols: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, *cols) for each query's matching doc set
+    (>= 1 unique query term) — the shared front half of every metric
+    aggregation here. One collapse agg, one pruned value join."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    return matched.join(docs.select(F.col(id_col).alias("doc_id"), *cols), "doc_id")
+
+
+def extended_stats_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    sigma: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, min_v, max_v, sum_v, avg_v, sum_of_squares,
+    variance, std_deviation, std_upper, std_lower) — the Elasticsearch
+    ``extended_stats`` aggregation over each query's matching doc set.
+    Variance is the POPULATION variance E[x^2] - E[x]^2 (the ES
+    definition) and the bounds are avg +/- sigma * std (ES
+    ``std_deviation_bounds`` with its default sigma=2).
+
+    Scale shape: everything derives from FOUR combinable sums
+    (count, sum, sum of squares, plus min/max) in ONE map-side-partial
+    hash agg — no second pass, no window. The raw-moment route (vs
+    F.variance) is deliberate: it keeps the aggregation combinable AND
+    makes the oracle an exact formula mirror rather than a
+    sample-vs-population coin flip."""
+    joined = _matched_values(
+        spark, docs, queries, [F.col(value_col).cast("double").alias("_v")],
+        id_col, text_col,
+    )
+    base = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        F.sum("_v").alias("sum_v"),
+        F.sum(F.col("_v") * F.col("_v")).alias("sum_of_squares"),
+    )
+    avg = F.col("sum_v") / F.col("n_docs")
+    var = F.col("sum_of_squares") / F.col("n_docs") - avg * avg
+    # fp cancellation can leave a tiny negative for constant columns
+    var = F.greatest(var, F.lit(0.0))
+    std = F.sqrt(var)
+    s = F.lit(float(sigma))
+    return base.select(
+        "query_id", "n_docs", "min_v", "max_v", "sum_v",
+        avg.alias("avg_v"),
+        "sum_of_squares",
+        var.alias("variance"),
+        std.alias("std_deviation"),
+        (avg + s * std).alias("std_upper"),
+        (avg - s * std).alias("std_lower"),
+    )
+
+
+def weighted_avg_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col,
+    weight_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, weighted_avg) — the Elasticsearch
+    ``weighted_avg`` aggregation: sum(value * weight) / sum(weight)
+    over each query's matching doc set. ``value_col``/``weight_col``
+    accept column names or Column expressions (e.g. a token count
+    computed from the text). One combinable agg; rows with NULL value
+    or weight drop first (the ES contract)."""
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    joined = _matched_values(
+        spark, docs, queries,
+        [vc.cast("double").alias("_v"), wc.cast("double").alias("_w")],
+        id_col, text_col,
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("weighted_avg"),
+    )
+
+
+def matrix_stats_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    x_col,
+    y_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, mean_x, mean_y, var_x, var_y, skew_x,
+    skew_y, kurt_x, kurt_y, covariance, correlation) — the
+    Elasticsearch ``matrix_stats`` aggregation for a two-field matrix
+    over each query's matching doc set. Population moments throughout:
+    var = m2, skewness = m3 / m2^1.5, kurtosis = m4 / m2^2 (plain,
+    not excess), covariance = E[xy] - E[x]E[y], correlation =
+    cov / (std_x * std_y).
+
+    Scale shape: ONE combinable hash agg of raw power sums (x..x^4,
+    y..y^4, xy) — the same map-side-partial shape ES's streaming
+    moment sketch has, and an exact formula mirror for the oracle
+    (built-in skewness/kurtosis differ between engines on
+    sample-bias correction, so they're deliberately avoided)."""
+    xc = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    yc = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    joined = _matched_values(
+        spark, docs, queries, [xc.alias("_x"), yc.alias("_y")], id_col, text_col
+    )
+    x, y = F.col("_x"), F.col("_y")
+    base = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(x * x).alias("sx2"),
+        F.sum(x * x * x).alias("sx3"), F.sum(x * x * x * x).alias("sx4"),
+        F.sum(y).alias("sy"), F.sum(y * y).alias("sy2"),
+        F.sum(y * y * y).alias("sy3"), F.sum(y * y * y * y).alias("sy4"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+
+    def moments(s1, s2, s3, s4):
+        m = F.col(s1) / n
+        m2 = F.greatest(F.col(s2) / n - m * m, F.lit(0.0))
+        m3 = F.col(s3) / n - 3 * m * F.col(s2) / n + 2 * m * m * m
+        m4 = (
+            F.col(s4) / n
+            - 4 * m * F.col(s3) / n
+            + 6 * m * m * F.col(s2) / n
+            - 3 * m * m * m * m
+        )
+        return m, m2, m3, m4
+
+    mx, m2x, m3x, m4x = moments("sx", "sx2", "sx3", "sx4")
+    my, m2y, m3y, m4y = moments("sy", "sy2", "sy3", "sy4")
+    cov = F.col("sxy") / n - mx * my
+    return base.select(
+        "query_id",
+        F.col("n").alias("n_docs"),
+        mx.alias("mean_x"), my.alias("mean_y"),
+        m2x.alias("var_x"), m2y.alias("var_y"),
+        (m3x / F.pow(m2x, 1.5)).alias("skew_x"),
+        (m3y / F.pow(m2y, 1.5)).alias("skew_y"),
+        (m4x / (m2x * m2x)).alias("kurt_x"),
+        (m4y / (m2y * m2y)).alias("kurt_y"),
+        cov.alias("covariance"),
+        (cov / F.sqrt(m2x * m2y)).alias("correlation"),
+    )
+
+
+def t_test_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    populations: list[tuple[int, str, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_a, n_b, mean_a, mean_b, t_stat) — the
+    Elasticsearch ``t_test`` aggregation, ``type: independent``
+    (Welch): for each (query_id, term_a, term_b) row, population A =
+    docs containing term_a, B = docs containing term_b, and
+    t = (mean_a - mean_b) / sqrt(s2_a/n_a + s2_b/n_b) with SAMPLE
+    variances s2 = (sum_sq - n*mean^2) / (n - 1).
+
+    Scale shape: both populations come out of ONE combinable agg over
+    the term-filtered token stream (term IN the union of filters),
+    grouped (query, side); the Welch arithmetic is a driver-free
+    two-row join. Populations of size < 2 yield NULL t (undefined
+    variance), matching ES returning null."""
+    spec = [
+        (int(qid), ta.strip().lower(), tb.strip().lower())
+        for qid, ta, tb in populations
+        if ta.strip() and tb.strip()
+    ]
+    sides = [(qid, t, side) for qid, ta, tb in spec for side, t in (("a", ta), ("b", tb))]
+    qt = spark.createDataFrame(sides, "query_id long, term string, side string")
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .select("query_id", "side", "doc_id")
+        .distinct()
+    )
+    vals = matched.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+        ),
+        "doc_id",
+    )
+    agg = vals.groupBy("query_id", "side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("s2"),
+    )
+    a = agg.filter(F.col("side") == "a").select(
+        "query_id", F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = agg.filter(F.col("side") == "b").select(
+        "query_id", F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    j = a.join(b, "query_id")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s1a") / na, F.col("s1b") / nb
+    va = (F.col("s2a") - na * ma * ma) / (na - 1)
+    vb = (F.col("s2b") - nb * mb * mb) / (nb - 1)
+    t = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return j.select(
+        "query_id", "n_a", "n_b",
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1), t).alias("t_stat"),
+    )

@@ -1,0 +1,96 @@
+"""Advanced metric aggregations (ES extended_stats / weighted_avg /
+matrix_stats / t_test) pinned against direct NumPy computation on a
+hand corpus — population-moment definitions throughout."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from embed_rerank_spark.operators.facets import (
+    extended_stats_facets,
+    matrix_stats_facets,
+    t_test_facets,
+    weighted_avg_facets,
+)
+
+# value v and weight w per doc; all docs contain "x", docs 3-5 "y"
+ROWS = [
+    (1, "x a", 10.0, 2),
+    (2, "x b", 25.0, 3),
+    (3, "x y", 40.0, 4),
+    (4, "x y c", 55.0, 5),
+    (5, "x y y", 90.0, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id long, text string, v double, w long"
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_extended_stats_population_moments(spark, docs):
+    r = _one(extended_stats_facets(spark, docs, [(1, "x")], "v", sigma=2.0))
+    v = np.array([row[2] for row in ROWS])
+    assert r["n_docs"] == 5
+    assert r["avg_v"] == pytest.approx(v.mean())
+    assert r["sum_of_squares"] == pytest.approx((v * v).sum())
+    assert r["variance"] == pytest.approx(v.var())  # population
+    assert r["std_deviation"] == pytest.approx(v.std())
+    assert r["std_upper"] == pytest.approx(v.mean() + 2 * v.std())
+    assert r["std_lower"] == pytest.approx(v.mean() - 2 * v.std())
+
+
+def test_weighted_avg(spark, docs):
+    r = _one(weighted_avg_facets(spark, docs, [(1, "y")], "v", "w"))
+    sub = [(row[2], row[3]) for row in ROWS if "y" in row[1].split()]
+    want = sum(v * w for v, w in sub) / sum(w for _v, w in sub)
+    assert r["n_docs"] == 3
+    assert r["weighted_avg"] == pytest.approx(want)
+
+
+def test_matrix_stats_matches_numpy(spark, docs):
+    r = _one(matrix_stats_facets(spark, docs, [(1, "x")], "v", "w"))
+    x = np.array([row[2] for row in ROWS], dtype=float)
+    y = np.array([row[3] for row in ROWS], dtype=float)
+
+    def m(a, k):
+        return ((a - a.mean()) ** k).mean()
+
+    assert r["mean_x"] == pytest.approx(x.mean())
+    assert r["var_y"] == pytest.approx(y.var())
+    assert r["skew_x"] == pytest.approx(m(x, 3) / x.var() ** 1.5)
+    assert r["kurt_x"] == pytest.approx(m(x, 4) / x.var() ** 2)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert r["covariance"] == pytest.approx(cov)
+    assert r["correlation"] == pytest.approx(cov / (x.std() * y.std()))
+    # w here is a perfect affine function of v on this corpus? it is
+    # not -- but correlation must still be in [-1, 1]
+    assert -1.0 <= r["correlation"] <= 1.0
+
+
+def test_t_test_welch_and_small_population_null(spark, docs):
+    out = {
+        r["query_id"]: r
+        for r in t_test_facets(
+            spark, docs, [(1, "x", "y"), (2, "a", "y")], "v"
+        ).collect()
+    }
+    xa = np.array([row[2] for row in ROWS], dtype=float)
+    yb = np.array([row[2] for row in ROWS if "y" in row[1].split()], dtype=float)
+    want = (xa.mean() - yb.mean()) / np.sqrt(
+        xa.var(ddof=1) / len(xa) + yb.var(ddof=1) / len(yb)
+    )
+    r1 = out[1]
+    assert (r1["n_a"], r1["n_b"]) == (5, 3)
+    assert r1["t_stat"] == pytest.approx(want)
+    # population "a" has a single doc: sample variance undefined -> NULL
+    assert out[2]["t_stat"] is None
