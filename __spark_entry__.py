@@ -2281,6 +2281,15 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split by per-language unigram-LM
+    cross-entropy terciles
+    (operators/textstats.py::ccnet_perplexity_buckets)."""
+    from embed_rerank_spark.operators.textstats import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(_docs(spark, sf_dir))
+
+
 # t_test contract knobs: (query_id, term_a, term_b) population pairs.
 T_TEST_SET = [(1, "fast", "slow"), (2, "dup", "the"), (3, "hash", "merge")]
 
@@ -3218,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": q_weighted_avg,
         "matrix_stats": q_matrix_stats,
         "t_test": q_t_test,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -7604,6 +7614,32 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CASE WHEN n_a > 1 AND n_b > 1
             THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) END AS t_stat
 FROM j
+""",
+        "ccnet_buckets": f"""
+WITH {_TOKS_CTE},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS c FROM cf),
+ce0 AS (
+    SELECT tf.doc_id,
+           -sum(tf.tf * ln(cf.cf * 1.0 / tot.c)) / sum(tf.tf) AS ce
+    FROM tf JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY tf.doc_id
+),
+ce AS (
+    SELECT d.doc_id, d.lang, round(coalesce(ce0.ce, 0.0), 6) AS ce
+    FROM documents d LEFT JOIN ce0 USING (doc_id)
+),
+thr AS (
+    SELECT lang,
+           round(quantile_cont(ce, {1.0 / 3.0!r}), 6) AS p_lo,
+           round(quantile_cont(ce, {2.0 / 3.0!r}), 6) AS p_hi
+    FROM ce GROUP BY lang
+)
+SELECT ce.doc_id, ce.lang, ce.ce,
+       CASE WHEN ce.ce <= thr.p_lo THEN 'head'
+            WHEN ce.ce <= thr.p_hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ce JOIN thr USING (lang)
 """,
     }
 

@@ -526,6 +526,22 @@ def main(argv: list[str] | None = None) -> int:
     qc.add_argument("--iters", type=int, default=3)
     qc.add_argument("--lr", type=float, default=0.5)
 
+    cb = sub.add_parser(
+        "ccnet-split",
+        help="CCNet head/middle/tail corpus split by per-language "
+        "unigram-LM cross-entropy terciles",
+    )
+    cb.add_argument("--corpus", required=True, help="parquet with doc_id, text, lang")
+    cb.add_argument("--out", required=True, help="parquet (doc_id, lang, ce, bucket)")
+    cb.add_argument("--lo", type=float, default=1.0 / 3.0)
+    cb.add_argument("--hi", type=float, default=2.0 / 3.0)
+    cb.add_argument(
+        "--approx",
+        action="store_true",
+        help="t-digest percentile thresholds (no per-language sort; "
+        "the web-scale path)",
+    )
+
     rt = sub.add_parser(
         "routed-query",
         help="per-tenant BM25 over a partitionBy(routing) layout "
@@ -1108,6 +1124,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.out}/token_counts"
             )
             print(f"wrote {args.out} ({len(merges)} merges applied)")
+        elif args.cmd == "ccnet-split":
+            from .operators.textstats import ccnet_perplexity_buckets
+
+            corpus = spark.read.parquet(args.corpus)
+            out = ccnet_perplexity_buckets(
+                corpus, lo=args.lo, hi=args.hi, exact=not args.approx
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
         elif args.cmd == "quality-train":
             from .operators.classifier import quality_scores
 

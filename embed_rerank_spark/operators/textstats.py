@@ -498,3 +498,53 @@ def bigram_cross_entropy(
             F.round(F.coalesce("ce", F.lit(0.0)), 6).alias("ce"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    lo: float = 1.0 / 3.0,
+    hi: float = 2.0 / 3.0,
+    lang_col: str = "lang",
+    exact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, lang, ce, bucket): the CCNet corpus split — docs
+    bucketed head/middle/tail by LM cross-entropy percentile WITHIN
+    their language, head = lowest ce (the best-scoring third under
+    CCNet's convention; Wenzek et al. 2019 use KenLM perplexity, this
+    engine's deterministic proxy is the corpus unigram LM of
+    ``unigram_cross_entropy``). Thresholds are the per-language
+    ``lo``/``hi`` quantiles (linear interpolation), rounded to 6
+    places on BOTH the engine and oracle sides so bucket boundaries
+    are fp-stable across engines.
+
+    Scale shape: ce is two combinable aggs + a term-keyed join (see
+    unigram_cross_entropy); the thresholds are one tiny per-language
+    agg broadcast back. ``exact=True`` runs Spark's exact percentile
+    (a per-language sort — fine up to ~10^8 rows/language); at the
+    10^12-doc target set ``exact=False`` for the t-digest
+    ``percentile_approx`` sketch (combinable, no sort) and accept
+    approximate boundaries, which CCNet itself does."""
+    ce = unigram_cross_entropy(docs, id_col=id_col, text_col=text_col)
+    joined = ce.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    pcts = [float(lo), float(hi)]
+    agg = (
+        F.percentile("ce", pcts) if exact else F.percentile_approx("ce", pcts, 10000)
+    )
+    thr = joined.groupBy("lang").agg(
+        F.round(F.element_at(agg, 1), 6).alias("p_lo"),
+        F.round(F.element_at(agg, 2), 6).alias("p_hi"),
+    )
+    return joined.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "ce",
+        F.when(F.col("ce") <= F.col("p_lo"), F.lit("head"))
+        .when(F.col("ce") <= F.col("p_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -94,3 +94,22 @@ def test_t_test_welch_and_small_population_null(spark, docs):
     assert r1["t_stat"] == pytest.approx(want)
     # population "a" has a single doc: sample variance undefined -> NULL
     assert out[2]["t_stat"] is None
+
+
+def test_ccnet_buckets_tercile_invariants(spark):
+    from embed_rerank_spark.operators.textstats import ccnet_perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(r["ce"])
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        # tercile sizes within interpolation slack of n/3
+        for name in ("head", "middle", "tail"):
+            assert abs(len(buckets.get(name, [])) - n / 3) <= 2, (lang, name)
+        # ce strictly ordered across buckets: head <= middle <= tail
+        assert max(buckets["head"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"])
