@@ -2281,6 +2281,32 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# percentile_ranks contract knobs: fixed probe values on n_chars.
+PCT_RANK_VALUES = [100.0, 250.0, 400.0]
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (exact): % of each query's matching docs
+    with n_chars <= each probe value
+    (operators/facets.py::percentile_ranks_facets)."""
+    from embed_rerank_spark.operators.facets import percentile_ranks_facets
+
+    return _round6(
+        percentile_ranks_facets(
+            spark, _docs(spark, sf_dir), QUERY_SET, "n_chars", PCT_RANK_VALUES
+        )
+    )
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation (exact, interpolated medians) on
+    n_chars over each query's match set
+    (operators/facets.py::mad_facets)."""
+    from embed_rerank_spark.operators.facets import mad_facets
+
+    return _round6(mad_facets(spark, _docs(spark, sf_dir), QUERY_SET, "n_chars"))
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus split by per-language unigram-LM
     cross-entropy terciles
@@ -3228,6 +3254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": q_matrix_stats,
         "t_test": q_t_test,
         "ccnet_buckets": q_ccnet_buckets,
+        "percentile_ranks": q_percentile_ranks,
+        "median_abs_deviation": q_mad,
     }
 
 
@@ -7640,6 +7668,43 @@ SELECT ce.doc_id, ce.lang, ce.ce,
             WHEN ce.ce <= thr.p_hi THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM ce JOIN thr USING (lang)
+""",
+        "percentile_ranks": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+probes AS (
+    SELECT * FROM (VALUES {", ".join(f"({v!r})" for v in PCT_RANK_VALUES)}) AS p(value)
+)
+SELECT CAST(vals.query_id AS BIGINT) AS query_id,
+       CAST(probes.value AS DOUBLE) AS value,
+       round(100.0 * sum(CASE WHEN vals.v <= probes.value THEN 1 ELSE 0 END)
+             / count(*), 6) AS pct_rank
+FROM vals CROSS JOIN probes
+GROUP BY vals.query_id, probes.value
+""",
+        "median_abs_deviation": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+med AS (
+    SELECT query_id, count(*) AS n_docs, quantile_cont(v, 0.5) AS median_v
+    FROM vals GROUP BY query_id
+),
+mad AS (
+    SELECT vals.query_id, quantile_cont(abs(vals.v - med.median_v), 0.5) AS mad
+    FROM vals JOIN med USING (query_id)
+    GROUP BY vals.query_id
+)
+SELECT CAST(med.query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_docs,
+       round(median_v, 6) AS median_v, round(mad.mad, 6) AS mad
+FROM med JOIN mad USING (query_id)
 """,
     }
 

@@ -1100,3 +1100,82 @@ def t_test_facets(
         ma.alias("mean_a"), mb.alias("mean_b"),
         F.when((F.col("n_a") > 1) & (F.col("n_b") > 1), t).alias("t_stat"),
     )
+
+
+def percentile_ranks_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    values: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, value, pct_rank) — the Elasticsearch
+    ``percentile_ranks`` aggregation, exact form: for each probe value
+    v, the percentage of the query's matching docs whose ``value_col``
+    is <= v (ES's t-digest interpolates; the exact definition here is
+    the one DuckDB can mirror, and is what ES converges to).
+
+    Scale shape: ONE combinable agg — each probe value becomes a
+    codegen'd conditional-count column, so the pass over the match
+    set is single and map-side partial regardless of len(values)."""
+    if not values:
+        raise ValueError("need at least one probe value")
+    joined = _matched_values(
+        spark, docs, queries, [F.col(value_col).cast("double").alias("_v")],
+        id_col, text_col,
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, v in enumerate(values):
+        aggs.append(
+            F.sum(F.when(F.col("_v") <= float(v), 1).otherwise(0)).alias(f"c{i}")
+        )
+    base = joined.groupBy("query_id").agg(*aggs)
+    parts = []
+    for i, v in enumerate(values):
+        parts.append(
+            base.select(
+                "query_id",
+                F.lit(float(v)).alias("value"),
+                (100.0 * F.col(f"c{i}") / F.col("n")).alias("pct_rank"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mad_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, median_v, mad) — the Elasticsearch
+    ``median_absolute_deviation`` aggregation, exact form:
+    median(|v - median(v)|) with linear-interpolation medians (ES
+    itself is t-digest-approximate; the exact form is
+    oracle-portable).
+
+    Scale shape: two exact-percentile passes (each a per-query sort)
+    with a broadcast of the per-query medians between them. At the
+    10^12-doc target swap ``F.percentile`` for ``percentile_approx``
+    — same plan minus the sorts, as the docstring of
+    ccnet_perplexity_buckets discusses."""
+    joined = _matched_values(
+        spark, docs, queries, [F.col(value_col).cast("double").alias("_v")],
+        id_col, text_col,
+    )
+    med = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("_v", 0.5).alias("median_v"),
+    )
+    dev = joined.join(F.broadcast(med.select("query_id", "median_v")), "query_id")
+    mad = dev.groupBy("query_id").agg(
+        F.percentile(F.abs(F.col("_v") - F.col("median_v")), 0.5).alias("mad")
+    )
+    return med.join(mad, "query_id").select("query_id", "n_docs", "median_v", "mad")

@@ -113,3 +113,28 @@ def test_ccnet_buckets_tercile_invariants(spark):
         # ce strictly ordered across buckets: head <= middle <= tail
         assert max(buckets["head"]) <= min(buckets["middle"])
         assert max(buckets["middle"]) <= min(buckets["tail"])
+
+
+def test_percentile_ranks_exact(spark, docs):
+    from embed_rerank_spark.operators.facets import percentile_ranks_facets
+
+    out = {
+        r["value"]: r["pct_rank"]
+        for r in percentile_ranks_facets(
+            spark, docs, [(1, "x")], "v", [10.0, 54.9, 95.0]
+        ).collect()
+    }
+    # v = [10, 25, 40, 55, 90]
+    assert out[10.0] == pytest.approx(20.0)
+    assert out[54.9] == pytest.approx(60.0)
+    assert out[95.0] == pytest.approx(100.0)
+
+
+def test_mad_matches_numpy(spark, docs):
+    from embed_rerank_spark.operators.facets import mad_facets
+
+    r = _one(mad_facets(spark, docs, [(1, "x")], "v"))
+    v = np.array([row[2] for row in ROWS])
+    med = np.median(v)
+    assert r["median_v"] == pytest.approx(med)
+    assert r["mad"] == pytest.approx(np.median(np.abs(v - med)))
