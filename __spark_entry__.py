@@ -2281,6 +2281,38 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# multi-fragment highlight contract knobs (Lucene SimpleFragmenter).
+HL_WINDOW = 6
+HL_FRAGMENTS = 2
+
+
+def q_highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment highlighting (ES number_of_fragments): fixed
+    window tiles per BM25 hit, scored by distinct query terms, top 2
+    per hit (operators/positions.py::highlight_fragments)."""
+    from embed_rerank_spark.operators.positions import highlight_fragments
+
+    index = _cached_index(spark, sf_dir, "plain")
+    out = highlight_fragments(
+        index,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        k=TOP_K,
+        window=HL_WINDOW,
+        n_fragments=HL_FRAGMENTS,
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "frag_rank",
+        "frag_start",
+        "n_terms",
+        "fragment",
+    )
+
+
 # percentile_ranks contract knobs: fixed probe values on n_chars.
 PCT_RANK_VALUES = [100.0, 250.0, 400.0]
 
@@ -3256,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "percentile_ranks": q_percentile_ranks,
         "median_abs_deviation": q_mad,
+        "highlight_fragments": q_highlight_fragments,
     }
 
 
@@ -7705,6 +7738,58 @@ mad AS (
 SELECT CAST(med.query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_docs,
        round(median_v, 6) AS median_v, round(mad.mad, 6) AS mad
 FROM med JOIN mad USING (query_id)
+""",
+        "highlight_fragments": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+hits AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored QUALIFY rank <= {TOP_K}
+),
+tokarr AS (SELECT doc_id, {_TOKENIZE_SQL} AS toksarr FROM documents),
+posn AS (
+    SELECT doc_id, unnest(toksarr) AS term,
+           generate_subscripts(toksarr, 1) - 1 AS pos
+    FROM tokarr
+),
+tiles AS (
+    SELECT h.query_id, h.doc_id,
+           CAST(floor(p.pos / {HL_WINDOW}) AS BIGINT) AS tile,
+           count(DISTINCT p.term) AS n_terms
+    FROM hits h
+    JOIN posn p ON p.doc_id = h.doc_id
+    JOIN {qt.replace("qt(", "q2(")} ON q2.query_id = h.query_id AND q2.term = p.term
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                 ORDER BY n_terms DESC, tile ASC) AS frag_rank
+    FROM tiles QUALIFY frag_rank <= {HL_FRAGMENTS}
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id, CAST(h.rank AS INTEGER) AS rank,
+       b.doc_id, round(h.score, 6) AS score,
+       CAST(b.frag_rank AS INTEGER) AS frag_rank,
+       CAST(b.tile * {HL_WINDOW} AS BIGINT) AS frag_start,
+       CAST(b.n_terms AS BIGINT) AS n_terms,
+       array_to_string(
+           t.toksarr[CAST(b.tile * {HL_WINDOW} + 1 AS BIGINT)
+                     : least(len(t.toksarr),
+                             CAST(b.tile * {HL_WINDOW} + {HL_WINDOW} AS BIGINT))],
+           ' ') AS fragment
+FROM best b JOIN hits h USING (query_id, doc_id) JOIN tokarr t USING (doc_id)
 """,
     }
 

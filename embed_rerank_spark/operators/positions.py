@@ -46,7 +46,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
@@ -1918,3 +1918,83 @@ def interval_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def highlight_fragments(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 6,
+    n_fragments: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, frag_rank, frag_start, n_terms,
+    fragment): multi-fragment highlighting for the BM25 top-k — the
+    Lucene SimpleFragmenter/Highlighter pair: each hit doc is tiled
+    into fixed ``window``-token fragments, fragments are scored by the
+    number of DISTINCT query terms they contain, and the best
+    ``n_fragments`` per hit return in (n_terms desc, start asc) order.
+    Complements ``best_window_snippets`` (single best sliding window)
+    with the multi-fragment surface ES exposes as
+    ``number_of_fragments``.
+
+    Fully declarative — no positional decode pass: the hit set is
+    broadcast-joined onto the docs table BEFORE the token explode, so
+    the explode touches only hit docs (k x queries rows), and the
+    tile scoring is one countDistinct agg plus a per-hit window rank
+    over at most dl/window rows."""
+    from .wand import wand_topk  # noqa: PLC0415
+
+    spark = index.postings.sparkSession
+    hits = wand_topk(index, queries, k, k1, b)
+    qt_rows = []
+    for qid, q in queries:
+        for tok in dict.fromkeys(q.strip().lower().split()):
+            if tok:
+                qt_rows.append((qid, tok))
+    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
+    hit_docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    ).join(F.broadcast(hits.select("doc_id").distinct()), "doc_id")
+    posn = hit_docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).withColumn("tile", (F.col("pos") / window).cast("long"))
+    scored_tiles = (
+        posn.join(F.broadcast(qt), "term")
+        .join(F.broadcast(hits.select("query_id", "doc_id")), ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id", "tile")
+        .agg(F.countDistinct("term").alias("n_terms"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("tile").asc()
+    )
+    best = scored_tiles.withColumn("frag_rank", F.row_number().over(w)).filter(
+        F.col("frag_rank") <= n_fragments
+    )
+    start = (F.col("tile") * window).alias("frag_start")
+    return (
+        best.join(hits, ["query_id", "doc_id"])
+        .join(hit_docs, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "frag_rank",
+            start,
+            "n_terms",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    F.col("tile").cast("int") * window + 1,
+                    window,
+                ),
+            ).alias("fragment"),
+        )
+    )

@@ -102,3 +102,23 @@ def test_interval_randomized_parity_vs_enumeration(spark):
     got = _by_query(interval_topk(idx, queries, k=1000))
     for qid, want in wants.items():
         assert got.get(qid, []) == want, (qid, queries[qid - 1])
+
+
+def test_highlight_fragments_tiles_and_order(spark):
+    from embed_rerank_spark.operators.positions import highlight_fragments
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b x x x a"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    idx = _index(spark, [(r.doc_id, r.text) for r in docs.collect()])
+    out = highlight_fragments(idx, docs, [(1, "a b")], k=5, window=3, n_fragments=2)
+    rows = sorted(
+        ((r["frag_rank"], r["frag_start"], r["n_terms"], r["fragment"]) for r in out.collect()),
+    )
+    # doc 1 tiles: [a b c][d a b][x x x][a]; both query terms in tiles
+    # 0 and 1, ties break on earlier tile
+    assert rows == [
+        (1, 0, 2, "a b c"),
+        (2, 3, 2, "d a b"),
+    ]
