@@ -2281,6 +2281,22 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# Gopher-rules contract knobs: stopword floor relaxed to 1 because the
+# synthetic vocabulary carries only "the" from the Gopher list.
+GOPHER_MIN_STOPWORDS = 1
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule family (word-count bounds, mean
+    word length, alpha fraction, stopword floor) with per-rule flags
+    (operators/textstats.py::gopher_quality_rules)."""
+    from embed_rerank_spark.operators.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(
+        _docs(spark, sf_dir), min_stopwords=GOPHER_MIN_STOPWORDS
+    )
+
+
 # multi-fragment highlight contract knobs (Lucene SimpleFragmenter).
 HL_WINDOW = 6
 HL_FRAGMENTS = 2
@@ -3289,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "median_abs_deviation": q_mad,
         "highlight_fragments": q_highlight_fragments,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -7790,6 +7807,37 @@ SELECT CAST(b.query_id AS BIGINT) AS query_id, CAST(h.rank AS INTEGER) AS rank,
                              CAST(b.tile * {HL_WINDOW} + {HL_WINDOW} AS BIGINT))],
            ' ') AS fragment
 FROM best b JOIN hits h USING (query_id, doc_id) JOIN tokarr t USING (doc_id)
+""",
+        "gopher_rules": f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents
+),
+per AS (
+    SELECT doc_id, count(*) AS n_words,
+           avg(length(term)) AS mwl,
+           avg(CASE WHEN regexp_matches(term, '[a-zA-Z]') THEN 1.0 ELSE 0.0 END) AS af,
+           count(DISTINCT CASE WHEN term IN ({", ".join(
+               f"'{s}'" for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+           )}) THEN term END) AS n_stop
+    FROM tok GROUP BY doc_id
+),
+flags AS (
+    SELECT d.doc_id,
+           coalesce(per.n_words, 0) AS n_words,
+           round(coalesce(per.mwl, 0.0), 6) AS mean_word_len,
+           round(coalesce(per.af, 0.0), 6) AS alpha_frac,
+           coalesce(per.n_stop, 0) AS n_stopwords,
+           coalesce(per.n_words >= 50 AND per.n_words <= 100000, FALSE) AS pass_words,
+           coalesce(per.mwl >= 3.0 AND per.mwl <= 10.0, FALSE) AS pass_word_len,
+           coalesce(per.af >= 0.8, FALSE) AS pass_alpha,
+           coalesce(per.n_stop >= {GOPHER_MIN_STOPWORDS}, FALSE) AS pass_stopwords
+    FROM documents d LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, alpha_frac,
+       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+       pass_words, pass_word_len, pass_alpha, pass_stopwords,
+       (pass_words AND pass_word_len AND pass_alpha AND pass_stopwords) AS keep
+FROM flags
 """,
     }
 

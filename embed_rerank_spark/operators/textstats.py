@@ -548,3 +548,77 @@ def ccnet_perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# the Gopher paper's stopword list (Rae et al. 2021, App. A1.1): a doc
+# must contain at least min_stopwords DISTINCT of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+    pass_words, pass_word_len, pass_alpha, pass_stopwords, keep):
+    the Gopher quality-filter rule family (Rae et al. 2021, Table A1)
+    as explicit per-rule flags — word-count bounds, mean-word-length
+    bounds, minimum fraction of words with an alphabetic character,
+    and the distinct-stopword floor. ``keep`` is the conjunction.
+    Rules the whitespace data model can't express (bullet/ellipsis
+    line ratios need line structure; see repetition_signals for the
+    duplicate-n-gram family) are deliberately absent rather than
+    faked.
+
+    Scale shape: one tokenize explode + one combinable agg per doc
+    (counts, length sums, conditional counts) — the same single-pass
+    shape as doc_stats; thresholds are codegen'd comparisons."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_for_scoring(F.col(text_col))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.avg(F.length("term")).alias("mean_word_len"),
+        F.avg(
+            F.when(F.col("term").rlike("[a-zA-Z]"), 1.0).otherwise(0.0)
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col("term").isin(*GOPHER_STOPWORDS), F.col("term")
+                    )
+                )
+            )
+        ).alias("n_stopwords"),
+    )
+    pw = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    pl = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    pa = F.col("alpha_frac") >= min_alpha_frac
+    ps = F.col("n_stopwords") >= min_stopwords
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(F.coalesce("mean_word_len", F.lit(0.0)), 6).alias("mean_word_len"),
+            F.round(F.coalesce("alpha_frac", F.lit(0.0)), 6).alias("alpha_frac"),
+            F.coalesce("n_stopwords", F.lit(0)).alias("n_stopwords"),
+            F.coalesce(pw, F.lit(False)).alias("pass_words"),
+            F.coalesce(pl, F.lit(False)).alias("pass_word_len"),
+            F.coalesce(pa, F.lit(False)).alias("pass_alpha"),
+            F.coalesce(ps, F.lit(False)).alias("pass_stopwords"),
+            F.coalesce(pw & pl & pa & ps, F.lit(False)).alias("keep"),
+        )
+    )

@@ -138,3 +138,25 @@ def test_mad_matches_numpy(spark, docs):
     med = np.median(v)
     assert r["median_v"] == pytest.approx(med)
     assert r["mad"] == pytest.approx(np.median(np.abs(v - med)))
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from embed_rerank_spark.operators.textstats import gopher_quality_rules
+
+    good = "the of " + "word " * 58          # 60 words, mwl ok, 2 stopwords
+    short = "the of word"                     # too few words
+    tiny_words = "the of " + "ab " * 58       # mean word len < 3
+    numeric = "the of " + "1234 " * 58        # alpha fraction < 0.8
+    no_stop = "word " * 60                    # no Gopher stopwords
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, tiny_words), (4, numeric), (5, no_stop)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_stopwords"] == 2
+    assert not out[2]["pass_words"] and out[2]["pass_stopwords"]
+    assert not out[3]["pass_word_len"] and out[3]["pass_words"]
+    assert not out[4]["pass_alpha"]
+    assert not out[5]["pass_stopwords"] and out[5]["pass_alpha"]
+    for d in (2, 3, 4, 5):
+        assert not out[d]["keep"]
