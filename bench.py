@@ -260,6 +260,19 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 "overwrite"
             ).parquet(f"{tmp}/phrase_hot_nw")
             extra["phrase_hot_nextword_64"] = round(time.perf_counter() - t0, 3)
+            # Lucene ordered intervals (max_gaps=4) over the same
+            # positional index and phrase pairs: same decode cost as
+            # phrase_topk plus the searchsorted chain per start
+            from embed_rerank_spark.operators.positions import (  # noqa: PLC0415
+                interval_topk,
+            )
+
+            intervals = [(i, p, 4) for i, p in phrases]
+            t0 = time.perf_counter()
+            interval_topk(pos_index, intervals, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/intervals")
+            extra["interval_topk_64"] = round(time.perf_counter() - t0, 3)
             # PRF (RM3-lite): two WAND passes + feedback-term mining
             from embed_rerank_spark.operators.prf import prf_topk  # noqa: PLC0415
 
