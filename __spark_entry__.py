@@ -2281,6 +2281,34 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval API: per-query precision/recall/rr/ap/ndcg/err
+    over the BM25 top-k against the deterministic judgment set
+    (functions/quality.py::rank_eval; ERR max_rel=3 matches the
+    judgment grades)."""
+    from embed_rerank_spark.functions.quality import rank_eval
+
+    ranking = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    qids = ranking.select("query_id").distinct()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    judgments = (
+        qids.crossJoin(docs)
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(
+                (F.col("doc_id") + F.col("query_id")) % 5 == 0,
+                (F.col("doc_id") + F.col("query_id") * 3) % 3 + 1,
+            )
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    out = rank_eval(ranking, judgments, k=TOP_K, max_rel=3)
+    return _round6(out).orderBy("query_id")
+
+
 # Gopher-rules contract knobs: stopword floor relaxed to 1 because the
 # synthetic vocabulary carries only "the" from the Gopher list.
 GOPHER_MIN_STOPWORDS = 1
@@ -3306,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_abs_deviation": q_mad,
         "highlight_fragments": q_highlight_fragments,
         "gopher_rules": q_gopher_rules,
+        "rank_eval": q_rank_eval,
     }
 
 
@@ -7838,6 +7867,109 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, alpha_frac,
        pass_words, pass_word_len, pass_alpha, pass_stopwords,
        (pass_words AND pass_word_len AND pass_alpha AND pass_stopwords) AS keep
 FROM flags
+""",
+        "rank_eval": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+),
+topk AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}),
+qids AS (SELECT DISTINCT query_id FROM topk),
+jpos AS (
+    SELECT q.query_id, d.doc_id,
+           (d.doc_id + q.query_id * 3) % 3 + 1 AS rel
+    FROM qids q CROSS JOIN (SELECT doc_id FROM documents) d
+    WHERE (d.doc_id + q.query_id) % 5 = 0
+),
+rrq AS (
+    SELECT t.query_id, 1.0 / min(t.rank) AS rr
+    FROM topk t JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+    GROUP BY t.query_id
+),
+dcg AS (
+    SELECT t.query_id,
+           sum((pow(2.0, coalesce(j.rel, 0)) - 1.0) / log2(t.rank + 1.0)) AS dcg
+    FROM topk t
+    LEFT JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+    GROUP BY t.query_id
+),
+ideal AS (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM jpos
+),
+idcg AS (
+    SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+    FROM ideal WHERE irank <= {TOP_K} GROUP BY query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM jpos GROUP BY query_id),
+hitseq AS (
+    SELECT t.query_id, t.rank,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS hit_no
+    FROM topk t JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+),
+rec AS (SELECT query_id, count(*) AS n_hit FROM hitseq GROUP BY query_id),
+apq AS (
+    SELECT query_id, sum(CAST(hit_no AS DOUBLE) / rank) AS sum_prec
+    FROM hitseq GROUP BY query_id
+),
+precq AS (
+    SELECT t.query_id,
+           sum(CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS prec
+    FROM topk t
+    LEFT JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+    GROUP BY t.query_id
+),
+errbase AS (
+    SELECT t.query_id, t.rank,
+           (pow(2.0, least(coalesce(j.rel, 0), 3)) - 1.0) / 8.0 AS p
+    FROM topk t
+    LEFT JOIN jpos j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+),
+errk AS (
+    SELECT query_id, rank, p,
+           coalesce(product(1.0 - p) OVER (
+               PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0) AS keep
+    FROM errbase
+),
+errq AS (SELECT query_id, sum(p / rank * keep) AS err FROM errk GROUP BY query_id)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       round(coalesce(precq.prec, 0), 6) AS precision,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(n_hit, 0) * 1.0 / n_rel ELSE 0 END, 6) AS recall,
+       round(coalesce(rr, 0), 6) AS rr,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(sum_prec, 0) / least(n_rel, {TOP_K}) ELSE 0 END, 6) AS ap,
+       round(CASE WHEN coalesce(idcg, 0) > 0
+                  THEN coalesce(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg,
+       round(coalesce(errq.err, 0), 6) AS err
+FROM qids q
+LEFT JOIN rrq USING (query_id)
+LEFT JOIN dcg USING (query_id)
+LEFT JOIN idcg USING (query_id)
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN rec USING (query_id)
+LEFT JOIN apq USING (query_id)
+LEFT JOIN precq USING (query_id)
+LEFT JOIN errq USING (query_id)
+ORDER BY q.query_id
 """,
     }
 

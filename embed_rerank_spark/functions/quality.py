@@ -190,3 +190,88 @@ def quality_summary(
         .join(recall_at_k(ranking, judgments, k, queries), "query_id")
         .join(ap_at_k(ranking, judgments, k, queries), "query_id")
     )
+
+
+def precision_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, precision): the ES rank_eval ``precision`` metric —
+    fraction of the RETRIEVED top-k that is relevant (denominator =
+    docs actually retrieved within k, the ES default, not k itself).
+    Queries that retrieved nothing score 0."""
+    per = (
+        ranking.filter(F.col("rank") <= k)
+        .join(judgments, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.when(F.coalesce("rel", F.lit(0)) > 0, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("precision")
+        )
+    )
+    all_q = _query_universe(ranking, queries)
+    return all_q.join(per, "query_id", "left").select(
+        "query_id", F.coalesce("precision", F.lit(0.0)).alias("precision")
+    )
+
+
+def err_at_k(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    max_rel: int = 3,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, err): Expected Reciprocal Rank (Chapelle et al.
+    2009; the ES rank_eval ``expected_reciprocal_rank`` metric with
+    ``maximum_relevance = max_rel``): ERR = sum_r (p_r / r) *
+    prod_{i<r} (1 - p_i) with stop probability p = (2^rel - 1) /
+    2^max_rel, unjudged docs rel 0. The cascade product runs as a
+    windowed F.product over the preceding ranks — no log/exp rewrite,
+    so a p=1 document correctly zeroes everything below it."""
+    p = (F.pow(F.lit(2.0), F.least(F.col("rel"), F.lit(max_rel))) - 1.0) / F.lit(
+        float(2**max_rel)
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = (
+        ranking.filter(F.col("rank") <= k)
+        .join(judgments, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .withColumn("p", p)
+        .withColumn("keep", F.coalesce(F.product(1.0 - F.col("p")).over(w), F.lit(1.0)))
+        .groupBy("query_id")
+        .agg(F.sum(F.col("p") / F.col("rank") * F.col("keep")).alias("err"))
+    )
+    all_q = _query_universe(ranking, queries)
+    return all_q.join(contrib, "query_id", "left").select(
+        "query_id", F.coalesce("err", F.lit(0.0)).alias("err")
+    )
+
+
+def rank_eval(
+    ranking: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    max_rel: int = 3,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query (query_id, precision, recall, rr, ap, ndcg, err) —
+    the ES _rank_eval API response shape (``details`` per query; the
+    API's summary value is the mean of a column). One row per query
+    in the universe; all six metrics share the same top-k window."""
+    return (
+        precision_at_k(ranking, judgments, k, queries)
+        .join(recall_at_k(ranking, judgments, k, queries), "query_id")
+        .join(mrr_at_k(ranking, judgments, k, queries), "query_id")
+        .join(ap_at_k(ranking, judgments, k, queries), "query_id")
+        .join(ndcg_at_k(ranking, judgments, k, queries), "query_id")
+        .join(err_at_k(ranking, judgments, k, max_rel, queries), "query_id")
+    )

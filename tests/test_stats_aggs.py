@@ -160,3 +160,26 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[5]["pass_stopwords"] and out[5]["pass_alpha"]
     for d in (2, 3, 4, 5):
         assert not out[d]["keep"]
+
+
+def test_precision_and_err_pinned(spark):
+    from embed_rerank_spark.functions.quality import err_at_k, precision_at_k, rank_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], "query_id long, rank int, doc_id long"
+    )
+    judgments = spark.createDataFrame(
+        [(1, 10, 3), (1, 30, 1)], "query_id long, doc_id long, rel int"
+    )
+    p = precision_at_k(ranking, judgments, k=10).collect()[0]["precision"]
+    assert p == pytest.approx(2.0 / 3.0)
+    # p_i = (2^rel - 1)/8: [0.875, 0, 0.125]
+    # ERR = 0.875/1 + 0 + 0.125 * (1 - 0.875) / 3
+    err = err_at_k(ranking, judgments, k=10, max_rel=3).collect()[0]["err"]
+    assert err == pytest.approx(0.875 + 0.125 * 0.125 / 3)
+    # a universe query with zero retrieved rows scores 0 everywhere
+    universe = spark.createDataFrame([(1,), (2,)], "query_id long")
+    out = {r["query_id"]: r for r in
+           rank_eval(ranking, judgments, k=10, queries=universe).collect()}
+    assert out[2]["precision"] == 0.0 and out[2]["err"] == 0.0
+    assert out[2]["ndcg"] == 0.0 and out[2]["recall"] == 0.0
