@@ -2281,6 +2281,26 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# int8 kNN contract knobs: stage-1 candidate window per query.
+INT8_RESCORE_WINDOW = 40
+
+
+def q_int8_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES int8-quantized kNN with exact rescore: stage 1 ranks by the
+    scale-free int8 cosine, stage 2 re-scores the candidate window
+    with float cosine (operators/similarity.py::int8_knn_topk)."""
+    from embed_rerank_spark.operators.similarity import int8_knn_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = (
+        vectors.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = int8_knn_topk(vectors, queries_df, k=10, rescore_window=INT8_RESCORE_WINDOW)
+    return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _rank_eval API: per-query precision/recall/rr/ap/ndcg/err
     over the BM25 top-k against the deterministic judgment set
@@ -3335,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_fragments": q_highlight_fragments,
         "gopher_rules": q_gopher_rules,
         "rank_eval": q_rank_eval,
+        "int8_knn_topk": q_int8_knn_topk,
     }
 
 
@@ -7970,6 +7991,53 @@ LEFT JOIN apq USING (query_id)
 LEFT JOIN precq USING (query_id)
 LEFT JOIN errq USING (query_id)
 ORDER BY q.query_id
+""",
+        "int8_knn_topk": f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings
+),
+vz AS (
+    SELECT vec_id, ve,
+           list_transform(
+               ve,
+               x -> CASE WHEN round(x / nullif(
+                        list_max(list_transform(ve, y -> abs(y))) / 127.0, 0.0))
+                         IS NULL THEN NULL
+                    ELSE least(greatest(round(x / nullif(
+                        list_max(list_transform(ve, y -> abs(y))) / 127.0, 0.0)),
+                        -127.0), 127.0) END
+           ) AS q8
+    FROM v
+),
+qz AS (SELECT vec_id AS query_id, ve AS qv, q8 AS qa FROM vz ORDER BY vec_id LIMIT 5),
+stage1 AS (
+    SELECT qz.query_id, vz.vec_id,
+           list_dot_product(qa, q8)
+             / (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(q8, q8))) AS cos8
+    FROM qz CROSS JOIN vz
+),
+cands AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cos8, 6) DESC, vec_id ASC) AS crank
+    FROM stage1 WHERE cos8 IS NOT NULL
+    QUALIFY crank <= {INT8_RESCORE_WINDOW}
+),
+exact AS (
+    SELECT c.query_id, c.vec_id,
+           list_dot_product(qz.qv, v.ve)
+             / (sqrt(list_dot_product(qz.qv, qz.qv)) * sqrt(list_dot_product(v.ve, v.ve))) AS cosine
+    FROM cands c JOIN v USING (vec_id) JOIN qz USING (query_id)
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM exact
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
 """,
     }
 

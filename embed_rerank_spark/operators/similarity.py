@@ -655,3 +655,119 @@ def filtered_cosine_topk(
         vectors.filter(flt), queries, k=k,
         id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, q8, v): per-vector symmetric int8 scalar quantization
+    — the ES/Lucene ``int8`` kNN storage form. scale = max|v_i| / 127,
+    q_i = clamp(round(v_i / scale), -127, 127) stored as
+    ``array<tinyint>`` (4x smaller than float32, 8x than float64).
+    The scale itself needs no storage for COSINE retrieval: it cancels
+    in q.qb / (|qa||qb|). All-zero vectors quantize to NULL (they
+    have no cosine direction; they are excluded downstream)."""
+    v = _as_double(F.col(vec_col))
+    s = F.nullif(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0,
+        F.lit(0.0),
+    )
+    # Spark's least/greatest IGNORE nulls (they return the extreme of
+    # the non-null args), so the null scale must short-circuit first —
+    # otherwise an all-zero vector would clamp to -127s instead of NULL
+    q8 = F.transform(
+        v,
+        lambda x: F.when(
+            (x / s).isNotNull(),
+            F.least(F.greatest(F.round(x / s), F.lit(-127.0)), F.lit(127.0)),
+        ).cast("byte"),
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), q8.alias("q8"), v.alias("v")
+    )
+
+
+def _dot8(a, b):
+    """Integer dot product of two int8 arrays, accumulated in double
+    (max |sum| = dim * 127^2 — exact in double far beyond any real
+    embedding dim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def int8_knn_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rescore_window: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): two-stage quantized kNN — the
+    ES ``int8`` quantized-index search with ``rescore``: stage 1 ranks
+    by the INT8 cosine (scale-free: the per-vector scales cancel) and
+    keeps ``rescore_window`` candidates per query; stage 2 re-scores
+    those with exact float cosine and returns the top k. Exact
+    whenever the true top-k survive stage 1 (recall pinned in
+    tests/test_similarity semantics; rescore_window >= corpus size is
+    trivially exact).
+
+    Scale shape: stage 1 scans ONLY the tinyint column — 4x less I/O
+    and memory bandwidth than the float scan, the whole point of the
+    quantized form at 10^12 vectors — with the same broadcast-queries
+    plan as the exact scorer; stage 2 touches float vectors for
+    rescore_window rows per query via an id semi-join."""
+    vz = quantize_int8(vectors, id_col, vec_col)
+    qz = quantize_int8(
+        queries.select(
+            F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
+        )
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qa"),
+        F.col("v").alias("qv"),
+    )
+    stage1 = (
+        F.broadcast(qz.select("query_id", "qa"))
+        .crossJoin(vz.select("vec_id", "q8"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot8(F.col("qa"), F.col("q8"))
+                / (F.sqrt(_dot8(F.col("qa"), F.col("qa"))) * F.sqrt(_dot8(F.col("q8"), F.col("q8"))))
+            ).alias("cos8"),
+        )
+        .filter(F.col("cos8").isNotNull())
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos8"), 6)), F.asc("vec_id")
+    )
+    cands = stage1.withColumn("crank", F.row_number().over(w1)).filter(
+        F.col("crank") <= rescore_window
+    )
+    exact = (
+        cands.select("query_id", "vec_id")
+        .join(vz.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qz.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

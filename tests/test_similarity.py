@@ -348,3 +348,65 @@ def test_filtered_knn_prefilter_semantics(spark):
     assert any(v < 5 for v in thinned.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "label" in plan
+
+
+def test_int8_knn_full_window_matches_exact(spark):
+    from embed_rerank_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        int8_knn_topk,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = vectors.count()
+    queries = (
+        vectors.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    ]
+    # rescore window = corpus: stage 1 cannot drop a true top-10 doc
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in int8_knn_topk(vectors, queries, k=10, rescore_window=n).collect()
+    ]
+    assert sorted(got) == sorted(exact)
+
+
+def test_int8_knn_narrow_window_recall(spark):
+    from embed_rerank_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        int8_knn_topk,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        vectors.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in int8_knn_topk(vectors, queries, k=10, rescore_window=40).collect()
+    }
+    # int8 cosine error is < 1% of magnitude; a 4x window holds recall high
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_quantize_int8_range_and_type(spark):
+    from embed_rerank_spark.operators.similarity import quantize_int8
+
+    vectors = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_int8(vectors)
+    assert dict(out.dtypes)["q8"] == "array<tinyint>"
+    rows = {r["vec_id"]: r["q8"] for r in out.collect()}
+    assert rows[1] == [64, -127, 32]
+    # all-zero vector has no direction: quantizes to NULLs
+    assert rows[2] is None or all(x is None for x in rows[2])
