@@ -2281,6 +2281,23 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix: fixed terms as BM25 shoulds + a
+    constant-score capped prefix clause on the last term
+    (operators/bm25.py::match_bool_prefix_bruteforce)."""
+    from embed_rerank_spark.operators.bm25 import match_bool_prefix_bruteforce
+    from embed_rerank_spark.queryset import MBP_BOOL_MAX_EXPANSION, MBP_BOOL_SET
+
+    out = match_bool_prefix_bruteforce(
+        spark,
+        _docs(spark, sf_dir),
+        MBP_BOOL_SET,
+        k=TOP_K,
+        max_expansion=MBP_BOOL_MAX_EXPANSION,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # int8 kNN contract knobs: stage-1 candidate window per query.
 INT8_RESCORE_WINDOW = 40
 
@@ -3356,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "rank_eval": q_rank_eval,
         "int8_knn_topk": q_int8_knn_topk,
+        "match_bool_prefix": q_match_bool_prefix,
     }
 
 
@@ -3376,9 +3394,12 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 def oracle_sql() -> dict[str, str]:
     from embed_rerank_spark.queryset import (  # noqa: PLC0415
         CUTOFF_FREQUENCY as _CT_CUTOFF,
+        MBP_BOOL_MAX_EXPANSION,
         common_terms_values_sql,
         interval_matched_sql,
         interval_terms_values_sql,
+        mbp_fixed_values_sql,
+        mbp_prefixes_values_sql,
     )
 
     qt = query_terms_values_sql()
@@ -8038,6 +8059,46 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10
+""",
+        "match_bool_prefix": f"""
+WITH {_TOKS_CTE},
+exp AS (
+    SELECT query_id, term FROM (
+        SELECT p.query_id, df.term,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY df.df DESC, df.term ASC) AS xrank
+        FROM {mbp_prefixes_values_sql()} JOIN df ON starts_with(df.term, p.pfx)
+    ) WHERE xrank <= {MBP_BOOL_MAX_EXPANSION}
+),
+scored_fixed AS (
+    SELECT ft.query_id, tf.doc_id,
+           sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS bm25
+    FROM {mbp_fixed_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY ft.query_id, tf.doc_id
+),
+pmatch AS (
+    SELECT DISTINCT e.query_id, tf.doc_id FROM exp e JOIN tf USING (term)
+),
+blended AS (
+    SELECT coalesce(f.query_id, p.query_id) AS query_id,
+           coalesce(f.doc_id, p.doc_id) AS doc_id,
+           coalesce(f.bm25, 0.0)
+             + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+    FROM scored_fixed f
+    FULL OUTER JOIN pmatch p ON f.query_id = p.query_id AND f.doc_id = p.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """,
     }
 

@@ -1186,3 +1186,97 @@ def common_terms_topk(
         .agg(F.sum("term_score").alias("score"))
     )
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def match_bool_prefix_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES ``match_bool_prefix`` —
+    every term but the last is a BM25 ``should`` term clause; the LAST
+    term is a PREFIX clause under Lucene's default multi-term rewrite
+    (CONSTANT_SCORE: +1.0 when any expansion matches, regardless of
+    which or how many). Pure shoulds: a doc matching only the prefix
+    clause still matches. Expansion = vocabulary terms with the
+    prefix, df desc / term asc, capped at ``max_expansion`` — the same
+    rule as the index-side wildcard operators, so "search-as-you-type
+    before the last keystroke finishes" behaves identically across
+    paths. Distinct from ``match_phrase_prefix``: no adjacency — the
+    terms may sit anywhere in the doc.
+
+    Scale shape: one tf/dl pass shared by both clauses; the expansion
+    is a dictionary scan (df table) capped per query; the constant
+    clause is a semi-join-shaped distinct, and the final score is one
+    combinable agg + a left join — no positional data touched."""
+    plan: list[tuple[int, list[str], str]] = []
+    for qid, q in queries:
+        toks = [t for t in q.strip().lower().split() if t]
+        if toks:
+            plan.append((qid, list(dict.fromkeys(toks[:-1])), toks[-1]))
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    tfdl = term_freqs_dl(docs)
+    dl = doc_lengths_direct(docs)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    # per-query capped prefix expansion straight off the dictionary
+    pfx = spark.createDataFrame(
+        [(qid, p) for qid, _f, p in plan], "query_id long, pfx string"
+    )
+    wexp = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    exp = (
+        F.broadcast(pfx)
+        .join(df, F.col("term").startswith(F.col("pfx")))
+        .withColumn("xrank", F.row_number().over(wexp))
+        .filter(F.col("xrank") <= max_expansion)
+        .select("query_id", "term")
+    )
+    fixed_rows = [(qid, t) for qid, fixed, _p in plan for t in fixed]
+    scored_fixed = None
+    if fixed_rows:
+        qt = spark.createDataFrame(fixed_rows, "query_id long, term string")
+        idf = df.crossJoin(F.broadcast(stats)).withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        scored_fixed = (
+            F.broadcast(qt)
+            .join(tfdl, "term")
+            .join(idf.select("term", "idf", "avgdl"), "term")
+            .withColumn(
+                "term_score",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("term_score").alias("bm25"))
+        )
+    pmatch = (
+        F.broadcast(exp)
+        .join(tfdl.select("term", "doc_id"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("pconst", F.lit(1.0))
+    )
+    if scored_fixed is None:
+        blended = pmatch.select("query_id", "doc_id", F.col("pconst").alias("score"))
+    else:
+        blended = (
+            scored_fixed.join(pmatch, ["query_id", "doc_id"], "full_outer")
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.coalesce("bm25", F.lit(0.0)) + F.coalesce("pconst", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    return topk(blended, k).select("query_id", "rank", "doc_id", "score")

@@ -405,6 +405,37 @@ def infixes_values_sql() -> str:
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
 
 
+# match_bool_prefix set (ES search-as-you-type, bool form): all terms
+# but the last are BM25 shoulds; the last is a constant-score prefix
+# clause. Shapes: fixed+prefix, prefix-only, a dead prefix (fixed
+# terms still match), and two fixed + prefix.
+MBP_BOOL_SET: list[tuple[int, str]] = [
+    (1, "fast ta"),
+    (2, "sort mer"),
+    (3, "qu"),
+    (4, "dup nea"),
+    (5, "slow table sc"),
+]
+MBP_BOOL_MAX_EXPANSION = 8
+
+
+def mbp_prefixes_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{q.strip().lower().split()[-1]}')" for qid, q in MBP_BOOL_SET
+    )
+    return f"(VALUES {rows}) AS p(query_id, pfx)"
+
+
+def mbp_fixed_values_sql() -> str:
+    out = []
+    for qid, q in MBP_BOOL_SET:
+        toks = q.strip().lower().split()
+        for t in dict.fromkeys(toks[:-1]):
+            out.append((qid, t))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS ft(query_id, term)"
+
+
 # Lucene interval query set (Intervals.maxgaps(g, ordered(terms))):
 # (query_id, whitespace terms, max_gaps). Shapes: adjacency
 # (max_gaps=0, the phrase degenerate), a slack pair, a 3-term chain,

@@ -90,3 +90,40 @@ def test_function_score_rejects_bad_knobs(spark, docs):
         function_score_topk(spark, docs, [(1, "fox")], "n_chars", boost_mode="avg")
     with pytest.raises(ValueError):
         function_score_topk(spark, docs, [(1, "fox")], "n_chars", factor=-1.0)
+
+
+def test_match_bool_prefix_semantics(spark):
+    from embed_rerank_spark.operators.bm25 import (
+        bm25_topk_bruteforce,
+        match_bool_prefix_bruteforce,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "fast car"),       # fixed match + prefix match (ca*)
+            (2, "fast dog"),       # fixed only
+            (3, "cat cargo"),      # prefix only
+            (4, "dog house"),      # neither
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in match_bool_prefix_bruteforce(spark, corpus, [(1, "fast ca")]).collect()
+    }
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_topk_bruteforce(spark, corpus, [(1, "fast")]).collect()
+    }
+    # pure shoulds: prefix-only docs match; "dog house" does not
+    assert set(out) == {1, 2, 3}
+    # constant-score prefix: +1.0 exactly, regardless of expansion count
+    assert out[1] == pytest.approx(base[1] + 1.0)
+    assert out[2] == pytest.approx(base[2])
+    assert out[3] == pytest.approx(1.0)
+    # prefix-only query: every match scores the bare constant
+    only = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in match_bool_prefix_bruteforce(spark, corpus, [(1, "ca")]).collect()
+    }
+    assert only == {1: 1.0, 3: 1.0}
