@@ -2281,6 +2281,28 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_segmented_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI query segmentation: collocated adjacent query tokens become
+    exact phrase FILTERS (no extra score), the rest stays BM25 OR
+    (operators/rewrite.py::segmented_topk_bruteforce)."""
+    from embed_rerank_spark.operators.rewrite import segmented_topk_bruteforce
+    from embed_rerank_spark.queryset import (
+        SEGMENT_MIN_COUNT,
+        SEGMENT_MIN_PMI,
+        SEGMENT_SET,
+    )
+
+    out = segmented_topk_bruteforce(
+        spark,
+        _docs(spark, sf_dir),
+        SEGMENT_SET,
+        k=TOP_K,
+        min_pmi=SEGMENT_MIN_PMI,
+        min_count=SEGMENT_MIN_COUNT,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix: fixed terms as BM25 shoulds + a
     constant-score capped prefix clause on the last term
@@ -3374,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "int8_knn_topk": q_int8_knn_topk,
         "match_bool_prefix": q_match_bool_prefix,
+        "segmented_topk": q_segmented_topk,
     }
 
 
@@ -3398,8 +3421,12 @@ def oracle_sql() -> dict[str, str]:
         common_terms_values_sql,
         interval_matched_sql,
         interval_terms_values_sql,
+        SEGMENT_MIN_COUNT,
+        SEGMENT_MIN_PMI,
         mbp_fixed_values_sql,
         mbp_prefixes_values_sql,
+        segment_pairs_values_sql,
+        segment_terms_values_sql,
     )
 
     qt = query_terms_values_sql()
@@ -8095,6 +8122,76 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "segmented_topk": f"""
+WITH {_TOKS_CTE},
+tokarr AS (SELECT doc_id, {_TOKENIZE_SQL} AS arr FROM documents),
+posn AS (
+    SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+    FROM tokarr
+),
+bi AS (
+    SELECT p1.term AS a, p2.term AS b, count(*) AS cab
+    FROM posn p1 JOIN posn p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY 1, 2
+),
+btot AS (SELECT sum(cab) AS bt FROM bi),
+uni AS (SELECT term, count(*) AS c FROM posn GROUP BY term),
+tot AS (SELECT count(*) AS t FROM posn),
+segp AS (
+    SELECT qp.query_id, qp.a, qp.b
+    FROM {segment_pairs_values_sql()}
+    JOIN bi ON bi.a = qp.a AND bi.b = qp.b
+    JOIN uni ua ON ua.term = qp.a
+    JOIN uni ub ON ub.term = qp.b
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE round(ln((bi.cab * 1.0 / btot.bt)
+                   / ((ua.c * 1.0 / tot.t) * (ub.c * 1.0 / tot.t))), 6)
+            >= {SEGMENT_MIN_PMI}
+      AND bi.cab >= {SEGMENT_MIN_COUNT}
+),
+ncl AS (SELECT query_id, count(*) AS n_cl FROM segp GROUP BY query_id),
+padded AS (
+    SELECT doc_id, ' ' || array_to_string(arr, ' ') || ' ' AS s FROM tokarr
+),
+allowed_full AS (
+    SELECT a2.query_id, a2.doc_id
+    FROM (SELECT query_id, doc_id, count(*) AS n_hit
+          FROM (SELECT sp.query_id, sp.a, sp.b, p.doc_id
+                FROM segp sp
+                JOIN padded p ON strpos(p.s, ' ' || sp.a || ' ' || sp.b || ' ') > 0)
+          GROUP BY query_id, doc_id) a2
+    JOIN ncl USING (query_id)
+    WHERE a2.n_hit = ncl.n_cl
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {segment_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+keep AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s JOIN allowed_full af USING (query_id, doc_id)
+    UNION ALL
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s WHERE s.query_id NOT IN (SELECT query_id FROM ncl)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM keep
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score

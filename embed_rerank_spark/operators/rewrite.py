@@ -466,3 +466,149 @@ def phrase_suggest(
     return spark.createDataFrame(
         out, "query_id long, suggestion string, score double"
     )
+
+
+def corpus_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(a, b, cab): adjacent-bigram counts over the corpus, built
+    WITHOUT a positions self-join — one array-zip projection
+    (toks[i], toks[i+1]) per doc and a combinable count agg, the same
+    single-pass shape as the unigram stats. At 10^12 docs this is the
+    difference between one token-stream pass and a join of the token
+    stream against itself."""
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+
+    toks = docs.select(tokenize_for_scoring(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("a"),
+                    F.element_at("toks", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cab")
+    )
+
+
+def segment_queries_by_pmi(
+    spark,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    min_pmi: float = 0.1,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> dict[int, list[tuple[str, str]]]:
+    """query_id -> the adjacent token pairs that segment into PHRASE
+    clauses: corpus PMI(a,b) = ln(P(ab) / (P(a) P(b))) >= min_pmi with
+    support cab >= min_count (P(ab) over the bigram stream, P(x) over
+    the token stream). PMI rounded to 6dp before thresholding so the
+    decision is fp-stable across engines. The collect is
+    planning-sized: one row per adjacent query pair."""
+    from .bm25 import tokens as token_stream  # noqa: PLC0415
+
+    want = []
+    for qid, q in queries:
+        ts = [t for t in q.strip().lower().split() if t]
+        for i in range(len(ts) - 1):
+            want.append((qid, ts[i], ts[i + 1]))
+    if not want:
+        return {}
+    pairs = spark.createDataFrame(want, "query_id long, a string, b string")
+    uni = token_stream(docs, text_col=text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    bi = corpus_bigram_stats(docs, text_col)
+    btot = bi.agg(F.sum("cab").alias("bt"))
+    scored = (
+        F.broadcast(pairs)
+        .join(bi, ["a", "b"])
+        .join(uni.select(F.col("term").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("bt"))
+                    / ((F.col("ca") / F.col("t")) * (F.col("cb") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .filter((F.col("pmi") >= min_pmi) & (F.col("cab") >= min_count))
+        .collect()
+    )
+    out: dict[int, list[tuple[str, str]]] = {}
+    for r in scored:
+        out.setdefault(r["query_id"], []).append((r["a"], r["b"]))
+    return out
+
+
+def segmented_topk_bruteforce(
+    spark,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    min_pmi: float = 0.1,
+    min_count: int = 5,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): PMI query segmentation — the
+    classic query-rewrite that upgrades statistically-collocated
+    adjacent query tokens ("new york", "machine learning") to exact
+    PHRASE filters while the query still scores as the usual BM25 OR
+    over its terms. A doc must contain EVERY segmented bigram
+    adjacently (filter context, like ES bool.filter: no score
+    contribution beyond the term scores); queries with no collocated
+    pairs degrade to plain BM25.
+
+    Scale shape: bigram/unigram stats are single-pass combinable aggs;
+    the segmentation decision collects only the query's own pairs; the
+    phrase filter is a broadcast of (query, needle) clauses against
+    the padded token string — the phrase oracle's plan, corpus scanned
+    once for all clauses."""
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+    from .bm25 import bm25_scores_bruteforce, query_terms, topk  # noqa: PLC0415
+
+    seg = segment_queries_by_pmi(spark, docs, queries, min_pmi, min_count)
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt)
+    clause_rows = [
+        (qid, f" {a} {b} ") for qid, pairs in seg.items() for a, b in pairs
+    ]
+    if not clause_rows:
+        return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+    clauses = spark.createDataFrame(clause_rows, "query_id long, needle string")
+    n_clauses = clauses.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cl"))
+    padded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokenize_for_scoring(F.col("text"))),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    allowed = (
+        padded.crossJoin(F.broadcast(clauses))
+        .filter(F.expr("instr(s, needle) > 0"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(n_clauses), "query_id")
+        .filter(F.col("n_hit") == F.col("n_cl"))
+        .select("query_id", "doc_id")
+    )
+    seg_qids = list(seg)
+    keep = scored.join(allowed, ["query_id", "doc_id"], "left_semi").unionByName(
+        scored.filter(~F.col("query_id").isin(seg_qids))
+    )
+    return topk(keep, k).select("query_id", "rank", "doc_id", "score")

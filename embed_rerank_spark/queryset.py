@@ -405,6 +405,43 @@ def infixes_values_sql() -> str:
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
 
 
+# PMI query-segmentation set: adjacent pairs mixing collocations
+# (corpus PMI >= 0.1: fast-hash, slow-table, table-scan, order-line)
+# with independent pairs (~0 PMI) and an absent bigram; queries with
+# no collocated pair degrade to plain BM25.
+SEGMENT_SET: list[tuple[int, str]] = [
+    (1, "fast hash join"),
+    (2, "slow table scan"),
+    (3, "customer order line"),
+    (4, "sort merge join"),
+    (5, "dup near"),
+]
+SEGMENT_MIN_PMI = 0.1
+SEGMENT_MIN_COUNT = 5
+
+
+def segment_pairs_values_sql() -> str:
+    out = []
+    for qid, q in SEGMENT_SET:
+        ts = [t for t in q.strip().lower().split() if t]
+        for i in range(len(ts) - 1):
+            out.append((qid, ts[i], ts[i + 1]))
+    rows = ", ".join(f"({qid}, '{a}', '{b}')" for qid, a, b in out)
+    return f"(VALUES {rows}) AS qp(query_id, a, b)"
+
+
+def segment_terms_values_sql() -> str:
+    out = []
+    for qid, q in SEGMENT_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
 # match_bool_prefix set (ES search-as-you-type, bool form): all terms
 # but the last are BM25 shoulds; the last is a constant-score prefix
 # clause. Shapes: fixed+prefix, prefix-only, a dead prefix (fixed

@@ -127,3 +127,35 @@ def test_match_bool_prefix_semantics(spark):
         for r in match_bool_prefix_bruteforce(spark, corpus, [(1, "ca")]).collect()
     }
     assert only == {1: 1.0, 3: 1.0}
+
+
+def test_pmi_segmentation_filters_collocations(spark):
+    from embed_rerank_spark.operators.bm25 import bm25_topk_bruteforce
+    from embed_rerank_spark.operators.rewrite import (
+        segment_queries_by_pmi,
+        segmented_topk_bruteforce,
+    )
+
+    # "new york" is a strong collocation (always adjacent); "dog" and
+    # "cat" are independent fillers
+    rows = [(i, "new york trip") for i in range(1, 7)]
+    rows += [(7, "york new order"), (8, "new car york plate"), (9, "dog cat")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = segment_queries_by_pmi(
+        spark, corpus, [(1, "new york dog")], min_pmi=0.1, min_count=3
+    )
+    assert seg == {1: [("new", "york")]}
+    out = segmented_topk_bruteforce(
+        spark, corpus, [(1, "new york dog")], k=100, min_pmi=0.1, min_count=3
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # docs 7 (reversed) and 8 (non-adjacent) carry both terms but fail
+    # the phrase filter; doc 9 matches "dog" but not the phrase
+    assert got == [1, 2, 3, 4, 5, 6]
+    # scores are the plain BM25 of the full term set (filter adds none)
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_topk_bruteforce(spark, corpus, [(1, "new york dog")], k=100).collect()
+    }
+    for r in out.collect():
+        assert round(r["score"], 6) == base[r["doc_id"]]
