@@ -2281,6 +2281,29 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+def q_fuzzy_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzziness AUTO + prefix_length=1: per-term edit budget by
+    length, first character pinned
+    (operators/rewrite.py::fuzzy_topk(max_distance='AUTO'))."""
+    from embed_rerank_spark.operators.rewrite import fuzzy_topk
+    from embed_rerank_spark.queryset import (
+        FUZZY_AUTO_PREFIX_LEN,
+        FUZZY_AUTO_SET,
+        FUZZY_MAX_EXPANSION,
+    )
+
+    index = _cached_index(spark, sf_dir, "plain")
+    out = fuzzy_topk(
+        index,
+        FUZZY_AUTO_SET,
+        k=TOP_K,
+        max_distance="AUTO",
+        max_expansion=FUZZY_MAX_EXPANSION,
+        prefix_length=FUZZY_AUTO_PREFIX_LEN,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_segmented_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI query segmentation: collocated adjacent query tokens become
     exact phrase FILTERS (no extra score), the rest stays BM25 OR
@@ -3397,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_knn_topk": q_int8_knn_topk,
         "match_bool_prefix": q_match_bool_prefix,
         "segmented_topk": q_segmented_topk,
+        "fuzzy_auto_topk": q_fuzzy_auto_topk,
     }
 
 
@@ -3421,8 +3445,10 @@ def oracle_sql() -> dict[str, str]:
         common_terms_values_sql,
         interval_matched_sql,
         interval_terms_values_sql,
+        FUZZY_AUTO_PREFIX_LEN,
         SEGMENT_MIN_COUNT,
         SEGMENT_MIN_PMI,
+        fuzzy_auto_values_sql,
         mbp_fixed_values_sql,
         mbp_prefixes_values_sql,
         segment_pairs_values_sql,
@@ -8192,6 +8218,40 @@ ranked AS (
     SELECT query_id, doc_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM keep
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "fuzzy_auto_topk": f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT fq.query_id, df.term,
+           row_number() OVER (PARTITION BY fq.query_id, fq.qterm
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {fuzzy_auto_values_sql()}
+    JOIN df ON levenshtein(df.term, fq.qterm) <= fq.d
+           AND left(df.term, {FUZZY_AUTO_PREFIX_LEN})
+               = left(fq.qterm, {FUZZY_AUTO_PREFIX_LEN})
+),
+qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score

@@ -115,6 +115,18 @@ def main(argv: list[str] | None = None) -> int:
         help="interval only: max extra tokens inside the matched span",
     )
     q.add_argument(
+        "--fuzziness",
+        default="1",
+        help="fuzzy only: edit budget (int) or AUTO (ES ladder: "
+        "0 under 3 chars, 1 for 3-5, 2 above)",
+    )
+    q.add_argument(
+        "--prefix-length",
+        type=int,
+        default=0,
+        help="fuzzy only: first N characters must match exactly",
+    )
+    q.add_argument(
         "--near-window",
         type=int,
         default=3,
@@ -689,7 +701,14 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "fuzzy":
                 from .operators.rewrite import fuzzy_topk
 
-                out = fuzzy_topk(idx, queries, k=args.k)
+                fz = args.fuzziness
+                out = fuzzy_topk(
+                    idx,
+                    queries,
+                    k=args.k,
+                    max_distance=fz if fz == "AUTO" else int(fz),
+                    prefix_length=args.prefix_length,
+                )
             elif args.mode == "prefix":
                 from .operators.wand import prefix_topk
 

@@ -77,33 +77,54 @@ def suggest_terms(
     )
 
 
+def auto_fuzziness(term: str) -> int:
+    """The ES ``fuzziness: AUTO`` ladder: exact below 3 chars, one
+    edit for 3-5 chars, two edits above."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
 def expand_fuzzy(
     index: InvertedIndex,
     terms: list[str],
-    max_distance: int = 1,
+    max_distance: int | str = 1,
     max_expansion: int = FUZZY_MAX_EXPANSION,
+    prefix_length: int = 0,
 ) -> dict[str, list[str]]:
     """Dictionary expansion for fuzzy matching: each query term maps
-    to the vocabulary terms within ``max_distance`` Levenshtein edits,
-    highest-df first (df desc, term asc), capped at ``max_expansion``
-    — the FuzzyQuery rewrite bound.
+    to the vocabulary terms within its edit budget, highest-df first
+    (df desc, term asc), capped at ``max_expansion`` — the FuzzyQuery
+    rewrite bound. ``max_distance`` is an int or ``"AUTO"`` (the ES
+    default ladder, per term); ``prefix_length`` requires the first N
+    characters to match exactly (the Lucene knob that keeps the
+    dictionary scan prefix-prunable and kills most false candidates).
 
     ONE scan of term_stats against the (tiny, broadcast) query-term
     list with a JVM ``levenshtein`` filter, guarded by the free
-    length-difference bound (|len(t)-len(q)| <= d implies nothing is
-    computed for hopeless pairs). Only the capped expansion returns
-    to the driver."""
+    length-difference bound and the prefix equality (which at web
+    scale is the difference between scanning the vocabulary and
+    scanning one prefix range of it). Only the capped expansion
+    returns to the driver."""
     qts = sorted({t.strip().lower() for t in terms if t.strip()})
     if not qts:
         return {}
     spark = index.term_stats.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in qts], "qterm string")
+    rows = [
+        (t, auto_fuzziness(t) if max_distance == "AUTO" else int(max_distance))
+        for t in qts
+    ]
+    qdf = spark.createDataFrame(rows, "qterm string, d int")
+    cond = (F.abs(F.length("term") - F.length("qterm")) <= F.col("d")) & (
+        F.levenshtein("term", "qterm") <= F.col("d")
+    )
+    if prefix_length > 0:
+        cond = cond & (
+            F.substring("term", 1, prefix_length)
+            == F.substring("qterm", 1, prefix_length)
+        )
     cand = (
         index.term_stats.join(F.broadcast(qdf))
-        .filter(
-            (F.abs(F.length("term") - F.length("qterm")) <= max_distance)
-            & (F.levenshtein("term", "qterm") <= max_distance)
-        )
+        .filter(cond)
         .select("qterm", "term", "df")
     )
     from pyspark.sql import Window
@@ -194,22 +215,27 @@ def fuzzy_topk(
     index: InvertedIndex,
     queries: list[tuple[int, str]],
     k: int = 10,
-    max_distance: int = 1,
+    max_distance: int | str = 1,
     max_expansion: int = FUZZY_MAX_EXPANSION,
     k1: float = BM25_K1,
     b: float = BM25_B,
     taat_threshold: int = 100_000,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): spell-tolerant retrieval —
     every query term expands to its fuzzy dictionary neighborhood
     (exact term included, it is distance 0) and the query scores as
     the disjunctive BM25 of the union, through the unchanged WAND
     machinery. Equivalent to an OR query over the expanded term set,
-    so the brute-force oracle is standard BM25 with that set."""
+    so the brute-force oracle is standard BM25 with that set.
+    ``max_distance="AUTO"`` and ``prefix_length`` follow the ES
+    FuzzyQuery defaults (see expand_fuzzy)."""
     all_terms = {
         tok for _qid, q in queries for tok in q.strip().lower().split() if tok
     }
-    exp = expand_fuzzy(index, sorted(all_terms), max_distance, max_expansion)
+    exp = expand_fuzzy(
+        index, sorted(all_terms), max_distance, max_expansion, prefix_length
+    )
     synth: list[tuple[int, str]] = []
     for qid, q in queries:
         terms: list[str] = []

@@ -405,6 +405,36 @@ def infixes_values_sql() -> str:
     return f"(VALUES {rows}) AS ifx(query_id, ifx)"
 
 
+# AUTO-fuzziness set (ES fuzziness: AUTO + prefix_length=1): edit
+# budget 0 below 3 chars, 1 for 3-5, 2 above. Shapes: a 1-edit typo +
+# exact term, a 2-edit long typo, a short OOV (budget 0 -> empty), a
+# typo whose only neighbor differs in char 1 (prefix_length kills
+# it), and a pair of 2-edit/1-edit typos.
+FUZZY_AUTO_SET: list[tuple[int, str]] = [
+    (1, "tabl scan"),
+    (2, "custonr"),
+    (3, "ta"),
+    (4, "cash join"),
+    (5, "windoq aggq"),
+]
+FUZZY_AUTO_PREFIX_LEN = 1
+
+
+def fuzzy_auto_values_sql() -> str:
+    """(query_id, qterm, d) rows with the AUTO ladder applied."""
+    out = []
+    for qid, q in FUZZY_AUTO_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                n = len(tok)
+                d = 0 if n < 3 else (1 if n <= 5 else 2)
+                out.append((qid, tok, d))
+    rows = ", ".join(f"({qid}, '{t}', {d})" for qid, t, d in out)
+    return f"(VALUES {rows}) AS fq(query_id, qterm, d)"
+
+
 # PMI query-segmentation set: adjacent pairs mixing collocations
 # (corpus PMI >= 0.1: fast-hash, slow-table, table-scan, order-line)
 # with independent pairs (~0 PMI) and an absent bigram; queries with

@@ -285,3 +285,34 @@ def test_phrase_suggest_matches_bruteforce_lattice(spark):
         for r in phrase_suggest(spark, docs, queries).collect()
     }
     assert got == want
+
+
+def test_fuzzy_auto_ladder_and_prefix_length(spark):
+    from embed_rerank_spark.operators.postings import build_postings
+    from embed_rerank_spark.operators.postings import InvertedIndex
+    from embed_rerank_spark.operators.rewrite import auto_fuzziness, expand_fuzzy
+
+    assert [auto_fuzziness(t) for t in ("ab", "abc", "abcde", "abcdef")] == [0, 1, 1, 2]
+    docs = spark.createDataFrame(
+        [(1, "customer window hash table"), (2, "customer hash scan")],
+        "doc_id long, text string",
+    )
+    built = build_postings(docs, n_shards=2)
+    cs = built["corpus_stats"].collect()[0]
+    idx = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    # AUTO: "custonr" (7 chars) gets 2 edits -> customer
+    exp = expand_fuzzy(idx, ["custonr"], max_distance="AUTO")
+    assert exp["custonr"] == ["customer"]
+    # 2-edit budget denied at fixed distance 1
+    assert expand_fuzzy(idx, ["custonr"], max_distance=1)["custonr"] == []
+    # prefix_length=1: "cash"->"hash" (distance 1) dies on the first char
+    assert expand_fuzzy(idx, ["cash"], max_distance=1)["cash"] == ["hash"]
+    assert expand_fuzzy(idx, ["cash"], max_distance=1, prefix_length=1)["cash"] == []
+    # short term: AUTO budget 0 -> exact only
+    assert expand_fuzzy(idx, ["ta"], max_distance="AUTO")["ta"] == []
