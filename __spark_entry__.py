@@ -2281,6 +2281,34 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# top_metrics contract knobs: top-2 docs by n_chars desc per query.
+TOP_METRICS_SIZE = 2
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: metric values (lang, source) of the top docs
+    under an n_chars sort over each query's match set
+    (operators/facets.py::top_metrics_facets)."""
+    from embed_rerank_spark.operators.facets import top_metrics_facets
+
+    out = top_metrics_facets(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        "n_chars",
+        ["lang", "source"],
+        size=TOP_METRICS_SIZE,
+    )
+    return out.select(
+        "query_id",
+        "mrank",
+        "doc_id",
+        F.round("n_chars_sort", 6).alias("n_chars_sort"),
+        "lang",
+        "source",
+    )
+
+
 def q_fuzzy_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES fuzziness AUTO + prefix_length=1: per-term edit budget by
     length, first character pinned
@@ -3421,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": q_match_bool_prefix,
         "segmented_topk": q_segmented_topk,
         "fuzzy_auto_topk": q_fuzzy_auto_topk,
+        "top_metrics": q_top_metrics,
     }
 
 
@@ -8256,6 +8285,24 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "top_metrics": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, m.doc_id, CAST(d.n_chars AS DOUBLE) AS sortv,
+           d.lang, d.source
+    FROM matched m JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, sortv, lang, source,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sortv DESC, doc_id ASC) AS mrank
+    FROM vals
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(mrank AS INTEGER) AS mrank,
+       doc_id, round(sortv, 6) AS n_chars_sort, lang, source
+FROM ranked WHERE mrank <= {TOP_METRICS_SIZE}
 """,
     }
 

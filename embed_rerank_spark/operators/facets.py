@@ -1179,3 +1179,35 @@ def mad_facets(
         F.percentile(F.abs(F.col("_v") - F.col("median_v")), 0.5).alias("mad")
     )
     return med.join(mad, "query_id").select("query_id", "n_docs", "median_v", "mad")
+
+
+def top_metrics_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 1,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, mrank, doc_id, sort value, *metrics) — the
+    Elasticsearch ``top_metrics`` aggregation: the metric values of
+    the ``size`` docs at the top of a doc-value sort over each query's
+    match set (ties: doc_id asc, the engine convention).
+
+    Scale shape: the shared match-collapse + value join, then ONE
+    window rank per query over the match set — identical cost to
+    sort_by_docvalue; metrics ride the same pruned projection."""
+    cols = [F.col(sort_col).cast("double").alias("_sort")] + [
+        F.col(c).alias(c) for c in metric_cols
+    ]
+    joined = _matched_values(spark, docs, queries, cols, id_col, text_col)
+    order = F.asc("_sort") if ascending else F.desc("_sort")
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
+    return (
+        joined.withColumn("mrank", F.row_number().over(w))
+        .filter(F.col("mrank") <= size)
+        .select("query_id", "mrank", "doc_id", F.col("_sort").alias(sort_col + "_sort"), *metric_cols)
+    )

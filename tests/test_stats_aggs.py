@@ -183,3 +183,14 @@ def test_precision_and_err_pinned(spark):
            rank_eval(ranking, judgments, k=10, queries=universe).collect()}
     assert out[2]["precision"] == 0.0 and out[2]["err"] == 0.0
     assert out[2]["ndcg"] == 0.0 and out[2]["recall"] == 0.0
+
+
+def test_top_metrics_order_and_size(spark, docs):
+    from embed_rerank_spark.operators.facets import top_metrics_facets
+
+    out = top_metrics_facets(spark, docs, [(1, "x")], "v", ["w"], size=2).collect()
+    got = [(r["mrank"], r["doc_id"], r["v_sort"], r["w"]) for r in sorted(out, key=lambda r: r["mrank"])]
+    # v = [10,25,40,55,90] -> top 2 by v desc: docs 5 (90) then 4 (55)
+    assert got == [(1, 5, 90.0, 6), (2, 4, 55.0, 5)]
+    asc = top_metrics_facets(spark, docs, [(1, "x")], "v", ["w"], size=1, ascending=True).collect()
+    assert (asc[0]["doc_id"], asc[0]["v_sort"]) == (1, 10.0)
