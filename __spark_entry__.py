@@ -2281,6 +2281,37 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_vectors(_docs(spark, sf_dir), TERMVECTORS_DOC_IDS)
 
 
+# winnowing contract knobs (Schleimer et al. 2003): k-token grams,
+# w-hash windows, pair support threshold, hot-fingerprint cap.
+WINNOW_K = 4
+WINNOW_W = 5
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_BUCKET = 64
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: min-hash-per-window
+    over k-gram hashes (operators/dedup.py::winnow_fingerprints)."""
+    from embed_rerank_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidate pairs: docs sharing >= 2
+    fingerprints, hot-fingerprint capped
+    (operators/dedup.py::winnow_dup_pairs)."""
+    from embed_rerank_spark.operators.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_bucket=WINNOW_MAX_BUCKET,
+    )
+
+
 # top_metrics contract knobs: top-2 docs by n_chars desc per query.
 TOP_METRICS_SIZE = 2
 
@@ -3450,6 +3481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_topk": q_segmented_topk,
         "fuzzy_auto_topk": q_fuzzy_auto_topk,
         "top_metrics": q_top_metrics,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -8303,6 +8336,57 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(mrank AS INTEGER) AS mrank,
        doc_id, round(sortv, 6) AS n_chars_sort, lang, source
 FROM ranked WHERE mrank <= {TOP_METRICS_SIZE}
+""",
+        "winnow_fingerprints": f"""
+WITH tokarr AS (SELECT doc_id, {_TOKENIZE_SQL} AS arr FROM documents),
+grams AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(arr) - {WINNOW_K - 1}),
+               i -> CAST(concat('0x', substr(md5(
+                        array_to_string(arr[i : i + {WINNOW_K - 1}], ' ')), 1, 15))
+                    AS BIGINT)
+           ) AS g
+    FROM tokarr WHERE len(arr) >= {WINNOW_K}
+),
+sel AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(g) - {WINNOW_W - 1}, 1)),
+               j -> struct_pack(
+                   pos := j + list_position(g[j : j + {WINNOW_W - 1}],
+                                            list_min(g[j : j + {WINNOW_W - 1}])) - 1,
+                   fp := list_min(g[j : j + {WINNOW_W - 1}])))) AS s
+    FROM grams
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, CAST(s.fp AS BIGINT) AS fp
+FROM sel
+""",
+        "winnow_pairs": f"""
+WITH tokarr AS (SELECT doc_id, {_TOKENIZE_SQL} AS arr FROM documents),
+grams AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(arr) - {WINNOW_K - 1}),
+               i -> CAST(concat('0x', substr(md5(
+                        array_to_string(arr[i : i + {WINNOW_K - 1}], ' ')), 1, 15))
+                    AS BIGINT)
+           ) AS g
+    FROM tokarr WHERE len(arr) >= {WINNOW_K}
+),
+sel AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(g) - {WINNOW_W - 1}, 1)),
+               j -> list_min(g[j : j + {WINNOW_W - 1}]))) AS fp
+    FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_BUCKET}),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN hot USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """,
     }
 

@@ -353,10 +353,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument(
         "--method",
         default="clusters",
-        choices=["exact", "pairs", "clusters", "survivors", "spans"],
+        choices=["exact", "pairs", "clusters", "survivors", "spans", "winnow"],
         help="exact = normalized-hash survivors; pairs = MinHash-LSH near-dup "
         "pairs; clusters = transitive clusters w/ canonical ids; survivors = "
-        "pairwise survivor set; spans = exact-substring span coverage",
+        "pairwise survivor set; spans = exact-substring span coverage; "
+        "winnow = MOSS winnowing fingerprint pairs (positional guarantee)",
     )
     dd.add_argument("--threshold", type=float, default=0.5, help="Jaccard cut (LSH methods)")
     dd.add_argument("--window", type=int, default=16, help="span window tokens (spans)")
@@ -981,6 +982,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.method == "survivors":
                 pairs = dd_ops.minhash_lsh_dedup(corpus, threshold=args.threshold)
                 out = dd_ops.dedup_survivors(corpus.select("doc_id"), pairs)
+            elif args.method == "winnow":
+                out = dd_ops.winnow_dup_pairs(corpus)
             else:
                 out = dd_ops.duplicate_span_coverage(corpus, window=args.window)
             out.write.mode("overwrite").parquet(args.out)

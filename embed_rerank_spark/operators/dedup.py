@@ -544,3 +544,100 @@ def dedup_clusters(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
             ),
         )
     )
+
+
+def _md5_hash64(col) -> F.Column:
+    """Engine-portable 60-bit hash: first 15 md5 hex chars as a long
+    (DuckDB mirror: CAST(concat('0x', substr(md5(x), 1, 15)) AS
+    BIGINT) — bit-identical, the same trick the sampler uses)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-token
+    gram, slide a w-hash window, keep each window's MINIMUM hash
+    (ties: leftmost — the paper's robust variant keeps the rightmost;
+    leftmost is pinned here because both engines' array_position /
+    list_position are first-occurrence, making the oracle exact).
+    Guarantee: any shared token run of length >= w + k - 1 yields at
+    least one shared fingerprint, while only ~2/(w+1) of grams are
+    kept. Docs shorter than a full window keep the minimum of what
+    they have; docs with < k tokens emit nothing.
+
+    Scale shape: entirely per-doc array arithmetic in one JVM
+    projection (no shuffle, no self-join — the suffix-array
+    alternative shuffles the corpus); the only agg is the final
+    DISTINCT on (doc, pos, fp), combinable."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("arr"),
+    ).filter(F.size("arr") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - (k - 1)),
+            lambda i: _md5_hash64(F.concat_ws(" ", F.slice("arr", i, k))),
+        ).alias("g"),
+    )
+    sel = grams.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("g") - (w - 1), F.lit(1))),
+                lambda j: F.struct(
+                    (j + F.array_position(F.slice("g", j, w), F.array_min(F.slice("g", j, w))) - 1).alias("pos"),
+                    F.array_min(F.slice("g", j, w)).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    )
+    return sel.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")).distinct()
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): near-duplicate candidate pairs — docs
+    sharing >= ``min_shared`` winnowing fingerprint VALUES, doc_a <
+    doc_b. Fingerprints seen in more than ``max_bucket`` docs are
+    dropped before the self-join (the boilerplate guard every
+    bucket-join dedup here uses), so the pair fan-out is bounded by
+    max_bucket^2 per fingerprint instead of df^2.
+
+    Scale shape: one fingerprint pass (see winnow_fingerprints), one
+    hot-bucket filter (combinable count), one equi-join on fp, one
+    pair-count agg — the MinHash-LSH plan with winnowing's positional
+    guarantee instead of probabilistic recall."""
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") <= max_bucket
+    )
+    kept = fps.join(hot.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

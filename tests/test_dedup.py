@@ -267,3 +267,34 @@ def test_dedup_clusters_singletons(spark):
     out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
     assert out[7]["canonical"] == 7 and out[7]["is_canonical"]
     assert out[8]["canonical"] == 8 and out[8]["is_canonical"]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    from embed_rerank_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # w+k-1 = 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five"),
+            (2, f"six seven eight nine {shared} ten"),
+            (3, "unrelated words entirely different content here okay fine"),
+            (4, "xx"),  # < k tokens: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: a shared run of >= w+k-1 tokens shares >= 1 fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc
+    # density: far fewer fingerprints than grams
+    n_grams_1 = len("one two".split()) + 8 + len("three four five".split()) - 3
+    assert len(by_doc[1]) < n_grams_1
+    pairs = winnow_dup_pairs(docs, k=4, w=5, min_shared=1).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
