@@ -273,6 +273,23 @@ def run_suite(cpus: int, n_pages: int) -> dict:
                 "overwrite"
             ).parquet(f"{tmp}/intervals")
             extra["interval_topk_64"] = round(time.perf_counter() - t0, 3)
+            # front-coded dictionary: build + size evidence + one
+            # pruned prefix lookup (headers prune to the term range)
+            from embed_rerank_spark.plans.dictionary import (  # noqa: PLC0415
+                dictionary_sizes,
+                prefix_lookup_fc,
+                write_front_coded_dictionary,
+            )
+
+            t0 = time.perf_counter()
+            write_front_coded_dictionary(spark, f"{tmp}/index")
+            extra["dict_fc_build"] = round(time.perf_counter() - t0, 3)
+            sizes = dictionary_sizes(spark, f"{tmp}/index")
+            extra["dict_raw_bytes"] = sizes["raw_bytes"]
+            extra["dict_fc_bytes"] = sizes["fc_bytes"]
+            t0 = time.perf_counter()
+            prefix_lookup_fc(spark, f"{tmp}/index", "w12", max_expansion=64)
+            extra["dict_fc_prefix_lookup"] = round(time.perf_counter() - t0, 3)
             # PRF (RM3-lite): two WAND passes + feedback-term mining
             from embed_rerank_spark.operators.prf import prf_topk  # noqa: PLC0415
 
