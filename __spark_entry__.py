@@ -1985,6 +1985,21 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_docs(spark, sf_dir), capacity=65536, top_n=50)
 
 
+KMV_K = 64
+
+
+def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality-agg analogue: per-lang distinct word-3-gram
+    count via a K-Minimum-Values sketch (operators/sketches.py::
+    kmv_cardinality). The estimator is a deterministic function of the
+    portable md5 hash, so the oracle reproduces the ESTIMATE (not just
+    the truth) bit-for-bit; mergeability is pinned in
+    tests/test_sketches.py."""
+    from embed_rerank_spark.operators.sketches import kmv_cardinality
+
+    return kmv_cardinality(_docs(spark, sf_dir), k=KMV_K, group_col="lang")
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field dis_max/best-fields retrieval (operators/bm25.py::
     dismax_topk_bruteforce): per-field (title/body) BM25 statistics,
@@ -3412,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "repetition_signals": q_repetition_signals,
         "heavy_hitters": q_heavy_hitters,
+        "kmv_cardinality": q_kmv_cardinality,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7277,6 +7293,36 @@ FROM top
         "url_dedup": url_dedup_sql,
         "repetition_signals": repetition_sql,
         "heavy_hitters": heavy_hitters_sql,
+        "kmv_cardinality": f"""
+WITH toksd AS (
+    SELECT lang, {_TOKENIZE_SQL} AS toks FROM documents
+),
+vals AS (
+    SELECT DISTINCT lang AS grp,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS value
+    FROM toksd WHERE len(toks) >= 3
+),
+hashed AS (
+    SELECT DISTINCT grp,
+           CAST(concat('0x', substr(md5(value), 1, 15)) AS BIGINT) AS h
+    FROM vals
+),
+ranked AS (
+    SELECT grp, h,
+           row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rk
+    FROM hashed
+),
+agg AS (
+    SELECT grp, count(*) AS n_held, max(h) AS kth_h
+    FROM ranked WHERE rk <= {KMV_K} GROUP BY grp
+)
+SELECT grp, n_held,
+       round(CASE WHEN n_held < {KMV_K} THEN CAST(n_held AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
+             END, 6) AS est
+FROM agg ORDER BY grp
+""",
         "dismax_topk": dismax_sql,
         "collapse_topk": collapse_sql,
         "range_facets": range_facets_sql,

@@ -1,5 +1,5 @@
-"""Streaming-sketch operators: Misra-Gries heavy hitters over the
-corpus token stream.
+"""Streaming-sketch operators: Misra-Gries heavy hitters and KMV
+distinct-value sketches over the corpus token stream.
 
 The exact per-term count table (``term_freqs`` -> groupBy) is the
 precise answer but shuffles the full vocabulary; a crawl-curation loop
@@ -112,3 +112,157 @@ def heavy_hitters(
         F.col("cnt").alias("count_lb"),
         "err_ub",
     )
+
+
+# ---- KMV (K-Minimum-Values) distinct-count sketch ----
+
+# normalization denominator for the 60-bit md5 hash: 16^15
+_H60_SPACE = float(16**15)
+
+
+def _md5_hash60(col) -> F.Column:
+    """Engine-portable 60-bit hash: first 15 md5 hex chars as a long
+    (DuckDB mirror: ``CAST(concat('0x', substr(md5(x), 1, 15)) AS
+    BIGINT)`` — bit-identical, the same trick the dedup family and
+    the sampler use)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+
+
+def _kmv_partial(batches, k: int):
+    """Per-partition partial: the <= k smallest DISTINCT hashes per
+    group seen in this partition. Vectorized pandas (drop_duplicates +
+    groupby.nsmallest), bounded memory (k per live group), no
+    per-value Python loop. Min-k is a mergeable summary: the global
+    min-k of a union equals the min-k over the concatenated partials,
+    so the follow-up window pass needs only ``partitions * groups * k``
+    rows — never the raw value stream."""
+    state = pd.DataFrame({"grp": pd.Series(dtype="object"), "h": pd.Series(dtype="int64")})
+    for pdf in batches:
+        both = pd.concat([state, pdf[["grp", "h"]]], ignore_index=True)
+        both = both.drop_duplicates(["grp", "h"])
+        state = (
+            both.sort_values(["grp", "h"], kind="stable")
+            .groupby("grp", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+    yield state
+
+
+def _grouped_values(
+    docs: DataFrame, group_col: str, text_col: str, granularity: str
+) -> DataFrame:
+    """(grp, value) stream the sketch counts distinct values of:
+    ``term`` = whitespace tokens, ``shingle3`` = word 3-grams (the
+    dedup family's shingle definition — space-joined token windows)."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    )
+    if granularity == "term":
+        return toks.select("grp", F.explode("toks").alias("value"))
+    if granularity != "shingle3":
+        raise ValueError(f"unknown granularity: {granularity!r}")
+    n = 3
+    return toks.filter(F.size("toks") >= n).select(
+        "grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+            )
+        ).alias("value"),
+    )
+
+
+def _kmv_minset(values: DataFrame, k: int) -> DataFrame:
+    """(grp, h): the k smallest distinct 60-bit hashes per group —
+    the KMV sketch itself. Partial min-k per partition (bounded
+    memory), then one tiny per-group window over ``partitions x
+    groups x k`` candidate rows."""
+    hashed = values.select("grp", _md5_hash60(F.col("value")).alias("h"))
+    partials = hashed.mapInPandas(
+        lambda it: _kmv_partial(it, k), schema="grp string, h long"
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        partials.dropDuplicates(["grp", "h"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """(grp, n_held, est) from a ``(grp, h)`` min-hash sketch:
+    ``n_held`` = hashes retained (= min(k, true distinct count));
+    ``est`` = n_held while unsaturated, else the unbiased KMV
+    estimator ``(k-1) / normalized_kth_min``."""
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").alias("n_held"), F.max("h").alias("kth_h")
+    )
+    est = F.when(
+        F.col("n_held") < k, F.col("n_held").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("kth_h") / F.lit(_H60_SPACE)))
+    return agg.select("grp", "n_held", F.round(est, 6).alias("est")).orderBy("grp")
+
+
+def kmv_cardinality(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    granularity: str = "shingle3",
+) -> DataFrame:
+    """ES ``cardinality``-aggregation analogue: per-group approximate
+    distinct-value count via a K-Minimum-Values sketch (Bar-Yossef et
+    al. 2002; Beyer et al. 2007). Returns one row per group:
+    ``(grp, n_held, est)`` — see ``kmv_estimate``.
+
+    Reference parity: none (the reference has no analytics); this is
+    the ES `cardinality` agg re-expressed as a mergeable Spark sketch.
+
+    Scale shape (100 TB): hashing + per-partition min-k partials run
+    inside ``mapInPandas`` with memory bounded by k per group; only
+    ``partitions x groups x k`` candidate rows shuffle into the final
+    per-group window. The k-min-hash set itself is the persistable
+    artifact — sketches from two snapshots/units union-and-truncate to
+    the sketch of the union corpus (no re-scan), which a plain
+    ``count(distinct)`` cannot do. The estimator is deterministic
+    given the md5 hash, so the DuckDB oracle reproduces it bit-for-bit
+    (est rounded to 6dp).
+    """
+    values = _grouped_values(docs, group_col, text_col, granularity)
+    return kmv_estimate(_kmv_minset(values, k), k)
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Union two KMV sketches (rows of ``(grp, h)`` min-hash sets) and
+    re-truncate to the k smallest distinct hashes per group — the
+    mergeable-summaries property: the result is exactly the sketch that
+    a single pass over the concatenated corpora would have built."""
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        sketch_a.unionByName(sketch_b)
+        .dropDuplicates(["grp", "h"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def kmv_minhashes(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    granularity: str = "shingle3",
+) -> DataFrame:
+    """The raw per-group k-min-hash set ``(grp, h)`` — the persistable
+    sketch artifact ``kmv_merge`` unions. Same partial-then-window plan
+    as ``kmv_cardinality``."""
+    return _kmv_minset(_grouped_values(docs, group_col, text_col, granularity), k)

@@ -54,3 +54,82 @@ def test_lossy_sketch_is_lower_bound_within_guarantee(spark):
     # the single heaviest term is guaranteed present and top-ranked
     heaviest = max(exact, key=lambda t: (exact[t], t))
     assert got[0]["term"] == heaviest
+
+
+# ---- KMV distinct-count sketch ----
+
+from embed_rerank_spark.operators.sketches import (  # noqa: E402
+    kmv_cardinality,
+    kmv_estimate,
+    kmv_merge,
+    kmv_minhashes,
+)
+
+
+def _kmv_docs(spark):
+    # two groups: 'big' has 500 distinct terms (saturates k=64),
+    # 'small' has 10 (stays exact)
+    rows = []
+    for d in range(50):
+        toks = [f"w{(d * 10 + j) % 500}" for j in range(40)]
+        rows.append((d, " ".join(toks), "big"))
+    for d in range(50, 60):
+        toks = [f"s{j % 10}" for j in range(40)]
+        rows.append((d, " ".join(toks), "small"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    docs = _kmv_docs(spark)
+    got = {
+        r["grp"]: r
+        for r in kmv_cardinality(docs, k=64, granularity="term").collect()
+    }
+    assert got["small"]["n_held"] == 10
+    assert got["small"]["est"] == 10.0
+
+
+def test_kmv_saturated_estimate_within_bound(spark):
+    docs = _kmv_docs(spark)
+    got = {
+        r["grp"]: r
+        for r in kmv_cardinality(docs, k=64, granularity="term").collect()
+    }
+    assert got["big"]["n_held"] == 64
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert abs(got["big"]["est"] - 500) / 500 < 0.51
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    docs = _kmv_docs(spark)
+    a = kmv_minhashes(docs.filter("doc_id % 2 = 0"), k=64, granularity="term")
+    b = kmv_minhashes(docs.filter("doc_id % 2 = 1"), k=64, granularity="term")
+    merged = kmv_estimate(kmv_merge(a, b, 64), 64).collect()
+    whole = kmv_estimate(kmv_minhashes(docs, k=64, granularity="term"), 64).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+
+def test_kmv_partial_bounds_rows_per_partition(spark):
+    # the mapInPandas partial never emits more than k rows per group
+    # per partition: repartition to 4, count partial output directly
+    from embed_rerank_spark.operators.sketches import (
+        _grouped_values,
+        _kmv_partial,
+        _md5_hash60,
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    docs = _kmv_docs(spark).repartition(4)
+    hashed = _grouped_values(docs, "lang", "text", "term").select(
+        "grp", _md5_hash60(F.col("value")).alias("h")
+    )
+    partials = hashed.mapInPandas(
+        lambda it: _kmv_partial(it, 16), schema="grp string, h long"
+    )
+    counts = (
+        partials.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "grp")
+        .count()
+        .collect()
+    )
+    assert counts and all(r["count"] <= 16 for r in counts)
