@@ -2000,6 +2000,20 @@ def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_cardinality(_docs(spark, sf_dir), k=KMV_K, group_col="lang")
 
 
+LINE_W = 5
+LINE_MAX_DF = 2
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet corpus-level line dedup (operators/dedup.py::
+    line_dedup): 5-token chunks occurring in > 2 distinct docs are
+    boilerplate and removed from every carrier; per-doc surviving-text
+    digest + removal counts."""
+    from embed_rerank_spark.operators.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), window=LINE_W, max_df=LINE_MAX_DF)
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field dis_max/best-fields retrieval (operators/bm25.py::
     dismax_topk_bruteforce): per-field (title/body) BM25 statistics,
@@ -3428,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
+        "line_dedup": q_line_dedup,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7322,6 +7337,40 @@ SELECT grp, n_held,
                   ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
              END, 6) AS est
 FROM agg ORDER BY grp
+""",
+        "line_dedup": f"""
+WITH toksd AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           unnest([{{'idx': i,
+                     'line': array_to_string(toks[i*{LINE_W}+1:i*{LINE_W}+{LINE_W}], ' ')}}
+                   FOR i IN range(0, CAST(ceil(len(toks)/{LINE_W}.0) AS BIGINT))],
+                  recursive := true)
+    FROM toksd WHERE len(toks) > 0
+),
+hashed AS (
+    SELECT doc_id, idx, line,
+           CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) AS h
+    FROM lines
+),
+boiler AS (
+    SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS df FROM hashed GROUP BY h
+    ) WHERE df > {LINE_MAX_DF}
+),
+kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM boiler)),
+kept_agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(line, ' ' ORDER BY idx)) AS kept_md5
+    FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM hashed GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM totals t LEFT JOIN kept_agg k USING (doc_id) ORDER BY doc_id
 """,
         "dismax_topk": dismax_sql,
         "collapse_topk": collapse_sql,

@@ -641,3 +641,102 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---- corpus-level line dedup (RefinedWeb / CCNet boilerplate removal) ----
+
+
+def doc_lines(
+    docs: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, line_idx, line): the token stream cut into
+    NON-overlapping ``window``-token chunks ("lines" — web text in
+    this corpus carries no newlines, so the deterministic chunking
+    stands in for physical lines; a real crawl would split on '\\n'
+    first and fall back to this for wall-of-text pages). The trailing
+    partial chunk is kept. One output row per ``window`` input tokens
+    — corpus/W rows, no quadratic blowup."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_lines = F.ceil(F.size("toks") / F.lit(float(window))).cast("int")
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice("toks", i * window + 1, window), " "),
+            )
+        ).alias("line_idx", "line"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    window: int = 5,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style corpus-level line deduplication: a line
+    (``window``-token chunk, see ``doc_lines``) occurring in MORE than
+    ``max_df`` distinct documents is boilerplate (site chrome, cookie
+    banners, navigation) and is removed from every document that
+    carries it. Returns one row per input doc:
+    ``(doc_id, n_lines, n_removed, kept_md5)`` where ``kept_md5`` is
+    the md5 of the surviving lines re-joined in order (md5('') for a
+    fully-boilerplate doc).
+
+    Reference parity: none (serving loop); pipeline extension — the
+    line-dedup stage of RefinedWeb (Penedo et al. 2023 §3.3) and CCNet.
+
+    Scale shape (100 TB):
+    - lines = corpus/W rows; the line-df agg groups on the 60-bit md5
+      hash of the line (narrow shuffle key, not the string) after a
+      per-doc dropDuplicates — both combinable hash aggs.
+    - the boilerplate set (df > max_df) is a tiny fraction of the
+      line vocabulary; removal is a LEFT ANTI equijoin on the hash —
+      broadcastable when small, AQE picks at runtime.
+    - reassembly is one groupBy(doc_id) with an array_sort over
+      (line_idx, line) structs — single shuffle, JVM-side throughout.
+    """
+    lines = doc_lines(docs, window, id_col, text_col).withColumn(
+        "h", _md5_hash64(F.col("line"))
+    )
+    boiler = (
+        lines.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = lines.join(boiler, "h", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -298,3 +298,42 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[1]) < n_grams_1
     pairs = winnow_dup_pairs(docs, k=4, w=5, min_shared=1).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    from hashlib import md5
+
+    from embed_rerank_spark.operators.dedup import line_dedup
+
+    boiler = "accept all cookies to continue"  # 5 tokens = one line
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta eps"),
+        (2, f"{boiler} one two three four five"),
+        (3, f"{boiler} six seven eight nine ten"),
+        (4, "unique text with no shared chunk here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, window=5, max_df=2).collect()}
+    # the boilerplate line sits in 3 docs > max_df=2 -> removed from all
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 2
+    assert out[1]["kept_md5"] == md5(b"alpha beta gamma delta eps").hexdigest()
+    assert out[2]["n_removed"] == 1
+    assert out[3]["n_removed"] == 1
+    # doc 4: two lines (5 + 2 tokens), nothing removed
+    assert out[4]["n_removed"] == 0 and out[4]["n_lines"] == 2
+    want4 = md5(b"unique text with no shared chunk here").hexdigest()
+    assert out[4]["kept_md5"] == want4
+
+
+def test_line_dedup_fully_boilerplate_doc(spark):
+    from hashlib import md5
+
+    from embed_rerank_spark.operators.dedup import line_dedup
+
+    b = "a b c d e"
+    docs = spark.createDataFrame(
+        [(i, b) for i in range(4)], "doc_id long, text string"
+    )
+    out = line_dedup(docs, window=5, max_df=2).collect()
+    assert all(r["n_removed"] == 1 and r["n_lines"] == 1 for r in out)
+    assert all(r["kept_md5"] == md5(b"").hexdigest() for r in out)
