@@ -2014,6 +2014,24 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_docs(spark, sf_dir), window=LINE_W, max_df=LINE_MAX_DF)
 
 
+RULES_MIN_SUPPORT = 100
+RULES_MIN_CONF = 0.8
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed market-basket rules over per-doc distinct term sets
+    (operators/mining.py::association_rules): support / confidence /
+    lift, ES frequent_item_sets analogue at pair size."""
+    from embed_rerank_spark.operators.mining import association_rules
+
+    out = association_rules(
+        _docs(spark, sf_dir),
+        min_support=RULES_MIN_SUPPORT,
+        min_confidence=RULES_MIN_CONF,
+    )
+    return out.orderBy("antecedent", "consequent")
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field dis_max/best-fields retrieval (operators/bm25.py::
     dismax_topk_bruteforce): per-field (title/body) BM25 statistics,
@@ -3443,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
         "line_dedup": q_line_dedup,
+        "association_rules": q_association_rules,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7371,6 +7390,37 @@ SELECT t.doc_id, t.n_lines,
        t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
        coalesce(k.kept_md5, md5('')) AS kept_md5
 FROM totals t LEFT JOIN kept_agg k USING (doc_id) ORDER BY doc_id
+""",
+        "association_rules": f"""
+WITH toksd AS (
+    SELECT doc_id, list_distinct({_TOKENIZE_SQL}) AS toks FROM documents
+),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toksd),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dft AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+pairs AS (
+    SELECT a.term AS antecedent, b.term AS consequent, count(*) AS pair_count
+    FROM terms a JOIN terms b USING (doc_id)
+    WHERE a.term <> b.term GROUP BY 1, 2
+),
+rules AS (
+    SELECT antecedent, consequent, pair_count,
+           pair_count / CAST(n.n AS DOUBLE) AS support,
+           pair_count / CAST(da.df AS DOUBLE) AS confidence,
+           (pair_count / CAST(da.df AS DOUBLE))
+             / (dc.df / CAST(n.n AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN dft da ON da.term = pairs.antecedent
+    JOIN dft dc ON dc.term = pairs.consequent
+    CROSS JOIN ndocs n
+    WHERE pair_count >= {RULES_MIN_SUPPORT}
+      AND pair_count / CAST(da.df AS DOUBLE) >= {RULES_MIN_CONF}
+)
+SELECT antecedent, consequent, pair_count,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM rules ORDER BY antecedent, consequent
 """,
         "dismax_topk": dismax_sql,
         "collapse_topk": collapse_sql,

@@ -43,3 +43,40 @@ def test_no_positives_equals_bm25(spark):
         for r in bm25_topk_bruteforce(spark, docs, q, k=5).collect()
     )
     assert got == want and got
+
+
+def test_association_rules_directional(spark):
+    from embed_rerank_spark.operators.mining import association_rules
+
+    # 'cookie' appears in 4 docs, always with 'privacy';
+    # 'privacy' appears in 8 docs, only half with 'cookie'
+    rows = [(i, "cookie privacy banner") for i in range(4)]
+    rows += [(i, "privacy policy page") for i in range(4, 8)]
+    rows += [(i, "totally unrelated words") for i in range(8, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(docs, min_support=2, min_confidence=0.9).collect()
+    }
+    # cookie -> privacy: confidence 4/4 = 1.0, lift = 1.0 / (8/12)
+    r = out[("cookie", "privacy")]
+    assert r["pair_count"] == 4
+    assert r["confidence"] == 1.0
+    assert r["lift"] == 1.5
+    assert r["support"] == round(4 / 12, 6)
+    # the reverse direction fails min_confidence (4/8 = 0.5)
+    assert ("privacy", "cookie") not in out
+
+
+def test_association_rules_df_cap_drops_hot_terms(spark):
+    from embed_rerank_spark.operators.mining import association_rules
+
+    rows = [(i, f"hot w{i % 2}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = association_rules(
+        docs, min_support=1, min_confidence=0.0, max_term_df=5
+    ).collect()
+    # 'hot' (df=10) exceeds the cap -> no rule mentions it
+    assert out == [] or all(
+        "hot" not in (r["antecedent"], r["consequent"]) for r in out
+    )
