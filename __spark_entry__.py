@@ -2032,6 +2032,31 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("antecedent", "consequent")
 
 
+DISTF_ORIGIN = 300.0
+DISTF_PIVOT = 50.0
+DISTF_BOOST = 2.0
+
+
+def q_distance_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature query (operators/bm25.py::
+    distance_feature_topk): BM25 + boost*pivot/(pivot+|n_chars-origin|)
+    proximity-to-origin clause on the PRIMARY score (not a rescore
+    window)."""
+    from embed_rerank_spark.operators.bm25 import distance_feature_topk
+
+    out = distance_feature_topk(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        field="n_chars",
+        origin=DISTF_ORIGIN,
+        pivot=DISTF_PIVOT,
+        boost=DISTF_BOOST,
+        k=TOP_K,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field dis_max/best-fields retrieval (operators/bm25.py::
     dismax_topk_bruteforce): per-field (title/body) BM25 statistics,
@@ -3462,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cardinality": q_kmv_cardinality,
         "line_dedup": q_line_dedup,
         "association_rules": q_association_rules,
+        "distance_feature_topk": q_distance_feature_topk,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7421,6 +7447,37 @@ SELECT antecedent, consequent, pair_count,
        round(confidence, 6) AS confidence,
        round(lift, 6) AS lift
 FROM rules ORDER BY antecedent, consequent
+""",
+        "distance_feature_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+blended AS (
+    SELECT s.query_id, s.doc_id,
+           s.score + {DISTF_BOOST} * {DISTF_PIVOT}
+             / ({DISTF_PIVOT} + abs(d.n_chars - {DISTF_ORIGIN})) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """,
         "dismax_topk": dismax_sql,
         "collapse_topk": collapse_sql,

@@ -1107,6 +1107,59 @@ def function_score_topk(
     return topk(blended, k).select("query_id", "rank", "doc_id", "score")
 
 
+def distance_feature_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field: str,
+    origin: float,
+    pivot: float,
+    k: int = 10,
+    boost: float = 1.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch
+    ``distance_feature`` query as a bool ``should`` clause — matching
+    docs score BM25 + boost * pivot / (pivot + |field - origin|), the
+    ES date/geo proximity boost over a numeric doc value ("closer to
+    origin ranks higher, with half the boost at distance = pivot").
+
+    Distinct from the rescore family (``rescore_by_recency`` /
+    ``rescore_by_decay``): a rescore reorders only a fixed-depth
+    candidate window; distance_feature contributes to the PRIMARY
+    score of every matching doc, so a far-down match can be promoted
+    from outside any window. Distinct from ``rank_feature_topk``: the
+    shape is distance-to-origin (non-monotonic in the field value),
+    not a monotone saturation of the value itself.
+
+    Scale shape: brute-force scorer plan + one pruned (doc_id, field)
+    projection joined on the aggregated (query, doc) scores; the
+    proximity arithmetic is codegen'd. WAND composition: the clause
+    contribution is bounded by ``boost`` (distance 0), so block upper
+    bounds extend by a constant and pruning stays exact."""
+    if pivot <= 0 or boost < 0:
+        # ES validates the same: pivot is a positive distance; a
+        # negative boost would invert "closer ranks higher"
+        raise ValueError("need pivot > 0 and boost >= 0")
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, k1, b, id_col, text_col)
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(field).cast("double").alias("_f")
+    )
+    prox = F.lit(float(boost)) * F.lit(float(pivot)) / (
+        F.lit(float(pivot)) + F.abs(F.col("_f") - F.lit(float(origin)))
+    )
+    blended = scored.join(feat, "doc_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("score") + prox).alias("score"),
+    )
+    return topk(blended, k).select("query_id", "rank", "doc_id", "score")
+
+
 def common_terms_topk(
     spark: SparkSession,
     docs: DataFrame,

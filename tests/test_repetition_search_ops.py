@@ -250,3 +250,33 @@ def test_boosting_and_rank_feature_reject_unsound_knobs(spark):
         rank_feature_topk(
             spark, docs, [(1, "apple")], "doc_id", function="log", scaling_factor=0.0
         )
+
+
+def test_distance_feature_boosts_near_origin(spark):
+    import pytest as _pytest
+
+    from embed_rerank_spark.operators.bm25 import distance_feature_topk
+
+    # equal BM25 for both docs (same text); n_chars decides the order
+    rows = [(1, "apple pie", 100), (2, "apple pie", 500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = distance_feature_topk(
+        spark, docs, [(1, "apple")], field="n_chars",
+        origin=100.0, pivot=10.0, boost=2.0, k=2,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    # doc 1 at distance 0 gets the full boost; doc 2 gets 2*10/410
+    assert out[0]["score"] - out[1]["score"] == _pytest.approx(
+        2.0 - 2.0 * 10.0 / 410.0, rel=1e-9
+    )
+    # flipping the origin flips the order
+    flipped = distance_feature_topk(
+        spark, docs, [(1, "apple")], field="n_chars",
+        origin=500.0, pivot=10.0, boost=2.0, k=2,
+    ).collect()
+    assert [r["doc_id"] for r in flipped] == [2, 1]
+    with _pytest.raises(ValueError):
+        distance_feature_topk(
+            spark, docs, [(1, "apple")], field="n_chars",
+            origin=0.0, pivot=0.0,
+        )
