@@ -2032,6 +2032,28 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("antecedent", "consequent")
 
 
+BM25F_W = {"title": 2.0, "body": 1.0}
+BM25F_B = {"title": 0.3, "body": 0.75}
+
+
+def q_bm25f_full_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25F (Robertson & Zaragoza) with PER-FIELD length
+    normalization — title b=0.3 vs body b=0.75 — which the index-time
+    weighted-token form (bm25f_topk) cannot express
+    (operators/bm25.py::bm25f_full_topk)."""
+    from embed_rerank_spark.operators.bm25 import bm25f_full_topk
+
+    out = bm25f_full_topk(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        k=TOP_K,
+        field_weights=BM25F_W,
+        field_b=BM25F_B,
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 DISTF_ORIGIN = 300.0
 DISTF_PIVOT = 50.0
 DISTF_BOOST = 2.0
@@ -3488,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "association_rules": q_association_rules,
         "distance_feature_topk": q_distance_feature_topk,
+        "bm25f_full_topk": q_bm25f_full_topk,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7474,6 +7497,58 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
     FROM blended
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "bm25f_full_topk": f"""
+WITH toksd AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+),
+tdoc AS (SELECT doc_id, unnest(toks) AS term FROM toksd),
+tf_doc AS (SELECT doc_id, term, count(*) AS tf FROM tdoc GROUP BY 1, 2),
+dfw AS (SELECT term, count(*) AS df FROM tf_doc GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ttoks AS (SELECT doc_id, unnest(toks[1:8]) AS term FROM toksd),
+btoks AS (SELECT doc_id, unnest(toks[9:len(toks)]) AS term
+          FROM toksd WHERE len(toks) > 8),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2),
+tdl AS (SELECT doc_id, sum(tf) AS dl FROM ttf GROUP BY doc_id),
+bdl AS (SELECT doc_id, sum(tf) AS dl FROM btf GROUP BY doc_id),
+tavg AS (SELECT avg(dl) AS a FROM tdl),
+bavg AS (SELECT avg(dl) AS a FROM bdl),
+wtf AS (
+    SELECT t.doc_id, t.term,
+           {BM25F_W["title"]} * t.tf
+             / ((1.0 - {BM25F_B["title"]})
+                + {BM25F_B["title"]} * l.dl / (SELECT a FROM tavg)) AS wtf
+    FROM ttf t JOIN tdl l USING (doc_id)
+    UNION ALL
+    SELECT t.doc_id, t.term,
+           {BM25F_W["body"]} * t.tf
+             / ((1.0 - {BM25F_B["body"]})
+                + {BM25F_B["body"]} * l.dl / (SELECT a FROM bavg)) AS wtf
+    FROM btf t JOIN bdl l USING (doc_id)
+),
+pooled AS (SELECT doc_id, term, sum(wtf) AS tfw FROM wtf GROUP BY 1, 2),
+matched AS (
+    SELECT qt.query_id, p.doc_id,
+           ln((nd.n_docs - dfw.df + 0.5) / (dfw.df + 0.5) + 1.0)
+             * p.tfw * (1.2 + 1.0) / (p.tfw + 1.2) AS term_score
+    FROM {qt}
+    JOIN pooled p USING (term) JOIN dfw USING (term) CROSS JOIN nd
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score

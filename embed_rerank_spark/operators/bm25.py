@@ -1107,6 +1107,102 @@ def function_score_topk(
     return topk(blended, k).select("query_id", "rank", "doc_id", "score")
 
 
+def bm25f_full_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_len: int = TITLE_LEN,
+    field_weights: dict[str, float] | None = None,
+    field_b: dict[str, float] | None = None,
+    k1: float = BM25_K1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): FULL BM25F (Robertson &
+    Zaragoza 2004/2009, the "simple BM25F" of the TREC-13 Microsoft
+    Cambridge runs) with PER-FIELD length normalization — the piece
+    the engine's index-time ``fielded_weighted_docs`` form cannot
+    express. Per term t, doc d:
+
+        tf~ = sum_f  w_f * tf_{t,f} / B_f,
+        B_f = (1 - b_f) + b_f * dl_f / avgdl_f
+        score = sum_t idf(t) * tf~ * (k1 + 1) / (tf~ + k1)
+
+    idf is the engine's BM25+ idf over WHOLE-document df. With every
+    b_f equal and avgdl shared this degenerates to the weighted-token
+    shared-norm form (``bm25f_topk_bruteforce``); with per-field b it
+    does not — a short title is no longer punished by body length,
+    which is the whole point of BM25F (title b is conventionally LOW:
+    titles are uniformly short, length carries no signal).
+
+    Scale shape: two pure projections (title/body token slices), one
+    combinable tf agg per field, per-field dl/avgdl the same way, a
+    broadcast query-terms join, one (query, doc) agg — the plain
+    brute scorer's plan run twice plus a union, no new shuffle shape.
+    WAND composition: tf~ is bounded by sum_f w_f * tfmax_f / (1-b_f),
+    so per-term block upper bounds carry over.
+    """
+    field_weights = field_weights or {"title": 2.0, "body": 1.0}
+    field_b = field_b or {"title": 0.3, "body": 0.75}
+    fields = split_fields(docs, title_len, id_col, text_col)
+    if set(field_weights) != set(fields) or set(field_b) != set(fields):
+        raise ValueError("field_weights/field_b must cover exactly title, body")
+    qt = query_terms(spark, queries)
+
+    # whole-document df + n_docs for idf
+    tf_doc = term_freqs(docs, id_col, text_col)
+    dft = doc_freqs(tf_doc)
+    n_docs = docs.select(id_col).distinct().count()
+
+    parts = []
+    for fname, fdocs in fields.items():
+        ftf = term_freqs(fdocs, "doc_id", "text")
+        fdl = doc_lengths(ftf)
+        favg = float(
+            fdl.agg(F.avg("dl").alias("a")).collect()[0]["a"] or 0.0
+        )
+        b_f, w_f = float(field_b[fname]), float(field_weights[fname])
+        if favg <= 0:
+            continue
+        norm = F.lit(1.0 - b_f) + F.lit(b_f) * F.col("dl") / F.lit(favg)
+        parts.append(
+            ftf.join(fdl, "doc_id").select(
+                "doc_id",
+                "term",
+                (F.lit(w_f) * F.col("tf") / norm).alias("wtf"),
+            )
+        )
+    if not parts:
+        raise ValueError("empty corpus: no field has tokens")
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    pooled = union.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfw"))
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    matched = (
+        qt.join(pooled, "term")
+        .join(F.broadcast(dft), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * F.col("tfw")
+                * F.lit(k1 + 1.0)
+                / (F.col("tfw") + F.lit(k1))
+            ).alias("term_score"),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
 def distance_feature_topk(
     spark: SparkSession,
     docs: DataFrame,

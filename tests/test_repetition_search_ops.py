@@ -280,3 +280,25 @@ def test_distance_feature_boosts_near_origin(spark):
             spark, docs, [(1, "apple")], field="n_chars",
             origin=0.0, pivot=0.0,
         )
+
+
+def test_bm25f_full_title_not_punished_by_body_length(spark):
+    from embed_rerank_spark.operators.bm25 import (
+        bm25f_full_topk,
+        bm25f_topk_bruteforce,
+    )
+
+    # query term only in the (identical) titles; doc 2 drags a much
+    # longer body. Per-field norm: title contribution identical ->
+    # rounded scores tie. Shared norm: doc 2 is punished.
+    title = "zebra news daily report front page top stories"  # 8 tokens
+    rows = [
+        (1, title + " short body here"),
+        (2, title + " " + " ".join(f"w{i}" for i in range(200))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = bm25f_full_topk(spark, docs, [(1, "zebra")], k=2).collect()
+    assert [r["doc_id"] for r in full] == [1, 2]
+    assert round(full[0]["score"], 6) == round(full[1]["score"], 6)
+    shared = bm25f_topk_bruteforce(spark, docs, [(1, "zebra")], k=2).collect()
+    assert round(shared[0]["score"], 6) != round(shared[1]["score"], 6)
