@@ -2032,6 +2032,25 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("antecedent", "consequent")
 
 
+AUTO_HIST_TARGET = 12
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: per query, the finest calendar interval
+    (day/week/month/quarter/year) whose non-empty bucket count fits
+    the target, then the distinct-matching-doc histogram at that
+    interval (operators/facets.py::auto_date_histogram)."""
+    from embed_rerank_spark.operators.facets import auto_date_histogram
+
+    return auto_date_histogram(
+        spark,
+        _docs_with_ts(spark, sf_dir),
+        QUERY_SET,
+        "warc_ts",
+        target_buckets=AUTO_HIST_TARGET,
+    )
+
+
 BM25F_W = {"title": 2.0, "body": 1.0}
 BM25F_B = {"title": 0.3, "body": 0.75}
 
@@ -3511,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "distance_feature_topk": q_distance_feature_topk,
         "bm25f_full_topk": q_bm25f_full_topk,
+        "auto_date_histogram": q_auto_date_histogram,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7553,6 +7573,38 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "auto_date_histogram": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+tsd AS (
+    SELECT doc_id,
+           DATE '{DATE_HIST_EPOCH}' + CAST(n_chars % 365 AS INTEGER) AS ts
+    FROM documents
+),
+fanned AS (
+    SELECT m.query_id, u.interval,
+           strftime(date_trunc(u.interval, t.ts), '%Y-%m-%d') AS bucket_start
+    FROM matched m JOIN tsd t USING (doc_id)
+    CROSS JOIN (SELECT unnest(['day','week','month','quarter','year']) AS interval) u
+),
+hist AS (
+    SELECT query_id, interval, bucket_start, count(*) AS n_docs
+    FROM fanned GROUP BY 1, 2, 3
+),
+nbc AS (SELECT query_id, interval, count(*) AS nb FROM hist GROUP BY 1, 2),
+fitting AS (
+    SELECT query_id, interval,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             list_position(['day','week','month','quarter','year'], interval)) AS rk
+    FROM nbc WHERE nb <= {AUTO_HIST_TARGET} OR interval = 'year'
+),
+chosen AS (SELECT query_id, interval FROM fitting WHERE rk = 1)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.interval, h.bucket_start, h.n_docs
+FROM hist h JOIN chosen c USING (query_id, interval)
 """,
         "dismax_topk": dismax_sql,
         "collapse_topk": collapse_sql,

@@ -1211,3 +1211,81 @@ def top_metrics_facets(
         .filter(F.col("mrank") <= size)
         .select("query_id", "mrank", "doc_id", F.col("_sort").alias(sort_col + "_sort"), *metric_cols)
     )
+
+
+AUTO_HIST_LADDER = ("day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    target_buckets: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, interval, bucket_start, n_docs) — the Elasticsearch
+    ``auto_date_histogram`` aggregation: per query, the FINEST
+    calendar interval from the day/week/month/quarter/year ladder
+    whose non-empty bucket count is <= ``target_buckets``, then the
+    distinct-matching-doc histogram at that interval (falling back to
+    ``year`` when even that overflows — ES caps at its coarsest unit
+    the same way). Deterministic by construction: the choice is made
+    on ACTUAL non-empty bucket counts (min_doc_count=1 semantics, like
+    ``date_histogram``), not on span arithmetic, so the DuckDB oracle
+    reproduces interval choice and counts exactly.
+
+    Scale shape: the (query, doc) match set collapses once (same plan
+    as date_histogram); each match row then fans out to the 5 ladder
+    truncations — a x5 row multiplier on the MATCH SET (queries x
+    matched docs, never the corpus) — and both the per-interval bucket
+    counts and the final histogram come from the same combinable hash
+    agg keyed (query, interval, bucket). One extra tiny broadcast
+    joins the per-query chosen interval back."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    buckets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(u).alias("interval"),
+                        F.date_format(
+                            F.date_trunc(u, F.col(ts_col)), "yyyy-MM-dd"
+                        ).alias("bucket_start"),
+                    )
+                    for u in AUTO_HIST_LADDER
+                ]
+            )
+        ).alias("ub"),
+    ).select("doc_id", F.col("ub.interval").alias("interval"), F.col("ub.bucket_start").alias("bucket_start"))
+    hist = (
+        matched.join(buckets, "doc_id")
+        .groupBy("query_id", "interval", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_buckets = hist.groupBy("query_id", "interval").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    # finest fitting interval; ladder position = specificity
+    pos = F.array_position(F.array(*[F.lit(u) for u in AUTO_HIST_LADDER]), F.col("interval"))
+    fitting = n_buckets.filter(
+        (F.col("nb") <= target_buckets) | (F.col("interval") == AUTO_HIST_LADDER[-1])
+    )
+    w = Window.partitionBy("query_id").orderBy(pos.asc())
+    chosen = (
+        fitting.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "interval")
+    )
+    return hist.join(F.broadcast(chosen), ["query_id", "interval"]).select(
+        "query_id", "interval", "bucket_start", "n_docs"
+    )

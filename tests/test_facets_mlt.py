@@ -14,6 +14,7 @@ from embed_rerank_spark.operators.bm25 import (
     bm25_topk_bruteforce,
     query_terms,
 )
+from pyspark.sql import functions as F
 from embed_rerank_spark.operators.facets import facet_counts
 from embed_rerank_spark.operators.mlt import mlt_select_terms, more_like_this
 from embed_rerank_spark.operators.postings import InvertedIndex, build_postings
@@ -591,3 +592,44 @@ def test_approx_terms_analyzed_text_path(spark):
     got = {r["term"]: r["doc_count"] for r in out}
     assert got["alpha"] == 10 and got["beta"] == 10
     assert got["gamma"] == 5 and got["delta"] == 5
+
+
+def test_auto_date_histogram_picks_finest_fitting_interval(spark):
+    from embed_rerank_spark.operators.facets import auto_date_histogram
+
+    # 30 docs on 30 consecutive days: day -> 30 buckets, week -> 5,
+    # month -> 1. target=6 must choose week.
+    rows = [
+        (i, "apple pie", f"2024-01-{i + 1:02d} 00:00:00") for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, s string").select(
+        "doc_id", "text", F.to_timestamp("s").alias("warc_ts")
+    )
+    out = auto_date_histogram(
+        spark, docs, [(1, "apple")], "warc_ts", target_buckets=6
+    ).collect()
+    assert {r["interval"] for r in out} == {"week"}
+    assert len(out) == 5
+    assert sum(r["n_docs"] for r in out) == 30
+    # a generous target picks day (the finest)
+    fine = auto_date_histogram(
+        spark, docs, [(1, "apple")], "warc_ts", target_buckets=50
+    ).collect()
+    assert {r["interval"] for r in fine} == {"day"}
+    assert len(fine) == 30
+
+
+def test_auto_date_histogram_year_fallback(spark):
+    from embed_rerank_spark.operators.facets import auto_date_histogram
+
+    # 3 docs in 3 different years; target=1 fits nothing, falls back
+    # to year (the coarsest) with 3 buckets
+    rows = [(i, "apple pie", f"{2020 + i}-06-01 00:00:00") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, s string").select(
+        "doc_id", "text", F.to_timestamp("s").alias("warc_ts")
+    )
+    out = auto_date_histogram(
+        spark, docs, [(1, "apple")], "warc_ts", target_buckets=1
+    ).collect()
+    assert {r["interval"] for r in out} == {"year"}
+    assert len(out) == 3
