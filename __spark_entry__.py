@@ -33,12 +33,14 @@ from embed_rerank_spark.queryset import (  # noqa: E402
     PROXIMITY_WINDOW,
     QUERY_SET,
     TOP_K,
+    WILDCARD_MAX_EXPANSION,
     phrase_needles_values_sql,
     phrase_terms_values_sql,
     prefixes_values_sql,
     proximity_pairs_values_sql,
     proximity_terms_values_sql,
     query_terms_values_sql,
+    wildcards_values_sql,
 )
 
 _TOKENIZE_SQL = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
@@ -2032,6 +2034,20 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("antecedent", "consequent")
 
 
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General Lucene WildcardQuery retrieval (operators/wand.py::
+    wildcard_topk): `*`/`?` whole-term patterns, literal-prefix pruned
+    dictionary expansion (df-desc capped), disjunctive BM25 via WAND."""
+    from embed_rerank_spark.operators.wand import wildcard_topk
+    from embed_rerank_spark.queryset import WILDCARD_MAX_EXPANSION, WILDCARD_SET
+
+    index = _cached_index(spark, sf_dir)
+    out = wildcard_topk(
+        index, WILDCARD_SET, k=TOP_K, max_expansion=WILDCARD_MAX_EXPANSION
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 AUTO_HIST_TARGET = 12
 
 
@@ -3531,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_topk": q_distance_feature_topk,
         "bm25f_full_topk": q_bm25f_full_topk,
         "auto_date_histogram": q_auto_date_histogram,
+        "wildcard_topk": q_wildcard_topk,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7285,6 +7302,37 @@ FROM ranked WHERE rank <= {TOP_K}
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        "wildcard_topk": f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT wc.query_id, df.term,
+           row_number() OVER (PARTITION BY wc.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {wildcards_values_sql()} JOIN df ON df.term LIKE wc.pat
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {WILDCARD_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
         "explain_scores": explain_sql,
         "best_snippets": best_snippets_sql,
         "lmd_topk": lmd_sql,

@@ -1082,6 +1082,69 @@ def suffix_topk(
     return wand_topk(index, synth, k, k1, b, taat_threshold)
 
 
+def expand_wildcard(
+    index: InvertedIndex, pattern: str, max_expansion: int = 64
+) -> list[str]:
+    """Dictionary expansion for a general Lucene ``WildcardQuery``
+    pattern (``*`` = any run, ``?`` = one char, anything else
+    literal; must match the WHOLE term): the anchored compiled regex
+    evaluates inside the dictionary scan, and — Lucene's
+    WildcardQuery optimization — the pattern's LITERAL PREFIX (up to
+    the first wildcard char) is pushed down as a ``startswith``
+    predicate first, so ``cust*er`` touches only the ``cust`` prefix
+    range of the vocabulary (parquet column stats prune; same
+    mechanism as ``expand_prefix``/the fc-dictionary range lookup).
+    A leading-wildcard pattern has no literal prefix and degrades to
+    the regexp scan, as in Lucene. df desc / term asc, capped."""
+    import re as _re
+
+    wild = [j for j, c in enumerate(pattern) if c in "*?"]
+    prefix = pattern[: wild[0]] if wild else pattern
+    rx = "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
+    )
+    rts = index.term_stats
+    if prefix:
+        rts = rts.filter(F.col("term").startswith(prefix))
+    rows = (
+        rts.filter(F.col("term").rlike(f"^(?:{rx})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): general wildcard retrieval —
+    each query string is a Lucene wildcard pattern (``*``/``?``); it
+    expands to the full-matching vocabulary terms (df-desc capped,
+    literal-prefix pruned) and scores as the disjunctive BM25 of the
+    expansion via the unchanged WAND machinery (same rewrite contract
+    as prefix/suffix/regexp/fuzzy)."""
+    expansions = {
+        qid: expand_wildcard(index, q.strip().lower(), max_expansion)
+        for qid, q in queries
+    }
+    synth: list[tuple[int, str]] = [
+        (qid, " ".join(terms)) for qid, terms in expansions.items() if terms
+    ]
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
 def expand_regexp(
     index: InvertedIndex, pattern: str, max_expansion: int = 64
 ) -> list[str]:

@@ -192,6 +192,31 @@ def prefixes_values_sql() -> str:
     return f"(VALUES {rows}) AS pfx(query_id, pfx)"
 
 
+# General wildcard (Lucene WildcardQuery) set: `*` = any run, `?` =
+# one char, whole-term match. Shapes: literal-prefix-prunable middle
+# star, single-char ?, leading wildcard (no prefix prune), bare
+# prefix form, and a no-match pattern.
+WILDCARD_SET: list[tuple[int, str]] = [
+    (1, "s*n"),       # scan, ...
+    (2, "c?stomer"),  # customer
+    (3, "*ast"),      # fast (leading wildcard)
+    (4, "jo*"),       # join (pure prefix form)
+    (5, "q*zz?"),     # no match
+]
+WILDCARD_MAX_EXPANSION = 64
+
+
+def wildcards_values_sql() -> str:
+    """VALUES rows carrying the SQL LIKE translation of each pattern
+    (`*` -> `%`, `?` -> `_`): LIKE's wildcard semantics are exactly
+    Lucene's, so the oracle expands the dictionary with one LIKE."""
+    rows = ", ".join(
+        f"({qid}, '{p.replace('*', '%').replace('?', '_')}')"
+        for qid, p in WILDCARD_SET
+    )
+    return f"(VALUES {rows}) AS wc(query_id, pat)"
+
+
 # Proximity (NEAR/W) pair set: docs where the two terms occur within
 # W tokens of each other (distinct occurrences, either order). Shapes:
 # common pairs, a pair with an out-of-vocabulary term (zero rows), and
