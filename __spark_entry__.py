@@ -30,8 +30,14 @@ from embed_rerank_spark.queryset import (  # noqa: E402
     PREFIX_MAX_EXPANSION,
     PREFIX_SET,
     PROXIMITY_SET,
+    GEO_ORIGIN_LAT,
+    GEO_ORIGIN_LON,
+    GEO_RADIUS_KM,
+    GEO_TOP_K,
+    GEOTILE_ZOOM,
     PROXIMITY_WINDOW,
     QUERY_SET,
+    TERM_RANGE_MAX_EXPANSION,
     TOP_K,
     WILDCARD_MAX_EXPANSION,
     phrase_needles_values_sql,
@@ -40,6 +46,7 @@ from embed_rerank_spark.queryset import (  # noqa: E402
     proximity_pairs_values_sql,
     proximity_terms_values_sql,
     query_terms_values_sql,
+    term_ranges_values_sql,
     wildcards_values_sql,
 )
 
@@ -2048,6 +2055,73 @@ def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_term_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TermRangeQuery / ES range-on-keyword (operators/wand.py::
+    term_range_topk): [lower, upper) dictionary expansion (df-desc
+    capped), disjunctive BM25 via WAND (SCORING_BOOLEAN_REWRITE)."""
+    from embed_rerank_spark.operators.wand import term_range_topk
+    from embed_rerank_spark.queryset import TERM_RANGE_MAX_EXPANSION, TERM_RANGE_SET
+
+    index = _cached_index(spark, sf_dir)
+    out = term_range_topk(
+        index, TERM_RANGE_SET, k=TOP_K, max_expansion=TERM_RANGE_MAX_EXPANSION
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot aggregation over each query's match set: exact R-7
+    quartiles + Tukey fences (operators/facets.py::boxplot_facets)."""
+    from embed_rerank_spark.operators.facets import boxplot_facets
+
+    return _round6(boxplot_facets(spark, _docs(spark, sf_dir), QUERY_SET, "n_chars"))
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats aggregation over each query's match set: length
+    stats + Shannon entropy of the character distribution
+    (operators/facets.py::string_stats_facets)."""
+    from embed_rerank_spark.operators.facets import string_stats_facets
+
+    out = string_stats_facets(spark, _docs(spark, sf_dir), QUERY_SET, "text")
+    return out.select(
+        "query_id",
+        "n_docs",
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def q_geo_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query + _geo_distance sort over the
+    deterministically geo-enriched doc table (operators/geo.py::
+    geo_distance_topk): haversine within radius, nearest-first top-k."""
+    from embed_rerank_spark.operators.geo import geo_distance_topk, with_derived_geo
+    from embed_rerank_spark.queryset import (
+        GEO_ORIGIN_LAT,
+        GEO_ORIGIN_LON,
+        GEO_RADIUS_KM,
+        GEO_TOP_K,
+    )
+
+    geo = with_derived_geo(_docs(spark, sf_dir))
+    return geo_distance_topk(
+        geo, GEO_ORIGIN_LAT, GEO_ORIGIN_LON, GEO_RADIUS_KM, k=GEO_TOP_K
+    )
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (Web-Mercator slippy tiles) over the
+    geo-enriched doc table (operators/geo.py::geotile_grid)."""
+    from embed_rerank_spark.operators.geo import geotile_grid, with_derived_geo
+    from embed_rerank_spark.queryset import GEOTILE_ZOOM
+
+    geo = with_derived_geo(_docs(spark, sf_dir))
+    return geotile_grid(geo, GEOTILE_ZOOM).orderBy("tile_x", "tile_y")
+
+
 AUTO_HIST_TARGET = 12
 
 
@@ -3548,6 +3622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_full_topk": q_bm25f_full_topk,
         "auto_date_histogram": q_auto_date_histogram,
         "wildcard_topk": q_wildcard_topk,
+        "term_range_topk": q_term_range_topk,
+        "boxplot": q_boxplot,
+        "string_stats": q_string_stats,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geotile_grid": q_geotile_grid,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7332,6 +7411,129 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "term_range_topk": f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    SELECT tr.query_id, df.term,
+           row_number() OVER (PARTITION BY tr.query_id
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {term_ranges_values_sql()} JOIN df ON df.term >= tr.lo AND df.term < tr.hi
+),
+qt2 AS (SELECT query_id, term FROM expanded WHERE rk <= {TERM_RANGE_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "boxplot": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (
+    SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+    FROM matched m JOIN documents d USING (doc_id)
+),
+base AS (
+    SELECT query_id, count(*) AS n_docs, min(v) AS min_v, max(v) AS max_v,
+           quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+           quantile_cont(v, 0.75) AS q3
+    FROM vals GROUP BY query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_docs,
+       round(min_v, 6) AS min_v, round(q1, 6) AS q1, round(q2, 6) AS q2,
+       round(q3, 6) AS q3, round(max_v, 6) AS max_v,
+       round(q3 - q1, 6) AS iqr,
+       round(q1 - 1.5 * (q3 - q1), 6) AS lower_fence,
+       round(q3 + 1.5 * (q3 - q1), 6) AS upper_fence
+FROM base
+""",
+        "string_stats": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM {qt} JOIN tf USING (term)),
+vals AS (SELECT m.query_id, d.text AS t FROM matched m JOIN documents d USING (doc_id)),
+lens AS (
+    SELECT query_id, count(*) AS n_docs,
+           min(length(t)) AS min_length, max(length(t)) AS max_length,
+           avg(length(t)) AS avg_length
+    FROM vals GROUP BY query_id
+),
+cc AS (
+    SELECT query_id, ch, count(*) AS c
+    FROM (SELECT query_id, unnest(string_split(t, '')) AS ch FROM vals)
+    GROUP BY query_id, ch
+),
+tot AS (SELECT query_id, sum(c) AS n FROM cc GROUP BY query_id),
+ent AS (
+    SELECT cc.query_id,
+           -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) AS entropy
+    FROM cc JOIN tot USING (query_id) GROUP BY cc.query_id
+)
+SELECT CAST(lens.query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_length AS BIGINT) AS min_length, CAST(max_length AS BIGINT) AS max_length,
+       round(avg_length, 6) AS avg_length, round(entropy, 6) AS entropy
+FROM lens JOIN ent ON lens.query_id = ent.query_id
+""",
+        "geo_distance_topk": f"""
+WITH geo AS (
+    SELECT doc_id,
+           ((CAST(doc_id AS BIGINT) * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+           ((CAST(doc_id AS BIGINT) * 40503) % 170000000) / 1000000.0 - 85.0 AS lat
+    FROM documents
+),
+d AS (
+    SELECT doc_id,
+           2.0 * 6371.0088 * asin(sqrt(
+               sin(radians({GEO_ORIGIN_LAT} - lat) / 2) * sin(radians({GEO_ORIGIN_LAT} - lat) / 2)
+               + cos(radians(lat)) * cos(radians({GEO_ORIGIN_LAT}))
+                 * sin(radians({GEO_ORIGIN_LON} - lon) / 2) * sin(radians({GEO_ORIGIN_LON} - lon) / 2)
+           )) AS distance_km
+    FROM geo
+),
+hits AS (SELECT doc_id, distance_km FROM d WHERE distance_km <= {GEO_RADIUS_KM}),
+ranked AS (
+    SELECT doc_id, distance_km,
+           row_number() OVER (ORDER BY distance_km ASC, doc_id ASC) AS rank
+    FROM hits
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, round(distance_km, 6) AS distance_km
+FROM ranked WHERE rank <= {GEO_TOP_K}
+""",
+        "geotile_grid": f"""
+WITH geo AS (
+    SELECT doc_id,
+           ((CAST(doc_id AS BIGINT) * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+           ((CAST(doc_id AS BIGINT) * 40503) % 170000000) / 1000000.0 - 85.0 AS lat
+    FROM documents
+),
+tiles AS (
+    SELECT
+        least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << GEOTILE_ZOOM)}), 0), {(1 << GEOTILE_ZOOM) - 1}) AS tile_x,
+        least(greatest(floor(
+            (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+            / 2.0 * {float(1 << GEOTILE_ZOOM)}
+        ), 0), {(1 << GEOTILE_ZOOM) - 1}) AS tile_y
+    FROM geo
+)
+SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM tiles GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
 """,
         "explain_scores": explain_sql,
         "best_snippets": best_snippets_sql,

@@ -1289,3 +1289,101 @@ def auto_date_histogram(
     return hist.join(F.broadcast(chosen), ["query_id", "interval"]).select(
         "query_id", "interval", "bucket_start", "n_docs"
     )
+
+
+def boxplot_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, min_v, q1, q2, q3, max_v, iqr, lower_fence,
+    upper_fence) — the Elasticsearch ``boxplot`` aggregation over each
+    query's full matching doc set, EXACT with linear interpolation
+    (ES computes quartiles with TDigest; the contract pins the exact
+    R-7 variant so the DuckDB ``quantile_cont`` oracle is
+    bit-comparable). Fences are the Tukey 1.5*IQR whisker limits ES
+    exposes around the box.
+
+    Scale shape: identical to ``percentiles_facets`` — one collapse
+    agg over the match set, one pruned value join, one per-query
+    ``percentile`` aggregate whose buffer is bounded by the match-set
+    size (swap to ``percentile_approx`` for corpus-scale groups, the
+    ES-default behavior, at the cost of oracle exactness)."""
+    joined = _matched_values(
+        spark, docs, queries, [F.col(value_col).cast("double").alias("_v")],
+        id_col, text_col,
+    )
+    base = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        F.percentile(F.col("_v"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+    )
+    q1 = F.col("qs")[0]
+    q2 = F.col("qs")[1]
+    q3 = F.col("qs")[2]
+    iqr = q3 - q1
+    return base.select(
+        "query_id", "n_docs", "min_v",
+        q1.alias("q1"), q2.alias("q2"), q3.alias("q3"),
+        "max_v",
+        iqr.alias("iqr"),
+        (q1 - F.lit(1.5) * iqr).alias("lower_fence"),
+        (q3 + F.lit(1.5) * iqr).alias("upper_fence"),
+    )
+
+
+def string_stats_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, min_length, max_length, avg_length, entropy)
+    — the Elasticsearch ``string_stats`` aggregation (with
+    ``show_distribution``'s underlying character model) over each
+    query's matching doc set: length stats of the field plus the
+    Shannon entropy (log2) of the CHARACTER distribution across all
+    matched values, exactly as ES computes it from per-character
+    counts.
+
+    Scale shape: two combinable hash aggs. The length stats are one
+    (count/min/max/avg) agg over the match set. The entropy pass
+    explodes the field into characters — a row per char, but the
+    (query_id, char) count agg is map-side combinable, so the SHUFFLE
+    volume is bounded by partitions x alphabet x queries, never by
+    corpus characters; the final per-query entropy folds the tiny
+    (query, char, count) table."""
+    joined = _matched_values(
+        spark, docs, queries, [F.col(field_col).alias("_t")], id_col, text_col
+    )
+    lens = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("_t")).alias("min_length"),
+        F.max(F.length("_t")).alias("max_length"),
+        F.avg(F.length("_t")).alias("avg_length"),
+    )
+    chars = (
+        joined.select("query_id", F.explode(F.split(F.col("_t"), "")).alias("ch"))
+        .groupBy("query_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = (
+        chars.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("query_id"))
+        )
+        .groupBy("query_id")
+        .agg(
+            (-F.sum(
+                (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))
+            )).alias("entropy")
+        )
+    )
+    return lens.join(ent, "query_id").select(
+        "query_id", "n_docs", "min_length", "max_length", "avg_length", "entropy"
+    )

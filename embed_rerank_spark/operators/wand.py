@@ -1445,3 +1445,63 @@ def infix_topk(
             [], "query_id long, rank int, doc_id long, score double"
         )
     return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
+def expand_term_range(
+    index: InvertedIndex,
+    lower: str | None,
+    upper: str | None,
+    include_lower: bool = True,
+    include_upper: bool = False,
+    max_expansion: int = 64,
+) -> list[str]:
+    """Dictionary expansion for a Lucene ``TermRangeQuery`` / ES
+    ``range``-on-keyword clause: vocabulary terms lexicographically
+    between ``lower`` and ``upper`` (either bound may be None = open,
+    inclusivity per flag — ES gte/gt/lte/lt), df desc / term asc,
+    capped at ``max_expansion`` (Lucene's multi-term rewrite bound).
+    Both bound predicates are sargable string comparisons the
+    dictionary scan pushes down (parquet min/max stats prune; the
+    fc-dictionary's block ranges prune the same way)."""
+    rts = index.term_stats
+    if lower is not None:
+        rts = rts.filter(
+            F.col("term") >= lower if include_lower else F.col("term") > lower
+        )
+    if upper is not None:
+        rts = rts.filter(
+            F.col("term") <= upper if include_upper else F.col("term") < upper
+        )
+    rows = (
+        rts.orderBy(F.desc("df"), F.asc("term")).limit(max_expansion).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def term_range_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str | None, str | None]],
+    k: int = 10,
+    max_expansion: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): term-range retrieval — each
+    query is (id, lower, upper), [lower, upper) like Lucene's
+    TermRangeQuery default, expanded against the dictionary and scored
+    as the disjunctive BM25 of the expansion via the unchanged WAND
+    machinery (Lucene's SCORING_BOOLEAN_REWRITE; the constant-score
+    rewrite is ``filtered_topk`` with the same expansion as the
+    filter)."""
+    synth: list[tuple[int, str]] = []
+    for qid, lo, hi in queries:
+        terms = expand_term_range(index, lo, hi, max_expansion=max_expansion)
+        if terms:
+            synth.append((qid, " ".join(terms)))
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)

@@ -765,3 +765,31 @@ SPAN_NOT_SET: list[tuple[int, str, str]] = [
     (4, "scan", "scan"),
 ]
 SPAN_NOT_WINDOW = 3
+
+
+# Term-range (Lucene TermRangeQuery, [lower, upper) default) set:
+# a mid-dictionary range, a wide range that hits the expansion cap,
+# a narrow range, and an empty range.
+TERM_RANGE_SET: list[tuple[int, str, str]] = [
+    (1, "s", "t"),
+    (2, "a", "e"),
+    (3, "join", "joio"),
+    (4, "zzzz", "zzzzz"),
+]
+TERM_RANGE_MAX_EXPANSION = 64
+
+
+def term_ranges_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{lo}', '{hi}')" for qid, lo, hi in TERM_RANGE_SET)
+    return f"(VALUES {rows}) AS tr(query_id, lo, hi)"
+
+
+# Geo surface parameters: one origin + radius for the geo_distance
+# query/sort, one zoom for the geotile_grid aggregation. The synthetic
+# per-doc (lon, lat) derivation lives in operators/geo.py and is
+# mirrored verbatim in the oracle SQL.
+GEO_ORIGIN_LAT = 20.0
+GEO_ORIGIN_LON = 10.0
+GEO_RADIUS_KM = 3000.0
+GEO_TOP_K = 20
+GEOTILE_ZOOM = 6

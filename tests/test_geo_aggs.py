@@ -1,0 +1,147 @@
+"""Geo surface (haversine distance query/sort, geotile_grid) and the
+boxplot / string_stats aggregations: semantics vs pure-Python
+references on tiny frames."""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from embed_rerank_spark.operators.facets import (  # noqa: E402
+    boxplot_facets,
+    string_stats_facets,
+)
+from embed_rerank_spark.operators.geo import (  # noqa: E402
+    EARTH_RADIUS_KM,
+    geo_bounding_box_count,
+    geo_distance_topk,
+    geotile_grid,
+    with_derived_geo,
+)
+
+DOCS = [
+    (1, "fast hash join", "en", 101),
+    (2, "slow table scan", "en", 205),
+    (3, "hash table lookup fast", "de", 150),
+    (4, "merge sort merge", "en", 99),
+    (5, "scan scan row", "fr", 310),
+    (6, "a lone row", "en", 77),
+]
+SCHEMA = "doc_id long, text string, lang string, n_chars long"
+
+
+def _py_haversine(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2
+    dl = math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+def _py_geo(doc_id):
+    lon = (doc_id * 2654435761 % 360000000) / 1e6 - 180.0
+    lat = (doc_id * 40503 % 170000000) / 1e6 - 85.0
+    return lon, lat
+
+
+def test_derived_geo_matches_python_and_bounds(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    rows = with_derived_geo(docs).select("doc_id", "lon", "lat").collect()
+    for r in rows:
+        lon, lat = _py_geo(r["doc_id"])
+        assert r["lon"] == pytest.approx(lon, abs=1e-12)
+        assert r["lat"] == pytest.approx(lat, abs=1e-12)
+        assert -180.0 <= r["lon"] < 180.0 and -85.0 <= r["lat"] < 85.0
+
+
+def test_geo_distance_topk_matches_python(spark):
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    origin_lat, origin_lon, radius = 20.0, 10.0, 9000.0
+    got = [
+        (r["rank"], r["doc_id"], r["distance_km"])
+        for r in geo_distance_topk(docs, origin_lat, origin_lon, radius, k=4).collect()
+    ]
+    dists = []
+    for doc_id, *_ in DOCS:
+        lon, lat = _py_geo(doc_id)
+        d = _py_haversine(lat, lon, origin_lat, origin_lon)
+        if d <= radius:
+            dists.append((d, doc_id))
+    dists.sort()
+    want = [(i + 1, doc_id, round(d, 6)) for i, (d, doc_id) in enumerate(dists[:4])]
+    assert got == want
+
+
+def test_geo_bounding_box_count(spark):
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    top, left, bottom, right = 85.0, -180.0, -85.0, 0.0
+    n = geo_bounding_box_count(docs, top, left, bottom, right).collect()[0]["n_docs"]
+    want = sum(1 for doc_id, *_ in DOCS if _py_geo(doc_id)[0] <= 0.0)
+    assert n == want
+
+
+def test_geotile_grid_matches_python(spark):
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    zoom = 4
+    got = {
+        (r["tile_x"], r["tile_y"]): r["n_docs"]
+        for r in geotile_grid(docs, zoom).collect()
+    }
+    n = float(1 << zoom)
+    want: Counter = Counter()
+    for doc_id, *_ in DOCS:
+        lon, lat = _py_geo(doc_id)
+        phi = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        y = math.floor((1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.pi) / 2.0 * n)
+        x = min(max(x, 0), int(n) - 1)
+        y = min(max(y, 0), int(n) - 1)
+        want[(x, y)] += 1
+    assert got == dict(want)
+
+
+def _quantile(sorted_vals, p):
+    # R-7 linear interpolation, the Spark `percentile` definition
+    idx = (len(sorted_vals) - 1) * p
+    lo, hi = math.floor(idx), math.ceil(idx)
+    return sorted_vals[lo] + (idx - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def test_boxplot_facets_matches_python(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    queries = [(1, "fast scan"), (2, "merge")]
+    got = {r["query_id"]: r for r in boxplot_facets(spark, docs, queries, "n_chars").collect()}
+    toks = {d: set(t.split()) for d, t, *_ in DOCS}
+    nchars = {d: float(c) for d, _, _, c in DOCS}
+    for qid, q in queries:
+        match = sorted(nchars[d] for d in toks if toks[d] & set(q.split()))
+        r = got[qid]
+        q1, q2, q3 = (_quantile(match, p) for p in (0.25, 0.5, 0.75))
+        assert r["n_docs"] == len(match)
+        assert r["min_v"] == match[0] and r["max_v"] == match[-1]
+        assert (r["q1"], r["q2"], r["q3"]) == pytest.approx((q1, q2, q3))
+        assert r["iqr"] == pytest.approx(q3 - q1)
+        assert r["lower_fence"] == pytest.approx(q1 - 1.5 * (q3 - q1))
+        assert r["upper_fence"] == pytest.approx(q3 + 1.5 * (q3 - q1))
+
+
+def test_string_stats_facets_matches_python(spark):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    queries = [(1, "fast scan")]
+    r = string_stats_facets(spark, docs, queries, "text").collect()[0]
+    toks = {d: set(t.split()) for d, t, *_ in DOCS}
+    texts = [t for d, t, *_ in DOCS if toks[d] & {"fast", "scan"}]
+    counts = Counter("".join(texts))
+    n = sum(counts.values())
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    assert r["n_docs"] == len(texts)
+    assert r["min_length"] == min(len(t) for t in texts)
+    assert r["max_length"] == max(len(t) for t in texts)
+    assert r["avg_length"] == pytest.approx(sum(map(len, texts)) / len(texts))
+    assert r["entropy"] == pytest.approx(entropy)

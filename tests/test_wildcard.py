@@ -98,3 +98,44 @@ def test_wildcard_topk_equals_bruteforce_on_expansion(spark, index):
             want[(r["query_id"], r["rank"])] = (r["doc_id"], round(r["score"], 6))
     assert got == want
     assert not any(q == 3 for q, _ in got)  # no-match pattern yields no rows
+
+
+def test_expand_term_range_bounds_and_cap(index):
+    from embed_rerank_spark.operators.wand import expand_term_range
+
+    vocab = sorted(r["term"] for r in index.term_stats.collect())
+    # [s, t): every term starting in the s range
+    want = [t for t in vocab if "s" <= t < "t"]
+    got = expand_term_range(index, "s", "t")
+    assert sorted(got) == want
+    # inclusivity flags
+    assert "scan" not in expand_term_range(index, "scan", "t", include_lower=False)
+    assert "scan" in expand_term_range(index, "row", "scan", include_upper=True)
+    assert "scan" not in expand_term_range(index, "row", "scan")
+    # open bounds = whole dictionary (capped)
+    assert sorted(expand_term_range(index, None, None, max_expansion=1000)) == vocab
+    # cap keeps df-desc leaders
+    full = expand_term_range(index, None, None, max_expansion=1000)
+    dfs = {r["term"]: r["df"] for r in index.term_stats.collect()}
+    ordered = sorted(full, key=lambda t: (-dfs[t], t))
+    assert expand_term_range(index, None, None, max_expansion=3) == ordered[:3]
+
+
+def test_term_range_topk_equals_bruteforce_on_expansion(spark, index):
+    from embed_rerank_spark.operators.wand import expand_term_range, term_range_topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ranges = [(1, "s", "t"), (2, "zzzz", "zzzzz")]
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in term_range_topk(index, ranges, k=5).collect()
+    }
+    want = {}
+    for qid, lo, hi in ranges:
+        terms = expand_term_range(index, lo, hi)
+        if not terms:
+            continue
+        for r in bm25_topk_bruteforce(spark, docs, [(qid, " ".join(terms))], k=5).collect():
+            want[(r["query_id"], r["rank"])] = (r["doc_id"], round(r["score"], 6))
+    assert got == want
+    assert not any(q == 2 for q, _ in got)
