@@ -2112,6 +2112,41 @@ def q_geo_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds + geo_centroid per lang group over the
+    geo-enriched doc table (operators/geo.py::geo_bounds_centroid)."""
+    from embed_rerank_spark.operators.geo import geo_bounds_centroid, with_derived_geo
+
+    geo = with_derived_geo(_docs(spark, sf_dir))
+    return _round6(geo_bounds_centroid(geo, group_col="lang")).orderBy("group")
+
+
+def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: relevance-ranked match sample capped
+    per lang, metric sub-agg over the survivors (operators/facets.py::
+    diversified_sampler_stats)."""
+    from embed_rerank_spark.operators.facets import diversified_sampler_stats
+
+    return _round6(
+        diversified_sampler_stats(
+            spark, _docs(spark, sf_dir), QUERY_SET,
+            dedup_col="lang", max_docs_per_value=3, shard_size=8,
+        )
+    )
+
+
+def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending keys per day window vs own all-time rate — the ES
+    significant-terms-on-a-date-slice pattern (operators/events.py::
+    trending_keys; identical plan under Structured Streaming)."""
+    from embed_rerank_spark.operators.events import trending_keys
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trending_keys(ev, "1 day", min_lift=1.05).orderBy(
+        "window_start", "event_type"
+    )
+
+
 def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geotile_grid aggregation (Web-Mercator slippy tiles) over the
     geo-enriched doc table (operators/geo.py::geotile_grid)."""
@@ -3627,6 +3662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats": q_string_stats,
         "geo_distance_topk": q_geo_distance_topk,
         "geotile_grid": q_geotile_grid,
+        "geo_bounds": q_geo_bounds,
+        "diversified_sampler": q_diversified_sampler,
+        "trending_events": q_trending_events,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7534,6 +7572,76 @@ tiles AS (
 SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM tiles GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+""",
+        "geo_bounds": """
+WITH geo AS (
+    SELECT lang,
+           ((CAST(doc_id AS BIGINT) * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+           ((CAST(doc_id AS BIGINT) * 40503) % 170000000) / 1000000.0 - 85.0 AS lat
+    FROM documents
+)
+SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
+       round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+       round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+FROM geo GROUP BY lang ORDER BY lang
+""",
+        "diversified_sampler": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {qt}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, d.lang, CAST(d.n_chars AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY s.query_id, d.lang
+                              ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS vrk
+    FROM scored s JOIN documents d USING (doc_id)
+),
+kept AS (
+    SELECT query_id, doc_id, v,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS srk
+    FROM (SELECT r.*, s.score FROM ranked r JOIN scored s USING (query_id, doc_id)
+          WHERE vrk <= 3)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(v), 6) AS avg_v
+FROM kept WHERE srk <= 8 GROUP BY query_id
+""",
+        "trending_events": """
+WITH win AS (
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+nw AS (SELECT count(DISTINCT window_start) AS n_windows FROM win),
+mom AS (
+    SELECT event_type, sum(n) AS s1, sum(n * n) AS s2 FROM win GROUP BY event_type
+),
+derived AS (
+    SELECT m.event_type,
+           CAST(m.s1 AS DOUBLE) / nw.n_windows AS mean_w,
+           sqrt(greatest(CAST(m.s2 AS DOUBLE) / nw.n_windows
+                - (CAST(m.s1 AS DOUBLE) / nw.n_windows) * (CAST(m.s1 AS DOUBLE) / nw.n_windows), 0.0)) AS std_w
+    FROM mom m CROSS JOIN nw
+)
+SELECT w.window_start, w.event_type, CAST(w.n AS BIGINT) AS n_events,
+       round(d.mean_w, 6) AS expected,
+       round(w.n / d.mean_w, 6) AS lift,
+       round(CASE WHEN d.std_w > 0 THEN (w.n - d.mean_w) / d.std_w ELSE 0.0 END, 6) AS z_score
+FROM win w JOIN derived d USING (event_type)
+WHERE w.n / d.mean_w >= 1.05
+ORDER BY 1, 2
 """,
         "explain_scores": explain_sql,
         "best_snippets": best_snippets_sql,

@@ -186,3 +186,80 @@ def sessionize(
             F.unix_timestamp("last_ts").alias("session_end"),
         )
     )
+
+
+def trending_keys(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    min_lift: float = 1.1,
+) -> DataFrame:
+    """(window_start, <key>, n_events, expected, lift, z_score) — keys
+    over-represented in a time window relative to their OWN all-time
+    rate: the significant-terms-on-a-date-slice pattern (ES
+    "trending topics" recipe: date_histogram + significant keys with
+    the rest of time as background). Per (window, key):
+
+        expected = total_key_events / n_windows      (uniform rate)
+        lift     = n / expected
+        z_score  = (n - mean_per_window) / std_per_window
+
+    where mean/std are the key's per-window population moments over
+    ALL windows in the data (empty windows count as zero — computed
+    from sum/sumsq over the distinct-window count, not only observed
+    rows). Rows with lift >= ``min_lift`` survive, ordered lift desc.
+
+    Runs identically over a batch frame or a watermarked stream (the
+    per-window agg is Spark's native window operator; the background
+    join becomes a stream-static or stream-stream join).
+
+    Scale shape: one (window, key) hash agg over the events scan —
+    map-side combinable — then two TINY aggregates (per-key moments,
+    global window count) broadcast back; no second corpus pass."""
+    win = (
+        events.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), key_col, "n")
+    )
+    n_windows = win.select("window_start").distinct().agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    moments = (
+        win.groupBy(key_col)
+        .agg(
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+        )
+        .crossJoin(F.broadcast(n_windows))
+        .withColumn("mean_w", F.col("s1") / F.col("n_windows"))
+        .withColumn(
+            "std_w",
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n_windows") - F.col("mean_w") * F.col("mean_w"),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    out = (
+        win.join(F.broadcast(moments.select(key_col, "s1", "n_windows", "mean_w", "std_w")), key_col)
+        .withColumn("expected", F.col("s1") / F.col("n_windows"))
+        .withColumn("lift", F.col("n") / F.col("expected"))
+        .withColumn(
+            "z_score",
+            F.when(F.col("std_w") > 0, (F.col("n") - F.col("mean_w")) / F.col("std_w")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("lift") >= float(min_lift))
+    )
+    return out.select(
+        "window_start",
+        key_col,
+        F.col("n").alias("n_events"),
+        F.round("expected", 6).alias("expected"),
+        F.round("lift", 6).alias("lift"),
+        F.round("z_score", 6).alias("z_score"),
+    )

@@ -1387,3 +1387,55 @@ def string_stats_facets(
     return lens.join(ent, "query_id").select(
         "query_id", "n_docs", "min_length", "max_length", "avg_length", "entropy"
     )
+
+
+def diversified_sampler_stats(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    dedup_col: str = "lang",
+    max_docs_per_value: int = 3,
+    shard_size: int = 100,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_docs, avg_v) — the Elasticsearch
+    ``diversified_sampler`` aggregation: per query, rank the matching
+    docs by BM25 relevance, keep at most ``max_docs_per_value`` docs
+    per distinct ``dedup_col`` value (best-first — ES's
+    de-biasing of samples dominated by one host/language), cap the
+    surviving sample at ``shard_size``, then run the metric sub-agg
+    (count + avg of ``value_col``) over that sample. Deterministic by
+    the engine tie rule (score round-6 desc, doc_id asc), so the
+    DuckDB oracle reproduces the sample exactly.
+
+    Scale shape: relevance ranking is the scorer's existing plan; the
+    diversity pass is two windows over the per-query candidate set
+    (bounded by the match set, further cut by shard_size), never the
+    corpus; the sub-agg is one combinable hash agg."""
+    from .bm25 import TIE_DECIMALS, bm25_scores_bruteforce, query_terms
+
+    qt = query_terms(spark, queries)
+    scored = bm25_scores_bruteforce(docs, qt, 1.2, 0.75)
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(dedup_col).alias("_dv"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    ranked = scored.join(vals, "doc_id")
+    per_value = Window.partitionBy("query_id", "_dv").orderBy(
+        F.desc(F.round("score", TIE_DECIMALS)), F.asc("doc_id")
+    )
+    overall = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", TIE_DECIMALS)), F.asc("doc_id")
+    )
+    sample = (
+        ranked.withColumn("vrk", F.row_number().over(per_value))
+        .filter(F.col("vrk") <= max_docs_per_value)
+        .withColumn("srk", F.row_number().over(overall))
+        .filter(F.col("srk") <= shard_size)
+    )
+    return sample.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_v").alias("avg_v")
+    )

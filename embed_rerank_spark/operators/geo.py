@@ -153,3 +153,27 @@ def geotile_grid(docs: DataFrame, zoom: int, min_doc_count: int = 1) -> DataFram
     if min_doc_count > 1:
         out = out.filter(F.col("n_docs") >= min_doc_count)
     return out
+
+
+def geo_bounds_centroid(docs: DataFrame, group_col: str | None = None) -> DataFrame:
+    """([group,] n_docs, min_lat, max_lat, min_lon, max_lon,
+    centroid_lat, centroid_lon) — the ES ``geo_bounds`` (envelope of
+    matching points; top_left = (max_lat, min_lon), bottom_right =
+    (min_lat, max_lon)) and ``geo_centroid`` (arithmetic mean of the
+    coordinates, the ES definition — not a spherical centroid)
+    aggregations in one pass, optionally per group.
+
+    Scale shape: one combinable hash agg (min/max/avg x 2 + count)
+    over a two-column scan — the cheapest shape Spark has."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.avg("lat").alias("centroid_lat"),
+        F.avg("lon").alias("centroid_lon"),
+    ]
+    if group_col is None:
+        return docs.agg(*aggs)
+    return docs.groupBy(F.col(group_col).alias("group")).agg(*aggs)

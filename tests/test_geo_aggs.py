@@ -145,3 +145,72 @@ def test_string_stats_facets_matches_python(spark):
     assert r["max_length"] == max(len(t) for t in texts)
     assert r["avg_length"] == pytest.approx(sum(map(len, texts)) / len(texts))
     assert r["entropy"] == pytest.approx(entropy)
+
+
+def test_geo_bounds_centroid_grouped(spark):
+    from embed_rerank_spark.operators.geo import geo_bounds_centroid
+
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    got = {r["group"]: r for r in geo_bounds_centroid(docs, "lang").collect()}
+    langs = {}
+    for doc_id, _, lang, _ in DOCS:
+        langs.setdefault(lang, []).append(_py_geo(doc_id))
+    for lang, pts in langs.items():
+        r = got[lang]
+        lons = [p[0] for p in pts]
+        lats = [p[1] for p in pts]
+        assert r["n_docs"] == len(pts)
+        assert (r["min_lat"], r["max_lat"]) == pytest.approx((min(lats), max(lats)))
+        assert (r["min_lon"], r["max_lon"]) == pytest.approx((min(lons), max(lons)))
+        assert r["centroid_lat"] == pytest.approx(sum(lats) / len(lats))
+        assert r["centroid_lon"] == pytest.approx(sum(lons) / len(lons))
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    from embed_rerank_spark.operators.facets import diversified_sampler_stats
+
+    # all docs match "row scan"; lang 'en' has 4 docs -> capped to 2
+    docs = spark.createDataFrame(
+        [
+            (1, "row scan", "en", 10),
+            (2, "row scan scan", "en", 20),
+            (3, "row", "en", 30),
+            (4, "scan", "en", 40),
+            (5, "row row scan", "de", 50),
+            (6, "scan row", "fr", 60),
+        ],
+        SCHEMA,
+    )
+    r = diversified_sampler_stats(
+        spark, docs, [(1, "row scan")], dedup_col="lang",
+        max_docs_per_value=2, shard_size=100,
+    ).collect()[0]
+    # 2 en + 1 de + 1 fr survive = 4 docs
+    assert r["n_docs"] == 4
+
+
+def test_trending_keys_counts_empty_windows_as_zero(spark):
+    from embed_rerank_spark.operators.events import trending_keys
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'a': 2 events day0, 0 day1, 1 day2 -> mean 1.0 over 3 windows
+    for d, n in [(0, 2), (2, 1)]:
+        rows += [(base + dt.timedelta(days=d, minutes=i), "a") for i in range(n)]
+    # 'b': 1 event each day -> flat, lift 1.0 everywhere
+    rows += [(base + dt.timedelta(days=d), "b") for d in range(3)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        (r["window_start"], r["event_type"]): r
+        for r in trending_keys(ev, "1 day", key_col="event_type", min_lift=1.1).collect()
+    }
+    # only a@day0 trends: n=2 vs expected 1.0 (3 windows exist thanks to 'b')
+    assert len(got) == 1
+    ((_, key),) = got.keys()
+    assert key == "a"
+    r = next(iter(got.values()))
+    assert r["n_events"] == 2 and r["lift"] == pytest.approx(2.0)
+    # std over {2,0,1}: mean 1, var 2/3 -> z = (2-1)/sqrt(2/3)
+    assert r["z_score"] == pytest.approx(round(1 / math.sqrt(2 / 3), 6))
