@@ -92,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         default="or",
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
-            "prefix", "suffix", "infix", "regexp", "span-not", "interval",
+            "prefix", "suffix", "infix", "regexp", "wildcard", "term-range",
+            "span-not", "interval",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -103,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         "prefix/suffix/infix = wildcard retrieval (each query line is the "
         "term fragment; infix uses the trigram-filtered dictionary); "
         "regexp = whole-term regexp dictionary expansion; "
+        "wildcard = Lucene */? whole-term patterns (prefix-pruned); "
+        "term-range = lexicographic [lower, upper) dictionary range "
+        "(each query line: 'lower upper'); "
         "span-not = include term NOT within --near-window of the exclude "
         "term (each query line: 'include exclude', POSITIONAL index); "
         "interval = Lucene ordered intervals with --max-gaps slack "
@@ -726,6 +730,18 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import regexp_topk
 
                 out = regexp_topk(idx, queries, k=args.k)
+            elif args.mode == "wildcard":
+                from .operators.wand import wildcard_topk
+
+                out = wildcard_topk(idx, queries, k=args.k)
+            elif args.mode == "term-range":
+                from .operators.wand import term_range_topk
+
+                ranges = [
+                    (qid, *q.split(None, 1)) for qid, q in queries
+                    if len(q.split()) >= 2
+                ]
+                out = term_range_topk(idx, ranges, k=args.k)
             elif args.mode == "interval":
                 from .operators.positions import interval_topk
 

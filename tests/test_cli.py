@@ -373,6 +373,16 @@ def test_cli_scrub_sketch_wildcards_collapse(spark, workspace, tmp_path):
                 "query", "--index", str(idx), "--queries", str(tmp_path / "wq.tsv"),
                 "--out", str(tmp_path / f"q_{mode}"), "--mode", mode, "--k", "3",
             ]) == 0
+        (tmp_path / "wild.tsv").write_text("0\tw?\n")
+        assert cli.main([
+            "query", "--index", str(idx), "--queries", str(tmp_path / "wild.tsv"),
+            "--out", str(tmp_path / "q_wildcard"), "--mode", "wildcard", "--k", "3",
+        ]) == 0
+        (tmp_path / "trange.tsv").write_text("0\ta zzzz\n")
+        assert cli.main([
+            "query", "--index", str(idx), "--queries", str(tmp_path / "trange.tsv"),
+            "--out", str(tmp_path / "q_term_range"), "--mode", "term-range", "--k", "3",
+        ]) == 0
         assert cli.main([
             "query", "--index", str(idx), "--queries", str(d / "queries.tsv"),
             "--out", str(tmp_path / "q_collapsed"), "--k", "3",
@@ -392,7 +402,7 @@ def test_cli_scrub_sketch_wildcards_collapse(spark, workspace, tmp_path):
     assert udup.filter("is_canonical").count() == 7  # one survivor per canon
     hh = spark.read.parquet(str(tmp_path / "hh"))
     assert hh.count() == 5 and hh.filter("err_ub = 0").count() == 5
-    for mode in ("prefix", "suffix", "infix"):
+    for mode in ("prefix", "suffix", "infix", "wildcard", "term_range"):
         q = spark.read.parquet(str(tmp_path / f"q_{mode}"))
         assert q.count() > 0, mode
     col = spark.read.parquet(str(tmp_path / "q_collapsed"))
