@@ -30,6 +30,7 @@ from embed_rerank_spark.queryset import (  # noqa: E402
     PREFIX_MAX_EXPANSION,
     PREFIX_SET,
     PROXIMITY_SET,
+    C4_MIN_WORDS_PER_LINE,
     GEO_ORIGIN_LAT,
     GEO_ORIGIN_LON,
     GEO_RADIUS_KM,
@@ -39,9 +40,11 @@ from embed_rerank_spark.queryset import (  # noqa: E402
     QUERY_SET,
     TERM_RANGE_MAX_EXPANSION,
     TOP_K,
+    ZIPF_TOP_N,
     WILDCARD_MAX_EXPANSION,
     phrase_needles_values_sql,
     phrase_terms_values_sql,
+    context_suggest_values_sql,
     prefixes_values_sql,
     proximity_pairs_values_sql,
     proximity_terms_values_sql,
@@ -2147,6 +2150,44 @@ def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as per-rule
+    flags (operators/textstats.py::c4_cleaning_rules); punctuation-
+    dependent rules disabled on the punctuation-free corpus, line
+    word-count + badword rules live."""
+    from embed_rerank_spark.operators.textstats import c4_cleaning_rules
+    from embed_rerank_spark.queryset import C4_BADWORDS, C4_MIN_WORDS_PER_LINE
+
+    return c4_cleaning_rules(
+        _docs(spark, sf_dir),
+        min_words_per_line=C4_MIN_WORDS_PER_LINE,
+        require_terminal_punct=False,
+        min_sentences=0,
+        badwords=C4_BADWORDS,
+    ).orderBy("doc_id")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf OLS diagnostic: ln(ctf) vs ln(rank) over the top-64 terms
+    (operators/textstats.py::zipf_fit)."""
+    from embed_rerank_spark.operators.textstats import zipf_fit
+    from embed_rerank_spark.queryset import ZIPF_TOP_N
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=ZIPF_TOP_N)
+
+
+def q_context_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with contexts: per-(prefix, lang)
+    completions ranked by in-context df (operators/rewrite.py::
+    context_suggest)."""
+    from embed_rerank_spark.operators.rewrite import context_suggest
+    from embed_rerank_spark.queryset import CONTEXT_SUGGEST_SET
+
+    return context_suggest(
+        spark, _docs(spark, sf_dir), CONTEXT_SUGGEST_SET
+    ).orderBy("query_id", "rank")
+
+
 def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geotile_grid aggregation (Web-Mercator slippy tiles) over the
     geo-enriched doc table (operators/geo.py::geotile_grid)."""
@@ -3665,6 +3706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounds": q_geo_bounds,
         "diversified_sampler": q_diversified_sampler,
         "trending_events": q_trending_events,
+        "c4_rules": q_c4_rules,
+        "zipf_fit": q_zipf_fit,
+        "context_suggest": q_context_suggest,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "range_facets": q_range_facets,
@@ -7642,6 +7686,78 @@ SELECT w.window_start, w.event_type, CAST(w.n AS BIGINT) AS n_events,
 FROM win w JOIN derived d USING (event_type)
 WHERE w.n / d.mean_w >= 1.05
 ORDER BY 1, 2
+""",
+        "c4_rules": f"""
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(text, '\\n') AS lines,
+           list_filter(regexp_split_to_array(text, '\\n'),
+               l -> length(trim(l)) > 0
+                    AND length(regexp_split_to_array(trim(l), '\\s+')) >= {C4_MIN_WORDS_PER_LINE}
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+    FROM documents
+),
+derived AS (
+    SELECT doc_id,
+           CAST(length(lines) AS INTEGER) AS n_lines,
+           CAST(length(kept) AS INTEGER) AS n_lines_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+    FROM base
+),
+flags AS (
+    SELECT d.doc_id, d.n_lines, d.n_lines_kept,
+           CAST(length(regexp_extract_all(d.kept_text, '[.!?]')) AS INTEGER) AS n_sentences,
+           TRUE AS pass_sentences,
+           NOT contains(lower(b.text), 'lorem ipsum') AS pass_lorem,
+           NOT contains(lower(b.text), '{{') AS pass_brace,
+           NOT list_contains(regexp_split_to_array(lower(b.text), '\\s+'), 'spark') AS pass_badwords,
+           d.kept_text
+    FROM derived d JOIN documents b USING (doc_id)
+)
+SELECT doc_id, n_lines, n_lines_kept, n_sentences, pass_sentences,
+       pass_lorem, pass_brace, pass_badwords,
+       (pass_sentences AND pass_lorem AND pass_brace AND pass_badwords
+        AND n_lines_kept > 0) AS keep,
+       kept_text
+FROM flags ORDER BY doc_id
+""",
+        "zipf_fit": f"""
+WITH {_TOKS_CTE},
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+topt AS (
+    SELECT term, ctf, row_number() OVER (ORDER BY ctf DESC, term ASC) AS rank
+    FROM ctf QUALIFY rank <= {ZIPF_TOP_N}
+),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(ctf AS DOUBLE)) AS y FROM topt),
+s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+        "context_suggest": f"""
+WITH {_TOKS_CTE},
+dterms AS (
+    SELECT DISTINCT t.doc_id, t.term, d.lang
+    FROM toks t JOIN documents d USING (doc_id)
+),
+ctxdf AS (SELECT term, lang, count(*) AS df FROM dterms GROUP BY term, lang),
+matched AS (
+    SELECT r.query_id, c.term, c.df,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY c.df DESC, c.term ASC) AS rank
+    FROM {context_suggest_values_sql()}
+    JOIN ctxdf c ON c.term LIKE r.pfx || '%' AND c.lang = r.ctx
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM matched WHERE rank <= 8 ORDER BY query_id, rank
 """,
         "explain_scores": explain_sql,
         "best_snippets": best_snippets_sql,

@@ -638,3 +638,50 @@ def segmented_topk_bruteforce(
         scored.filter(~F.col("query_id").isin(seg_qids))
     )
     return topk(keep, k).select("query_id", "rank", "doc_id", "score")
+
+
+def context_suggest(
+    spark,
+    docs: DataFrame,
+    prefixes: list[tuple[int, str, str]],
+    context_col: str = "lang",
+    top: int = SUGGEST_TOP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, term, df): the ES completion suggester with
+    CONTEXTS — each request is (id, prefix, context value) and
+    completions are ranked by document frequency WITHIN the context
+    (e.g. language), df desc / term asc, top-``top``. A term that is
+    popular globally but absent from the request's context never
+    surfaces — the point of suggester contexts.
+
+    Scale shape: per-(term, context) df is one combinable agg over
+    the distinct (doc, term) pairs joined to the doc's context column
+    (the same join shape the faceted scorer uses); the tiny request
+    table broadcasts into a prefix-match join and the per-request
+    top-N windows over matches only."""
+    from pyspark.sql import Window
+
+    from ..functions.udfs import tokenize_for_scoring
+
+    req = spark.createDataFrame(
+        [(qid, p.strip().lower(), c) for qid, p, c in prefixes],
+        "query_id long, pfx string, ctx string",
+    )
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(context_col).alias("ctx"),
+        F.explode(F.array_distinct(tokenize_for_scoring(F.col(text_col)))).alias("term"),
+    )
+    ctx_df = doc_terms.groupBy("term", "ctx").agg(F.count(F.lit(1)).alias("df"))
+    matched = ctx_df.join(
+        F.broadcast(req),
+        (F.col("term").startswith(F.col("pfx"))) & (ctx_df["ctx"] == req["ctx"]),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "rank", "term", "df")
+    )

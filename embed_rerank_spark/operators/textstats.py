@@ -622,3 +622,135 @@ def gopher_quality_rules(
             F.coalesce(pw & pl & pa & ps, F.lit(False)).alias("keep"),
         )
     )
+
+
+C4_BADWORD_DEFAULTS: tuple[str, ...] = ()
+
+
+def c4_cleaning_rules(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = C4_BADWORD_DEFAULTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_lines_kept, n_sentences, pass_sentences,
+    pass_lorem, pass_brace, pass_badwords, keep, kept_text): the C4
+    cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", section 2.2) as explicit per-rule flags —
+    LINE rules (retain lines ending in terminal punctuation [. ! ? "]
+    when ``require_terminal_punct``, with >= ``min_words_per_line``
+    words, and not containing "javascript") and PAGE rules (>= 
+    ``min_sentences`` sentences in the retained text, no "lorem
+    ipsum", no curly brace, no word from ``badwords``). ``keep`` is
+    the page-rule conjunction AND a non-empty retained text; the
+    three-sentence-span dedup step of C4 is the separate corpus-level
+    operator family (line_dedup / substring_dedup).
+
+    Scale shape: every rule is a higher-order array expression over
+    the line split (F.filter / F.exists — JVM codegen, no UDF, no
+    explode): one narrow projection pass over the corpus, embarrassingly
+    parallel, nothing shuffles."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines, lambda l: line_ok_expr(l, min_words_per_line, require_terminal_punct))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        kept.alias("_kept"),
+        F.lower(F.col(text_col)).alias("_low"),
+    )
+    kept_text = F.array_join(F.col("_kept"), "\n")
+    n_sent = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    # page-level removals act on the RAW page text (C4 removes any
+    # page that CONTAINED the marker, whether or not the offending
+    # line survives the line filter)
+    low = F.col("_low")
+    pass_sent = n_sent >= int(min_sentences)
+    pass_lorem = ~low.contains("lorem ipsum")
+    pass_brace = ~low.contains("{")
+    if badwords:
+        bw = F.lit(True)
+        for w in badwords:
+            bw = bw & ~F.array_contains(
+                F.split(low, r"\s+"), w.lower()
+            )
+        pass_bad = bw
+    else:
+        pass_bad = F.lit(True)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        pass_sent.alias("pass_sentences"),
+        pass_lorem.alias("pass_lorem"),
+        pass_brace.alias("pass_brace"),
+        pass_bad.alias("pass_badwords"),
+        (
+            pass_sent & pass_lorem & pass_brace & pass_bad
+            & (F.size("_kept") > 0)
+        ).alias("keep"),
+        kept_text.alias("kept_text"),
+    )
+
+
+def line_ok_expr(l: Column, min_words_per_line: int, require_terminal_punct: bool) -> Column:
+    """Per-line C4 retention predicate over a line column (used inside
+    the F.filter lambda): non-blank, >= min words, no "javascript",
+    optionally terminal-punctuated."""
+    lt = F.trim(l)
+    ok = (F.length(lt) > 0) & (
+        F.size(F.split(lt, r"\s+")) >= int(min_words_per_line)
+    ) & ~F.lower(l).contains("javascript")
+    if require_terminal_punct:
+        ok = ok & lt.rlike(r'[.!?"]$')
+    return ok
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 64, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(n_terms, slope, intercept, r2): ordinary-least-squares fit of
+    ln(collection tf) against ln(frequency rank) over the ``top_n``
+    most frequent terms — the Zipf diagnostic every corpus-health
+    report carries (a healthy natural-language crawl slope sits near
+    -1; template/boilerplate-heavy shards flatten it, spam inflates
+    the head). Rank ties break term-asc, so the fit is deterministic.
+
+    Scale shape: one tokenize explode into ONE combinable (term)
+    count agg — the df agg the index build already does — then the
+    fit runs over top_n rows (a window top-n on the tiny term-count
+    table followed by five scalar sums)."""
+    toks = docs.select(
+        F.explode(tokenize_for_scoring(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("ctf"), F.asc("term"))
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    xy = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("ctf").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )

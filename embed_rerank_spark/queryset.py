@@ -793,3 +793,32 @@ GEO_ORIGIN_LON = 10.0
 GEO_RADIUS_KM = 3000.0
 GEO_TOP_K = 20
 GEOTILE_ZOOM = 6
+
+
+# Context-suggester request set: (id, prefix, context value) — the ES
+# completion-suggester-with-contexts shape. Includes a context where
+# the prefix is common, one where it's rarer, and a no-match pair.
+CONTEXT_SUGGEST_SET: list[tuple[int, str, str]] = [
+    (1, "s", "en"),
+    (2, "ta", "de"),
+    (3, "s", "fr"),
+    (4, "zz", "en"),
+]
+
+
+def context_suggest_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{p}', '{c}')" for qid, p, c in CONTEXT_SUGGEST_SET
+    )
+    return f"(VALUES {rows}) AS r(query_id, pfx, ctx)"
+
+
+# C4 cleaning-rule parameters for the contract entry: the synthetic
+# corpus has no newlines or punctuation, so the entry exercises the
+# word-count line rule and the badword page rule (which vary per doc)
+# and disables the punctuation-dependent rules; full line/sentence
+# semantics are pinned by unit tests on structured fixtures.
+C4_MIN_WORDS_PER_LINE = 30
+C4_BADWORDS = ("spark",)
+
+ZIPF_TOP_N = 64
