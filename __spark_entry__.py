@@ -2519,6 +2519,28 @@ def q_cross_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+COMBINED_FIELDS_WEIGHTS = (2.0, 1.0)  # title, body
+
+
+def q_combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields (Lucene CombinedFieldQuery, the "simple
+    BM25F" of Robertson/Zaragoza/Taylor 2004): fields merge into ONE
+    pseudo-field — weighted tf and dl sums, combined df — then plain
+    BM25 over the combined statistics
+    (operators/bm25.py::combined_fields_topk_bruteforce)."""
+    from embed_rerank_spark.operators.bm25 import combined_fields_topk_bruteforce
+
+    out = combined_fields_topk_bruteforce(
+        spark,
+        _docs(spark, sf_dir),
+        QUERY_SET,
+        k=TOP_K,
+        title_weight=COMBINED_FIELDS_WEIGHTS[0],
+        body_weight=COMBINED_FIELDS_WEIGHTS[1],
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # ES _termvectors contract knobs: a fixed deterministic doc set.
 TERMVECTORS_DOC_IDS = [0, 1, 2]
 
@@ -3727,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix": q_match_phrase_prefix,
         "sort_by_docvalue": q_sort_by_docvalue,
         "cross_fields_topk": q_cross_fields_topk,
+        "combined_fields_topk": q_combined_fields_topk,
         "date_histogram": q_date_histogram,
         "pipeline_aggs": q_pipeline_aggs,
         "rare_terms": q_rare_terms,
@@ -6653,6 +6676,48 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    combined_fields_sql = f"""
+WITH fd AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+tdoc AS (SELECT doc_id, toks[1:least(8, len(toks))] AS ftoks FROM fd),
+bdoc AS (SELECT doc_id, CASE WHEN len(toks) > 8 THEN toks[9:len(toks)]
+                             ELSE []::VARCHAR[] END AS ftoks FROM fd),
+wtf AS (
+    SELECT doc_id, term, {COMBINED_FIELDS_WEIGHTS[0]} * count(*) AS wtf
+    FROM (SELECT doc_id, unnest(ftoks) AS term FROM tdoc) GROUP BY doc_id, term
+    UNION ALL
+    SELECT doc_id, term, {COMBINED_FIELDS_WEIGHTS[1]} * count(*) AS wtf
+    FROM (SELECT doc_id, unnest(ftoks) AS term FROM bdoc) GROUP BY doc_id, term
+),
+tfc AS (SELECT doc_id, term, sum(wtf) AS tfc FROM wtf GROUP BY doc_id, term),
+dlc AS (
+    SELECT doc_id, sum(wdl) AS dlc FROM (
+        SELECT doc_id, {COMBINED_FIELDS_WEIGHTS[0]} * len(ftoks) AS wdl FROM tdoc
+        UNION ALL
+        SELECT doc_id, {COMBINED_FIELDS_WEIGHTS[1]} * len(ftoks) AS wdl FROM bdoc
+    ) GROUP BY doc_id HAVING sum(wdl) > 0
+),
+cstats AS (SELECT count(*) AS n_docs, avg(dlc) AS avgdlc FROM dlc),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+scored AS (
+    SELECT qt.query_id, tfc.doc_id,
+           sum(ln((cstats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+             * (tfc.tfc * (1.2 + 1.0))
+             / (tfc.tfc + 1.2 * (1.0 - 0.75 + 0.75 * dlc.dlc / cstats.avgdlc))) AS score
+    FROM {qt}
+    JOIN tfc USING (term) JOIN dfc USING (term) JOIN dlc USING (doc_id)
+    CROSS JOIN cstats
+    GROUP BY qt.query_id, tfc.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     collapse_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -8099,6 +8164,7 @@ FROM hist h JOIN chosen c USING (query_id, interval)
         "match_phrase_prefix": match_phrase_prefix_sql,
         "sort_by_docvalue": sort_by_docvalue_sql,
         "cross_fields_topk": cross_fields_sql,
+        "combined_fields_topk": combined_fields_sql,
         "date_histogram": date_histogram_sql,
         "pipeline_aggs": pipeline_aggs_sql,
         "rare_terms": f"""

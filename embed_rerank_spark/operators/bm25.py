@@ -1429,3 +1429,77 @@ def match_bool_prefix_bruteforce(
             )
         )
     return topk(blended, k).select("query_id", "rank", "doc_id", "score")
+
+
+def combined_fields_topk_bruteforce(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_len: int = TITLE_LEN,
+    title_weight: float = 2.0,
+    body_weight: float = 1.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the ES ``combined_fields``
+    query (Lucene CombinedFieldQuery — the "simple BM25F" of
+    Robertson/Zaragoza/Taylor 2004): all fields merge into ONE
+    pseudo-field with per-field weights applied to term frequencies
+    AND lengths, then plain BM25 runs over the combined statistics:
+
+        tf~(t,d) = sum_f w_f * tf_f(t,d)
+        dl~(d)   = sum_f w_f * dl_f(d)
+        idf from the combined df (docs where ANY field has t)
+
+    This differs from ``cross_fields`` (per-field stats, term takes
+    its best field) and from full per-field-b BM25F
+    (``bm25f_full_topk``): combined_fields shares ONE k1/b saturation
+    across fields, which is why Lucene can run it as a single scorer.
+
+    Scale shape: per-field tf tables union then ONE combinable
+    (doc, term) hash agg; combined dl is a shuffle-free projection;
+    everything downstream is the plain BM25 plan."""
+    fields = split_fields(docs, title_len)
+    weights = {"title": float(title_weight), "body": float(body_weight)}
+    qt = query_terms(spark, queries)
+    parts = [
+        term_freqs(fdocs).select(
+            "doc_id", "term", (F.col("tf") * F.lit(weights[name])).alias("wtf")
+        )
+        for name, fdocs in fields.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    tfc = u.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfc"))
+    dlc = (
+        fields["title"]
+        .select("doc_id", (F.size(tokenize_for_scoring(F.col("text"))) * F.lit(weights["title"])).alias("wdl"))
+        .unionByName(
+            fields["body"].select(
+                "doc_id", (F.size(tokenize_for_scoring(F.col("text"))) * F.lit(weights["body"])).alias("wdl")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("wdl").alias("dlc"))
+        .filter(F.col("dlc") > 0)
+    )
+    stats = dlc.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlc").alias("avgdlc"))
+    df = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        F.broadcast(qt)
+        .join(tfc, "term")
+        .join(df, "term")
+        .join(dlc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tfc") * (k1 + 1.0))
+            / (F.col("tfc") + k1 * (1.0 - b + b * F.col("dlc") / F.col("avgdlc"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")

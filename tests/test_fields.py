@@ -213,3 +213,96 @@ def test_terms_set_per_doc_minimum(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_combined_fields_unit_weights_equal_plain_bm25(spark):
+    # with w_title = w_body = 1 the pseudo-field IS the whole doc:
+    # tf~ = tf, dl~ = dl, df~ = df, so combined_fields == plain BM25
+    from embed_rerank_spark.operators.bm25 import combined_fields_topk_bruteforce
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = [(1, "join alpha"), (2, "zeta")]
+    combined = combined_fields_topk_bruteforce(
+        spark, docs, queries, k=3, title_len=3, title_weight=1.0, body_weight=1.0
+    ).collect()
+    plain = bm25_topk_bruteforce(spark, docs, queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in sorted(combined, key=key)
+    ] == [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in sorted(plain, key=key)
+    ]
+
+
+def test_combined_fields_title_weight_reorders(spark):
+    # doc 2 has "join" in the title window -> weighted tf~ is larger,
+    # so combined_fields breaks the plain-BM25 tie in doc 2's favor
+    from embed_rerank_spark.operators.bm25 import combined_fields_topk_bruteforce
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = combined_fields_topk_bruteforce(
+        spark, docs, [(1, "join")], k=3, title_len=3, title_weight=3.0
+    ).collect()
+    ordered = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ordered == [2, 1]
+
+
+def test_combined_fields_python_reference(spark):
+    # exact parity with a pure-Python replay of the combined-statistics
+    # BM25 (shared saturation, weighted tf/dl, any-field df)
+    import math
+
+    from embed_rerank_spark.operators.bm25 import combined_fields_topk_bruteforce
+
+    title_len, wt, wb, k1, b = 3, 2.0, 1.0, 1.2, 0.75
+    toks = {d: t.split() for d, t in DOCS}
+    tfc: dict[int, dict[str, float]] = {}
+    dlc: dict[int, float] = {}
+    for d, ts in toks.items():
+        title, body = ts[:title_len], ts[title_len:]
+        acc: dict[str, float] = {}
+        for t in title:
+            acc[t] = acc.get(t, 0.0) + wt
+        for t in body:
+            acc[t] = acc.get(t, 0.0) + wb
+        tfc[d] = acc
+        dlc[d] = wt * len(title) + wb * len(body)
+    n = len(dlc)
+    avg = sum(dlc.values()) / n
+    dfc: dict[str, int] = {}
+    for acc in tfc.values():
+        for t in acc:
+            dfc[t] = dfc.get(t, 0) + 1
+
+    def score(d: int, q: str) -> float:
+        s = 0.0
+        for t in set(q.split()):
+            f = tfc[d].get(t)
+            if f is None:
+                continue
+            idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+            s += idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dlc[d] / avg))
+        return s
+
+    queries = [(1, "join delta"), (2, "alpha zeta")]
+    expect = {}
+    for qid, q in queries:
+        ranked = sorted(
+            ((round(score(d, q), 6), d) for d in tfc if score(d, q) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        expect[qid] = [(i + 1, d, s) for i, (s, d) in enumerate(ranked)]
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = combined_fields_topk_bruteforce(
+        spark, docs, queries, k=3, title_len=title_len,
+        title_weight=wt, body_weight=wb,
+    ).collect()
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+        )
+    assert got == expect
