@@ -1437,6 +1437,93 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# spherical k-means / SemDeDup contract knobs. TAU is tuned to the
+# synthetic embedding table (max pairwise cosine ~0.51 at sf0.01) so
+# the drop path is actually exercised; real SemDeDup on model
+# embeddings runs ~0.95+.
+KMEANS_K = 4
+KMEANS_ITERS = 2
+EMB_DIM = 64
+SEMDEDUP_TAU = 0.45
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignments (operators/clustering.py):
+    hash-ordered deterministic init, fixed Lloyd iterations with
+    6dp-rounded centroids — the oracle unrolls every iteration as
+    chained CTEs (the quality-classifier pattern), so the clustering
+    fixpoint itself is what's checked."""
+    from embed_rerank_spark.operators.clustering import kmeans_assign
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_assign(spark, vectors, k=KMEANS_K, iters=KMEANS_ITERS)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"),
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("vec_id")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (operators/clustering.py::semdedup):
+    within-k-means-cluster pairwise-cosine dedup, min-id canonical."""
+    from embed_rerank_spark.operators.clustering import semdedup
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(
+        spark, vectors, k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU
+    )
+    return out["survivors"].select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle_cte(k: int, iters: int, dim: int) -> str:
+    """The engine's k-means contract replayed in SQL: md5-ordered
+    init, per-iteration argmax-cosine assignment (round 6dp, cluster
+    asc ties) and mean->normalize->round(6) centroid update with the
+    empty/degenerate-cluster keep-previous rule, unrolled ``iters``
+    times. Ends with CTE ``afin`` = final assignments and ``nv`` = the
+    unit vectors."""
+    parts = [f"""
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+vd AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS n FROM v),
+nv AS (SELECT vec_id, list_transform(ve, x -> x / n) AS uv FROM vd WHERE n > 0),
+ini AS (SELECT uv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        FROM nv),
+c0 AS (SELECT cluster, list_transform(uv, x -> round(x, 6)) AS cv
+       FROM ini WHERE cluster < {k})"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+s{i} AS (SELECT nv.vec_id, c.cluster, round(list_dot_product(nv.uv, c.cv), 6) AS cos
+        FROM nv CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+            FROM s{i}) WHERE rn = 1),
+m{i} AS (SELECT a.cluster, g.pos, avg(nv.uv[g.pos]) AS m
+        FROM a{i} a JOIN nv USING (vec_id)
+        CROSS JOIN generate_series(1, {dim}) g(pos)
+        GROUP BY a.cluster, g.pos),
+r{i} AS (SELECT cluster, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY cluster),
+n{i} AS (SELECT cluster, mv, sqrt(list_dot_product(mv, mv)) AS mn FROM r{i}),
+c{i} AS (SELECT c.cluster,
+               CASE WHEN n.mn IS NOT NULL AND n.mn > 0
+                    THEN list_transform(n.mv, x -> round(x / n.mn, 6))
+                    ELSE c.cv END AS cv
+        FROM {prev} c LEFT JOIN n{i} n USING (cluster))""")
+        prev = f"c{i}"
+    parts.append(f"""
+sfin AS (SELECT nv.vec_id, c.cluster, round(list_dot_product(nv.uv, c.cv), 6) AS cos
+        FROM nv CROSS JOIN {prev} c),
+afin AS (SELECT vec_id, cluster, cos FROM (
+            SELECT vec_id, cluster, cos,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+            FROM sfin) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
 def _mmr_oracle_sql() -> str:
     """The K greedy steps unrolled: step i scores every not-yet-picked
     candidate against the selected set sel{i-1} and picks the argmax
@@ -3690,6 +3777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_interaction_topk": q_late_interaction_topk,
         "approx_terms": q_approx_terms,
         "mmr_topk": q_mmr_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -7869,6 +7958,28 @@ FROM matched WHERE rank <= 8 ORDER BY query_id, rank
         "matryoshka_topk": matryoshka_sql,
         "pooled_topk": pooled_topk_sql,
         "mmr_topk": _mmr_oracle_sql(),
+        "kmeans_clusters": f"""
+WITH {_kmeans_oracle_cte(KMEANS_K, KMEANS_ITERS, EMB_DIM)}
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, round(cos, 6) AS cosine
+FROM afin ORDER BY vec_id
+""",
+        "semdedup": f"""
+WITH {_kmeans_oracle_cte(KMEANS_K, KMEANS_ITERS, EMB_DIM)},
+sz AS (SELECT cluster, count(*) AS csize FROM afin GROUP BY cluster),
+pc AS (SELECT a.vec_id, a.cluster FROM afin a JOIN sz USING (cluster)
+       WHERE csize <= 4096),
+pr AS (
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_dot_product(va.uv, vb.uv), 6) AS cosine
+    FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN nv va ON va.vec_id = x.vec_id
+    JOIN nv vb ON vb.vec_id = y.vec_id
+),
+dups AS (SELECT DISTINCT b AS vec_id FROM pr WHERE cosine > {SEMDEDUP_TAU})
+SELECT f.vec_id, CAST(f.cluster AS INTEGER) AS cluster
+FROM afin f LEFT JOIN dups d USING (vec_id)
+WHERE d.vec_id IS NULL ORDER BY f.vec_id
+""",
         "maxp_topk": maxp_topk_sql,
         "late_interaction_topk": late_interaction_sql,
         "approx_terms": f"""
