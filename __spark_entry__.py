@@ -2810,6 +2810,31 @@ def q_int8_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+BINARY_RESCORE_WINDOW = 60  # 1-bit quantization is coarser than int8
+
+
+def q_binary_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES binary-quantized (BBQ-family) kNN with exact rescore:
+    stage 1 ranks by Hamming distance over packed sign bits (a 32x
+    smaller scan than float32), stage 2 re-scores the candidate
+    window with float cosine
+    (operators/similarity.py::binary_knn_topk)."""
+    from embed_rerank_spark.operators.similarity import binary_knn_topk
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = (
+        vectors.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = binary_knn_topk(
+        vectors, queries_df, dim=EMB_DIM, k=10, rescore_window=BINARY_RESCORE_WINDOW
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", "hamming", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _rank_eval API: per-query precision/recall/rr/ap/ndcg/err
     over the BM25 top-k against the deterministic judgment set
@@ -3886,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "rank_eval": q_rank_eval,
         "int8_knn_topk": q_int8_knn_topk,
+        "binary_knn_topk": q_binary_knn_topk,
         "match_bool_prefix": q_match_bool_prefix,
         "segmented_topk": q_segmented_topk,
         "fuzzy_auto_topk": q_fuzzy_auto_topk,
@@ -9153,6 +9179,50 @@ ranked AS (
     FROM exact
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+""",
+        "binary_knn_topk": f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings
+),
+vn AS (SELECT vec_id, ve FROM v WHERE list_dot_product(ve, ve) > 0),
+bits AS (
+    SELECT vn.vec_id, g.w,
+           bit_or(CASE WHEN vn.ve[g.w * 32 + gi.i + 1] > 0
+                       THEN (1::BIGINT << gi.i) ELSE 0::BIGINT END) AS word
+    FROM vn
+    CROSS JOIN generate_series(0, {EMB_DIM // 32 - 1}) g(w)
+    CROSS JOIN generate_series(0, 31) gi(i)
+    GROUP BY vn.vec_id, g.w
+),
+qids AS (SELECT vec_id AS query_id, ve AS qv FROM vn ORDER BY vec_id LIMIT 5),
+qbits AS (SELECT q.query_id, b.w, b.word FROM qids q JOIN bits b ON b.vec_id = q.query_id),
+ham AS (
+    SELECT qb.query_id, vb.vec_id,
+           CAST(sum(bit_count(xor(qb.word, vb.word))) AS BIGINT) AS hamming
+    FROM qbits qb JOIN bits vb ON qb.w = vb.w
+    GROUP BY qb.query_id, vb.vec_id
+),
+cands AS (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, vec_id ASC) AS crank
+    FROM ham QUALIFY crank <= {BINARY_RESCORE_WINDOW}
+),
+exact AS (
+    SELECT c.query_id, c.vec_id, c.hamming,
+           list_dot_product(q.qv, vn.ve)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(vn.ve, vn.ve))) AS cosine
+    FROM cands c JOIN vn USING (vec_id) JOIN qids q USING (query_id)
+),
+ranked AS (
+    SELECT query_id, vec_id, hamming, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM exact
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, hamming, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10
 """,
         "match_bool_prefix": f"""

@@ -771,3 +771,121 @@ def int8_knn_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def quantize_binary(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bwords, v): 1-bit sign quantization — the ES/Lucene
+    BBQ-family binary kNN storage form. Component i maps to bit
+    (i mod 32) of word (i div 32): 1 when v_i > 0, else 0 (zeros sign
+    negative — the rule is pinned so both engines agree). Words are
+    32-bit groups carried in BIGINTs, so shifts never touch a sign
+    bit in either Spark or the SQL oracle.
+
+    32x smaller than float32: the stage-1 scan reads dim/32 longs per
+    row and ranks by Hamming distance — pure bit_count arithmetic,
+    the cheapest possible candidate generator at 10^12 vectors.
+    Zero-norm vectors are dropped (no direction; same contract as
+    the k-means/LSH paths)."""
+    n_words = (dim + 31) // 32
+
+    # a 2-arg lambda would make transform() pass (element, index) —
+    # the word offset must close over a 1-arg lambda instead.
+    # shiftleft needs a literal shift count; pow(2, i) is exact in
+    # double through 2^31 (lanes stop at bit 31 by design).
+    def _lane(w):
+        return lambda i: F.when(
+            F.element_at(F.col("v"), F.lit(w * 32 + 1) + i) > 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    v = _as_double(F.col(vec_col))
+    words = []
+    for w in range(n_words):
+        lanes = F.transform(
+            F.sequence(F.lit(0), F.lit(min(31, dim - w * 32 - 1))), _lane(w)
+        )
+        words.append(
+            F.aggregate(lanes, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+        )
+    out = vectors.select(F.col(id_col).alias("vec_id"), v.alias("v")).filter(
+        _norm(F.col("v")) > 0
+    )
+    return out.select("vec_id", F.array(*words).alias("bwords"), "v")
+
+
+def _hamming(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def binary_knn_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    rescore_window: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, hamming, cosine): two-stage binary
+    kNN — the ES better-binary-quantization search shape: stage 1
+    ranks by Hamming distance over the packed sign bits (asc, vec_id
+    asc ties) and keeps ``rescore_window`` candidates per query;
+    stage 2 rescores those with exact float cosine and returns the
+    top k (round(cos, 6) desc, vec_id asc). Exact whenever the true
+    top-k survive stage 1; rescore_window >= corpus size is trivially
+    exact. Same broadcast-queries / semi-join-rescore plan as
+    ``int8_knn_topk`` with a 32x (not 4x) smaller stage-1 scan."""
+    vz = quantize_binary(vectors, dim, id_col, vec_col)
+    qz = quantize_binary(
+        queries.select(
+            F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
+        ),
+        dim,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bwords").alias("qw"),
+        F.col("v").alias("qv"),
+    )
+    stage1 = (
+        F.broadcast(qz.select("query_id", "qw"))
+        .crossJoin(vz.select("vec_id", "bwords"))
+        .select(
+            "query_id", "vec_id", _hamming(F.col("qw"), F.col("bwords")).alias("hamming")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cands = stage1.withColumn("crank", F.row_number().over(w1)).filter(
+        F.col("crank") <= rescore_window
+    )
+    exact = (
+        cands.select("query_id", "vec_id", "hamming")
+        .join(vz.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qz.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            (
+                _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "hamming", "cosine")
+    )

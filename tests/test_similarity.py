@@ -410,3 +410,79 @@ def test_quantize_int8_range_and_type(spark):
     assert rows[1] == [64, -127, 32]
     # all-zero vector has no direction: quantizes to NULLs
     assert rows[2] is None or all(x is None for x in rows[2])
+
+
+def test_quantize_binary_packs_sign_bits(spark):
+    from embed_rerank_spark.operators.similarity import quantize_binary
+
+    # dim 34 -> 2 words; component i sets bit (i%32) of word (i//32)
+    # iff v_i > 0 (zero signs negative)
+    vec = [0.0] * 34
+    vec[0] = 1.0     # word0 bit0
+    vec[5] = 2.5     # word0 bit5
+    vec[31] = 0.1    # word0 bit31
+    vec[32] = -1.0   # word1 bit0 NOT set
+    vec[33] = 3.0    # word1 bit1
+    vectors = spark.createDataFrame(
+        [(1, vec), (2, [0.0] * 34)], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["bwords"] for r in quantize_binary(vectors, dim=34).collect()}
+    assert out[1] == [(1 << 0) | (1 << 5) | (1 << 31), (1 << 1)]
+    assert 2 not in out  # zero vector dropped (no direction)
+
+
+def test_binary_knn_full_window_matches_exact(spark):
+    from embed_rerank_spark.operators.similarity import (
+        binary_knn_topk,
+        cosine_topk_bruteforce,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = vectors.count()
+    queries = (
+        vectors.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    ]
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in binary_knn_topk(
+            vectors, queries, dim=64, k=10, rescore_window=n
+        ).collect()
+    ]
+    assert sorted(got) == sorted(exact)
+
+
+def test_binary_knn_hamming_consistent_and_window_recall(spark):
+    import numpy as np
+
+    from embed_rerank_spark.operators.similarity import (
+        binary_knn_topk,
+        cosine_topk_bruteforce,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        vectors.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = binary_knn_topk(vectors, queries, dim=64, k=10, rescore_window=60).collect()
+    # hamming values match a NumPy sign-bit replay
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in vectors.collect()}
+    bits = {i: (v > 0) for i, v in raw.items()}
+    qids = sorted({r["query_id"] for r in out})
+    for r in out:
+        expect = int((bits[r["query_id"]] ^ bits[r["vec_id"]]).sum())
+        assert r["hamming"] == expect
+    # 1-bit quantization is coarse; a 6x window still recovers most of
+    # the true top-10 on 64-dim synthetic vectors
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(vectors, queries, k=10).collect()
+        if r["query_id"] in qids
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in out}
+    assert len(got & exact) / len(exact) >= 0.5
