@@ -696,6 +696,25 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_dl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposition-tolerant fuzzy retrieval (the ES
+    fuzzy_transpositions default): each query term expands to its
+    Damerau-Levenshtein<=1 dictionary neighborhood — adjacent swaps
+    count as one edit — df-desc capped, scored as the expansion's OR
+    (operators/rewrite.py::fuzzy_topk(transpositions=True))."""
+    from embed_rerank_spark.operators.rewrite import fuzzy_topk
+    from embed_rerank_spark.queryset import FUZZY_DL_SET, FUZZY_MAX_EXPANSION
+
+    index = _cached_index(spark, sf_dir)
+    out = fuzzy_topk(
+        index, FUZZY_DL_SET, k=TOP_K, max_expansion=FUZZY_MAX_EXPANSION,
+        transpositions=True,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time synonym expansion: query terms joined by their
     synonym-group members (each keeping its own idf), scored as the
@@ -3759,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "fuzzy_dl_topk": q_fuzzy_dl_topk,
         "synonym_topk": q_synonym_topk,
         "suggest_terms": q_suggest_terms,
         "spell_correct": q_spell_correct,
@@ -4946,6 +4966,43 @@ expanded AS (
            row_number() OVER (PARTITION BY fq.query_id, fq.qterm
                               ORDER BY df.df DESC, df.term ASC) AS rk
     FROM {fuzzy_terms_values_sql()} JOIN df ON levenshtein(df.term, fq.qterm) <= 1
+),
+qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.queryset import fuzzy_dl_values_sql  # noqa: PLC0415
+
+    fuzzy_dl_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    -- per query TERM: vocabulary within 1 DAMERAU edit (adjacent
+    -- swap = 1), df-desc capped — mirrors
+    -- operators/rewrite.py::expand_fuzzy(transpositions=True)
+    SELECT fq.query_id, df.term,
+           row_number() OVER (PARTITION BY fq.query_id, fq.qterm
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {fuzzy_dl_values_sql()}
+    JOIN df ON damerau_levenshtein(df.term, fq.qterm) <= 1
 ),
 qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
 matched AS (
@@ -7947,6 +8004,7 @@ FROM matched WHERE rank <= 8 ORDER BY query_id, rank
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,
         "fuzzy_topk": fuzzy_topk_sql,
+        "fuzzy_dl_topk": fuzzy_dl_topk_sql,
         "synonym_topk": synonym_topk_sql,
         "suggest_terms": suggest_terms_sql,
         "spell_correct": spell_correct_sql,

@@ -35,6 +35,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,12 +85,49 @@ def auto_fuzziness(term: str) -> int:
     return 0 if n < 3 else (1 if n <= 5 else 2)
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance — transposition of
+    adjacent characters counts as ONE edit, and later edits may pass
+    through a transposed pair (so ca->abc is 2, not 3). This is the
+    variant DuckDB's ``damerau_levenshtein`` computes, which keeps the
+    expansion oracle-checkable; Lucene's FuzzyQuery implements the
+    restricted (OSA) variant instead, which differs only on
+    edit-through-swap shapes like ca->abc (OSA 3) — on those rare
+    shapes our expansion is a superset of Lucene's."""
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                this_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][last_col] + (i - k - 1) + 1 + (j - last_col - 1),
+            )
+            if cost == 0:
+                last_col = this_col
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def expand_fuzzy(
     index: InvertedIndex,
     terms: list[str],
     max_distance: int | str = 1,
     max_expansion: int = FUZZY_MAX_EXPANSION,
     prefix_length: int = 0,
+    transpositions: bool = False,
 ) -> dict[str, list[str]]:
     """Dictionary expansion for fuzzy matching: each query term maps
     to the vocabulary terms within its edit budget, highest-df first
@@ -114,9 +152,21 @@ def expand_fuzzy(
         for t in qts
     ]
     qdf = spark.createDataFrame(rows, "qterm string, d int")
-    cond = (F.abs(F.length("term") - F.length("qterm")) <= F.col("d")) & (
-        F.levenshtein("term", "qterm") <= F.col("d")
-    )
+    if transpositions:
+        # the ES default (fuzzy_transpositions): adjacent swap = 1
+        # edit. Exact Damerau-Levenshtein has no JVM built-in, so the
+        # vocabulary scan prefilters with the free bounds — DL >=
+        # |len diff| and Levenshtein <= 2*DL (a transposition costs 2
+        # plain edits) — and only the tiny surviving candidate set
+        # pays the Python DL kernel (bounded-Python, never the
+        # vocabulary)
+        cond = (F.abs(F.length("term") - F.length("qterm")) <= F.col("d")) & (
+            F.levenshtein("term", "qterm") <= F.lit(2) * F.col("d")
+        )
+    else:
+        cond = (F.abs(F.length("term") - F.length("qterm")) <= F.col("d")) & (
+            F.levenshtein("term", "qterm") <= F.col("d")
+        )
     if prefix_length > 0:
         cond = cond & (
             F.substring("term", 1, prefix_length)
@@ -125,8 +175,19 @@ def expand_fuzzy(
     cand = (
         index.term_stats.join(F.broadcast(qdf))
         .filter(cond)
-        .select("qterm", "term", "df")
+        .select("qterm", "term", "df", "d")
     )
+    if transpositions:
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        @pandas_udf("int")
+        def _dl(t: pd.Series, q: pd.Series) -> pd.Series:
+            return pd.Series(
+                [damerau_levenshtein(x, y) for x, y in zip(t, q)], dtype="int32"
+            )
+
+        cand = cand.filter(_dl(F.col("term"), F.col("qterm")) <= F.col("d"))
+    cand = cand.select("qterm", "term", "df")
     from pyspark.sql import Window
 
     w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
@@ -221,6 +282,7 @@ def fuzzy_topk(
     b: float = BM25_B,
     taat_threshold: int = 100_000,
     prefix_length: int = 0,
+    transpositions: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): spell-tolerant retrieval —
     every query term expands to its fuzzy dictionary neighborhood
@@ -234,7 +296,8 @@ def fuzzy_topk(
         tok for _qid, q in queries for tok in q.strip().lower().split() if tok
     }
     exp = expand_fuzzy(
-        index, sorted(all_terms), max_distance, max_expansion, prefix_length
+        index, sorted(all_terms), max_distance, max_expansion, prefix_length,
+        transpositions,
     )
     synth: list[tuple[int, str]] = []
     for qid, q in queries:

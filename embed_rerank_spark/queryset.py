@@ -90,6 +90,33 @@ def fuzzy_terms_values_sql() -> str:
     return f"(VALUES {rows}) AS fq(query_id, qterm)"
 
 
+# Transposition-tolerant fuzzy set (ES fuzzy_transpositions default):
+# adjacent-swap typos are ONE Damerau edit but TWO plain edits, so at
+# max_distance=1 these recover their source terms only on the
+# transpositions path ("tbale"->table, "jion"->join, "scna"->scan,
+# "queyr"->query, "ahsh"->hash); plain-substitution typos and garbage
+# ride along as controls.
+FUZZY_DL_SET: list[tuple[int, str]] = [
+    (1, "tbale jion"),
+    (2, "scna"),
+    (3, "queyr fast"),
+    (4, "zzqx"),
+    (5, "ahsh"),
+]
+
+
+def fuzzy_dl_values_sql() -> str:
+    out = []
+    for qid, q in FUZZY_DL_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS fq(query_id, qterm)"
+
+
 # Did-you-mean (spell correction) set: OOV tokens replaced by the
 # highest-df vocabulary term within 1 edit; in-vocab tokens and
 # unfixable garbage pass through; order/multiplicity preserved.

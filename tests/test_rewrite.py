@@ -316,3 +316,66 @@ def test_fuzzy_auto_ladder_and_prefix_length(spark):
     assert expand_fuzzy(idx, ["cash"], max_distance=1, prefix_length=1)["cash"] == []
     # short term: AUTO budget 0 -> exact only
     assert expand_fuzzy(idx, ["ta"], max_distance="AUTO")["ta"] == []
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    import duckdb
+
+    from embed_rerank_spark.operators.rewrite import damerau_levenshtein
+
+    con = duckdb.connect()
+    cases = [
+        ("ab", "ba"), ("ca", "abc"), ("abcd", "acbd"), ("table", "tbale"),
+        ("join", "jion"), ("scan", "scna"), ("hash", "ahsh"), ("", "abc"),
+        ("same", "same"), ("kitten", "sitting"), ("query", "queyr"),
+        ("a cat", "an abct"),
+    ]
+    for a, b in cases:
+        expect = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == expect, (a, b)
+        assert damerau_levenshtein(b, a) == expect, (b, a)
+
+
+def test_fuzzy_transpositions_expansion(spark, index):
+    # "tbale" is 1 Damerau edit (swap) but 2 plain edits from "table":
+    # only the transpositions path recovers it at max_distance=1
+    plain = expand_fuzzy(index, ["tbale"], max_distance=1)
+    assert plain["tbale"] == []
+    dl = expand_fuzzy(index, ["tbale"], max_distance=1, transpositions=True)
+    assert dl["tbale"] == ["table"]
+    # substitution typos still work on both paths (DL superset of Lev)
+    both = expand_fuzzy(index, ["tablf"], max_distance=1, transpositions=True)
+    assert both["tablf"] == ["table"]
+
+
+def test_fuzzy_dl_topk_equals_bruteforce_on_expansion(spark, index):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = [(1, "tbale jion"), (2, "scna"), (3, "zzqx")]
+    exp = expand_fuzzy(
+        index, ["tbale", "jion", "scna", "zzqx"], max_distance=1,
+        transpositions=True,
+    )
+    rewritten = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            for t in exp[tok]:
+                if t not in terms:
+                    terms.append(t)
+        if terms:
+            rewritten.append((qid, " ".join(terms)))
+    brute = bm25_topk_bruteforce(spark, docs, rewritten, k=10).collect()
+    got = fuzzy_topk(
+        index, queries, k=10, max_distance=1, transpositions=True
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in sorted(got, key=key)
+    ] == [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in sorted(brute, key=key)
+    ]
+    assert not any(r["query_id"] == 3 for r in got)  # garbage matches nothing
