@@ -2118,6 +2118,77 @@ def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_cardinality(_docs(spark, sf_dir), k=KMV_K, group_col="lang")
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space set algebra (DataSketches theta-sketch
+    union/intersection pattern): estimated |A∪B| / Jaccard / |A∩B| of
+    every source pair's distinct-shingle sets, computed purely over
+    the groups' KMV sketches (operators/sketches.py::kmv_set_ops) —
+    never the value streams. Deterministic given md5, so the oracle
+    reproduces the estimates bit-for-bit."""
+    from embed_rerank_spark.operators.sketches import kmv_set_ops
+
+    return kmv_set_ops(_docs(spark, sf_dir), k=KMV_K, group_col="source")
+
+
+CONSTANT_SCORE_BOOST = 1.5
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene constant_score query: the query runs in FILTER
+    context (AND over its unique terms), every hit scores exactly
+    ``boost``, hits in index order — doc_id asc
+    (operators/wand.py::constant_score_topk). No idf/tf/norm reads."""
+    from embed_rerank_spark.operators.wand import constant_score_topk
+
+    index = _cached_index(spark, sf_dir)
+    return constant_score_topk(
+        index, QUERY_SET, k=TOP_K, boost=CONSTANT_SCORE_BOOST
+    )
+
+
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point-aggregation shape: per event_type, CUSUM-argmax
+    step-change detection over the daily mean-value series
+    (operators/events.py::change_points) — cp bucket, |CUSUM| at the
+    cp, before/after means and the detected step."""
+    from embed_rerank_spark.operators.events import change_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return change_points(ev, "1 day").orderBy("event_type")
+
+
+_SPAN_DECON_WINDOW = 8
+_SPAN_DECON_THRESHOLD = 0.05
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (the Llama-3 refinement):
+    fraction of each doc's tokens under an eval-set 8-gram match,
+    overlaps position-union-merged; drop only docs above the coverage
+    threshold (operators/dedup.py::contamination_span_coverage). The
+    eval set derives deterministically from the corpus (every 97th
+    doc's tokens 5..20), so hits are guaranteed non-trivial at any
+    sf."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.dedup import contamination_span_coverage
+
+    docs = _docs(spark, sf_dir)
+    evals = [
+        r["t"]
+        for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.concat_ws(
+                " ", F.slice(tokenize_for_scoring(F.col("text")), 5, 16)
+            ).alias("t")
+        )
+        .collect()
+        if r["t"]
+    ]
+    return contamination_span_coverage(
+        docs, evals, window=_SPAN_DECON_WINDOW, threshold=_SPAN_DECON_THRESHOLD
+    ).orderBy("doc_id")
+
+
 LINE_W = 5
 LINE_MAX_DF = 2
 
@@ -3848,6 +3919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
+        "kmv_set_ops": q_kmv_set_ops,
+        "constant_score": q_constant_score,
+        "change_point": q_change_point,
+        "decontaminate_spans": q_decontaminate_spans,
         "line_dedup": q_line_dedup,
         "association_rules": q_association_rules,
         "distance_feature_topk": q_distance_feature_topk,
@@ -8159,6 +8234,174 @@ SELECT grp, n_held,
                   ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
              END, 6) AS est
 FROM agg ORDER BY grp
+""",
+        "kmv_set_ops": f"""
+WITH toksd AS (
+    SELECT source, {_TOKENIZE_SQL} AS toks FROM documents
+),
+vals AS (
+    SELECT DISTINCT source AS grp,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS value
+    FROM toksd WHERE len(toks) >= 3
+),
+hashed AS (
+    SELECT DISTINCT grp,
+           CAST(concat('0x', substr(md5(value), 1, 15)) AS BIGINT) AS h
+    FROM vals
+),
+sk AS (
+    SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rk
+        FROM hashed
+    ) WHERE rk <= {KMV_K}
+),
+pairs AS (
+    SELECT a.grp AS grp_a, b.grp AS grp_b
+    FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+    WHERE a.grp < b.grp
+),
+uh AS (
+    SELECT DISTINCT p.grp_a, p.grp_b, s.h
+    FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+),
+us AS (
+    SELECT grp_a, grp_b, h FROM (
+        SELECT grp_a, grp_b, h,
+               row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h ASC) AS rk
+        FROM uh
+    ) WHERE rk <= {KMV_K}
+),
+marked AS (
+    SELECT u.grp_a, u.grp_b, u.h,
+           CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS nb
+    FROM us u
+    LEFT JOIN sk sa ON sa.grp = u.grp_a AND sa.h = u.h
+    LEFT JOIN sk sb ON sb.grp = u.grp_b AND sb.h = u.h
+),
+agg AS (
+    SELECT grp_a, grp_b, count(*) AS n_union_held, max(h) AS kth_h,
+           sum(nb) AS n_both
+    FROM marked GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, n_union_held,
+       round(CASE WHEN n_union_held < {KMV_K} THEN CAST(n_union_held AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
+             END, 6) AS union_est,
+       round(n_both * 1.0 / n_union_held, 6) AS jaccard,
+       round(n_both * 1.0 / n_union_held *
+             CASE WHEN n_union_held < {KMV_K} THEN CAST(n_union_held AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
+             END, 6) AS intersect_est
+FROM agg ORDER BY grp_a, grp_b
+""",
+        "constant_score": f"""
+WITH {_TOKS_CTE},
+qtc AS (
+    SELECT query_id, count(*) AS n_terms FROM {query_terms_values_sql()} GROUP BY query_id
+),
+matched AS (
+    SELECT qt.query_id, tf.doc_id, count(*) AS matched_terms
+    FROM {query_terms_values_sql()} JOIN tf USING (term)
+    GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT m.query_id, m.doc_id,
+           row_number() OVER (PARTITION BY m.query_id ORDER BY m.doc_id ASC) AS rank
+    FROM matched m JOIN qtc USING (query_id)
+    WHERE m.matched_terms = qtc.n_terms
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, CAST({CONSTANT_SCORE_BOOST} AS DOUBLE) AS score
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "change_point": """
+WITH bucketed AS (
+    SELECT event_type AS key,
+           CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS bucket_ts,
+           round(avg(value), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT key, count(*) AS n_buckets, avg(x) AS xbar FROM bucketed GROUP BY key
+),
+cusum AS (
+    SELECT b.key, b.bucket_ts,
+           round(sum(b.x - s.xbar) OVER (PARTITION BY b.key ORDER BY b.bucket_ts
+                                         ROWS UNBOUNDED PRECEDING), 6) AS s
+    FROM bucketed b JOIN stats s USING (key)
+),
+cp AS (
+    SELECT key, bucket_ts AS cp_ts, abs(s) AS cusum_max FROM (
+        SELECT key, bucket_ts, s,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY abs(s) DESC, bucket_ts ASC) AS rk
+        FROM cusum
+    ) WHERE rk = 1
+),
+sides AS (
+    SELECT b.key,
+           round(avg(CASE WHEN b.bucket_ts <= c.cp_ts THEN b.x END), 6) AS mean_before,
+           round(avg(CASE WHEN b.bucket_ts > c.cp_ts THEN b.x END), 6) AS mean_after
+    FROM bucketed b JOIN cp c USING (key) GROUP BY b.key
+)
+SELECT s.key AS event_type, s.n_buckets,
+       CASE WHEN s.n_buckets >= 2 THEN c.cp_ts END AS cp_ts,
+       CASE WHEN s.n_buckets >= 2 THEN c.cusum_max
+            ELSE CAST(0.0 AS DOUBLE) END AS cusum_max,
+       d.mean_before,
+       CASE WHEN s.n_buckets >= 2 THEN d.mean_after END AS mean_after,
+       CASE WHEN s.n_buckets >= 2 THEN round(d.mean_after - d.mean_before, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS delta
+FROM stats s LEFT JOIN cp c USING (key) LEFT JOIN sides d USING (key)
+ORDER BY event_type
+""",
+        "decontaminate_spans": f"""
+WITH toksl AS (SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents),
+base AS (SELECT doc_id, tl, len(tl) AS dl FROM toksl),
+evals AS (
+    SELECT tl[5 : least(len(tl), 20)] AS etl
+    FROM base WHERE doc_id % 97 = 0 AND len(tl) >= 5
+),
+ewins AS (
+    SELECT etl, unnest(generate_series(1, len(etl) - {_SPAN_DECON_WINDOW} + 1)) AS pos
+    FROM evals WHERE len(etl) >= {_SPAN_DECON_WINDOW}
+),
+efps AS (
+    SELECT DISTINCT
+           md5(array_to_string(etl[pos : pos + {_SPAN_DECON_WINDOW} - 1], ' ')) AS fp
+    FROM ewins
+),
+wins AS (
+    SELECT doc_id, tl, unnest(generate_series(1, dl - {_SPAN_DECON_WINDOW} + 1)) AS pos
+    FROM base WHERE dl >= {_SPAN_DECON_WINDOW}
+),
+fps AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(tl[pos : pos + {_SPAN_DECON_WINDOW} - 1], ' ')) AS fp
+    FROM wins
+),
+hwins AS (SELECT f.doc_id, f.pos FROM fps f JOIN efps USING (fp)),
+cnt AS (SELECT doc_id, count(*) AS hit_windows FROM hwins GROUP BY doc_id),
+cov AS (
+    SELECT doc_id, count(DISTINCT p) AS covered_tokens
+    FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_DECON_WINDOW} - 1)) AS p
+        FROM hwins
+    )
+    GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.dl AS BIGINT) AS dl,
+       CAST(coalesce(cnt.hit_windows, 0) AS BIGINT) AS hit_windows,
+       CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN b.dl > 0
+            THEN round(coalesce(cov.covered_tokens, 0) * 1.0 / b.dl, 6)
+            ELSE 0.0 END AS coverage,
+       CASE WHEN b.dl > 0
+            THEN round(coalesce(cov.covered_tokens, 0) * 1.0 / b.dl, 6)
+            ELSE 0.0 END > {_SPAN_DECON_THRESHOLD} AS contaminated
+FROM base b LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)
+ORDER BY b.doc_id
 """,
         "line_dedup": f"""
 WITH toksd AS (

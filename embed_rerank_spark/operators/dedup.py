@@ -506,6 +506,105 @@ def duplicate_span_coverage(
     )
 
 
+def contamination_span_coverage(
+    docs: DataFrame,
+    benchmark_texts: list[str],
+    window: int = 8,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination (the Llama-3 refinement of
+    the GPT-3 doc-drop rule): instead of dropping any doc sharing ONE
+    eval n-gram (``decontaminate`` — brutal on short boilerplate
+    n-grams), measure WHAT FRACTION of the doc's tokens sit under an
+    eval-set ``window``-gram match and drop only docs above
+    ``threshold``.
+
+    -> (doc_id, dl, hit_windows, covered_tokens, coverage,
+    contaminated): ``hit_windows`` = this doc's stride-1 token windows
+    whose exact text occurs in the eval set; ``covered_tokens`` =
+    |union of token positions under any hit window| (overlaps merged,
+    never double-counted — the same position-union semantics as
+    ``duplicate_span_coverage``); ``coverage`` = covered/dl;
+    ``contaminated`` = coverage > threshold. Docs shorter than
+    ``window`` can't match (0 / 0.0 / false).
+
+    Scale shape: identical to ``decontaminate`` — the eval side is
+    tiny by construction, so its distinct window fingerprints
+    BROADCAST into the corpus window stream (one row per corpus token,
+    the cardinality the index build already pays); only matched
+    windows re-explode (x ``window``) for the position union. No
+    corpus self-join, no shuffle keyed on anything hotter than doc_id.
+    """
+    spark = docs.sparkSession
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(benchmark_texts)], "bid long, text string"
+    )
+    bench_fps = (
+        bench.select(tokenize_for_scoring(F.col("text")).alias("toks"))
+        .select("toks", F.size("toks").alias("dl"))
+        .select(
+            "toks",
+            F.explode(
+                F.when(
+                    F.col("dl") >= window,
+                    F.sequence(F.lit(1), F.col("dl") - window + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), window))).alias("fp")
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_for_scoring(F.col(text_col)).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    wins = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.col("dl") >= window,
+                F.sequence(F.lit(1), F.col("dl") - window + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), window))).alias("fp"),
+    )
+    hit_wins = wins.join(F.broadcast(bench_fps), "fp").select("doc_id", "pos")
+    counts = hit_wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("hit_windows"))
+    coverage = (
+        hit_wins.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered_tokens"))
+    )
+    cov = F.when(
+        F.col("dl") > 0,
+        F.round(F.coalesce("covered_tokens", F.lit(0)) / F.col("dl"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
+        .join(counts, "doc_id", "left")
+        .join(coverage, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.coalesce("hit_windows", F.lit(0)).cast("long").alias("hit_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            cov.alias("coverage"),
+            (cov > threshold).alias("contaminated"),
+        )
+    )
+
+
 def dedup_clusters(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, canonical, is_canonical): TRANSITIVE near-dup clusters —
     connected components over the dup-pair graph, canonical = min doc_id

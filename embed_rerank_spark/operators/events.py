@@ -17,7 +17,7 @@ day(ts)) lets Catalyst prune scans to the queried range.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -262,4 +262,93 @@ def trending_keys(
         F.round("expected", 6).alias("expected"),
         F.round("lift", 6).alias("lift"),
         F.round("z_score", 6).alias("z_score"),
+    )
+
+
+def change_points(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(<key>, n_buckets, cp_ts, cusum_max, mean_before, mean_after,
+    delta) — step-change detection per key over its bucketed metric
+    series: the ES ``change_point`` aggregation shape, implemented as
+    the classic CUSUM argmax estimator (Page 1954; Taylor's
+    change-point analysis): with x_i the per-bucket mean of
+    ``value_col`` and x̄ the series mean,
+
+        S_i = Σ_{j<=i} (x_j - x̄)         (cumulative sum of residuals)
+        cp  = argmax_i |S_i|             (earliest bucket on ties)
+
+    ``mean_before`` averages buckets <= cp, ``mean_after`` the rest;
+    ``delta`` = after - before is the detected step. Series with < 2
+    buckets report no change point (cp_ts null, delta 0). All floats
+    rounded 6dp so the arithmetic is engine-portable.
+
+    Scale shape: ONE map-side-combinable (key, bucket) hash agg over
+    the events scan; everything after runs on the bucketed series —
+    bounded by the time range, thousands of rows per key at most — so
+    the per-key windows (running sum, argmax) never see raw events.
+    The same shape runs incrementally: per-bucket (sum, count)
+    partials are mergeable across streaming micro-batches or LSM
+    units, and CUSUM re-derives from the merged series."""
+    bucketed = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), window_duration).alias("w"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("x"))
+        .select("key", F.unix_timestamp(F.col("w.start")).alias("bucket_ts"), "x")
+    )
+    stats = bucketed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.avg("x").alias("xbar")
+    )
+    wseq = Window.partitionBy("key").orderBy("bucket_ts")
+    cusum = (
+        bucketed.join(F.broadcast(stats), "key")
+        .withColumn(
+            "s", F.round(F.sum(F.col("x") - F.col("xbar")).over(wseq), 6)
+        )
+        .withColumn("abss", F.abs(F.col("s")))
+    )
+    wpick = Window.partitionBy("key").orderBy(F.desc("abss"), F.asc("bucket_ts"))
+    cp = (
+        cusum.withColumn("rk", F.row_number().over(wpick))
+        .filter(F.col("rk") == 1)
+        .select("key", F.col("bucket_ts").alias("cp_ts"), F.col("abss").alias("cusum_max"))
+    )
+    sides = (
+        bucketed.join(F.broadcast(cp), "key")
+        .groupBy("key")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("bucket_ts") <= F.col("cp_ts"), F.col("x"))), 6
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("bucket_ts") > F.col("cp_ts"), F.col("x"))), 6
+            ).alias("mean_after"),
+        )
+    )
+    return (
+        stats.join(cp, "key", "left")
+        .join(sides, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            "n_buckets",
+            F.when(F.col("n_buckets") >= 2, F.col("cp_ts")).alias("cp_ts"),
+            F.when(F.col("n_buckets") >= 2, F.col("cusum_max"))
+            .otherwise(F.lit(0.0))
+            .alias("cusum_max"),
+            F.col("mean_before"),
+            F.when(F.col("n_buckets") >= 2, F.col("mean_after")).alias("mean_after"),
+            F.when(
+                F.col("n_buckets") >= 2,
+                F.round(F.col("mean_after") - F.col("mean_before"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("delta"),
+        )
+        .orderBy(key_col)
     )

@@ -266,3 +266,95 @@ def kmv_minhashes(
     sketch artifact ``kmv_merge`` unions. Same partial-then-window plan
     as ``kmv_cardinality``."""
     return _kmv_minset(_grouped_values(docs, group_col, text_col, granularity), k)
+
+
+def kmv_set_ops(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+    text_col: str = "text",
+    granularity: str = "shingle3",
+) -> DataFrame:
+    """Sketch-space set algebra between every unordered group pair —
+    the DataSketches theta-sketch union/intersection pattern (Beyer et
+    al. 2007 §4; Dasgupta et al. 2016) over the engine's KMV sketches:
+    estimate |A ∪ B|, Jaccard(A, B), and |A ∩ B| of two groups'
+    distinct-value sets WITHOUT comparing the sets themselves.
+
+    -> (grp_a, grp_b, n_union_held, union_est, jaccard, intersect_est)
+    for every pair grp_a < grp_b:
+    - union sketch = k smallest distinct hashes of sketch_a ∪ sketch_b
+      (the mergeable-summaries closure: exactly the sketch of the
+      concatenated corpora), ``union_est`` = its KMV estimate;
+    - ``jaccard`` = fraction of union-sketch hashes present in BOTH
+      group sketches (each union-sketch hash is a uniform sample of
+      A ∪ B, and membership in the k-min sets is exact for hashes this
+      small), rounded 6dp;
+    - ``intersect_est`` = jaccard * union_est (the standard KMV
+      intersection composition; never estimated directly — min-k of an
+      intersection is not a sketch of it).
+
+    Why it matters at 100 TB: vocabulary/shingle overlap between two
+    crawls, sources, or snapshots via exact distinct-intersection is a
+    full shuffle of both value streams; the sketches are groups x k
+    rows, persistable, and this whole operator is arithmetic over
+    them. The estimator is deterministic given md5, so the DuckDB
+    oracle reproduces it bit-for-bit.
+    """
+    sketch = _kmv_minset(_grouped_values(docs, group_col, text_col, granularity), k)
+    pairs = (
+        sketch.select(F.col("grp").alias("grp_a"))
+        .distinct()
+        .join(sketch.select(F.col("grp").alias("grp_b")).distinct())
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    # union candidates: both sketches' hashes, deduped, k smallest per pair
+    uh = (
+        pairs.join(
+            F.broadcast(sketch),
+            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+        )
+        .select("grp_a", "grp_b", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy(F.asc("h"))
+    union_sketch = uh.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    # membership of each union-sketch hash in the per-group k-min sets
+    in_a = sketch.select(F.col("grp").alias("grp_a"), "h").withColumn(
+        "ina", F.lit(1)
+    )
+    in_b = sketch.select(F.col("grp").alias("grp_b"), "h").withColumn(
+        "inb", F.lit(1)
+    )
+    marked = (
+        union_sketch.join(F.broadcast(in_a), ["grp_a", "h"], "left")
+        .join(F.broadcast(in_b), ["grp_b", "h"], "left")
+    )
+    agg = marked.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_union_held"),
+        F.max("h").alias("kth_h"),
+        F.sum(
+            F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_union_held") < k, F.col("n_union_held").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("kth_h") / F.lit(_H60_SPACE)))
+    return (
+        agg.withColumn("union_est", F.round(union_est, 6))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_both") / F.col("n_union_held"), 6),
+        )
+        .withColumn(
+            "intersect_est",
+            F.round(F.col("n_both") / F.col("n_union_held") * union_est, 6),
+        )
+        .select(
+            "grp_a", "grp_b", "n_union_held", "union_est", "jaccard",
+            "intersect_est",
+        )
+        .orderBy("grp_a", "grp_b")
+    )

@@ -1505,3 +1505,133 @@ def term_range_topk(
             [], "query_id long, rank int, doc_id long, score double"
         )
     return wand_topk(index, synth, k, k1, b, taat_threshold)
+
+
+def _filter_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, list[str]]],
+    k: int,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    """Filter-context kernel: per shard, the <= k SMALLEST doc_ids
+    containing EVERY query term — no scoring, no tf/dl math (the
+    blocks' docs stream is the only thing decoded; tf/dl bins ride
+    along only because the block layout is fixed). Docs are whole
+    within a shard, so per-shard intersection is exact; newest-wins
+    versions and tombstones mask at decode like every other kernel."""
+    shards = _parse_shards(batches)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    vmask = version_arrays(vers)
+
+    out_q, out_d = [], []
+    for _shard, term_blocks in shards.items():
+        tb = {
+            t: [
+                (seg, [blk[1:] for blk in sorted(run, key=lambda b: (b[1], b[0]))])
+                for seg, run in sorted(runs.items())
+            ]
+            for t, runs in term_blocks.items()
+        }
+        docs_cache: dict[str, np.ndarray] = {}
+
+        def docs_of(t: str) -> np.ndarray:
+            got = docs_cache.get(t)
+            if got is None:
+                ds = []
+                for seg, run in tb[t]:
+                    d = np.concatenate(
+                        [decode_block(blk[5], blk[6], blk[7], blk[2])[0] for blk in run]
+                    )
+                    if vmask is not None:
+                        d = d[version_keep(d, seg, *vmask)]
+                    ds.append(d)
+                got = docs_cache[t] = np.unique(np.concatenate(ds))
+            return got
+
+        for qid, terms in queries:
+            if any(t not in tb for t in terms):
+                continue
+            cur: np.ndarray | None = None
+            for t in terms:
+                d = docs_of(t)
+                cur = d if cur is None else cur[np.isin(cur, d, assume_unique=True)]
+                if cur is not None and not len(cur):
+                    break
+            if cur is None or not len(cur):
+                continue
+            if excl_arr is not None and len(excl_arr):
+                cur = cur[~np.isin(cur, excl_arr)]
+            for doc in cur[:k]:
+                out_q.append(qid)
+                out_d.append(int(doc))
+    yield pa.RecordBatch.from_pydict(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def constant_score_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the ES/Lucene
+    ``constant_score`` query — the wrapped query runs in FILTER
+    context (here: AND over the query's unique terms, the bool-filter
+    shape), every matching doc scores exactly ``boost``, and hits come
+    back in index order (doc_id asc; with one uniform score that IS
+    the ES tie order). No idf/tf/norms are computed or read — which is
+    the point of the ES construct: a filter wrapped for use in scoring
+    position, at cache-friendly cost.
+
+    Scale shape: identical to ``conjunctive_topk`` minus the math —
+    term-filtered scan of the postings (row-group pushdown), per-shard
+    kernel emits <= k candidates, global k-smallest window over
+    queries x shards x k rows. A query with an out-of-vocabulary term
+    matches nothing (AND semantics)."""
+    qterm_map: list[tuple[int, list[str]]] = []
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        seen: list[str] = []
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.append(tok)
+        if seen:
+            qterm_map.append((qid, seen))
+            all_terms.update(seen)
+    spark = index.postings.sparkSession
+    if not qterm_map:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    needed = [
+        "term", "shard", "block_id", "first_doc", "last_doc",
+        "n_docs", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin",
+    ]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(
+        F.col("term").isin(list(all_terms))
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _filter_partition(it, qterm_map, k, excl, vers),
+        "query_id long, doc_id long",
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+    )

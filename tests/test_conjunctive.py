@@ -160,3 +160,41 @@ def test_suffix_topk_expansion_and_empty(spark, index):
     want = _canon(bm25_topk_bruteforce(spark, docs, [(1, " ".join(terms))], k=10))
     assert got == want and got
     assert not any(q == 2 for q, _r, _d, _s in got)
+
+
+def test_constant_score_topk_filter_semantics(spark, index):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.wand import constant_score_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = [(qid, q) for qid, q in QUERY_SET[:6]] + [(99, "zzzneverseen")]
+    k, boost = 10, 1.7
+
+    # declarative brute force: docs containing every query term,
+    # k smallest doc_ids, uniform score
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize_for_scoring(F.col("text"))).alias("ts")
+    )
+    want = []
+    for qid, q in queries:
+        terms = list(dict.fromkeys(t for t in q.strip().lower().split() if t))
+        cond = None
+        for t in terms:
+            c = F.array_contains("ts", t)
+            cond = c if cond is None else (cond & c)
+        rows = (
+            toks.filter(cond).orderBy("doc_id").limit(k).collect()
+            if cond is not None
+            else []
+        )
+        want += [(qid, i + 1, r["doc_id"], boost) for i, r in enumerate(rows)]
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in constant_score_topk(index, queries, k=k, boost=boost).collect()
+    )
+    assert got == sorted(want)
+    assert not any(q == 99 for q, *_ in got)  # OOV term -> no matches

@@ -337,3 +337,57 @@ def test_line_dedup_fully_boilerplate_doc(spark):
     out = line_dedup(docs, window=5, max_df=2).collect()
     assert all(r["n_removed"] == 1 and r["n_lines"] == 1 for r in out)
     assert all(r["kept_md5"] == md5(b"").hexdigest() for r in out)
+
+
+def test_contamination_span_coverage_hand_built(spark):
+    from embed_rerank_spark.operators.dedup import contamination_span_coverage
+
+    # eval set: one 10-token sentence; doc 1 embeds tokens 3..10 of it
+    # plus its own prefix/suffix; doc 2 shares nothing; doc 3 IS the
+    # eval text verbatim (full coverage)
+    eval_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "own prefix gamma delta epsilon zeta eta theta iota kappa own suffix"),
+            (2, "completely unrelated text with many words here now"),
+            (3, eval_txt),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_span_coverage(
+            docs, [eval_txt], window=8, threshold=0.5
+        ).collect()
+    }
+    # doc 1: its tokens 3..10 = eval tokens 3..10 -> exactly one
+    # 8-gram window hit ("gamma..kappa"), covering 8 of its 12 tokens
+    assert got[1]["hit_windows"] == 1
+    assert got[1]["covered_tokens"] == 8
+    assert got[1]["coverage"] == round(8 / 12, 6)
+    assert bool(got[1]["contaminated"]) is True  # 0.667 > 0.5
+    # doc 2: clean
+    assert got[2]["hit_windows"] == 0 and got[2]["coverage"] == 0.0
+    assert bool(got[2]["contaminated"]) is False
+    # doc 3: verbatim eval text -> 3 windows, all 10 tokens covered
+    assert got[3]["hit_windows"] == 3
+    assert got[3]["covered_tokens"] == 10
+    assert got[3]["coverage"] == 1.0
+    # doc 4: shorter than the window -> no windows, clean by definition
+    assert got[4]["hit_windows"] == 0 and got[4]["coverage"] == 0.0
+
+
+def test_contamination_overlapping_windows_not_double_counted(spark):
+    from embed_rerank_spark.operators.dedup import contamination_span_coverage
+
+    # doc repeats a 9-token eval run -> two overlapping 8-gram windows
+    # but the union of covered positions is 9, not 16
+    eval_txt = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    docs = spark.createDataFrame(
+        [(1, "x " + eval_txt + " y")], "doc_id long, text string"
+    )
+    r = contamination_span_coverage(docs, [eval_txt], window=8).collect()[0]
+    assert r["hit_windows"] == 2
+    assert r["covered_tokens"] == 9
+    assert r["dl"] == 11

@@ -214,3 +214,54 @@ def test_trending_keys_counts_empty_windows_as_zero(spark):
     assert r["n_events"] == 2 and r["lift"] == pytest.approx(2.0)
     # std over {2,0,1}: mean 1, var 2/3 -> z = (2-1)/sqrt(2/3)
     assert r["z_score"] == pytest.approx(round(1 / math.sqrt(2 / 3), 6))
+
+
+def test_change_points_detects_step_and_matches_cusum_reference(spark):
+    import datetime as dt
+
+    from embed_rerank_spark.operators.events import change_points
+
+    base = dt.datetime(2024, 3, 1)
+    # 'step': daily mean 10.0 for 5 days then 20.0 for 5 days — change
+    # point must land on day 4 (the last low bucket, argmax |CUSUM|).
+    # 'flat': constant series — all CUSUM 0, earliest bucket wins.
+    # 'single': one bucket — no change point by contract.
+    rows = []
+    for d in range(10):
+        v = 10.0 if d < 5 else 20.0
+        # two events per bucket so the bucket mean is an actual avg
+        rows += [
+            (base + dt.timedelta(days=d, hours=1), "step", v - 1.0),
+            (base + dt.timedelta(days=d, hours=2), "step", v + 1.0),
+        ]
+    rows += [(base + dt.timedelta(days=d), "flat", 7.0) for d in range(4)]
+    rows += [(base, "single", 3.0)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {r["event_type"]: r for r in change_points(ev, "1 day").collect()}
+
+    # python CUSUM reference for 'step'
+    xs = [10.0] * 5 + [20.0] * 5
+    xbar = sum(xs) / len(xs)
+    cusum, s = [], 0.0
+    for x in xs:
+        s += x - xbar
+        cusum.append(round(s, 6))
+    cp_i = max(range(len(xs)), key=lambda i: (abs(cusum[i]), -i))
+    assert cp_i == 4
+    r = got["step"]
+    assert r["n_buckets"] == 10
+    assert r["cp_ts"] == int((base + dt.timedelta(days=4)).timestamp())
+    assert r["cusum_max"] == abs(cusum[cp_i]) == 25.0
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 20.0
+    assert r["delta"] == 10.0
+
+    # flat series: cp = earliest bucket, delta 0
+    r = got["flat"]
+    assert r["cusum_max"] == 0.0
+    assert r["cp_ts"] == int(base.timestamp())
+    assert r["delta"] == 0.0
+
+    # single bucket: no change point
+    r = got["single"]
+    assert r["n_buckets"] == 1 and r["cp_ts"] is None
+    assert r["delta"] == 0.0 and r["mean_after"] is None

@@ -133,3 +133,68 @@ def test_kmv_partial_bounds_rows_per_partition(spark):
         .collect()
     )
     assert counts and all(r["count"] <= 16 for r in counts)
+
+
+def test_kmv_set_ops_matches_python_reference(spark):
+    import hashlib
+
+    from embed_rerank_spark.operators.sketches import kmv_set_ops
+
+    # three groups with engineered overlap: a∩b shares w0..w59 of 100,
+    # c is disjoint from both
+    def doc(words):
+        return " ".join(words)
+
+    rows = []
+    rows += [(i, doc([f"w{j}" for j in range(i * 10, i * 10 + 10)]), "a") for i in range(10)]
+    rows += [(100 + i, doc([f"w{j}" for j in range(i * 10, i * 10 + 10)]), "b") for i in range(6)]
+    rows += [(200 + i, doc([f"v{j}" for j in range(i * 10, i * 10 + 10)]), "b") for i in range(4)]
+    rows += [(300 + i, doc([f"u{j}" for j in range(i * 10, i * 10 + 10)]), "c") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    k = 16
+
+    def h60(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    def sketch(values: set[str]) -> list[int]:
+        return sorted({h60(v) for v in values})[:k]
+
+    def est(hs: list[int]) -> float:
+        if len(hs) < k:
+            return float(len(hs))
+        return round((k - 1) / (hs[-1] / float(16**15)), 6)
+
+    vocab = {
+        "a": {f"w{j}" for j in range(100)},
+        "b": {f"w{j}" for j in range(60)} | {f"v{j}" for j in range(40)},
+        "c": {f"u{j}" for j in range(50)},
+    }
+    want = {}
+    for ga, gb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        sa, sb = set(sketch(vocab[ga])), set(sketch(vocab[gb]))
+        union = sorted(sa | sb)[:k]
+        nboth = sum(1 for h in union if h in sa and h in sb)
+        ue = est(union)
+        want[(ga, gb)] = (
+            len(union),
+            ue,
+            round(nboth / len(union), 6),
+            round(nboth / len(union) * ue, 6),
+        )
+
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["n_union_held"],
+            r["union_est"],
+            r["jaccard"],
+            r["intersect_est"],
+        )
+        for r in kmv_set_ops(
+            docs, k=k, group_col="src", granularity="term"
+        ).collect()
+    }
+    assert got == want
+    # sanity: the engineered overlap shows up, the disjoint pair doesn't
+    assert got[("a", "c")][2] == 0.0
+    assert got[("a", "b")][2] > 0.2
