@@ -155,3 +155,38 @@ def generate_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
             yield pa.RecordBatch.from_pydict(rows, schema=out_schema)
 
     return spark.range(0, n).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """(media_id, canonical, is_canonical, n_copies): byte-exact media
+    deduplication — the image/audio analogue of the text pipeline's
+    ``exact_dedup``, and the one media dedup that needs NO decoder:
+    content identity is sha256 over the raw payload, computed JVM-side
+    (``F.sha2``), so the binary column never crosses into Python and
+    never shuffles — only (media_id, digest) pairs move. Canonical =
+    min media_id per digest (the survivor rule the text family uses).
+
+    At 100 TB this is the first stage of every image-dedup pipeline
+    (LAION/DataComp dedup starts with exact-bytes): one combinable
+    hash agg keyed by digest; perceptual near-dup then runs over
+    ``extract_features`` vectors via the unchanged
+    ``dedup.embedding_near_dup`` + ``dedup_clusters`` machinery (with
+    a real decoder wired, those features become pHash/CLIP — the
+    Spark plan is final either way)."""
+    digests = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("digest")
+    )
+    canon = digests.groupBy("digest").agg(
+        F.min("media_id").alias("canonical"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        digests.join(canon, "digest")
+        .select(
+            "media_id",
+            "canonical",
+            (F.col("media_id") == F.col("canonical")).alias("is_canonical"),
+            "n_copies",
+        )
+        .orderBy("media_id")
+    )
