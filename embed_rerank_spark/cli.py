@@ -93,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
             "prefix", "suffix", "infix", "regexp", "wildcard", "term-range",
-            "span-not", "interval",
+            "span-not", "interval", "constant-score",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -129,6 +129,18 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=0,
         help="fuzzy only: first N characters must match exactly",
+    )
+    q.add_argument(
+        "--transpositions",
+        action="store_true",
+        help="fuzzy only: adjacent swaps count ONE edit "
+        "(Damerau-Levenshtein — the ES fuzzy_transpositions default)",
+    )
+    q.add_argument(
+        "--boost",
+        type=float,
+        default=1.0,
+        help="constant-score only: the uniform score every hit gets",
     )
     q.add_argument(
         "--near-window",
@@ -406,6 +418,17 @@ def main(argv: list[str] | None = None) -> int:
     hh.add_argument("--out", required=True)
     hh.add_argument("--capacity", type=int, default=4096)
     hh.add_argument("--top-n", type=int, default=50)
+
+    cpt = sub.add_parser(
+        "change-point",
+        help="CUSUM step-change detection per key over bucketed event series",
+    )
+    cpt.add_argument("--events", required=True,
+                     help="parquet with ts, a key column, a value column")
+    cpt.add_argument("--out", required=True)
+    cpt.add_argument("--window", default="1 day", help="bucket width")
+    cpt.add_argument("--key-col", default="event_type")
+    cpt.add_argument("--value-col", default="value")
 
     nb = sub.add_parser(
         "nested-bool",
@@ -713,6 +736,7 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.k,
                     max_distance=fz if fz == "AUTO" else int(fz),
                     prefix_length=args.prefix_length,
+                    transpositions=args.transpositions,
                 )
             elif args.mode == "prefix":
                 from .operators.wand import prefix_topk
@@ -749,6 +773,12 @@ def main(argv: list[str] | None = None) -> int:
                     idx,
                     [(qid, q, args.max_gaps) for qid, q in queries],
                     k=args.k,
+                )
+            elif args.mode == "constant-score":
+                from .operators.wand import constant_score_topk
+
+                out = constant_score_topk(
+                    idx, queries, k=args.k, boost=args.boost
                 )
             elif args.mode == "span-not":
                 from .operators.positions import span_not_topk
@@ -1041,6 +1071,17 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.corpus),
                 capacity=args.capacity,
                 top_n=args.top_n,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "change-point":
+            from .operators.events import change_points
+
+            out = change_points(
+                spark.read.parquet(args.events),
+                window_duration=args.window,
+                key_col=args.key_col,
+                value_col=args.value_col,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

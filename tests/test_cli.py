@@ -775,3 +775,57 @@ def test_cli_knn_modes(spark, tmp_path):
     maxsim = spark.read.parquet(str(d / "o_maxsim"))
     top = maxsim.filter(F.col("rank") == 1).collect()[0]
     assert top.doc_id == 0 and abs(top.score - 4.0) < 1e-9
+
+
+def test_cli_constant_score_and_change_point(spark, workspace, tmp_path):
+    import datetime as dt
+
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    idx = tmp_path / "cs_index"
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "build-index", "--pages", str(d / "pages"), "--index", str(idx),
+            "--shards", "4", "--max-concurrent", "2",
+        ]) == 0
+        (tmp_path / "cq.tsv").write_text("0\tw1 w2\n1\tzzzneverseen\n")
+        assert cli.main([
+            "query", "--index", str(idx), "--queries", str(tmp_path / "cq.tsv"),
+            "--out", str(tmp_path / "q_cs"), "--mode", "constant-score",
+            "--k", "5", "--boost", "2.5",
+        ]) == 0
+        rows = spark.read.parquet(str(tmp_path / "q_cs")).collect()
+        assert rows and all(r["score"] == 2.5 for r in rows)
+        assert all(r["query_id"] == 0 for r in rows)  # OOV query empty
+        ranks = sorted((r["rank"], r["doc_id"]) for r in rows)
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        # doc_id asc == rank order (index order, ES constant_score tie rule)
+        assert [d_ for _, d_ in ranks] == sorted(d_ for _, d_ in ranks)
+
+        base = dt.datetime(2024, 5, 1)
+        ev = spark.createDataFrame(
+            [
+                (base + dt.timedelta(days=day, hours=h), "k",
+                 5.0 if day < 3 else 9.0)
+                for day in range(6)
+                for h in (1, 2)
+            ],
+            "ts timestamp, event_type string, value double",
+        )
+        ev.write.mode("overwrite").parquet(str(tmp_path / "cp_events"))
+        assert cli.main([
+            "change-point", "--events", str(tmp_path / "cp_events"),
+            "--out", str(tmp_path / "cp_out"),
+        ]) == 0
+        r = spark.read.parquet(str(tmp_path / "cp_out")).collect()[0]
+        assert r["n_buckets"] == 6
+        assert r["cp_ts"] == int((base + dt.timedelta(days=2)).timestamp())
+        assert r["delta"] == 4.0
+    finally:
+        if prev_stop is not None:
+            spark.stop = prev_stop
+        else:
+            del spark.__dict__["stop"]
