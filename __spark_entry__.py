@@ -2146,6 +2146,20 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector (ELSER/SPLADE-family) retrieval: weighted term
+    dot product of an explicit query vector against the corpus-derived
+    doc expansion w_d = ln(1+tf)*idf
+    (operators/bm25.py::sparse_vector_topk)."""
+    from embed_rerank_spark.operators.bm25 import sparse_vector_topk
+    from embed_rerank_spark.queryset import SPARSE_VECTOR_SET
+
+    out = sparse_vector_topk(spark, _docs(spark, sf_dir), SPARSE_VECTOR_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES change_point-aggregation shape: per event_type, CUSUM-argmax
     step-change detection over the daily mean-value series
@@ -3921,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cardinality": q_kmv_cardinality,
         "kmv_set_ops": q_kmv_set_ops,
         "constant_score": q_constant_score,
+        "sparse_vector_topk": q_sparse_vector,
         "change_point": q_change_point,
         "decontaminate_spans": q_decontaminate_spans,
         "line_dedup": q_line_dedup,
@@ -4033,6 +4048,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 def oracle_sql() -> dict[str, str]:
     from embed_rerank_spark.queryset import (  # noqa: PLC0415
         CUTOFF_FREQUENCY as _CT_CUTOFF,
+        sparse_vector_values_sql,
         MBP_BOOL_MAX_EXPANSION,
         common_terms_values_sql,
         interval_matched_sql,
@@ -8294,6 +8310,30 @@ SELECT grp_a, grp_b, n_union_held,
                   ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
              END, 6) AS intersect_est
 FROM agg ORDER BY grp_a, grp_b
+""",
+        "sparse_vector_topk": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT qv.query_id, tf.doc_id,
+           qv.qw * ln(1.0 + tf.tf)
+                 * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS term_score
+    FROM {sparse_vector_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """,
         "constant_score": f"""
 WITH {_TOKS_CTE},

@@ -1503,3 +1503,74 @@ def combined_fields_topk_bruteforce(
         .agg(F.sum("term_score").alias("score"))
     )
     return topk(scored, k).select("query_id", "rank", "doc_id", "score")
+
+
+def sparse_vector_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_vectors: list[tuple[int, list[tuple[str, float]]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the ES ``sparse_vector`` query
+    — learned-sparse (ELSER/SPLADE-family) retrieval as a weighted
+    term dot product:
+
+        score(q, d) = sum_t  q_w(t) * w_d(t, d)
+
+    where the query side is an explicit (term, weight) vector (the ES
+    ``query_vector`` form) and the doc-side expansion weight uses the
+    standard sparse-impact stand-in w_d = ln(1 + tf) * idf(t) — a
+    deterministic corpus-derived surrogate for the learned expansion
+    (the no-real-ML rule; a SPLADE checkpoint would replace exactly
+    this column, nothing else in the plan changes). Negative or zero
+    query weights are rejected (ES requires positive token weights;
+    a negative weight would also break WAND-style pruning on the
+    index-backed path).
+
+    Scale shape: identical to the BM25 brute plan — the query-vector
+    side broadcasts into the tf scan, the only corpus-sized shuffles
+    are the tf/df hash aggs; on the compressed index this is one more
+    per-(query, term) weight in the query plan, scored by the
+    unchanged TAAT kernel shape (the LMD "second ranking model"
+    pattern)."""
+    rows = []
+    for qid, vec in query_vectors:
+        seen: dict[str, float] = {}
+        for t, w in vec:
+            if w is None or float(w) <= 0:
+                raise ValueError(f"sparse_vector weight must be > 0: {t}^{w}")
+            seen[t] = max(float(w), seen.get(t, 0.0))  # dup term: max weight
+        rows += [(qid, t, w) for t, w in seen.items()]
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(rows, "query_id long, term string, qw double")
+
+    tfdl = term_freqs_dl(docs, id_col, text_col)
+    dl = doc_lengths_direct(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    df = doc_freqs(tfdl)
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf")
+    )
+    matched = (
+        F.broadcast(qdf)
+        .join(tfdl, "term")
+        .join(idf, "term")
+        .withColumn(
+            "term_score",
+            F.col("qw") * F.log(F.lit(1.0) + F.col("tf")) * F.col("idf"),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    return topk(scored, k).select("query_id", "rank", "doc_id", "score")

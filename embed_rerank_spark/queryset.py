@@ -849,3 +849,26 @@ C4_MIN_WORDS_PER_LINE = 30
 C4_BADWORDS = ("spark",)
 
 ZIPF_TOP_N = 64
+
+
+# ES sparse_vector query vectors (the ELSER/SPLADE query_vector wire
+# form): explicit positive (term, weight) pairs over the synthetic
+# core vocabulary; q4 is fully out-of-vocabulary (zero rows).
+SPARSE_VECTOR_SET: list[tuple[int, list[tuple[str, float]]]] = [
+    (1, [("fast", 2.0), ("scan", 1.0), ("table", 0.25)]),
+    (2, [("join", 1.5), ("merge", 1.5)]),
+    (3, [("query", 3.0), ("the", 0.1)]),
+    (4, [("zzqx", 1.0)]),
+    (5, [("hash", 1.0), ("sort", 0.5), ("index", 0.5), ("data", 0.25)]),
+]
+
+
+def sparse_vector_values_sql() -> str:
+    out = []
+    for qid, vec in SPARSE_VECTOR_SET:
+        seen: dict[str, float] = {}
+        for t, w in vec:
+            seen[t] = max(float(w), seen.get(t, 0.0))
+        out += [(qid, t, w) for t, w in seen.items()]
+    rows = ", ".join(f"({qid}, '{t}', {w})" for qid, t, w in out)
+    return f"(VALUES {rows}) AS qv(query_id, term, qw)"

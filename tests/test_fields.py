@@ -306,3 +306,60 @@ def test_combined_fields_python_reference(spark):
             (r["rank"], r["doc_id"], round(r["score"], 6))
         )
     assert got == expect
+
+
+def test_sparse_vector_dot_product_reference(spark):
+    import math
+
+    import pytest as _pytest
+
+    from embed_rerank_spark.operators.bm25 import sparse_vector_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry cherry"),
+            (4, "durian"),
+        ],
+        "doc_id long, text string",
+    )
+    qv = [(1, [("apple", 2.0), ("cherry", 0.5)]), (2, [("zzz", 1.0)])]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], round(r["score"], 6))
+        for r in sparse_vector_topk(spark, docs, qv, k=10).collect()
+    }
+
+    # python reference: w_d = ln(1+tf) * idf, score = sum qw * w_d
+    n = 4
+    tf = {1: {"apple": 2, "banana": 1}, 2: {"banana": 1, "cherry": 1},
+          3: {"apple": 1, "cherry": 3}, 4: {"durian": 1}}
+    dfreq = {"apple": 2, "banana": 2, "cherry": 2, "durian": 1}
+    def idf(t):
+        d = dfreq[t]
+        return math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+    want_scores = {}
+    for qid, vec in qv:
+        for d, terms in tf.items():
+            s = sum(w * math.log(1 + terms[t]) * idf(t) for t, w in vec if t in terms)
+            if s > 0:
+                want_scores[(qid, d)] = s
+    assert set(got) == set(want_scores)
+    for key, s in want_scores.items():
+        assert got[key][1] == round(s, 6)
+    # ranking: q1 ranks docs by the dot product desc
+    q1 = sorted(
+        ((d, s) for (q, d), s in want_scores.items() if q == 1),
+        key=lambda x: (-round(x[1], 6), x[0]),
+    )
+    assert [got[(1, d)][0] for d, _ in q1] == list(range(1, len(q1) + 1))
+    # dup term keeps max weight; non-positive weights rejected
+    one = sparse_vector_topk(
+        spark, docs, [(9, [("apple", 1.0), ("apple", 2.0)])], k=5
+    ).collect()
+    two = sparse_vector_topk(spark, docs, [(9, [("apple", 2.0)])], k=5).collect()
+    assert sorted((r["doc_id"], round(r["score"], 6)) for r in one) == sorted(
+        (r["doc_id"], round(r["score"], 6)) for r in two
+    )
+    with _pytest.raises(ValueError):
+        sparse_vector_topk(spark, docs, [(9, [("apple", -1.0)])], k=5)
