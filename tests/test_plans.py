@@ -395,3 +395,19 @@ def test_session5_ops_broadcast_and_no_cartesian(spark):
     # weights stage instead (above) and its output size here
     sel = dsir_select(docs, tgt, budget=10, n_buckets=64)
     assert sel.count() == 10
+
+
+def test_constant_score_filter_is_term_pruned_and_rank_by_doc_id(spark, index):
+    """constant_score must feed its kernel from the SAME term-filtered
+    postings scan the scorers use (term pushdown reaches parquet) and
+    rank hits purely by doc_id — no score-ordered exchange."""
+    from embed_rerank_spark.operators.wand import constant_score_topk
+
+    out = constant_score_topk(index, [(1, "the data")], k=5, boost=3.0)
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "in(term" in plan.lower(), plan
+    rows = out.collect()
+    assert rows and all(r["score"] == 3.0 for r in rows)
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ids == sorted(ids)
