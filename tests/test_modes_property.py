@@ -138,3 +138,31 @@ def test_bm25f_index_path_equals_bruteforce(spark, seed):
             spark, docs, queries, k=7, title_len=tl, title_weight=tw
         )
     )
+
+
+@pytest.mark.parametrize("seed", [17, 29])
+def test_constant_score_random_corpora(spark, seed):
+    from embed_rerank_spark.operators.wand import constant_score_topk
+
+    rng = random.Random(seed)
+    docs_rows = _mk_corpus(rng, rng.randint(60, 150))
+    _docs, index = _mk_index(spark, docs_rows, n_shards=rng.choice([2, 4, 8]))
+    queries = [
+        (qid, " ".join(rng.sample(VOCAB, rng.randint(1, 3))))
+        for qid in range(1, 6)
+    ]
+    k = rng.randint(3, 12)
+    boost = round(rng.uniform(0.5, 4.0), 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in constant_score_topk(index, queries, k=k, boost=boost).collect()
+    }
+    # python reference over the raw corpus
+    toks = {d: set(t.split()) for d, t in docs_rows}
+    want = {}
+    for qid, q in queries:
+        terms = set(q.split())
+        match = sorted(d for d, ts in toks.items() if terms <= ts)
+        for i, d in enumerate(match[:k]):
+            want[(qid, i + 1)] = (d, boost)
+    assert got == want
