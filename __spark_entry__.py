@@ -2146,6 +2146,42 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over the star-schema tables — §2.5
+    aggregation row on relational data; decimal-summed so aggregates
+    are partitioning-independent (operators/relational.py)."""
+    from embed_rerank_spark.operators.relational import pricing_summary
+
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-revenue unshipped BUILDING-segment orders —
+    §2.5 multi-join + top-k row (operators/relational.py)."""
+    from embed_rerank_spark.operators.relational import top_unshipped_orders
+
+    return top_unshipped_orders(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed regional revenue roll-up: nations ranked within their
+    region with revenue shares — §2.5 window row on relational data
+    (operators/relational.py)."""
+    from embed_rerank_spark.operators.relational import nation_revenue_rank
+
+    return nation_revenue_rank(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sparse_vector (ELSER/SPLADE-family) retrieval: weighted term
     dot product of an explicit query vector against the corpus-derived
@@ -3936,6 +3972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "constant_score": q_constant_score,
         "sparse_vector_topk": q_sparse_vector,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "nation_revenue_rank": q_nation_revenue_rank,
         "change_point": q_change_point,
         "decontaminate_spans": q_decontaminate_spans,
         "line_dedup": q_line_dedup,
@@ -8334,6 +8373,76 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
+""",
+        "tpch_pricing_summary": """
+WITH li AS (
+    SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+),
+agg AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sbp,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sdp,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS sc,
+           sum(CAST(l_discount AS DECIMAL(18,4))) AS sd,
+           count(*) AS count_order
+    FROM li GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sbp AS DOUBLE) AS sum_base_price,
+       CAST(sdp AS DOUBLE) AS sum_disc_price,
+       CAST(sc AS DOUBLE) AS sum_charge,
+       round(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
+       round(CAST(sbp AS DOUBLE) / count_order, 6) AS avg_price,
+       round(CAST(sd AS DOUBLE) / count_order, 6) AS avg_disc,
+       count_order
+FROM agg ORDER BY l_returnflag, l_linestatus
+""",
+        "tpch_top_orders": """
+WITH cust AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+ords AS (
+    SELECT o_orderkey, o_orderdate, o_orderpriority
+    FROM orders JOIN cust ON o_custkey = c_custkey
+    WHERE o_orderdate < TIMESTAMP '1998-03-15'
+),
+rev AS (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS r
+    FROM lineitem JOIN ords ON l_orderkey = o_orderkey
+    WHERE l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey
+)
+SELECT o_orderkey, CAST(r AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+FROM rev JOIN ords ON l_orderkey = o_orderkey
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""",
+        "nation_revenue_rank": """
+WITH dims AS (
+    SELECT c_custkey, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+),
+rev AS (
+    SELECT d.r_name, d.n_name,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS nrev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN dims d ON o_custkey = d.c_custkey
+    GROUP BY 1, 2
+)
+SELECT r_name, n_name, CAST(nrev AS DOUBLE) AS revenue,
+       CAST(row_number() OVER (PARTITION BY r_name
+                               ORDER BY nrev DESC, n_name ASC) AS INTEGER)
+           AS region_rank,
+       round(CAST(nrev AS DOUBLE) /
+             CAST(sum(nrev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           AS region_share
+FROM rev ORDER BY r_name, region_rank
 """,
         "constant_score": f"""
 WITH {_TOKS_CTE},

@@ -411,3 +411,39 @@ def test_constant_score_filter_is_term_pruned_and_rank_by_doc_id(spark, index):
     assert rows and all(r["score"] == 3.0 for r in rows)
     ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert ids == sorted(ids)
+
+
+def test_relational_plans_broadcast_dims_and_push_filters(spark):
+    """TPC-H-shaped entries: tiny dims broadcast, the date filter
+    reaches the lineitem parquet scan, and no cartesian appears."""
+    from embed_rerank_spark.operators.relational import (
+        nation_revenue_rank,
+        pricing_summary,
+        top_unshipped_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+
+    p1 = _plan(pricing_summary(li))
+    assert "PushedFilters" in p1 and "l_shipdate" in p1
+    assert "CartesianProduct" not in p1
+
+    p2 = _plan(top_unshipped_orders(cust, orders, li))
+    assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
+    assert "CartesianProduct" not in p2
+
+    p3 = _plan(nation_revenue_rank(cust, orders, li, nation, region))
+    assert "BroadcastHashJoin" in p3 or "BroadcastExchange" in p3
+    assert "CartesianProduct" not in p3
+    # shares within a region sum to ~1
+    rows = nation_revenue_rank(cust, orders, li, nation, region).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], 0.0)
+        by_region[r["r_name"]] += r["region_share"]
+    assert all(abs(s - 1.0) < 1e-4 for s in by_region.values())
