@@ -2196,6 +2196,20 @@ def q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query_string surface: one grammar composing terms,
+    phrases, fuzzy, wildcards, field/range filters, boosts and
+    AND/OR/NOT into a bool tree evaluated as a Catalyst join tree
+    (operators/querystring.py; generated per-tree DuckDB oracle)."""
+    from embed_rerank_spark.operators.querystring import query_string_topk
+    from embed_rerank_spark.queryset import QUERY_STRING_SET
+
+    out = query_string_topk(spark, _docs(spark, sf_dir), QUERY_STRING_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES change_point-aggregation shape: per event_type, CUSUM-argmax
     step-change detection over the daily mean-value series
@@ -4024,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_topk": q_stemmed_topk,
         "span_not_topk": q_span_not_topk,
         "nested_bool_topk": q_nested_bool_topk,
+        "query_string_topk": q_query_string_topk,
         "gauss_rescore": q_gauss_rescore,
         "percentiles": q_percentiles,
         "boosting_topk": q_boosting_topk,
@@ -4082,6 +4097,19 @@ dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
+
+
+def _query_string_oracle_sql() -> str:
+    """Generated per-tree oracle for query_string_topk — parses the
+    same pinned grammar and re-derives the semantics in pure SQL
+    (expansion recomputed via levenshtein/LIKE windows, not inlined
+    from the Spark plan)."""
+    from embed_rerank_spark.operators.querystring import (  # noqa: PLC0415
+        oracle_query_sql,
+    )
+    from embed_rerank_spark.queryset import QUERY_STRING_SET  # noqa: PLC0415
+
+    return oracle_query_sql(QUERY_STRING_SET, _TOKS_CTE, _TOKENIZE_SQL, TOP_K)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8805,6 +8833,7 @@ FROM ranked WHERE bucket_rank <= {MULTI_TERMS_N}
         "stemmed_topk": stemmed_sql,
         "span_not_topk": span_not_sql,
         "nested_bool_topk": nested_bool_sql,
+        "query_string_topk": _query_string_oracle_sql(),
         "percentiles": percentiles_sql,
         "boosting_topk": boosting_sql,
         "rank_feature_topk": rank_feature_sql,

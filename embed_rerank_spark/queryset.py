@@ -872,3 +872,21 @@ def sparse_vector_values_sql() -> str:
         out += [(qid, t, w) for t, w in seen.items()]
     rows = ", ".join(f"({qid}, '{t}', {w})" for qid, t, w in out)
     return f"(VALUES {rows}) AS qv(query_id, term, qw)"
+
+
+# Lucene query_string query set (operators/querystring.py grammar):
+# exercises every pinned construct — AND/OR, signs + phrase, grouping,
+# keyword-field filter, numeric range, fuzzy, wildcard + NOT, term
+# boost, phrase boost under OR.
+QUERY_STRING_SET: list[tuple[int, str]] = [
+    (1, "fast AND table"),
+    (2, "hash OR merge"),
+    (3, '+scan -dup "sort merge"'),
+    (4, "(fast OR slow) AND scan"),
+    (5, "lang:en AND (customer OR order)"),
+    (6, "n_chars:[200 TO 800] +table"),
+    (7, "tabl~1 jon~1"),
+    (8, "sc* AND NOT dup"),
+    (9, "fast^2 table"),
+    (10, '"hash join"^3 OR scan'),
+]
