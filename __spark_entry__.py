@@ -375,6 +375,21 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sloppy_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase with slop (two-token phrases) over the
+    positional index: |p2 - p1 - 1| <= slop (Lucene move semantics —
+    a transposed adjacent pair costs 2), BM25 over the pair's
+    distinct terms (operators/positions.py::sloppy_phrase_topk)."""
+    from embed_rerank_spark.operators.positions import sloppy_phrase_topk
+    from embed_rerank_spark.queryset import SLOPPY_PHRASE_SET
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = sloppy_phrase_topk(index, SLOPPY_PHRASE_SET, k=TOP_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanNotQuery over the positional index: include-term
     occurrences with no exclude term within SPAN_NOT_WINDOW tokens;
@@ -4039,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": q_span_not_topk,
         "nested_bool_topk": q_nested_bool_topk,
         "query_string_topk": q_query_string_topk,
+        "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "gauss_rescore": q_gauss_rescore,
         "percentiles": q_percentiles,
         "boosting_topk": q_boosting_topk,
@@ -4264,6 +4280,48 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+    from embed_rerank_spark.queryset import (  # noqa: PLC0415
+        sloppy_pairs_values_sql,
+        sloppy_terms_values_sql,
+    )
+
+    sloppy_phrase_sql = f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+matched AS (
+    SELECT DISTINCT sp.query_id, a.doc_id
+    FROM {sloppy_pairs_values_sql()}
+    JOIN posn a ON a.term = sp.t1
+    JOIN posn b2 ON b2.doc_id = a.doc_id AND b2.term = sp.t2
+    WHERE b2.pos - a.pos BETWEEN 1 - sp.slop AND 1 + sp.slop
+      AND NOT (sp.t1 = sp.t2 AND a.pos = b2.pos)
+),
+term_scores AS (
+    SELECT qt.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM {sloppy_terms_values_sql()}
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     from embed_rerank_spark.queryset import (  # noqa: PLC0415
         SPAN_NOT_SET,
         SPAN_NOT_WINDOW,
@@ -7850,6 +7908,7 @@ FROM ranked WHERE rank <= {TOP_K}
         "phrase_nextword_topk": phrase,
         "phrase_snippets": phrase_snip,
         "proximity_topk": proximity,
+        "sloppy_phrase_topk": sloppy_phrase_sql,
         "conjunctive_topk": conjunctive,
         "msm_topk": msm_sql,
         "facet_counts": facet_sql,

@@ -1998,3 +1998,145 @@ def highlight_fragments(
             ).alias("fragment"),
         )
     )
+
+
+def _sloppy_match(
+    termdata: dict[str, tuple], t1: str, t2: str, slop: int
+) -> np.ndarray:
+    """Docs matching the two-token sloppy phrase ``"t1 t2"~slop`` —
+    Lucene SloppyPhraseScorer semantics specialized to two terms: the
+    phrase matches iff some occurrence pair satisfies
+    ``|p2 - p1 - 1| <= slop`` (slop = total token moves; the
+    transposed adjacent pair "b a" needs slop 2, exactly Lucene).
+    Vectorized as a RANGE-EMPTINESS test: each t1 occurrence probes
+    the doc-tagged sorted t2 position keys for any key in
+    ``[p1 + 1 - slop, p1 + 1 + slop]`` via two searchsorteds — no
+    per-doc loop. A same-term pair (t1 == t2) discounts the probe's
+    own occurrence."""
+    if t1 not in termdata or t2 not in termdata:
+        return np.empty(0, dtype=np.int64)
+    d1, tf1, _dl1, pf1, po1 = termdata[t1]
+    d2, tf2, _dl2, pf2, po2 = termdata[t2]
+    cand = np.intersect1d(d1, d2, assume_unique=True)
+    if cand.size == 0:
+        return cand
+    r1 = np.searchsorted(d1, cand)
+    r2 = np.searchsorted(d2, cand)
+    SPAN = np.int64(1) << 32
+    f1, c1 = _ragged_gather(po1[r1], tf1[r1])
+    p1 = pf1[f1].astype(np.int64)
+    key1 = c1.astype(np.int64) * SPAN + p1
+    f2, c2 = _ragged_gather(po2[r2], tf2[r2])
+    key2 = c2.astype(np.int64) * SPAN + pf2[f2]
+    # positions are doc-local and slop tiny vs 2^32: the probe range
+    # can never cross a doc boundary in key space
+    lo = np.searchsorted(key2, key1 + (1 - slop), side="left")
+    hi = np.searchsorted(key2, key1 + (1 + slop), side="right")
+    count = hi - lo
+    if t1 == t2 and slop >= 1:
+        # the probe occurrence itself sits in its own range (gap 0)
+        count = count - 1
+    ok = count > 0
+    return cand[np.unique(c1[ok])]
+
+
+def _sloppy_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, str, str, int]],
+    k: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, t1, t2, slop in queries:
+            docs = _sloppy_match(termdata, t1, t2, slop)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
+            if docs.size == 0:
+                continue
+            scores = np.zeros(len(docs))
+            for t in dict.fromkeys((t1, t2)):
+                dt, tft, dlt, _pf, _po = termdata[t]
+                rows = np.searchsorted(dt, docs)
+                tfv = tft[rows].astype(np.float64)
+                dlv = dlt[rows].astype(np.float64)
+                scores += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlv / avgdl)
+                )
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def sloppy_phrase_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, str, int]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES ``match_phrase`` with
+    ``slop`` over the positional index, two-token phrases (the pinned
+    surface; Lucene's n-term sloppy scorer is a different algorithm
+    and is NOT approximated here — longer phrases raise). slop=0
+    degenerates to the exact phrase. Docs are BM25-scored over the
+    pair's distinct terms (the engine phrase scoring rule); either
+    term OOV empties the query (AND semantics). Oracle shape: per-doc
+    positions self-join with ``b.pos - a.pos BETWEEN 1 - slop AND
+    1 + slop`` (minus the same-occurrence row when t1 = t2).
+
+    Scale shape: identical to proximity_topk — term-filtered postings
+    scan, one ``mapInArrow`` per doc-shard (docs whole within a
+    shard), shard-local top-k, global rank window."""
+    plan: list[tuple[int, str, str, int]] = []
+    all_terms: set[str] = set()
+    for qid, a_raw, b_raw, slop in queries:
+        ta, tb = a_raw.strip().lower(), b_raw.strip().lower()
+        if slop < 0:
+            raise ValueError(f"sloppy_phrase: negative slop {slop}")
+        if ta and tb:
+            plan.append((qid, ta, tb, int(slop)))
+            all_terms.update((ta, tb))
+
+    spark = index.postings.sparkSession
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [(qid, a, c, s) for qid, a, c, s in plan if a in idf and c in idf]
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, a, c, _s in plan for t in (a, c)}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _sloppy_partition(it, plan, k, idf, avgdl, k1, b, excl, vers),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -890,3 +890,33 @@ QUERY_STRING_SET: list[tuple[int, str]] = [
     (9, "fast^2 table"),
     (10, '"hash join"^3 OR scan'),
 ]
+
+
+# Sloppy-phrase (ES match_phrase + slop) set: (query_id, t1, t2, slop).
+# Shapes: slop=0 exact adjacency, a transposition needing slop 2
+# (Lucene's "b a" cost), mid slops, a same-term pair, and an OOV term
+# (empty by AND semantics).
+SLOPPY_PHRASE_SET: list[tuple[int, str, str, int]] = [
+    (1, "hash", "join", 0),
+    (2, "join", "hash", 2),
+    (3, "sort", "merge", 1),
+    (4, "table", "scan", 3),
+    (5, "the", "the", 2),
+    (6, "fast", "zzqx", 1),
+]
+
+
+def sloppy_pairs_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t1}', '{t2}', {slop})" for qid, t1, t2, slop in SLOPPY_PHRASE_SET
+    )
+    return f"(VALUES {rows}) AS sp(query_id, t1, t2, slop)"
+
+
+def sloppy_terms_values_sql() -> str:
+    out = []
+    for qid, t1, t2, _slop in SLOPPY_PHRASE_SET:
+        for t in dict.fromkeys((t1, t2)):
+            out.append((qid, t))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS qt(query_id, term)"

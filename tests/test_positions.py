@@ -739,3 +739,93 @@ def test_span_not_semantics(spark):
     assert span_not_topk(idx, [(0, "apple", "apple")], k=10).count() == 0
     # OOV include -> no rows
     assert span_not_topk(idx, [(0, "zzz", "pie")], k=10).count() == 0
+
+
+def test_sloppy_phrase_matches_python_bruteforce(spark, pos_index):
+    """ES match_phrase+slop semantics pinned against pure Python: doc
+    matches iff some occurrence pair has ``1 - slop <= p2 - p1 <=
+    1 + slop`` (Lucene two-term move cost), excluding the probe's own
+    occurrence for a same-term pair; BM25 over the pair's distinct
+    terms, engine tie order."""
+    import math
+
+    from embed_rerank_spark.operators.positions import sloppy_phrase_topk
+    from embed_rerank_spark.queryset import SLOPPY_PHRASE_SET
+
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+        for r in sloppy_phrase_topk(pos_index, SLOPPY_PHRASE_SET, k=10).collect()
+    }
+
+    docs = [
+        (r["doc_id"], r["text"].strip().lower().split())
+        for r in _docs(spark).collect()
+    ]
+    docs = [(d, t) for d, t in docs if t]
+    n = len(docs)
+    avgdl = sum(len(t) for _d, t in docs) / n
+    from collections import Counter
+
+    dfs: Counter = Counter()
+    for _d, t in docs:
+        dfs.update(set(t))
+
+    want = {}
+    for qid, t1, t2, slop in SLOPPY_PHRASE_SET:
+        if dfs[t1] == 0 or dfs[t2] == 0:
+            continue
+        scored = []
+        for d, toks in docs:
+            p1s = [i for i, t in enumerate(toks) if t == t1]
+            p2s = [i for i, t in enumerate(toks) if t == t2]
+            if not any(
+                1 - slop <= p2 - p1 <= 1 + slop
+                and not (t1 == t2 and p1 == p2)
+                for p1 in p1s
+                for p2 in p2s
+            ):
+                continue
+            score = 0.0
+            for t in dict.fromkeys((t1, t2)):
+                tf = toks.count(t)
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                score += idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl)
+                )
+            scored.append((d, score))
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        for rk, (d, s) in enumerate(scored[:10], 1):
+            want[(qid, rk)] = (d, round(s, 6))
+
+    assert got == want
+    assert any(q == 5 for q, _ in got), "same-term sloppy pair found no docs"
+    assert not any(q == 6 for q, _ in got), "OOV term must empty the query"
+
+
+def test_sloppy_phrase_slop0_equals_exact_phrase(spark, pos_index):
+    """slop=0 degenerates to the exact two-token phrase."""
+    from embed_rerank_spark.operators.positions import sloppy_phrase_topk
+
+    cols = ["query_id", "rank", "doc_id", "score"]
+    a = sorted(
+        map(
+            tuple,
+            sloppy_phrase_topk(pos_index, [(1, "hash", "join", 0)], k=10)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            phrase_topk(pos_index, [(1, "hash join")], k=10).select(*cols).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_sloppy_phrase_negative_slop_raises(pos_index):
+    from embed_rerank_spark.operators.positions import sloppy_phrase_topk
+
+    with pytest.raises(ValueError):
+        sloppy_phrase_topk(pos_index, [(1, "a", "b", -1)], k=5)
