@@ -3280,6 +3280,77 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES `filters` aggregation: named overlapping predicate buckets over each
+# query's match set, in the portable Spark∩DuckDB SQL subset so the oracle
+# evaluates the identical predicate text
+FILTERS_AGG = [
+    ("english", "lang = 'en'"),
+    ("long", "n_chars >= 350"),
+    ("big_source", "source IN ('src0', 'src1', 'src2')"),
+]
+MISSING_FIELD_EXPR = "nullif(lang, 'en')"  # derived sparse field (corpus is dense)
+SERIAL_DIFF_LAG = 2
+SERIAL_DIFF_SIZE = 5
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation: named OVERLAPPING predicate buckets over
+    each query's match set (every named bucket always present, zero
+    counts included) plus the _other_ bucket for docs matching no
+    predicate; all buckets from ONE combinable conditional-sum agg
+    (operators/facets.py::filters_facets)."""
+    from embed_rerank_spark.operators.facets import filters_facets
+
+    out = filters_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, FILTERS_AGG, other_bucket=True
+    )
+    return out.select("query_id", "bucket", "n_docs")
+
+
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing aggregation: per query, matching docs whose (derived)
+    field is NULL vs populated (operators/facets.py::missing_facets)."""
+    from embed_rerank_spark.operators.facets import missing_facets
+
+    out = missing_facets(
+        spark, _docs(spark, sf_dir), QUERY_SET, MISSING_FIELD_EXPR
+    )
+    return out.select("query_id", "n_missing", "n_present")
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global aggregation: corpus-wide doc count + avg n_chars
+    (scope-escaping bucket) reported beside each query's scoped count
+    and average (operators/facets.py::global_facets)."""
+    from embed_rerank_spark.operators.facets import global_facets
+
+    out = global_facets(spark, _docs(spark, sf_dir), QUERY_SET, value_col="n_chars")
+    return out.select(
+        "query_id", "matched_docs", "matched_avg", "global_docs", "global_avg"
+    )
+
+
+def q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff (period SERIAL_DIFF_LAG) + bucket_sort (top
+    SERIAL_DIFF_SIZE buckets by doc count) over the weekly
+    date_histogram of matching docs; bucket_sort evaluated AFTER the
+    sibling pipeline metric (operators/facets.py::serial_diff_topn)."""
+    from embed_rerank_spark.operators.facets import serial_diff_topn
+
+    out = serial_diff_topn(
+        spark,
+        _docs_with_ts(spark, sf_dir),
+        QUERY_SET,
+        "warc_ts",
+        lag=SERIAL_DIFF_LAG,
+        size=SERIAL_DIFF_SIZE,
+        interval="week",
+    )
+    return out.select(
+        "query_id", "bucket_start", "n_docs", "serial_diff_docs", "sort_rank"
+    )
+
+
 RARE_MAX_DOCS = 2  # rare_terms bucket threshold
 RARE_TOP_N = 15
 
@@ -4044,6 +4115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields_topk": q_combined_fields_topk,
         "date_histogram": q_date_histogram,
         "pipeline_aggs": q_pipeline_aggs,
+        "filters_agg": q_filters_agg,
+        "missing_agg": q_missing_agg,
+        "global_agg": q_global_agg,
+        "serial_diff": q_serial_diff,
         "rare_terms": q_rare_terms,
         "multi_terms": q_multi_terms,
         "top_hits": q_top_hits,
@@ -8841,6 +8916,81 @@ FROM hist h JOIN chosen c USING (query_id, interval)
         "combined_fields_topk": combined_fields_sql,
         "date_histogram": date_histogram_sql,
         "pipeline_aggs": pipeline_aggs_sql,
+        "filters_agg": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+j AS (SELECT m.query_id, d.* FROM matched m JOIN documents d USING (doc_id)),
+agg AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           {", ".join(f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}" for i, (_, pred) in enumerate(FILTERS_AGG))},
+           CAST(sum(CASE WHEN {" AND ".join(f"NOT ({pred})" for _, pred in FILTERS_AGG)} THEN 1 ELSE 0 END) AS BIGINT) AS bother
+    FROM j GROUP BY query_id
+)
+{" UNION ALL ".join(f"SELECT query_id, '{name}' AS bucket, b{i} AS n_docs FROM agg" for i, (name, _) in enumerate(FILTERS_AGG))}
+UNION ALL SELECT query_id, '_other_' AS bucket, bother AS n_docs FROM agg
+""",
+        "missing_agg": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       CAST(sum(CASE WHEN {MISSING_FIELD_EXPR} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN {MISSING_FIELD_EXPR} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+        "global_agg": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+scoped AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           count(*) AS matched_docs,
+           round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS matched_avg
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1
+),
+corpuswide AS (
+    SELECT count(*) AS global_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS global_avg
+    FROM documents
+)
+SELECT s.query_id, s.matched_docs, s.matched_avg, g.global_docs, g.global_avg
+FROM scoped s CROSS JOIN corpuswide g
+""",
+        "serial_diff": f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           strftime(date_trunc('week',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)),
+                    '%Y-%m-%d') AS bucket_start,
+           count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+piped AS (
+    SELECT query_id, bucket_start, n_docs,
+           n_docs - lag(n_docs, {SERIAL_DIFF_LAG}) OVER (
+               PARTITION BY query_id ORDER BY bucket_start) AS serial_diff_docs,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_docs DESC, bucket_start ASC)
+                AS INTEGER) AS sort_rank
+    FROM buckets
+)
+SELECT * FROM piped WHERE sort_rank <= {SERIAL_DIFF_SIZE}
+""",
         "rare_terms": f"""
 WITH {_TOKS_CTE},
 matched AS (

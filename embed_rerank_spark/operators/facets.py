@@ -1439,3 +1439,225 @@ def diversified_sampler_stats(
     return sample.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_v").alias("avg_v")
     )
+
+
+def filters_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    filters: list[tuple[str, str]],
+    other_bucket: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket, n_docs) — the Elasticsearch ``filters``
+    aggregation: per query, one NAMED bucket per predicate counting the
+    matching documents that satisfy it. Buckets may OVERLAP (a doc can
+    satisfy several predicates — each counts it; unlike ``range``/
+    ``terms``, ``filters`` is not a partition), every named bucket is
+    always present (count 0 included, the ES response contract), and
+    with ``other_bucket`` the ``_other_`` bucket counts matching docs
+    that satisfy NO predicate.
+
+    ``filters`` are ``(name, predicate)`` pairs where the predicate is
+    an ANSI-SQL boolean expression over the document columns (the
+    portable Spark∩DuckDB subset, same discipline as the regex/scrub
+    operators), so the DuckDB oracle evaluates the identical text.
+
+    Reference parity: none — the reference has no aggregations; this is
+    the fulltext query surface (SURVEY.md §2.6 extensions).
+
+    Scale shape (100 TB): the (query, doc) match set collapses to one
+    row per pair before the metadata join (the ``facet_counts`` shape);
+    ALL buckets then come out of ONE combinable hash agg per query —
+    one conditional-sum column per predicate, codegen'd when-chains, no
+    per-bucket scan (ES runs one query per filter; columnar lets us run
+    them all in a single pass) — and the unpivot to (bucket, n_docs)
+    rows runs over query-count-sized aggregate rows."""
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    per_doc = matched.join(
+        docs.withColumnRenamed(id_col, "doc_id"), "doc_id"
+    )
+    aggs = [
+        F.sum(F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_b{i}")
+        for i, (_, pred) in enumerate(filters)
+    ]
+    names = [name for name, _ in filters]
+    if other_bucket:
+        none_pred = " AND ".join(f"NOT ({pred})" for _, pred in filters)
+        aggs.append(
+            F.sum(F.when(F.expr(none_pred), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("_bother")
+        )
+        names = names + ["_other_"]
+    row = per_doc.groupBy("query_id").agg(*aggs)
+    cols = [f"_b{i}" for i in range(len(filters))] + (
+        ["_bother"] if other_bucket else []
+    )
+    pairs = ", ".join(f"'{n}', {c}" for n, c in zip(names, cols))
+    return row.selectExpr(
+        "query_id", f"stack({len(names)}, {pairs}) AS (bucket, n_docs)"
+    )
+
+
+def missing_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    field_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_missing, n_present) — the Elasticsearch ``missing``
+    aggregation: per query, how many matching documents have NO value
+    for a field (NULL), alongside the populated count. ``field_expr``
+    is an ANSI-SQL expression over the document columns (portable
+    Spark∩DuckDB subset) so sparsely-populated fields can be derived
+    on corpora whose parquet schema is fully dense.
+
+    Scale shape: identical to ``facet_counts`` — match-set collapse,
+    one doc-keyed metadata join, one combinable agg; the NULL test is a
+    codegen'd expression, never a UDF."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    per_doc = matched.join(
+        docs.withColumnRenamed(id_col, "doc_id"), "doc_id"
+    ).withColumn("_f", F.expr(field_expr))
+    return per_doc.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("_f").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_present"),
+    )
+
+
+def global_facets(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, matched_docs, matched_avg, global_docs, global_avg) —
+    the Elasticsearch ``global`` aggregation: a bucket that ESCAPES the
+    query scope, so corpus-wide metrics can be reported next to the
+    query-scoped ones (the classic use: "avg price in results vs avg
+    price in the whole catalog"). Averages round 6dp for fp-stable
+    cross-engine comparison.
+
+    Scale shape: the query-scoped side is the ``facet_counts`` plan;
+    the global side is ONE corpus aggregation producing a single row,
+    broadcast-joined (literally a cross join of a 1-row table) onto the
+    per-query rows — computed once, not per query."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    )
+    scoped = (
+        matched.join(vals, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_docs"),
+            F.round(F.avg("_v"), 6).alias("matched_avg"),
+        )
+    )
+    glob = vals.agg(
+        F.count(F.lit(1)).alias("global_docs"),
+        F.round(F.avg("_v"), 6).alias("global_avg"),
+    )
+    return scoped.crossJoin(F.broadcast(glob))
+
+
+def serial_diff_topn(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    lag: int = 2,
+    size: int = 5,
+    interval: str = "week",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs, serial_diff_docs, sort_rank) —
+    two more ES pipeline aggregations over the weekly date_histogram of
+    matching documents:
+
+    - ``serial_diff`` with period ``lag``: bucket count minus the count
+      ``lag`` non-empty buckets earlier in bucket order (null while no
+      predecessor exists — ES emits no value there); the seasonality
+      detrending primitive (lag=7 on daily buckets removes the weekly
+      cycle).
+    - ``bucket_sort``: buckets re-ranked by doc count (desc, date asc
+      tiebreak) and truncated to the top ``size`` per query. Evaluated
+      LAST, after sibling pipeline metrics (the ES pipeline order used
+      by ``pipeline_aggs``'s bucket_selector too), so a surviving
+      bucket's serial_diff still references its true predecessor even
+      when that predecessor is truncated away.
+
+    Scale shape: identical to ``pipeline_aggs`` — match-set collapse,
+    one (query, bucket) combinable hash agg, then every window runs
+    over the n_queries x n_buckets aggregate rows, never doc rows."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_format(F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd").alias(
+            "bucket_start"
+        ),
+    )
+    buckets = (
+        matched.join(meta, "doc_id")
+        .groupBy("query_id", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    seq = Window.partitionBy("query_id").orderBy(F.asc("bucket_start"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc("bucket_start")
+    )
+    return (
+        buckets.withColumn(
+            "serial_diff_docs", F.col("n_docs") - F.lag("n_docs", lag).over(seq)
+        )
+        .withColumn("sort_rank", F.row_number().over(rank_w))
+        .filter(F.col("sort_rank") <= size)
+        .select(
+            "query_id", "bucket_start", "n_docs", "serial_diff_docs", "sort_rank"
+        )
+    )

@@ -633,3 +633,103 @@ def test_auto_date_histogram_year_fallback(spark):
     ).collect()
     assert {r["interval"] for r in out} == {"year"}
     assert len(out) == 3
+
+
+def test_filters_facets_overlap_other_and_zero_buckets(spark):
+    """ES filters-agg semantics: buckets OVERLAP (a doc counts in every
+    predicate it satisfies), every named bucket is present even at
+    count 0, and _other_ counts docs matching no predicate."""
+    from embed_rerank_spark.operators.facets import filters_facets
+
+    rows = [
+        # matching docs: 0 (en, 400 chars), 1 (de, 500), 2 (en, 100)
+        (0, "apple pie", "en", 400),
+        (1, "apple tart", "de", 500),
+        (2, "apple cake", "en", 100),
+        (3, "banana bread", "fr", 999),  # non-matching: never counted
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    out = filters_facets(
+        spark,
+        docs,
+        [(1, "apple")],
+        [
+            ("english", "lang = 'en'"),
+            ("long", "n_chars >= 300"),
+            ("never", "n_chars < 0"),
+        ],
+    ).collect()
+    got = {r["bucket"]: r["n_docs"] for r in out}
+    # doc 0 is in BOTH english and long (overlap); doc 2 english only;
+    # doc 1 long only; nothing matches 'never' but the bucket exists;
+    # no matching doc escapes every predicate except none -> _other_ 0
+    assert got == {"english": 2, "long": 2, "never": 0, "_other_": 0}
+    # drop the 'long' bucket: doc 1 (de, 500) now matches nothing
+    out2 = filters_facets(
+        spark, docs, [(1, "apple")], [("english", "lang = 'en'")]
+    ).collect()
+    got2 = {r["bucket"]: r["n_docs"] for r in out2}
+    assert got2 == {"english": 2, "_other_": 1}
+    with pytest.raises(ValueError):
+        filters_facets(spark, docs, [(1, "apple")], [])
+
+
+def test_missing_and_global_facets(spark):
+    from embed_rerank_spark.operators.facets import global_facets, missing_facets
+
+    rows = [
+        (0, "apple pie", "en", 100),
+        (1, "apple tart", None, 200),
+        (2, "apple cake", "de", 300),
+        (3, "banana bread", None, 400),  # non-matching
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    m = missing_facets(spark, docs, [(1, "apple")], "lang").collect()
+    assert [(r["n_missing"], r["n_present"]) for r in m] == [(1, 2)]
+
+    g = global_facets(spark, docs, [(1, "apple")], value_col="n_chars").collect()
+    assert len(g) == 1
+    r = g[0]
+    # scoped = docs 0,1,2; global escapes the query scope = all 4 docs
+    assert (r["matched_docs"], r["matched_avg"]) == (3, 200.0)
+    assert (r["global_docs"], r["global_avg"]) == (4, 250.0)
+
+
+def test_serial_diff_and_bucket_sort(spark):
+    """serial_diff lags over NON-EMPTY buckets in order (nulls while no
+    predecessor); bucket_sort re-ranks by count and truncates AFTER the
+    pipeline metric is computed."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.facets import serial_diff_topn
+
+    rows = [
+        (0, "apple pie", "2024-01-01"),
+        (1, "apple tart", "2024-01-08"),
+        (2, "apple cake", "2024-01-09"),
+        (3, "apple jam", "2024-01-10"),
+        (4, "apple cider", "2024-01-22"),
+        (5, "apple sauce", "2024-01-23"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, day string"
+    ).withColumn("warc_ts", F.to_timestamp("day"))
+    # weekly counts in bucket order: 01-01 -> 1, 01-08 -> 3, 01-22 -> 2
+    out = serial_diff_topn(
+        spark, docs, [(1, "apple")], "warc_ts", lag=2, size=2, interval="week"
+    ).collect()
+    by_bucket = {r["bucket_start"]: r for r in out}
+    # bucket_sort: top-2 by count desc, date asc -> 01-08 (3), 01-22 (2)
+    assert set(by_bucket) == {"2024-01-08", "2024-01-22"}
+    assert by_bucket["2024-01-08"]["sort_rank"] == 1
+    assert by_bucket["2024-01-22"]["sort_rank"] == 2
+    # serial_diff lag=2 computed BEFORE truncation: 01-22 diffs vs the
+    # truncated-away 01-01 bucket (2 - 1); 01-08 has no lag-2 neighbor
+    assert by_bucket["2024-01-08"]["serial_diff_docs"] is None
+    assert by_bucket["2024-01-22"]["serial_diff_docs"] == 1
+    with pytest.raises(ValueError):
+        serial_diff_topn(spark, docs, [(1, "apple")], "warc_ts", lag=0)
