@@ -2133,6 +2133,42 @@ def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_cardinality(_docs(spark, sf_dir), k=KMV_K, group_col="lang")
 
 
+BLOOM_M_BITS = 30720  # filter width (512 60-bit words)
+BLOOM_K = 4  # hash functions
+BLOOM_PROBE_MOD = 10  # present probes: docs with doc_id % mod == 0
+BLOOM_N_ABSENT = 50  # synthetic absent probes
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketches.py::bloom_build/
+    bloom_contains): build the mergeable bit-array filter over every
+    document text (one combinable bit_or agg; the Dolma-style
+    cross-shard exact-dedup membership structure), then probe it with
+    known-present texts (every doc_id % BLOOM_PROBE_MOD == 0) and
+    BLOOM_N_ABSENT synthetic absent strings. md5-deterministic bits
+    make even the false positives oracle-reproducible."""
+    from embed_rerank_spark.operators.sketches import bloom_build, bloom_contains
+
+    docs = _docs(spark, sf_dir)
+    filt = bloom_build(docs, "text", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    present = docs.filter(F.col("doc_id") % BLOOM_PROBE_MOD == 0).select(
+        F.col("text").alias("v"), F.concat(F.lit("doc-"), F.col("doc_id")).alias("probe")
+    )
+    absent = spark.range(BLOOM_N_ABSENT).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("v"),
+        F.concat(F.lit("absent-"), F.col("id")).alias("probe"),
+    )
+    out = bloom_contains(
+        filt,
+        present.unionByName(absent),
+        "v",
+        "probe",
+        m_bits=BLOOM_M_BITS,
+        k=BLOOM_K,
+    )
+    return out.select("probe", "contained")
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-space set algebra (DataSketches theta-sketch
     union/intersection pattern): estimated |A∪B| / Jaccard / |A∩B| of
@@ -4070,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
         "kmv_set_ops": q_kmv_set_ops,
+        "bloom_membership": q_bloom_membership,
         "constant_score": q_constant_score,
         "sparse_vector_topk": q_sparse_vector,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -8451,6 +8488,41 @@ SELECT grp, n_held,
                   ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
              END, 6) AS est
 FROM agg ORDER BY grp
+""",
+        "bloom_membership": f"""
+WITH ins AS (SELECT text AS v FROM documents),
+hashes AS (SELECT i FROM range({BLOOM_K}) t(i)),
+ipos AS (
+    SELECT (CAST(concat('0x', substr(md5(concat(CAST(h.i AS VARCHAR), ':', ins.v)), 1, 15)) AS BIGINT)
+            % {BLOOM_M_BITS}) AS p
+    FROM ins CROSS JOIN hashes h
+),
+words AS (
+    SELECT p // 60 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS word
+    FROM ipos GROUP BY 1
+),
+probes AS (
+    SELECT text AS v, concat('doc-', CAST(doc_id AS VARCHAR)) AS probe
+    FROM documents WHERE doc_id % {BLOOM_PROBE_MOD} = 0
+    UNION ALL
+    SELECT concat('absent-', CAST(i AS VARCHAR)), concat('absent-', CAST(i AS VARCHAR))
+    FROM range({BLOOM_N_ABSENT}) t(i)
+),
+ppos AS (
+    SELECT pr.probe,
+           (CAST(concat('0x', substr(md5(concat(CAST(h.i AS VARCHAR), ':', pr.v)), 1, 15)) AS BIGINT)
+            % {BLOOM_M_BITS}) AS p
+    FROM probes pr CROSS JOIN hashes h
+),
+hit AS (
+    SELECT pp.probe,
+           CASE WHEN w.word IS NOT NULL
+                 AND (w.word & (CAST(1 AS BIGINT) << CAST(pp.p % 60 AS INTEGER))) != 0
+                THEN 1 ELSE 0 END AS h
+    FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.p // 60
+)
+SELECT probe, (sum(h) = {BLOOM_K}) AS contained FROM hit GROUP BY probe
 """,
         "kmv_set_ops": f"""
 WITH toksd AS (

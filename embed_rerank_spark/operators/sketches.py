@@ -358,3 +358,122 @@ def kmv_set_ops(
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+# ---- Bloom filter (mergeable membership sketch) ----
+
+# bits per filter word: 60 keeps every mask (1 << bit) strictly positive
+# in a signed 64-bit long on BOTH engines (Spark and DuckDB), so the
+# bit_or aggregation never touches the sign bit and the oracle is
+# bit-identical. A JVM-only implementation would use 64.
+_BLOOM_WORD_BITS = 60
+
+
+def _bloom_bit_positions(col, m_bits: int, k: int) -> F.Column:
+    """Array of the value's ``k`` bit positions in an ``m_bits``-wide
+    Bloom filter. Hash family: the engine-portable 60-bit md5 hash of
+    ``"<i>:<value>"`` for i in 0..k-1 (DuckDB mirror:
+    ``CAST(concat('0x', substr(md5(concat(i, ':', v)), 1, 15)) AS
+    BIGINT) % m``), the same construction the KMV/dedup family uses —
+    deterministic across engines, partitionings, and sessions."""
+    return F.array(
+        *[
+            _md5_hash60(F.concat(F.lit(f"{i}:"), col)) % F.lit(m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    values: DataFrame, value_col: str, m_bits: int = 30720, k: int = 4
+) -> DataFrame:
+    """(word_idx, word) — a Bloom filter over the value stream as a
+    table of 60-bit words (only words with >= 1 set bit appear; an
+    absent word_idx is all-zero).
+
+    The membership structure the exact-dedup family needs at corpus
+    scale (Dolma's cross-shard URL/paragraph dedup runs exactly this):
+    INSERTED VALUES ALWAYS TEST POSITIVE (no false negatives), absent
+    values test positive with probability ~(1 - e^(-k·n/m))^k, and two
+    filters over different shards MERGE by bitwise OR into exactly the
+    filter of the union — so per-shard builds need no coordination.
+
+    Scale shape (100 TB): one combinable hash aggregation. Each value
+    explodes into k (word_idx, mask) rows — bounded fan-out — and
+    ``groupBy(word_idx).agg(bit_or)`` is map-side combinable, so the
+    shuffle carries at most ``partitions × live_words`` rows. The
+    filter itself is m/60 rows however large the input: size m for the
+    expected distinct count (m = 14.4 GB of words per 10^10 values at
+    1% fp) and it stays a well-partitioned table; probes join on
+    word_idx (broadcast when small, co-partitioned otherwise). No
+    driver-side state at any size.
+    """
+    if m_bits < _BLOOM_WORD_BITS or k < 1:
+        raise ValueError("m_bits must be >= 60 and k >= 1")
+    pos = values.select(
+        F.explode(
+            _bloom_bit_positions(F.col(value_col), m_bits, k)
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR union of two same-geometry filters: exactly the
+    filter of the concatenated value streams (the mergeability law the
+    tests pin) — per-shard filters combine without re-reading data."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
+def bloom_contains(
+    filter_words: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    probe_col: str,
+    m_bits: int = 30720,
+    k: int = 4,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """(probe, contained) — test each probe value against the filter:
+    contained iff ALL k of its bits are set. ``broadcast_filter=True``
+    for planning-sized filters; at 10^12-value geometries leave it
+    False and Catalyst plans a co-partitioned join on word_idx."""
+    ppos = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.explode(
+            _bloom_bit_positions(F.col(value_col), m_bits, k)
+        ).alias("p"),
+    ).select(
+        "probe",
+        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    fw = F.broadcast(filter_words) if broadcast_filter else filter_words
+    hits = ppos.join(fw, "word_idx", "left").select(
+        "probe",
+        F.when(
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return hits.groupBy("probe").agg(
+        (F.sum("hit") == F.lit(k)).alias("contained")
+    )

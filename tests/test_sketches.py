@@ -198,3 +198,87 @@ def test_kmv_set_ops_matches_python_reference(spark):
     # sanity: the engineered overlap shows up, the disjoint pair doesn't
     assert got[("a", "c")][2] == 0.0
     assert got[("a", "b")][2] > 0.2
+
+
+# ---- Bloom filter ----
+
+
+def _py_bloom_positions(value: str, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def test_bloom_positions_match_python_reference(spark):
+    from embed_rerank_spark.operators.sketches import _bloom_bit_positions
+
+    vals = ["alpha", "beta", "the quick brown fox", "äöü unicode"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: list(r["p"])
+        for r in df.select(
+            "v", _bloom_bit_positions(F.col("v"), 30720, 4).alias("p")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _py_bloom_positions(v, 30720, 4)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every inserted value tests positive (the Bloom guarantee); a
+    disjoint probe set sees only the designed false-positive rate
+    (deterministic md5 hashing makes the count reproducible)."""
+    from embed_rerank_spark.operators.sketches import bloom_build, bloom_contains
+
+    m, k, n = 30720, 4, 500
+    ins = spark.createDataFrame([(f"val-{i}",) for i in range(n)], "v string")
+    filt = bloom_build(ins, "v", m_bits=m, k=k)
+    present = bloom_contains(
+        filt, ins.selectExpr("v", "v AS probe"), "v", "probe", m_bits=m, k=k
+    ).collect()
+    assert len(present) == n and all(r["contained"] for r in present)
+
+    absent = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(2000)], "v string"
+    )
+    fp = bloom_contains(
+        filt, absent.selectExpr("v", "v AS probe"), "v", "probe", m_bits=m, k=k
+    ).filter("contained").count()
+    # theoretical fp ~= (1 - e^(-k*n/m))^4 ~= 1.6e-5 at this geometry;
+    # 2000 deterministic probes should see at most a handful
+    assert fp <= 3
+
+
+def test_bloom_merge_is_union(spark):
+    """bit_or merge of per-shard filters == the filter built over the
+    concatenated stream, bit for bit (the mergeability law)."""
+    from embed_rerank_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(100)], "v string")
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in bloom_merge(
+            bloom_build(a, "v", 6000, 3), bloom_build(b, "v", 6000, 3)
+        ).collect()
+    }
+    whole = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(a.unionByName(b), "v", 6000, 3).collect()
+    }
+    assert merged == whole
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    import pytest
+
+    from embed_rerank_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", m_bits=10, k=4)
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", m_bits=6000, k=0)
