@@ -405,6 +405,39 @@ def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_containing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanContainingQuery over the positional index: an
+    ordered big span t1..t2 (gap <= SPAN_CONTAIN_WINDOW) must contain
+    a little-term occurrence; BM25 over the big pair's unique terms
+    (operators/positions.py::span_containing_topk)."""
+    from embed_rerank_spark.operators.positions import span_containing_topk
+    from embed_rerank_spark.queryset import SPAN_CONTAIN_SET, SPAN_CONTAIN_WINDOW
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = span_containing_topk(
+        index, SPAN_CONTAIN_SET, k=TOP_K, window=SPAN_CONTAIN_WINDOW
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanWithinQuery: same containment match as
+    span_containing, scored over the LITTLE term alone
+    (operators/positions.py::span_within_topk)."""
+    from embed_rerank_spark.operators.positions import span_within_topk
+    from embed_rerank_spark.queryset import SPAN_CONTAIN_SET, SPAN_CONTAIN_WINDOW
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = span_within_topk(
+        index, SPAN_CONTAIN_SET, k=TOP_K, window=SPAN_CONTAIN_WINDOW
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k over the compressed index:
     leapfrog intersection with block-max skipping (operators/wand.py
@@ -4164,6 +4197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyzed_topk": q_analyzed_topk,
         "stemmed_topk": q_stemmed_topk,
         "span_not_topk": q_span_not_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "span_within_topk": q_span_within_topk,
         "nested_bool_topk": q_nested_bool_topk,
         "query_string_topk": q_query_string_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
@@ -4481,6 +4516,73 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+    from embed_rerank_spark.queryset import (  # noqa: PLC0415
+        SPAN_CONTAIN_WINDOW,
+        span_contain_values_sql,
+    )
+
+    _sc_vals = span_contain_values_sql()
+    _sc_match = f"""
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+sc AS (SELECT * FROM {_sc_vals}),
+big AS (
+    SELECT sc.query_id, a.doc_id, a.pos AS p1, b.pos AS p2, sc.tl
+    FROM sc
+    JOIN posn a ON a.term = sc.t1
+    JOIN posn b ON b.doc_id = a.doc_id AND b.term = sc.t2
+    WHERE b.pos - a.pos BETWEEN 1 AND {SPAN_CONTAIN_WINDOW}
+),
+matched AS (
+    SELECT DISTINCT g.query_id, g.doc_id
+    FROM big g
+    JOIN posn l ON l.doc_id = g.doc_id AND l.term = g.tl
+    WHERE l.pos BETWEEN g.p1 AND g.p2
+)"""
+    _sc_rank = f"""
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    span_containing_sql = f"""
+WITH {_TOKS_CTE},
+{_sc_match},
+term_scores AS (
+    SELECT sq.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (SELECT DISTINCT query_id, t1 AS term FROM sc
+          UNION SELECT DISTINCT query_id, t2 FROM sc) sq
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+{_sc_rank}"""
+    span_within_sql = f"""
+WITH {_TOKS_CTE},
+{_sc_match},
+term_scores AS (
+    SELECT sq.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (SELECT DISTINCT query_id, tl AS term FROM sc) sq
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+{_sc_rank}"""
 
     conjunctive = f"""
 WITH {_TOKS_CTE},
@@ -9113,6 +9215,8 @@ FROM ranked WHERE bucket_rank <= {MULTI_TERMS_N}
         "analyzed_topk": analyzed_sql,
         "stemmed_topk": stemmed_sql,
         "span_not_topk": span_not_sql,
+        "span_containing_topk": span_containing_sql,
+        "span_within_topk": span_within_sql,
         "nested_bool_topk": nested_bool_sql,
         "query_string_topk": _query_string_oracle_sql(),
         "percentiles": percentiles_sql,

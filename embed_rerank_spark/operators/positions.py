@@ -2140,3 +2140,187 @@ def sloppy_phrase_topk(
         "query_id long, doc_id long, score double",
     )
     return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def _span_contain_match(
+    termdata: dict[str, tuple], t1: str, t2: str, tl: str, window: int
+) -> np.ndarray:
+    """Docs with an ORDERED big span t1..t2 (0 < p2 - p1 <= window,
+    the span-near contract ``proximity_topk(ordered=True)`` pins) that
+    CONTAINS an occurrence of ``tl`` (p1 <= pl <= p2). Lucene
+    SpanContaining/SpanWithin share this doc-level match; only the
+    scored side differs.
+
+    Vectorized over every candidate doc at once with the merged
+    doc*SPAN+pos key trick of ``_span_not_match``: for each t1
+    occurrence the FARTHEST in-window t2 occurrence p2max is one
+    searchsorted, and containment reduces to "any tl position in
+    [p1, p2max]" (sound and complete: a tl at pl <= p2max is inside
+    the valid span (p1, p2max); any tl inside a smaller valid span is
+    also <= p2max). No per-doc loop."""
+    if t1 not in termdata or t2 not in termdata or tl not in termdata:
+        return np.empty(0, dtype=np.int64)
+    d1, tf1, _l1, pf1, po1 = termdata[t1]
+    d2, tf2, _l2, pf2, po2 = termdata[t2]
+    dl_, tfl, _l3, pfl, pol = termdata[tl]
+    cand = np.intersect1d(
+        np.intersect1d(d1, d2, assume_unique=True), dl_, assume_unique=True
+    )
+    if cand.size == 0:
+        return cand.astype(np.int64)
+    f1, c1 = _ragged_gather(po1[np.searchsorted(d1, cand)], tf1[np.searchsorted(d1, cand)])
+    f2, c2 = _ragged_gather(po2[np.searchsorted(d2, cand)], tf2[np.searchsorted(d2, cand)])
+    fl, cl = _ragged_gather(pol[np.searchsorted(dl_, cand)], tfl[np.searchsorted(dl_, cand)])
+    SPAN = np.int64(1) << 32
+    key1 = c1.astype(np.int64) * SPAN + pf1[f1]
+    key2 = c2.astype(np.int64) * SPAN + pf2[f2]
+    keyl = cl.astype(np.int64) * SPAN + pfl[fl]
+    p1 = pf1[f1].astype(np.int64)
+    # farthest t2 occurrence in (p1, p1 + window] per t1 occurrence
+    hi = np.searchsorted(key2, key1 + window, side="right") - 1
+    hi_c = np.maximum(hi, 0)
+    p2max = key2[hi_c] % SPAN
+    big_ok = (hi >= 0) & ((key2[hi_c] // SPAN) == c1) & (p2max > p1)
+    # any tl position in [p1, p2max]?  (same-doc implied by key bounds)
+    lo = np.searchsorted(keyl, key1, side="left")
+    lo_c = np.minimum(lo, max(len(keyl) - 1, 0))
+    contained = (lo < len(keyl)) & (keyl[lo_c] <= c1.astype(np.int64) * SPAN + p2max)
+    ok = big_ok & contained
+    return cand[np.unique(c1[ok])].astype(np.int64)
+
+
+def _span_contain_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, str, str, str]],
+    k: int,
+    window: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    score_little: bool,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, t1, t2, tl in queries:
+            docs = _span_contain_match(termdata, t1, t2, tl, window)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
+            if docs.size == 0:
+                continue
+            score_terms = (tl,) if score_little else tuple(dict.fromkeys((t1, t2)))
+            scores = np.zeros(len(docs))
+            for t in score_terms:
+                dt, tft, dlt, _pf, _po = termdata[t]
+                rows = np.searchsorted(dt, docs)
+                tfv = tft[rows].astype(np.float64)
+                dlv = dlt[rows].astype(np.float64)
+                scores += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlv / avgdl)
+                )
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def _span_contain_driver(
+    index: InvertedIndex,
+    triples: list[tuple[int, str, str, str]],
+    k: int,
+    window: int,
+    k1: float,
+    b: float,
+    score_little: bool,
+) -> DataFrame:
+    plan: list[tuple[int, str, str, str]] = []
+    all_terms: set[str] = set()
+    for qid, a_raw, b_raw, l_raw in triples:
+        ta, tb, tl = a_raw.strip().lower(), b_raw.strip().lower(), l_raw.strip().lower()
+        if ta and tb and tl:
+            plan.append((qid, ta, tb, tl))
+            all_terms.update((ta, tb, tl))
+    spark = index.postings.sparkSession
+    empty = "query_id long, rank int, doc_id long, score double"
+    if not plan:
+        return spark.createDataFrame([], empty)
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [
+        (qid, a, c, l)
+        for qid, a, c, l in plan
+        if a in idf and c in idf and l in idf
+    ]
+    if not plan:
+        return spark.createDataFrame([], empty)
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, a, c, l in plan for t in (a, c, l)}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _span_contain_partition(
+            it, plan, k, window, idf, avgdl, k1, b, score_little, excl, vers
+        ),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")
+
+
+def span_containing_topk(
+    index: InvertedIndex,
+    triples: list[tuple[int, str, str, str]],
+    k: int = 10,
+    window: int = 4,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene SpanContainingQuery —
+    docs where an ORDERED span t1..t2 (0 < p2 - p1 <= window, the
+    span-near contract) contains an occurrence of the little term
+    (p1 <= pl <= p2). The BIG side is returned, so docs are BM25-scored
+    over the big span's unique terms {t1, t2} (engine phrase-scoring
+    rule, engine tie semantics). Any OOV term empties the query (all
+    three sides are required). Oracle shape: positions triple join —
+    ``b.pos - a.pos BETWEEN 1 AND window`` and
+    ``l.pos BETWEEN a.pos AND b.pos``.
+
+    Scale shape: identical to ``proximity_topk`` — the postings scan
+    is filtered to the triples' terms (parquet pushdown), each
+    doc-shard resolves containment locally in one vectorized
+    ``mapInArrow`` pass, and only shard-local top-k rows reach the
+    global rank window. No reference analogue (the reference has no
+    index; SURVEY.md §2.6 extension)."""
+    return _span_contain_driver(index, triples, k, window, k1, b, score_little=False)
+
+
+def span_within_topk(
+    index: InvertedIndex,
+    triples: list[tuple[int, str, str, str]],
+    k: int = 10,
+    window: int = 4,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene SpanWithinQuery — the
+    same doc-level match as ``span_containing_topk`` (little inside an
+    ordered big span) but the LITTLE side is returned, so docs are
+    BM25-scored over the little term alone. Same oracle match shape,
+    little-term scoring CTE."""
+    return _span_contain_driver(index, triples, k, window, k1, b, score_little=True)

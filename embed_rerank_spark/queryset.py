@@ -794,6 +794,28 @@ SPAN_NOT_SET: list[tuple[int, str, str]] = [
 SPAN_NOT_WINDOW = 3
 
 
+# SpanContaining / SpanWithin triple set (t1, t2, little): an ordered
+# big span t1..t2 (gap <= window) must contain a little-term
+# occurrence. Shapes: little == big-start (contained wherever the big
+# span exists), a stopword-ish little between common pair terms, an
+# OOV little (zero rows), and an OOV big edge (zero rows).
+SPAN_CONTAIN_SET: list[tuple[int, str, str, str]] = [
+    (1, "hash", "join", "hash"),
+    (2, "sort", "merge", "sort"),
+    (3, "fast", "table", "a"),
+    (4, "hash", "join", "zyzzyva"),
+    (5, "zyzzyva", "join", "the"),
+]
+SPAN_CONTAIN_WINDOW = 4
+
+
+def span_contain_values_sql() -> str:
+    rows = ", ".join(
+        f"({q}, '{a}', '{b}', '{l}')" for q, a, b, l in SPAN_CONTAIN_SET
+    )
+    return f"(VALUES {rows}) AS sc(query_id, t1, t2, tl)"
+
+
 # Term-range (Lucene TermRangeQuery, [lower, upper) default) set:
 # a mid-dictionary range, a wide range that hits the expansion cap,
 # a narrow range, and an empty range.

@@ -829,3 +829,61 @@ def test_sloppy_phrase_negative_slop_raises(pos_index):
 
     with pytest.raises(ValueError):
         sloppy_phrase_topk(pos_index, [(1, "a", "b", -1)], k=5)
+
+
+def test_span_containing_within_semantics(spark):
+    """SpanContaining/SpanWithin truth table on a hand corpus:
+    contained little, little outside the span, ordered-only big,
+    missing big edge, OOV little; within == same docs, little-term
+    scores."""
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple tart with cherry pie inside"),  # apple..pie gap 4, cherry inside
+            (2, "apple pie cherry"),                   # cherry AFTER the span
+            (3, "cherry apple then pie"),              # cherry BEFORE the span
+            (4, "apple cherry only"),                  # no pie: no big span
+            (5, "pie cherry apple"),                   # unordered: no big span
+        ],
+        "doc_id long, text string",
+    )
+    idx = load_positional_index(build_positional_postings(docs, n_shards=2))
+
+    got = {r.doc_id for r in span_containing_topk(
+        idx, [(0, "apple", "pie", "cherry")], k=10, window=4
+    ).collect()}
+    assert got == {1}
+    # little == big-start: contained wherever any ordered span exists
+    got2 = {r.doc_id for r in span_containing_topk(
+        idx, [(0, "apple", "pie", "apple")], k=10, window=4
+    ).collect()}
+    assert got2 == {1, 2, 3}
+    # window too small kills the gap-4 span
+    got3 = {r.doc_id for r in span_containing_topk(
+        idx, [(0, "apple", "pie", "cherry")], k=10, window=3
+    ).collect()}
+    assert got3 == set()
+    # OOV little / OOV big edge -> zero rows
+    assert span_containing_topk(
+        idx, [(0, "apple", "pie", "zzz")], k=10, window=4
+    ).count() == 0
+    assert span_containing_topk(
+        idx, [(0, "zzz", "pie", "cherry")], k=10, window=4
+    ).count() == 0
+
+    # within: same doc-level match, scored over the little term alone
+    cont = {(r.doc_id, r.score) for r in span_containing_topk(
+        idx, [(0, "apple", "pie", "cherry")], k=10, window=4
+    ).collect()}
+    with_ = {(r.doc_id, r.score) for r in span_within_topk(
+        idx, [(0, "apple", "pie", "cherry")], k=10, window=4
+    ).collect()}
+    assert {d for d, _ in cont} == {d for d, _ in with_} == {1}
+    # containing sums two terms, within one -> scores differ
+    assert cont != with_
