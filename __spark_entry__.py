@@ -2523,6 +2523,20 @@ def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geotile_grid(geo, GEOTILE_ZOOM).orderBy("tile_x", "tile_y")
 
 
+GEOHASH_PRECISION = 3
+
+
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid aggregation (base-32 geohash cells) over the
+    geo-enriched doc table (operators/geo.py::geohash_grid); the
+    oracle replays the identical bit plan via
+    geohash_grid_oracle_sql."""
+    from embed_rerank_spark.operators.geo import geohash_grid, with_derived_geo
+
+    geo = with_derived_geo(_docs(spark, sf_dir))
+    return geohash_grid(geo, GEOHASH_PRECISION).orderBy("geohash")
+
+
 AUTO_HIST_TARGET = 12
 
 
@@ -3349,6 +3363,19 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SIBLING pipeline aggregations (sum/avg/min/max_bucket,
+    extended_stats_bucket population sigma, percentiles_bucket exact
+    median) over the weekly date_histogram doc counts — one row per
+    query, min/max tie keys date-ascending comma-joined
+    (operators/facets.py::sibling_bucket_stats)."""
+    from embed_rerank_spark.operators.facets import sibling_bucket_stats
+
+    return sibling_bucket_stats(
+        spark, _docs_with_ts(spark, sf_dir), QUERY_SET, "warc_ts", interval="week"
+    )
+
+
 # ES `filters` aggregation: named overlapping predicate buckets over each
 # query's match set, in the portable Spark∩DuckDB SQL subset so the oracle
 # evaluates the identical predicate text
@@ -4158,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats": q_string_stats,
         "geo_distance_topk": q_geo_distance_topk,
         "geotile_grid": q_geotile_grid,
+        "geohash_grid": q_geohash_grid,
         "geo_bounds": q_geo_bounds,
         "diversified_sampler": q_diversified_sampler,
         "trending_events": q_trending_events,
@@ -4185,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields_topk": q_combined_fields_topk,
         "date_histogram": q_date_histogram,
         "pipeline_aggs": q_pipeline_aggs,
+        "stats_bucket": q_stats_bucket,
         "filters_agg": q_filters_agg,
         "missing_agg": q_missing_agg,
         "global_agg": q_global_agg,
@@ -4276,6 +4305,20 @@ def _query_string_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from embed_rerank_spark.operators.geo import (  # noqa: PLC0415
+        geohash_grid_oracle_sql,
+    )
+
+    _geohash_sql = (
+        """
+WITH geo AS (
+    SELECT doc_id,
+           ((CAST(doc_id AS BIGINT) * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+           ((CAST(doc_id AS BIGINT) * 40503) % 170000000) / 1000000.0 - 85.0 AS lat
+    FROM documents
+),"""
+        + geohash_grid_oracle_sql(GEOHASH_PRECISION, "lon", "lat", "FROM geo")
+    )
     from embed_rerank_spark.queryset import (  # noqa: PLC0415
         CUTOFF_FREQUENCY as _CT_CUTOFF,
         sparse_vector_values_sql,
@@ -7496,6 +7539,50 @@ piped AS (
 SELECT * FROM piped WHERE n_docs >= {PIPE_MIN_DOCS}
 """
 
+    stats_bucket_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           strftime(date_trunc('week',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)),
+                    '%Y-%m-%d') AS bucket_start,
+           count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+           round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs,
+           CAST(min(n_docs) AS BIGINT) AS min_docs,
+           CAST(max(n_docs) AS BIGINT) AS max_docs,
+           round(coalesce(stddev_pop(CAST(n_docs AS DOUBLE)), 0.0), 6) AS std_docs,
+           round(quantile_cont(CAST(n_docs AS DOUBLE), 0.5), 6) AS median_docs
+    FROM buckets GROUP BY query_id
+),
+mink AS (
+    SELECT b.query_id,
+           string_agg(b.bucket_start, ',' ORDER BY b.bucket_start) AS min_keys
+    FROM buckets b JOIN per p ON p.query_id = b.query_id AND b.n_docs = p.min_docs
+    GROUP BY b.query_id
+),
+maxk AS (
+    SELECT b.query_id,
+           string_agg(b.bucket_start, ',' ORDER BY b.bucket_start) AS max_keys
+    FROM buckets b JOIN per p ON p.query_id = b.query_id AND b.n_docs = p.max_docs
+    GROUP BY b.query_id
+)
+SELECT p.query_id, CAST(p.n_buckets AS BIGINT) AS n_buckets, p.sum_docs,
+       p.avg_docs, p.min_docs, mk.min_keys, p.max_docs, xk.max_keys,
+       p.std_docs, p.median_docs
+FROM per p JOIN mink mk USING (query_id) JOIN maxk xk USING (query_id)
+"""
+
     top_hits_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -8285,6 +8372,7 @@ SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM tiles GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
 """,
+        "geohash_grid": _geohash_sql,
         "geo_bounds": """
 WITH geo AS (
     SELECT lang,
@@ -9090,6 +9178,7 @@ FROM hist h JOIN chosen c USING (query_id, interval)
         "combined_fields_topk": combined_fields_sql,
         "date_histogram": date_histogram_sql,
         "pipeline_aggs": pipeline_aggs_sql,
+        "stats_bucket": stats_bucket_sql,
         "filters_agg": f"""
 WITH {_TOKS_CTE},
 matched AS (

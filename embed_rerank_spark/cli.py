@@ -93,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
             "prefix", "suffix", "infix", "regexp", "wildcard", "term-range",
-            "span-not", "interval", "constant-score",
+            "span-not", "span-containing", "span-within", "interval",
+            "constant-score",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -109,6 +110,10 @@ def main(argv: list[str] | None = None) -> int:
         "(each query line: 'lower upper'); "
         "span-not = include term NOT within --near-window of the exclude "
         "term (each query line: 'include exclude', POSITIONAL index); "
+        "span-containing / span-within = ordered big span t1..t2 (gap <= "
+        "--near-window) must contain the little term (each query line: "
+        "'t1 t2 little', POSITIONAL index; containing scores the big "
+        "pair, within scores the little term); "
         "interval = Lucene ordered intervals with --max-gaps slack "
         "(each query line: the in-order terms, POSITIONAL index)",
     )
@@ -790,6 +795,22 @@ def main(argv: list[str] | None = None) -> int:
                 out = span_not_topk(
                     idx, pairs, k=args.k, window=args.near_window
                 )
+            elif args.mode in ("span-containing", "span-within"):
+                from .operators.positions import (
+                    span_containing_topk,
+                    span_within_topk,
+                )
+
+                triples = [
+                    (qid, *q.split(None, 2)) for qid, q in queries
+                    if len(q.split()) >= 3
+                ]
+                fn = (
+                    span_containing_topk
+                    if args.mode == "span-containing"
+                    else span_within_topk
+                )
+                out = fn(idx, triples, k=args.k, window=args.near_window)
             elif args.page > 1:
                 from .operators.wand import search_after_topk
 

@@ -1661,3 +1661,100 @@ def serial_diff_topn(
             "query_id", "bucket_start", "n_docs", "serial_diff_docs", "sort_rank"
         )
     )
+
+
+def sibling_bucket_stats(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    interval: str = "week",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_buckets, sum_docs, avg_docs, min_docs, min_keys,
+    max_docs, max_keys, std_docs, median_docs) — the Elasticsearch
+    SIBLING pipeline aggregation family (``sum_bucket`` /
+    ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` /
+    ``extended_stats_bucket`` / ``percentiles_bucket``) computed over
+    the doc counts of a ``date_histogram`` of matching documents: one
+    row PER QUERY summarizing its whole bucket series.
+
+    ES response contracts kept:
+
+    - ``min_bucket``/``max_bucket`` return the extreme value AND the
+      list of bucket keys attaining it (several buckets can tie);
+      ``min_keys``/``max_keys`` are those keys, date-ascending,
+      comma-joined (arrays hash unstably across engines).
+    - ``extended_stats_bucket`` std deviation is POPULATION (the ES
+      default, sigma over the bucket values, not a sample estimate).
+    - ``percentiles_bucket`` interpolates exactly over the sorted
+      bucket values (Spark ``percentile`` == linear interpolation ==
+      DuckDB ``quantile_cont``); the 50th percentile ships as
+      ``median_docs``.
+
+    Reference parity: none — the reference has no aggregations
+    (SURVEY.md §2.6 extensions).
+
+    Scale shape (100 TB): the (query, doc) match set collapses before
+    the metadata join and the bucket rows are one combinable hash agg;
+    the sibling statistics then aggregate n_queries x n_buckets rows —
+    planning-sized, no window over doc rows anywhere. The tie-key
+    arrays stay bounded by the bucket count (365 weekly buckets/year),
+    never the corpus."""
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_format(F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd").alias(
+            "bucket_start"
+        ),
+    )
+    buckets = (
+        matched.join(meta, "doc_id")
+        .groupBy("query_id", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per = buckets.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_docs").alias("sum_docs"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.round(F.stddev_pop("n_docs"), 6).alias("std_docs"),
+        F.round(F.expr("percentile(n_docs, 0.5)"), 6).alias("median_docs"),
+        F.sort_array(F.collect_list(F.struct("n_docs", "bucket_start"))).alias(
+            "_kv"
+        ),
+    )
+    per = per.withColumn(
+        "min_keys",
+        F.array_join(
+            F.expr("transform(filter(_kv, x -> x.n_docs = min_docs), x -> x.bucket_start)"),
+            ",",
+        ),
+    ).withColumn(
+        "max_keys",
+        F.array_join(
+            F.expr("transform(filter(_kv, x -> x.n_docs = max_docs), x -> x.bucket_start)"),
+            ",",
+        ),
+    )
+    return per.select(
+        "query_id",
+        "n_buckets",
+        "sum_docs",
+        "avg_docs",
+        "min_docs",
+        "min_keys",
+        "max_docs",
+        "max_keys",
+        "std_docs",
+        "median_docs",
+    )

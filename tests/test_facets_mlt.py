@@ -733,3 +733,38 @@ def test_serial_diff_and_bucket_sort(spark):
     assert by_bucket["2024-01-22"]["serial_diff_docs"] == 1
     with pytest.raises(ValueError):
         serial_diff_topn(spark, docs, [(1, "apple")], "warc_ts", lag=0)
+
+
+def test_sibling_bucket_stats_semantics(spark):
+    """ES sibling pipeline aggs on a hand series [2, 1, 1]: sum/avg,
+    population sigma, exact median, and min/max tie-key lists."""
+    import datetime
+
+    from embed_rerank_spark.operators.facets import sibling_bucket_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie", datetime.datetime(2024, 1, 2)),
+            (2, "apple sauce", datetime.datetime(2024, 1, 3)),
+            (3, "apple tart", datetime.datetime(2024, 1, 9)),
+            (4, "apple core", datetime.datetime(2024, 1, 16)),
+            (5, "banana split", datetime.datetime(2024, 1, 2)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    rows = sibling_bucket_stats(
+        spark, docs, [(1, "apple")], "ts", interval="week"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_buckets == 3 and r.sum_docs == 4
+    assert r.max_docs == 2 and r.max_keys == "2024-01-01"
+    # two buckets tie at the min: keys date-ascending, comma-joined
+    assert r.min_docs == 1 and r.min_keys == "2024-01-08,2024-01-15"
+    assert abs(r.avg_docs - 1.333333) < 1e-6
+    assert abs(r.std_docs - 0.471405) < 1e-6  # population sigma of [2,1,1]
+    assert r.median_docs == 1.0
+    # no matches -> no rows (ES: empty parent histogram emits nothing)
+    assert sibling_bucket_stats(
+        spark, docs, [(2, "zyzzyva")], "ts", interval="week"
+    ).count() == 0

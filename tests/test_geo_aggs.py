@@ -265,3 +265,34 @@ def test_change_points_detects_step_and_matches_cusum_reference(spark):
     r = got["single"]
     assert r["n_buckets"] == 1 and r["cp_ts"] is None
     assert r["delta"] == 0.0 and r["mean_after"] is None
+
+
+def test_geohash_grid_known_value_and_counts(spark):
+    """Geohash encoding pinned against the classic published example
+    (57.64911N 10.40744E -> u4pruyd) at several precisions, plus
+    bucket counting and the +180/+90 edge clamp."""
+    from embed_rerank_spark.operators.geo import geohash_grid
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10.40744, 57.64911),   # u4pruyd (Wikipedia example)
+            (2, 10.40744, 57.64911),   # same cell -> counts together
+            (3, -0.1278, 51.5074),     # London: gcpvj..
+            (4, 180.0, 90.0),          # edge: clamps into the last cell
+        ],
+        "doc_id long, lon double, lat double",
+    )
+    g7 = {r.geohash: r.n_docs for r in geohash_grid(pts, precision=7).collect()}
+    assert g7["u4pruyd"] == 2
+    assert any(h.startswith("gcpvj") for h in g7)
+    assert len(g7) == 3  # two distinct singles + the doubled cell
+    g1 = {r.geohash: r.n_docs for r in geohash_grid(pts, precision=1).collect()}
+    assert g1["u"] == 2 and g1["g"] == 1
+    # precision bounds rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geohash_grid(pts, precision=0)
+    # min_doc_count prunes singleton cells
+    g7b = {r.geohash for r in geohash_grid(pts, precision=7, min_doc_count=2).collect()}
+    assert g7b == {"u4pruyd"}
