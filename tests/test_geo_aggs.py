@@ -296,3 +296,56 @@ def test_geohash_grid_known_value_and_counts(spark):
     # min_doc_count prunes singleton cells
     g7b = {r.geohash for r in geohash_grid(pts, precision=7, min_doc_count=2).collect()}
     assert g7b == {"u4pruyd"}
+
+
+def test_geohash_matches_interval_subdivision_reference(spark):
+    """The closed-form floor/interleave encoder == the textbook
+    interval-subdivision geohash, randomized over the globe and
+    precisions 1..8 (pure-Python reference implemented from the
+    published algorithm)."""
+    import numpy as np
+
+    from embed_rerank_spark.operators.geo import GEOHASH_ALPHABET, geohash_grid
+
+    def reference_geohash(lat: float, lon: float, precision: int) -> str:
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits, code, even = 0, 0, True
+        out = []
+        while len(out) < precision:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    code = code * 2 + 1
+                    lon_lo = mid
+                else:
+                    code = code * 2
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    code = code * 2 + 1
+                    lat_lo = mid
+                else:
+                    code = code * 2
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(GEOHASH_ALPHABET[code])
+                bits, code = 0, 0
+        return "".join(out)
+
+    rng = np.random.default_rng(42)
+    pts = [
+        (i, float(rng.uniform(-180, 180)), float(rng.uniform(-90, 90)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    for precision in (1, 3, 5, 8):
+        got = sorted(
+            r.geohash for r in geohash_grid(df, precision=precision).collect()
+            for _ in range(r.n_docs)
+        )
+        want = sorted(reference_geohash(lat, lon, precision) for _, lon, lat in pts)
+        assert got == want, f"precision {precision}"

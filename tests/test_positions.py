@@ -887,3 +887,65 @@ def test_span_containing_within_semantics(spark):
     assert {d for d, _ in cont} == {d for d, _ in with_} == {1}
     # containing sums two terms, within one -> scores differ
     assert cont != with_
+
+
+def test_span_containing_matches_python_bruteforce(spark):
+    """Randomized span-containing semantics pinned against a direct
+    Python scan: exists p1 < p2 (t2 within window after t1) with a
+    little-term occurrence in [p1, p2]."""
+    import random
+
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    rng = random.Random(7)
+    vocab = ["ant", "bee", "cat", "dog", "elk"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = load_positional_index(build_positional_postings(docs, n_shards=4))
+
+    def brute(t1, t2, tl, window):
+        out = set()
+        for doc_id, text in rows:
+            toks = text.split()
+            p1s = [i for i, t in enumerate(toks) if t == t1]
+            p2s = [i for i, t in enumerate(toks) if t == t2]
+            pls = [i for i, t in enumerate(toks) if t == tl]
+            if any(
+                0 < p2 - p1 <= window and any(p1 <= pl <= p2 for pl in pls)
+                for p1 in p1s
+                for p2 in p2s
+            ):
+                out.add(doc_id)
+        return out
+
+    cases = [
+        ("ant", "bee", "cat", 3),
+        ("cat", "cat", "dog", 2),   # same-term big span
+        ("dog", "elk", "dog", 5),   # little == big edge
+        ("bee", "ant", "elk", 1),
+        ("elk", "dog", "bee", 4),
+    ]
+    for t1, t2, tl, w in cases:
+        want = brute(t1, t2, tl, w)
+        got = {
+            r.doc_id
+            for r in span_containing_topk(
+                idx, [(0, t1, t2, tl)], k=100, window=w
+            ).collect()
+        }
+        assert got == want, (t1, t2, tl, w)
+        got_w = {
+            r.doc_id
+            for r in span_within_topk(
+                idx, [(0, t1, t2, tl)], k=100, window=w
+            ).collect()
+        }
+        assert got_w == want, ("within", t1, t2, tl, w)
