@@ -438,6 +438,21 @@ def q_span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanOrQuery inside a span-near: any alternative term
+    within SPAN_OR_WINDOW of t2 (unordered, distinct occurrences);
+    BM25 over the query terms the doc contains
+    (operators/positions.py::span_or_near_topk)."""
+    from embed_rerank_spark.operators.positions import span_or_near_topk
+    from embed_rerank_spark.queryset import SPAN_OR_SET, SPAN_OR_WINDOW
+
+    index = _cached_index(spark, sf_dir, "positional")
+    out = span_or_near_topk(index, SPAN_OR_SET, k=TOP_K, window=SPAN_OR_WINDOW)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k over the compressed index:
     leapfrog intersection with block-max skipping (operators/wand.py
@@ -4228,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": q_span_not_topk,
         "span_containing_topk": q_span_containing_topk,
         "span_within_topk": q_span_within_topk,
+        "span_or_topk": q_span_or_topk,
         "nested_bool_topk": q_nested_bool_topk,
         "query_string_topk": q_query_string_topk,
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
@@ -4613,6 +4629,51 @@ term_scores AS (
     CROSS JOIN stats
 ),
 {_sc_rank}"""
+    from embed_rerank_spark.queryset import (  # noqa: PLC0415
+        SPAN_OR_WINDOW,
+        span_or_alts_values_sql,
+        span_or_t2_values_sql,
+    )
+
+    span_or_sql = f"""
+WITH {_TOKS_CTE},
+posn AS (
+    SELECT doc_id, unnest(toks2) AS term, generate_subscripts(toks2, 1) AS pos
+    FROM (SELECT doc_id, {_TOKENIZE_SQL} AS toks2 FROM documents)
+),
+soa AS (SELECT * FROM {span_or_alts_values_sql()}),
+sob AS (SELECT * FROM {span_or_t2_values_sql()}),
+matched AS (
+    SELECT DISTINCT a.query_id, p1.doc_id
+    FROM soa a
+    JOIN posn p1 ON p1.term = a.term
+    JOIN sob b ON b.query_id = a.query_id
+    JOIN posn p2 ON p2.doc_id = p1.doc_id AND p2.term = b.t2
+    WHERE abs(p2.pos - p1.pos) <= {SPAN_OR_WINDOW} AND p2.pos <> p1.pos
+),
+term_scores AS (
+    SELECT sq.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM (SELECT query_id, term FROM soa UNION SELECT query_id, t2 FROM sob) sq
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM term_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+    FROM scored s JOIN matched USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
     span_within_sql = f"""
 WITH {_TOKS_CTE},
 {_sc_match},
@@ -9306,6 +9367,7 @@ FROM ranked WHERE bucket_rank <= {MULTI_TERMS_N}
         "span_not_topk": span_not_sql,
         "span_containing_topk": span_containing_sql,
         "span_within_topk": span_within_sql,
+        "span_or_topk": span_or_sql,
         "nested_bool_topk": nested_bool_sql,
         "query_string_topk": _query_string_oracle_sql(),
         "percentiles": percentiles_sql,

@@ -93,8 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
             "prefix", "suffix", "infix", "regexp", "wildcard", "term-range",
-            "span-not", "span-containing", "span-within", "interval",
-            "constant-score",
+            "span-not", "span-containing", "span-within", "span-or",
+            "interval", "constant-score",
         ],
         help="or = disjunctive WAND; and = conjunctive leapfrog; "
         "phrase = exact phrase over a POSITIONAL index; phrase-nextword "
@@ -114,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         "--near-window) must contain the little term (each query line: "
         "'t1 t2 little', POSITIONAL index; containing scores the big "
         "pair, within scores the little term); "
+        "span-or = any comma-separated alternative within --near-window "
+        "of t2 (each query line: 'alt1,alt2 t2', POSITIONAL index); "
         "interval = Lucene ordered intervals with --max-gaps slack "
         "(each query line: the in-order terms, POSITIONAL index)",
     )
@@ -811,6 +813,17 @@ def main(argv: list[str] | None = None) -> int:
                     else span_within_topk
                 )
                 out = fn(idx, triples, k=args.k, window=args.near_window)
+            elif args.mode == "span-or":
+                from .operators.positions import span_or_near_topk
+
+                triples = [
+                    (qid, tuple(parts[0].split(",")), parts[1])
+                    for qid, q in queries
+                    if len(parts := q.split(None, 1)) == 2
+                ]
+                out = span_or_near_topk(
+                    idx, triples, k=args.k, window=args.near_window
+                )
             elif args.page > 1:
                 from .operators.wand import search_after_topk
 

@@ -2324,3 +2324,168 @@ def span_within_topk(
     BM25-scored over the little term alone. Same oracle match shape,
     little-term scoring CTE."""
     return _span_contain_driver(index, triples, k, window, k1, b, score_little=True)
+
+
+def _merge_or_termdata(termdata: dict[str, tuple], alts: tuple[str, ...]):
+    """One synthetic termdata entry whose occurrences are the UNION of
+    the alternatives' occurrences (Lucene SpanOrQuery): docs merged,
+    per-doc positions merged sorted (distinct terms can't share a
+    token position, so the union stays strictly ascending). Returns
+    None when no alternative is in the shard's vocabulary."""
+    present = [t for t in alts if t in termdata]
+    if not present:
+        return None
+    if len(present) == 1:
+        return termdata[present[0]]
+    doc_keys, poss = [], []
+    for t in present:
+        d, tf, _dl, pf, po = termdata[t]
+        # po is the n+1 offsets array ([0, cumsum(tf)]); rows start at po[:-1]
+        f, c = _ragged_gather(po[:-1], tf)
+        doc_keys.append(d[c])
+        poss.append(pf[f])
+    dk = np.concatenate(doc_keys)
+    ps = np.concatenate(poss)
+    order = np.lexsort((ps, dk))
+    dk, ps = dk[order], ps[order]
+    docs, counts = np.unique(dk, return_counts=True)
+    starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    d0, _tf0, dl0, _pf0, _po0 = termdata[present[0]]
+    dl2 = np.zeros(len(docs), dtype=dl0.dtype)
+    for t in present:
+        d, _tf, dl, _pf, _po = termdata[t]
+        dl2[np.searchsorted(docs, d)] = dl
+    return docs, counts.astype(np.int64), dl2, ps, starts
+
+
+def _span_or_partition(
+    batches: Iterator[pa.RecordBatch],
+    queries: list[tuple[int, tuple[str, ...], str]],
+    k: int,
+    window: int,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    ordered: bool,
+    excl: tuple[int, ...] = (),
+    vers: tuple = None,
+):
+    shards = load_termdata(batches, vers)
+    excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
+    OR = "\x00or"  # can't collide: real terms never contain NUL
+    out_q, out_d, out_s = [], [], []
+    for _shard, termdata in shards.items():
+        for qid, alts, t2 in queries:
+            if t2 not in termdata:
+                continue
+            md = _merge_or_termdata(termdata, alts)
+            if md is None:
+                continue
+            td2 = {OR: md, t2: termdata[t2]}
+            docs = _proximity_match(td2, OR, t2, window, ordered).astype(np.int64)
+            if docs.size and excl_arr is not None:
+                docs = docs[~np.isin(docs, excl_arr)]
+            if docs.size == 0:
+                continue
+            score_terms = dict.fromkeys((*alts, t2))
+            scores = np.zeros(len(docs))
+            for t in score_terms:
+                if t not in termdata or t not in idf:
+                    continue
+                dt, tft, dlt, _pf, _po = termdata[t]
+                ix = np.searchsorted(dt, docs)
+                ixc = np.minimum(ix, max(len(dt) - 1, 0))
+                hit = (ix < len(dt)) & (dt[ixc] == docs)
+                tfv = tft[ixc].astype(np.float64)
+                dlv = dlt[ixc].astype(np.float64)
+                contrib = idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlv / avgdl)
+                )
+                scores += np.where(hit, contrib, 0.0)
+            r = np.round(scores, 6)
+            order = np.lexsort((docs, -r))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(int(docs[i]) for i in order)
+            out_s.extend(float(scores[i]) for i in order)
+    if out_q:
+        yield pa.RecordBatch.from_pydict(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def span_or_near_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, tuple[str, ...], str]],
+    k: int = 10,
+    window: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    ordered: bool = False,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): Lucene SpanOrQuery inside a
+    span-near — docs where ANY of the alternative terms occurs within
+    ``window`` tokens of ``t2`` (distinct occurrences; ``ordered=True``
+    makes the alternative precede ``t2``, span-near inOrder). With the
+    existing near / not / first / containing / within operators this
+    completes the Lucene span-algebra family.
+
+    The OR side is materialized per shard as ONE synthetic posting
+    run — the union of the alternatives' (doc, position) streams
+    (``_merge_or_termdata``) — and then the standard vectorized
+    proximity kernel runs unchanged, so SpanOr costs one extra merge
+    pass, never a per-alternative rescan. Matching docs are
+    BM25-scored over the terms of the query THAT THE DOC CONTAINS
+    (alternatives it lacks contribute zero — the oracle's tf join
+    drops them naturally). OOV alternatives are ignored; all-OOV
+    alternatives or an OOV ``t2`` empty the query.
+
+    Oracle shape: positions join with ``p1.term IN alts``,
+    ``abs(p2.pos - p1.pos) <= window AND p2.pos <> p1.pos``.
+
+    Scale shape: identical to ``proximity_topk`` — term-filtered
+    postings scan (pushdown over alts + t2), per-shard vectorized
+    kernel, shard-local top-k into the global rank window."""
+    plan: list[tuple[int, tuple[str, ...], str]] = []
+    all_terms: set[str] = set()
+    for qid, alts_raw, t2_raw in queries:
+        alts = tuple(
+            dict.fromkeys(a.strip().lower() for a in alts_raw if a.strip())
+        )
+        t2 = t2_raw.strip().lower()
+        if alts and t2:
+            plan.append((qid, alts, t2))
+            all_terms.update((*alts, t2))
+    spark = index.postings.sparkSession
+    empty = "query_id long, rank int, doc_id long, score double"
+    if not plan:
+        return spark.createDataFrame([], empty)
+    n = index.n_docs
+    dfs = index.df_for_terms(all_terms)
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items() if d > 0
+    }
+    plan = [
+        (qid, tuple(a for a in alts if a in idf), t2)
+        for qid, alts, t2 in plan
+        if t2 in idf
+    ]
+    plan = [(qid, alts, t2) for qid, alts, t2 in plan if alts]
+    if not plan:
+        return spark.createDataFrame([], empty)
+    avgdl = index.avgdl
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    live = {t for _q, alts, t2 in plan for t in (*alts, t2)}
+    filtered = index.postings.filter(F.col("term").isin(list(live)))
+    n_parts = spark.sparkContext.defaultParallelism
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _span_or_partition(
+            it, plan, k, window, idf, avgdl, k1, b, ordered, excl, vers
+        ),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(per_shard, k).select("query_id", "rank", "doc_id", "score")

@@ -809,6 +809,30 @@ SPAN_CONTAIN_SET: list[tuple[int, str, str, str]] = [
 SPAN_CONTAIN_WINDOW = 4
 
 
+# SpanOr-inside-near set (alternatives, t2): any alternative within
+# SPAN_OR_WINDOW of t2 (unordered, distinct occurrences). Shapes: two
+# live alternatives, one-OOV-alternative degradation, self-pairing
+# (t2 also an alternative -> needs two distinct occurrences), and
+# all-OOV alternatives (zero rows).
+SPAN_OR_SET: list[tuple[int, tuple[str, ...], str]] = [
+    (1, ("fast", "slow"), "table"),
+    (2, ("hash", "sort"), "join"),
+    (3, ("zyzzyva", "scan"), "scan"),
+    (4, ("zyzzyva", "zyxxo"), "table"),
+]
+SPAN_OR_WINDOW = 3
+
+
+def span_or_alts_values_sql() -> str:
+    rows = [f"({qid}, '{a}')" for qid, alts, _t2 in SPAN_OR_SET for a in alts]
+    return f"(VALUES {', '.join(rows)}) AS soa(query_id, term)"
+
+
+def span_or_t2_values_sql() -> str:
+    rows = [f"({qid}, '{t2}')" for qid, _alts, t2 in SPAN_OR_SET]
+    return f"(VALUES {', '.join(rows)}) AS sob(query_id, t2)"
+
+
 def span_contain_values_sql() -> str:
     rows = ", ".join(
         f"({q}, '{a}', '{b}', '{l}')" for q, a, b, l in SPAN_CONTAIN_SET

@@ -949,3 +949,51 @@ def test_span_containing_matches_python_bruteforce(spark):
             ).collect()
         }
         assert got_w == want, ("within", t1, t2, tl, w)
+
+
+def test_span_or_near_matches_python_bruteforce(spark):
+    """Randomized span-or-near semantics pinned against a direct
+    Python scan: any alternative occurrence within window of t2,
+    distinct positions; scores cover only terms the doc contains."""
+    import random
+
+    from embed_rerank_spark.operators.positions import (
+        build_positional_postings,
+        load_positional_index,
+        span_or_near_topk,
+    )
+
+    rng = random.Random(11)
+    vocab = ["ant", "bee", "cat", "dog", "elk"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = load_positional_index(build_positional_postings(docs, n_shards=4))
+
+    def brute(alts, t2, window):
+        out = set()
+        for doc_id, text in rows:
+            toks = text.split()
+            p1s = [i for i, t in enumerate(toks) if t in alts]
+            p2s = [i for i, t in enumerate(toks) if t == t2]
+            if any(
+                p1 != p2 and abs(p2 - p1) <= window for p1 in p1s for p2 in p2s
+            ):
+                out.add(doc_id)
+        return out
+
+    cases = [
+        (("ant", "bee"), "cat", 2),
+        (("dog",), "dog", 1),          # self-pairing: two distinct dogs
+        (("cat", "elk", "zzz"), "bee", 3),  # OOV alternative ignored
+        (("zzz", "zzq"), "ant", 3),    # all-OOV -> empty
+    ]
+    for alts, t2, w in cases:
+        want = brute(set(alts), t2, w)
+        got = {
+            r.doc_id
+            for r in span_or_near_topk(idx, [(0, alts, t2)], k=100, window=w).collect()
+        }
+        assert got == want, (alts, t2, w)
