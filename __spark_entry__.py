@@ -3378,6 +3378,24 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate aggregation inside a monthly date_histogram:
+    calendar-aware per-day rates (February divides by 28/29, March by
+    31) of matching-doc counts and char sums
+    (operators/facets.py::rate_histogram)."""
+    from embed_rerank_spark.operators.facets import rate_histogram
+
+    return rate_histogram(
+        spark,
+        _docs_with_ts(spark, sf_dir),
+        QUERY_SET,
+        "warc_ts",
+        interval="month",
+        unit="day",
+        metric_col="n_chars",
+    )
+
+
 def q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SIBLING pipeline aggregations (sum/avg/min/max_bucket,
     extended_stats_bucket population sigma, percentiles_bucket exact
@@ -4229,6 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "pipeline_aggs": q_pipeline_aggs,
         "stats_bucket": q_stats_bucket,
+        "rate_agg": q_rate_agg,
         "filters_agg": q_filters_agg,
         "missing_agg": q_missing_agg,
         "global_agg": q_global_agg,
@@ -7600,6 +7619,29 @@ piped AS (
 SELECT * FROM piped WHERE n_docs >= {PIPE_MIN_DOCS}
 """
 
+    rate_agg_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           date_trunc('month',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)) AS bucket,
+           count(*) AS n_docs,
+           sum(CAST(d.n_chars AS DOUBLE)) AS metric_sum
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+)
+SELECT query_id, strftime(bucket, '%Y-%m-%d') AS bucket_start,
+       n_docs,
+       CAST(day(last_day(bucket)) AS DOUBLE) AS divisor,
+       round(n_docs / CAST(day(last_day(bucket)) AS DOUBLE), 6) AS rate_docs,
+       round(metric_sum / CAST(day(last_day(bucket)) AS DOUBLE), 6) AS rate_metric
+FROM buckets
+"""
+
     stats_bucket_sql = f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -9240,6 +9282,7 @@ FROM hist h JOIN chosen c USING (query_id, interval)
         "date_histogram": date_histogram_sql,
         "pipeline_aggs": pipeline_aggs_sql,
         "stats_bucket": stats_bucket_sql,
+        "rate_agg": rate_agg_sql,
         "filters_agg": f"""
 WITH {_TOKS_CTE},
 matched AS (

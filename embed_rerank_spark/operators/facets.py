@@ -1758,3 +1758,69 @@ def sibling_bucket_stats(
         "std_docs",
         "median_docs",
     )
+
+
+def rate_histogram(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    interval: str = "month",
+    unit: str = "day",
+    metric_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs, divisor, rate_docs
+    [, rate_metric]) — the Elasticsearch ``rate`` aggregation inside a
+    ``date_histogram``: each bucket's doc count (and optionally the sum
+    of ``metric_col``) normalized to a per-``unit`` rate. The division
+    is CALENDAR-AWARE like ES: a monthly bucket divides by THAT month's
+    day count (28-31, ``day(last_day(bucket))``), a weekly bucket by a
+    constant 7 — so February's rate is comparable to March's.
+
+    Supported (interval, unit): (month, day), (week, day) — the pairs
+    the corpus timestamps exercise; others raise (ES likewise rejects
+    a unit coarser than the interval).
+
+    Scale shape: identical to ``date_histogram`` — match-set collapse,
+    one combinable (query, bucket) hash agg; the divisor is pure date
+    arithmetic on the planning-sized bucket rows."""
+    if (interval, unit) not in (("month", "day"), ("week", "day")):
+        raise ValueError(f"unsupported rate pair ({interval}, {unit})")
+    qt = query_terms(spark, queries)
+    tf = term_freqs(docs, id_col, text_col)
+    matched = (
+        F.broadcast(qt)
+        .join(tf.select("doc_id", "term"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.date_trunc(interval, F.col(ts_col)).cast("date").alias("_bucket"),
+    ]
+    if metric_col is not None:
+        cols.append(F.col(metric_col).cast("double").alias("metric"))
+    meta = docs.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if metric_col is not None:
+        aggs.append(F.sum("metric").alias("metric_sum"))
+    buckets = matched.join(meta, "doc_id").groupBy("query_id", "_bucket").agg(*aggs)
+    divisor = (
+        F.dayofmonth(F.last_day(F.col("_bucket"))).cast("double")
+        if interval == "month"
+        else F.lit(7.0)
+    )
+    out = (
+        buckets.withColumn("divisor", divisor)
+        .withColumn("rate_docs", F.round(F.col("n_docs") / F.col("divisor"), 6))
+        .withColumn("bucket_start", F.date_format("_bucket", "yyyy-MM-dd"))
+    )
+    sel = ["query_id", "bucket_start", "n_docs", "divisor", "rate_docs"]
+    if metric_col is not None:
+        out = out.withColumn(
+            "rate_metric", F.round(F.col("metric_sum") / F.col("divisor"), 6)
+        )
+        sel.append("rate_metric")
+    return out.select(*sel)

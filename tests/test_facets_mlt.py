@@ -768,3 +768,39 @@ def test_sibling_bucket_stats_semantics(spark):
     assert sibling_bucket_stats(
         spark, docs, [(2, "zyzzyva")], "ts", interval="week"
     ).count() == 0
+
+
+def test_rate_histogram_calendar_divisors(spark):
+    """ES rate agg: monthly buckets divide by THAT month's day count
+    (leap February = 29), weekly buckets by 7; unsupported pairs
+    raise."""
+    import datetime
+
+    import pytest as _pytest
+
+    from embed_rerank_spark.operators.facets import rate_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie", datetime.datetime(2024, 2, 10)),
+            (2, "apple tart", datetime.datetime(2024, 2, 20)),
+            (3, "apple core", datetime.datetime(2024, 3, 5)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    rows = {
+        r.bucket_start: r
+        for r in rate_histogram(
+            spark, docs, [(1, "apple")], "ts", interval="month", unit="day"
+        ).collect()
+    }
+    feb, mar = rows["2024-02-01"], rows["2024-03-01"]
+    assert feb.divisor == 29.0 and feb.n_docs == 2
+    assert abs(feb.rate_docs - round(2 / 29, 6)) < 1e-9
+    assert mar.divisor == 31.0 and abs(mar.rate_docs - round(1 / 31, 6)) < 1e-9
+    wk = rate_histogram(
+        spark, docs, [(1, "apple")], "ts", interval="week", unit="day"
+    ).collect()
+    assert all(r.divisor == 7.0 for r in wk)
+    with _pytest.raises(ValueError):
+        rate_histogram(spark, docs, [(1, "apple")], "ts", interval="day", unit="hour")
