@@ -680,8 +680,42 @@ def scaling_mode() -> None:
                 "hw_normalized_efficiency": round(speedup / calib_speedup, 3),
                 "calib_sec_low": round(calib_low, 3),
                 "calib_sec_high": round(calib_high, 3),
-                # the north-rule metric is QUERY THROUGHPUT: WAND QPS
-                # at both levels + its scaling efficiency
+                # the north rule names TWO metrics — "BM25 top-k QPS +
+                # index-build wall-time" — so report their scaling
+                # directly, separate from the whole-suite ratio: the
+                # suite total is dominated by bm25_brute, the
+                # DELIBERATELY naive declarative oracle-shape scan kept
+                # for correctness comparison, which is pure memory
+                # bandwidth and measures the host's DRAM wall, not the
+                # engine's plans
+                "build_sec_low": round(
+                    sum(
+                        results[lows]["queries"][p]
+                        for p in ("extract", "index_build", "index_merge")
+                    ),
+                    3,
+                ),
+                "build_sec_high": round(
+                    sum(
+                        results[highs]["queries"][p]
+                        for p in ("extract", "index_build", "index_merge")
+                    ),
+                    3,
+                ),
+                "build_scaling_efficiency": round(
+                    (
+                        sum(
+                            results[lows]["queries"][p]
+                            for p in ("extract", "index_build", "index_merge")
+                        )
+                        / sum(
+                            results[highs]["queries"][p]
+                            for p in ("extract", "index_build", "index_merge")
+                        )
+                    )
+                    / (highs / lows),
+                    3,
+                ),
                 "wand_qps_low": results[lows]["wand_qps"],
                 "wand_qps_high": results[highs]["wand_qps"],
                 "wand_scaling_efficiency": round(
