@@ -500,6 +500,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         scaling_mode()
         return
+    if "--weak-scaling" in sys.argv:
+        weak_scaling_mode()
+        return
     attempts: list[dict] = []
     for attempt in range(1, MAX_ATTEMPTS + 1):
         probe_before = host_health_probe()
@@ -740,6 +743,91 @@ def scaling_mode() -> None:
                 },
                 "sf": SF,
                 "n_pages": SCALING_PAGES,
+            }
+        )
+    )
+
+
+def weak_scaling_mode() -> None:
+    """DATA scaling at fixed cores: the same suite at a geometric
+    ladder of corpus sizes (default 40k/160k/640k pages, 4x steps) in
+    fresh subprocesses, one JSON line out.
+
+    What it evidences for the 100 TB question (complementary to
+    ``--scaling``'s core ladder): index-BUILD throughput in pages/s
+    must hold (or rise, as per-job fixed costs amortize) as the corpus
+    quadruples — any superlinear term in tokenize/encode/merge would
+    show here; and WAND query cost must grow SUB-linearly with corpus
+    size while the brute-force scan grows linearly — the widening
+    WAND-vs-brute gap IS the reason an inverted index exists. Each
+    size inherits the default mode's host-health probes and retry
+    loop, so contended runs self-flag."""
+    import subprocess
+
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "SPARK_GRAFT_WEAK_SIZES", "40000,160000,640000"
+        ).split(",")
+    ]
+    rows = []
+    for n in sizes:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(CPUS),
+            SPARK_GRAFT_N_PAGES=str(n),
+            SPARK_GRAFT_TIERED="0",  # core phases only
+            SPARK_GRAFT_QUERIES=os.environ.get("SPARK_GRAFT_QUERIES", "1024"),
+        )
+        p = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, check=True,
+        )
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        q = r["queries"]
+        build_sec = q["extract"] + q["index_build"] + q["index_merge"]
+        rows.append(
+            {
+                "n_pages": n,
+                "build_sec": round(build_sec, 3),
+                "build_pages_per_sec": round(n / build_sec, 1),
+                "index_build_pages_per_sec": round(n / q["index_build"], 1),
+                "wand_sec": q["wand_topk"],
+                "wand_qps": r["wand_qps"],
+                "bm25_brute_sec": q["bm25_brute"],
+                "wand_vs_brute_gap": round(q["bm25_brute"] / q["wand_topk"], 2),
+                "probe_clean": r.get("probe_clean"),
+                "queries": q,
+            }
+        )
+    base = rows[0]
+    print(
+        json.dumps(
+            {
+                "metric": "weak_scaling",
+                "unit": "pages_per_sec",
+                "cpus": CPUS,
+                "sizes": sizes,
+                "rows": rows,
+                # linearity check: time ratio / size ratio per 4x step
+                # (1.0 = perfectly linear build; < 1 = throughput RISES
+                # with size as fixed costs amortize)
+                "build_time_growth_per_step": [
+                    round(
+                        (rows[i]["build_sec"] / rows[i - 1]["build_sec"])
+                        / (rows[i]["n_pages"] / rows[i - 1]["n_pages"]),
+                        3,
+                    )
+                    for i in range(1, len(rows))
+                ],
+                "wand_time_growth_per_step": [
+                    round(rows[i]["wand_sec"] / rows[i - 1]["wand_sec"], 3)
+                    for i in range(1, len(rows))
+                ],
+                "gap_widening": [r["wand_vs_brute_gap"] for r in rows],
+                "largest_vs_smallest_build_throughput": round(
+                    rows[-1]["build_pages_per_sec"] / base["build_pages_per_sec"], 3
+                ),
             }
         )
     )

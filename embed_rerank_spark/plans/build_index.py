@@ -54,6 +54,36 @@ from ..operators.postings import (
 
 SNAPSHOT_COL = "snap_day"
 
+# Size the ENCODE shuffle by data volume, not core count. A fixed
+# core-count partitioning means per-task bytes grow linearly with the
+# corpus: the session-11 weak-scaling ladder (BENCH/BASELINE.md)
+# measured the build going superlinear (1.39x per 4x data) at 640k
+# pages on a fixed 8 GiB heap, and recovering most of it with 4x the
+# heap — i.e. the plan was fine, the per-task working set was not.
+# Targeting a constant docs-per-encode-task keeps Arrow batch + sort
+# buffers flat no matter the corpus size; at cluster scale raise the
+# target to match executor memory (it is env-tunable for that reason).
+ENCODE_DOCS_PER_TASK = int(os.environ.get("SPARK_GRAFT_ENCODE_DOCS_PER_TASK", "2500"))
+# The merge stage's unit is compressed BLOCK rows (~block_size
+# postings each), far denser than tf rows — target accordingly.
+MERGE_BLOCKS_PER_TASK = int(os.environ.get("SPARK_GRAFT_MERGE_BLOCKS_PER_TASK", "25000"))
+
+
+def encode_partitions(spark: SparkSession, n_docs: int, n_shards: int) -> int:
+    """Partition count for the tf->encode shuffle: at least one task
+    per core (and per shard), growing linearly with docs so per-task
+    memory stays constant as the corpus scales."""
+    by_volume = -(-int(n_docs) // ENCODE_DOCS_PER_TASK)
+    return max(n_shards, spark.sparkContext.defaultParallelism, by_volume)
+
+
+def merge_partitions(spark: SparkSession, n_blocks: int) -> int:
+    """Partition count for the segment-merge shuffle, scaled by total
+    block rows across segments (same constant-working-set rationale as
+    ``encode_partitions``)."""
+    by_volume = -(-int(n_blocks) // MERGE_BLOCKS_PER_TASK)
+    return max(8, spark.sparkContext.defaultParallelism, by_volume)
+
 
 def with_snapshot(pages: DataFrame) -> DataFrame:
     return pages.withColumn(SNAPSHOT_COL, F.date_format("warc_ts", "yyyy-MM-dd"))
@@ -147,16 +177,21 @@ def build_segment(
     n_quarantined = int(obs.get["quarantined"])
     extracted = spark.read.parquet(f"{seg}/extracted")
     clean = extracted.filter(F.col("error").isNull())
+    # one column-pruned count of the just-written parquet (reads only
+    # the `error` column) sizes the encode shuffle by data volume
+    n_parts = encode_partitions(spark, clean.count(), n_shards)
 
     if positional:
         from ..operators.positions import build_positional_postings  # noqa: PLC0415
 
         idx = build_positional_postings(
-            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts
+            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts,
+            num_partitions=n_parts,
         )
     else:
         idx = build_postings(
-            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts
+            clean, n_shards=n_shards, block_size=block_size, n_salts=n_salts,
+            num_partitions=n_parts,
         )
     # shard-file layout (operators/postings.write_shard_files): every
     # doc shard whole in one file, rows (shard, term)-sorted so term
@@ -537,7 +572,9 @@ def merge_segments(
         [ds.withColumn("seg", F.lit(i)) for i, ds in enumerate(ds_list)],
     )
 
-    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    # parquet metadata-only count (no filter, no column reads) sizes
+    # the merge shuffle by total block rows across segments
+    n_parts = merge_partitions(spark, seg_postings.count())
     # hash includes the block's RANGE salt (derived from first_doc —
     # valid because build and merge must share n_salts, so block ranges
     # align to salt buckets): a hot term's blocks spread over

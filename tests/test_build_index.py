@@ -224,3 +224,26 @@ def test_duplicate_urls_across_snapshots_collapse_at_merge(spark, tmp_path_facto
     assert sorted((r.doc_id, round(r.score, 6)) for r in out) == sorted(
         (r.doc_id, round(r.score, 6)) for r in brute
     )
+
+
+def test_partition_sizing_scales_with_data(spark):
+    """Shuffle sizing targets constant per-task volume: floor at
+    cores/shards for small corpora, linear growth past the knee (the
+    session-11 weak-scaling fix — a fixed core-count partitioning made
+    per-task memory grow with the corpus and the build superlinear)."""
+    from embed_rerank_spark.plans.build_index import (
+        ENCODE_DOCS_PER_TASK,
+        MERGE_BLOCKS_PER_TASK,
+        encode_partitions,
+        merge_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    # small corpus: floor at max(cores, shards), never fewer
+    assert encode_partitions(spark, 100, 8) == max(8, cores)
+    assert merge_partitions(spark, 100) == max(8, cores)
+    # big corpus: linear in volume (ceil division), independent of cores
+    n = 100 * ENCODE_DOCS_PER_TASK + 1
+    assert encode_partitions(spark, n, 8) == 101
+    b = 100 * MERGE_BLOCKS_PER_TASK + 1
+    assert merge_partitions(spark, b) == 101
