@@ -253,7 +253,13 @@ def _merge_units(
             for i, u in enumerate(inputs_rec)
         ],
     )
-    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    # same data-volume sizing as merge_segments (compaction is the
+    # identical decode->merge->re-encode workload over whole tiers):
+    # metadata-only block-row count keeps per-task memory flat however
+    # large the input tiers are
+    from .build_index import merge_partitions  # noqa: PLC0415
+
+    n_parts = merge_partitions(spark, posts.count())
     merge_cols = [
         "term", "shard", "first_doc", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
         "seg",
