@@ -2181,6 +2181,22 @@ def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_cardinality(_docs(spark, sf_dir), k=KMV_K, group_col="lang")
 
 
+HLL_P = 9  # 512 registers, ~4.6% standard error
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg via HyperLogLog (operators/sketches.py::
+    hll_cardinality): per-lang distinct word-3-gram count from a
+    2^9-register sketch. Like the KMV entry, the estimator is a
+    deterministic function of the portable md5 hash, so the oracle
+    reproduces the ESTIMATE bit-for-bit (including the small-range
+    linear-counting branch); register mergeability across units is
+    pinned in tests/test_sketches.py."""
+    from embed_rerank_spark.operators.sketches import hll_cardinality
+
+    return hll_cardinality(_docs(spark, sf_dir), p=HLL_P, group_col="lang")
+
+
 BLOOM_M_BITS = 30720  # filter width (512 60-bit words)
 BLOOM_K = 4  # hash functions
 BLOOM_PROBE_MOD = 10  # present probes: docs with doc_id % mod == 0
@@ -4198,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
+        "hll_cardinality": q_hll_cardinality,
         "kmv_set_ops": q_kmv_set_ops,
         "bloom_membership": q_bloom_membership,
         "constant_score": q_constant_score,
@@ -8779,6 +8796,41 @@ agg AS (
 SELECT grp, n_held,
        round(CASE WHEN n_held < {KMV_K} THEN CAST(n_held AS DOUBLE)
                   ELSE {float(KMV_K - 1)} / (kth_h / 1152921504606846976.0)
+             END, 6) AS est
+FROM agg ORDER BY grp
+""",
+        "hll_cardinality": f"""
+WITH toksd AS (
+    SELECT lang, {_TOKENIZE_SQL} AS toks FROM documents
+),
+vals AS (
+    SELECT DISTINCT lang AS grp,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS value
+    FROM toksd WHERE len(toks) >= 3
+),
+hashed AS (
+    SELECT grp, CAST(concat('0x', substr(md5(value), 1, 15)) AS BIGINT) AS h
+    FROM vals
+),
+regs AS (
+    SELECT grp, h >> {60 - HLL_P} AS j,
+           max(CASE WHEN (h & {(1 << (60 - HLL_P)) - 1}) = 0 THEN {60 - HLL_P + 1}
+                    ELSE {60 - HLL_P} - length(bin(h & {(1 << (60 - HLL_P)) - 1})) + 1
+               END) AS r
+    FROM hashed GROUP BY 1, 2
+),
+agg AS (
+    SELECT grp, count(*) AS nonzero, sum(power(2.0, -r)) AS s
+    FROM regs GROUP BY grp
+)
+SELECT grp, {1 << HLL_P} AS m, nonzero,
+       round(CASE WHEN {0.7213 / (1.0 + 1.079 / (1 << HLL_P)) * (1 << HLL_P) ** 2}
+                       / (({1 << HLL_P} - nonzero) + s) <= {2.5 * (1 << HLL_P)}
+                   AND nonzero < {1 << HLL_P}
+                  THEN {float(1 << HLL_P)} * ln({float(1 << HLL_P)} / ({1 << HLL_P} - nonzero))
+                  ELSE {0.7213 / (1.0 + 1.079 / (1 << HLL_P)) * (1 << HLL_P) ** 2}
+                       / (({1 << HLL_P} - nonzero) + s)
              END, 6) AS est
 FROM agg ORDER BY grp
 """,

@@ -477,3 +477,131 @@ def bloom_contains(
     return hits.groupBy("probe").agg(
         (F.sum("hit") == F.lit(k)).alias("contained")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the industry-standard mergeable cardinality sketch
+# (Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm"; the ES `cardinality` aggregation
+# and Spark's own approx_count_distinct are HLL-family). Complements
+# the KMV sketch above: HLL state is a FIXED 2^p-register array per
+# group (KMV holds k hashes), so at 10^12 values the persisted sketch
+# is ~m bytes per group regardless of k-vs-cardinality, and two
+# snapshots' sketches merge by element-wise register MAX — the
+# classic "count distinct users across daily partitions without
+# re-scanning" shape.
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 60  # md5-portable hash width (see _md5_hash60)
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (Fig. 3)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    values: DataFrame, p: int, grp_col: str = "grp", value_col: str = "value"
+) -> DataFrame:
+    """(grp, j, r) — the non-zero HLL registers per group: ``j`` =
+    top-``p`` hash bits (register index), ``r`` = max over the
+    group's values of (leading-zero count of the remaining ``60-p``
+    bits + 1). One combinable groupBy-MAX — partial aggregation
+    collapses each task's stream to <= 2^p rows before the shuffle,
+    so the network volume is `tasks x m`, independent of corpus size.
+
+    The rank uses the MSB-length identity ``rank = q - len(bin(w)) + 1``
+    (``q+1`` when the low bits are all zero), which the DuckDB oracle
+    mirrors bit-for-bit with the same md5 hash."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    q = _HLL_BITS - p
+    h = values.select(
+        F.col(grp_col).alias("grp"), _md5_hash60(F.col(value_col)).alias("h")
+    )
+    w = F.col("h").bitwiseAND(F.lit((1 << q) - 1))
+    rank = F.when(w == 0, F.lit(q + 1)).otherwise(
+        F.lit(q) - F.length(F.bin(w)) + F.lit(1)
+    )
+    return (
+        h.select("grp", F.shiftright("h", q).alias("j"), rank.alias("r"))
+        .groupBy("grp", "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
+    """(grp, m, nonzero, est) from a ``(grp, j, r)`` register table:
+    the raw HLL estimator ``alpha_m * m^2 / (V + sum 2^-r)`` (the V
+    all-zero registers each contribute 2^0 = 1) with the paper's
+    small-range linear-counting correction ``m * ln(m / V)`` when the
+    raw estimate <= 2.5m and V > 0. No large-range correction — the
+    60-bit hash space makes collisions negligible at any realistic
+    cardinality. Deterministic given md5, so the DuckDB oracle
+    reproduces ``est`` to the 6dp it is rounded to."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = registers.groupBy("grp").agg(
+        F.count("*").alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+    )
+    v = F.lit(float(m)) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (v + F.col("s"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("nonzero") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        F.lit(m).alias("m"),
+        "nonzero",
+        F.round(est, 6).alias("est"),
+    ).orderBy("grp")
+
+
+def hll_cardinality(
+    docs: DataFrame,
+    p: int = 9,
+    group_col: str = "lang",
+    text_col: str = "text",
+    granularity: str = "shingle3",
+) -> DataFrame:
+    """ES ``cardinality`` aggregation via HyperLogLog: per-group
+    approximate distinct count of terms or word 3-grams. Returns
+    ``(grp, m, nonzero, est)`` — see ``hll_estimate``.
+
+    Reference parity: none (joonsoome/embed-rerank has no analytics);
+    this is the ES cardinality agg / Spark approx_count_distinct
+    re-expressed with an engine-portable hash so the estimate is
+    oracle-checkable, and with the register table exposed as a
+    first-class persistable artifact (`hll_registers`) that
+    `hll_merge` combines across index units/snapshots without
+    re-scanning — the property the opaque built-in sketch does not
+    give you.
+
+    Scale shape (100 TB): hash + rank are JVM codegen (md5 / conv /
+    bin / shiftright — no Python); the register build is one
+    map-side-combinable groupBy bounded at 2^p rows per task; the
+    estimate pass touches <= groups x m rows. Standard error ~=
+    1.04 / sqrt(m) (p=9 -> ~4.6%)."""
+    values = _grouped_values(docs, group_col, text_col, granularity)
+    return hll_estimate(hll_registers(values, p), p)
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Union two ``(grp, j, r)`` register tables by element-wise MAX —
+    the HLL merge law: the result is exactly the register table a
+    single pass over the concatenated streams would have built, so
+    per-unit sketches roll up across LSM units / Iceberg snapshots
+    with no re-scan and no accuracy loss."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy("grp", "j")
+        .agg(F.max("r").alias("r"))
+    )

@@ -282,3 +282,124 @@ def test_bloom_rejects_bad_geometry(spark):
         bloom_build(df, "v", m_bits=10, k=4)
     with pytest.raises(ValueError):
         bloom_build(df, "v", m_bits=6000, k=0)
+
+
+# ---- HyperLogLog cardinality sketch ----
+
+
+def _hll_py(values, p):
+    """Pure-python HLL reference on md5-60bit hashes."""
+    import hashlib
+    import math
+
+    m = 1 << p
+    q = 60 - p
+    regs = [0] * m
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j = h >> q
+        w = h & ((1 << q) - 1)
+        r = q + 1 if w == 0 else q - (w.bit_length()) + 1
+        regs[j] = max(regs[j], r)
+    nonzero = sum(1 for r in regs if r > 0)
+    s = sum(2.0 ** -r for r in regs)
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / s
+    v0 = m - nonzero
+    if raw <= 2.5 * m and v0 > 0:
+        est = m * math.log(m / v0)
+    else:
+        est = raw
+    return nonzero, est
+
+
+def test_hll_matches_python_reference(spark):
+    from embed_rerank_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    vals = [(v % 3, f"v{v}") for v in range(5000)]
+    df = spark.createDataFrame(vals, "grp string, value string")
+    p = 7
+    got = {
+        r["grp"]: (r["nonzero"], r["est"])
+        for r in hll_estimate(hll_registers(df, p), p).collect()
+    }
+    for g in (0, 1, 2):
+        nz, est = _hll_py([v for gg, v in vals if gg == g], p)
+        assert got[str(g)][0] == nz
+        assert abs(got[str(g)][1] - round(est, 6)) < 1e-6
+
+
+def test_hll_accuracy_within_3_sigma(spark):
+    from embed_rerank_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    import math
+
+    n = 20000
+    p = 9
+    df = spark.createDataFrame(
+        [("g", f"item-{v}") for v in range(n)], "grp string, value string"
+    )
+    est = hll_estimate(hll_registers(df, p), p).collect()[0]["est"]
+    sigma = 1.04 / math.sqrt(1 << p)
+    assert abs(est - n) / n < 3 * sigma
+
+
+def test_hll_merge_equals_single_pass(spark):
+    from embed_rerank_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    p = 6
+    a = spark.createDataFrame(
+        [("g", f"a{v}") for v in range(800)], "grp string, value string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"a{v}") for v in range(400, 1200)], "grp string, value string"
+    )
+    merged = hll_estimate(hll_merge(hll_registers(a, p), hll_registers(b, p)), p)
+    single = hll_estimate(hll_registers(a.unionByName(b), p), p)
+    assert merged.collect() == single.collect()
+
+
+def test_hll_linear_counting_small_range(spark):
+    from embed_rerank_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    # 10 values in m=4096 registers: raw estimate is far below 2.5m,
+    # so the small-range path must fire and be near-exact
+    p = 12
+    df = spark.createDataFrame(
+        [("g", f"x{v}") for v in range(10)], "grp string, value string"
+    )
+    row = hll_estimate(hll_registers(df, p), p).collect()[0]
+    assert row["nonzero"] <= 10
+    assert abs(row["est"] - 10) < 1.0
+
+
+def test_hll_rejects_bad_p(spark):
+    from embed_rerank_spark.operators.sketches import hll_registers
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("g", "v")], "grp string, value string")
+    with _pytest.raises(ValueError):
+        hll_registers(df, 3)
+    with _pytest.raises(ValueError):
+        hll_registers(df, 17)
