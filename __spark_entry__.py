@@ -580,6 +580,29 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type retrieval (operators/sayt.py): index-time
+    edge-n-gram table resolves each typed prefix by EXACT key (no
+    dictionary range scan); prefixes beyond max_gram take the
+    documented dictionary-scan fallback. Rank-identical to
+    prefix_topk by construction, so it shares that oracle."""
+    from embed_rerank_spark.operators.sayt import build_edge_grams, edge_ngram_topk
+
+    index = _cached_index(spark, sf_dir)
+    grams = build_edge_grams(
+        index.term_stats, min_gram=1, max_gram=2, max_expansion=PREFIX_MAX_EXPANSION
+    )
+    # max_gram=2: 's'/'c'/'jo' resolve via the gram table, 'zzz' takes
+    # the beyond-gram fallback path — both paths exercised in-contract
+    out = edge_ngram_topk(
+        index, grams, PREFIX_SET, k=TOP_K, max_gram=2,
+        max_expansion=PREFIX_MAX_EXPANSION,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model (Dirichlet, mu=2000) top-k over the compressed
     index — the engine's second similarity besides BM25; collection
@@ -4136,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "diversified_topk": q_diversified_topk,
         "prefix_topk": q_prefix_topk,
+        "edge_ngram_topk": q_edge_ngram_topk,
         "explain_scores": q_explain_scores,
         "best_snippets": q_best_snippets,
         "lmd_topk": q_lmd_topk,
@@ -8338,6 +8362,8 @@ FROM ranked WHERE rank <= {TOP_K}
         "filtered_topk": filtered_topk,
         "diversified_topk": diversified,
         "prefix_topk": prefix_topk,
+        # rank-identical by construction (same expansion cap rule)
+        "edge_ngram_topk": prefix_topk,
         "wildcard_topk": f"""
 WITH {_TOKS_CTE},
 expanded AS (
