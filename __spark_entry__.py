@@ -782,6 +782,25 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phonetic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sounds-alike retrieval (ES phonetic plugin / Lucene
+    SoundexFilter): each query token expands to the dictionary terms
+    sharing its Soundex-class key (df-desc, capped at 8) and scores
+    as the expansion's OR through the WAND machinery
+    (operators/rewrite.py::phonetic_topk); the oracle computes the
+    identical key with the same translate/regexp chain in SQL."""
+    from embed_rerank_spark.operators.rewrite import phonetic_topk
+    from embed_rerank_spark.queryset import FUZZY_MAX_EXPANSION, PHONETIC_SET
+
+    index = _cached_index(spark, sf_dir)
+    out = phonetic_topk(
+        index, PHONETIC_SET, k=TOP_K, max_expansion=FUZZY_MAX_EXPANSION
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_fuzzy_dl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transposition-tolerant fuzzy retrieval (the ES
     fuzzy_transpositions default): each query term expands to its
@@ -4168,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "bm25f_topk": q_bm25f_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "phonetic_topk": q_phonetic_topk,
         "fuzzy_dl_topk": q_fuzzy_dl_topk,
         "synonym_topk": q_synonym_topk,
         "suggest_terms": q_suggest_terms,
@@ -5560,6 +5580,44 @@ expanded AS (
            row_number() OVER (PARTITION BY fq.query_id, fq.qterm
                               ORDER BY df.df DESC, df.term ASC) AS rk
     FROM {fuzzy_terms_values_sql()} JOIN df ON levenshtein(df.term, fq.qterm) <= 1
+),
+qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
+matched AS (
+    SELECT qt2.query_id, tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM qt2
+    JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT query_id, doc_id, sum(term_score) AS score
+    FROM matched GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    from embed_rerank_spark.operators.rewrite import phonetic_key_sql  # noqa: PLC0415
+    from embed_rerank_spark.queryset import phonetic_terms_values_sql  # noqa: PLC0415
+
+    phonetic_topk_sql = f"""
+WITH {_TOKS_CTE},
+expanded AS (
+    -- per query TERM: vocabulary sharing its Soundex-class key
+    -- (identical translate/run-collapse/strip/pad chain as
+    -- operators/rewrite.py::phonetic_key_col), df-desc capped
+    SELECT fq.query_id, df.term,
+           row_number() OVER (PARTITION BY fq.query_id, fq.qterm
+                              ORDER BY df.df DESC, df.term ASC) AS rk
+    FROM {phonetic_terms_values_sql()}
+    JOIN df ON {phonetic_key_sql("df.term")} = {phonetic_key_sql("fq.qterm")}
 ),
 qt2 AS (SELECT DISTINCT query_id, term FROM expanded WHERE rk <= {FUZZY_MAX_EXPANSION}),
 matched AS (
@@ -8669,6 +8727,7 @@ FROM matched WHERE rank <= 8 ORDER BY query_id, rank
         "search_after": search_after_sql,
         "bm25f_topk": bm25f_sql,
         "fuzzy_topk": fuzzy_topk_sql,
+        "phonetic_topk": phonetic_topk_sql,
         "fuzzy_dl_topk": fuzzy_dl_topk_sql,
         "synonym_topk": synonym_topk_sql,
         "suggest_terms": suggest_terms_sql,

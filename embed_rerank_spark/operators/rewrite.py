@@ -748,3 +748,130 @@ def context_suggest(
         .filter(F.col("rank") <= top)
         .select("query_id", "rank", "term", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic matching (the ES phonetic-analysis plugin / Lucene
+# SoundexFilter surface): sounds-alike retrieval via a Soundex-class
+# key. The key here is classic American Soundex WITHOUT the H/W
+# separator rule (adjacent equal codes collapse regardless of an
+# intervening h/w) — one documented simplification, chosen so the key
+# is a pure function of translate + regexp_replace + substring, the
+# exact same primitive chain in Spark (JVM codegen, no UDF) and in the
+# DuckDB oracle, making the expansion bit-for-bit checkable.
+# ---------------------------------------------------------------------------
+
+# a->0 b->1 c->2 d->3 e->0 f->1 g->2 h->0 i->0 j->2 k->2 l->4 m->5
+# n->5 o->0 p->1 q->2 r->6 s->2 t->3 u->0 v->1 w->0 x->2 y->0 z->2
+_SOUNDEX_CODES = "01230120022455012623010202"
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def phonetic_key_col(col: F.Column) -> F.Column:
+    """Soundex-class key of a token as a pure-JVM column expression:
+    first letter + first three non-zero codes of the run-collapsed
+    coded tail, zero-padded — e.g. joyn/join -> j500, tabel/table ->
+    t140. Empty after [^a-z] stripping -> '000' (callers filter)."""
+    letters = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    coded = F.translate(letters, _AZ, _SOUNDEX_CODES)
+    for d in "0123456":
+        coded = F.regexp_replace(coded, f"{d}{d}+", d)
+    tail = F.translate(F.substring(coded, 2, 64), "0", "")
+    return F.concat(
+        F.substring(letters, 1, 1), F.substring(F.rpad(tail, 3, "0"), 1, 3)
+    )
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """The identical key as a DuckDB SQL expression over ``expr`` —
+    same translate / run-collapse / strip / pad chain, so oracle and
+    engine agree on every key."""
+    coded = f"translate(regexp_replace(lower({expr}), '[^a-z]', '', 'g'), '{_AZ}', '{_SOUNDEX_CODES}')"
+    for d in "0123456":
+        coded = f"regexp_replace({coded}, '{d}{d}+', '{d}', 'g')"
+    letters = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    tail = f"translate(substr({coded}, 2, 64), '0', '')"
+    return (
+        f"concat(substr({letters}, 1, 1), substr(rpad({tail}, 3, '0'), 1, 3))"
+    )
+
+
+def phonetic_key_py(word: str) -> str:
+    """Driver-side mirror of ``phonetic_key_col`` for query tokens."""
+    import re as _re
+
+    letters = _re.sub(r"[^a-z]", "", word.lower())
+    coded = letters.translate(str.maketrans(_AZ, _SOUNDEX_CODES))
+    for d in "0123456":
+        coded = _re.sub(f"{d}{d}+", d, coded)
+    tail = coded[1:65].replace("0", "")
+    return (letters[:1] + (tail + "000")[:3])[:4] if letters else "000"
+
+
+def expand_phonetic(
+    index: InvertedIndex,
+    tokens: list[str],
+    max_expansion: int = FUZZY_MAX_EXPANSION,
+) -> dict[str, list[str]]:
+    """token -> matching vocabulary terms that share its phonetic key,
+    df-desc / term-asc capped at ``max_expansion`` per token — the same
+    neighborhood-cap rule as fuzzy expansion. One dictionary scan for
+    ALL tokens (key equality against a broadcast key set), never a
+    per-token pass."""
+    keys = {t: phonetic_key_py(t) for t in tokens if t}
+    keys = {t: k for t, k in keys.items() if k != "000"}
+    if not keys:
+        return {}
+    wanted = sorted(set(keys.values()))
+    rows = (
+        index.term_stats.withColumn("pkey", phonetic_key_col(F.col("term")))
+        .filter(F.col("pkey").isin(wanted))
+        .select("pkey", "term", "df")
+        .collect()
+    )
+    by_key: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (-r["df"], r["term"])):
+        by_key.setdefault(r["pkey"], []).append(r["term"])
+    return {
+        t: by_key.get(k, [])[:max_expansion] for t, k in keys.items()
+    }
+
+
+def phonetic_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansion: int = FUZZY_MAX_EXPANSION,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    taat_threshold: int = 100_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): sounds-alike retrieval — every
+    query token expands to the dictionary terms sharing its phonetic
+    key and the query scores as the disjunctive BM25 of the union
+    through the unchanged WAND machinery (same contract as
+    fuzzy_topk; the oracle is standard BM25 over the expansion).
+
+    Scale shape: the expansion is one key-equality dictionary scan
+    (pushdown-able isin on a derived column; at 10^12 docs the pkey
+    column is a build-time sidecar like the rterm field), and the
+    retrieval itself reads only the expansion terms' postings."""
+    all_terms = {
+        tok for _qid, q in queries for tok in q.strip().lower().split() if tok
+    }
+    exp = expand_phonetic(index, sorted(all_terms), max_expansion)
+    synth: list[tuple[int, str]] = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.strip().lower().split():
+            for t in exp.get(tok, ()):
+                if t not in terms:
+                    terms.append(t)
+        if terms:
+            synth.append((qid, " ".join(terms)))
+    if not synth:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return wand_topk(index, synth, k, k1, b, taat_threshold)

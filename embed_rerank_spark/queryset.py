@@ -966,3 +966,26 @@ def sloppy_terms_values_sql() -> str:
             out.append((qid, t))
     rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
     return f"(VALUES {rows}) AS qt(query_id, term)"
+
+
+# Phonetic (Soundex-class) query set: misspellings that SOUND like
+# vocabulary terms (same first letter + collapsed code tail); xyzzy
+# matches nothing.
+PHONETIC_SET: list[tuple[int, str]] = [
+    (1, "joyn"),
+    (2, "tabel merje"),
+    (3, "sparc fillter"),
+    (4, "xyzzy"),
+]
+
+
+def phonetic_terms_values_sql() -> str:
+    out = []
+    for qid, q in PHONETIC_SET:
+        seen = set()
+        for tok in q.strip().lower().split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in out)
+    return f"(VALUES {rows}) AS fq(query_id, qterm)"

@@ -379,3 +379,87 @@ def test_fuzzy_dl_topk_equals_bruteforce_on_expansion(spark, index):
         for r in sorted(brute, key=key)
     ]
     assert not any(r["query_id"] == 3 for r in got)  # garbage matches nothing
+
+
+# ---- phonetic (Soundex-class) matching ----
+
+
+def test_phonetic_key_col_matches_python_mirror(spark, index):
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.rewrite import (
+        phonetic_key_col,
+        phonetic_key_py,
+    )
+
+    terms = [r["term"] for r in index.term_stats.collect()]
+    got = {
+        r["term"]: r["pkey"]
+        for r in index.term_stats.withColumn(
+            "pkey", phonetic_key_col(F.col("term"))
+        ).collect()
+    }
+    assert got == {t: phonetic_key_py(t) for t in terms}
+
+
+def test_phonetic_key_sql_matches_python_mirror(index):
+    import duckdb
+
+    from embed_rerank_spark.operators.rewrite import (
+        phonetic_key_py,
+        phonetic_key_sql,
+    )
+
+    words = ["joyn", "join", "tabel", "table", "sparc", "merje", "pfister",
+             "a", "x9", "999"]
+    rows = ", ".join(f"('{w}')" for w in words)
+    got = duckdb.sql(
+        f"SELECT w, {phonetic_key_sql('w')} AS k FROM (VALUES {rows}) t(w)"
+    ).fetchall()
+    for w, k in got:
+        want = phonetic_key_py(w)
+        # '000' (empty-after-strip) is the py sentinel; SQL yields '000' too
+        assert k == want, (w, k, want)
+
+
+def test_phonetic_expansion_shares_key(index):
+    from embed_rerank_spark.operators.rewrite import (
+        expand_phonetic,
+        phonetic_key_py,
+    )
+
+    exp = expand_phonetic(index, ["joyn", "tabel", "xyzzy"])
+    assert "join" in exp["joyn"]
+    assert "table" in exp["tabel"]
+    assert exp.get("xyzzy", []) == []
+    for tok, terms in exp.items():
+        for t in terms:
+            assert phonetic_key_py(t) == phonetic_key_py(tok)
+
+
+def test_phonetic_topk_equals_bruteforce_on_expansion(spark, index):
+    from embed_rerank_spark.operators.rewrite import (
+        expand_phonetic,
+        phonetic_topk,
+    )
+
+    queries = [(1, "joyn"), (2, "tabel merje"), (3, "xyzzy")]
+    exp = expand_phonetic(index, ["joyn", "tabel", "merje", "xyzzy"])
+    synth = []
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            for t in exp.get(tok, ()):
+                if t not in terms:
+                    terms.append(t)
+        if terms:
+            synth.append((qid, " ".join(terms)))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    brute = bm25_topk_bruteforce(spark, docs, synth, k=5)
+    got = phonetic_topk(index, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    g = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(got.collect(), key=key)]
+    b = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+         for r in sorted(brute.collect(), key=key)]
+    assert g == b
