@@ -1156,6 +1156,25 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-crawl dedup (operators/dedup.py::
+    incremental_minhash_dedup): the corpus split into base (doc_id%4
+    != 0) and delta (doc_id%4 == 0); only delta-involving candidate
+    pairs are generated (signature/banding cost O(delta), base
+    signatures reusable as a persisted artifact), verified by exact
+    shingle Jaccard. threshold=0 keeps every candidate so the oracle
+    checks banding, capping, orientation, and verification."""
+    from embed_rerank_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    out = incremental_minhash_dedup(delta, base, threshold=0.0)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "pair_kind"
+    )
+
+
 def q_extract_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical extraction invariant, in the driver gate: all
     three truncation strategies (T1 truncate / T2 extract / T3
@@ -4212,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_survivors": q_dedup_survivors,
         "extract_strategies": q_extract_strategies,
@@ -6338,6 +6358,56 @@ inter AS (
 SELECT c.doc_a, c.doc_b,
        round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+    # incremental (delta-vs-base) variant: delta = doc_id % 4 = 0;
+    # same banding/cap/verify laws, base-base pairs excluded, delta
+    # docs always on the doc_a side of delta_base pairs
+    incremental_dedup_sql = f"""
+WITH {shingle_cte},
+seeded AS (
+    SELECT doc_id, seeds.seed,
+           md5(concat(CAST(seeds.seed AS VARCHAR), '#', shingle)) AS hv
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+),
+mins AS (SELECT doc_id, seed, min(hv) AS minh FROM seeded GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, b.band,
+           md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket),
+kept AS (
+    SELECT banded.* FROM banded JOIN bsz USING (band, bucket)
+    WHERE bsz.n <= {_MAX_BUCKET_SIZE}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+           'delta_base' AS pair_kind
+    FROM kept a JOIN kept bb USING (band, bucket)
+    WHERE a.doc_id % 4 = 0 AND bb.doc_id % 4 != 0
+    UNION
+    SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+           'delta_delta' AS pair_kind
+    FROM kept a JOIN kept bb USING (band, bucket)
+    WHERE a.doc_id % 4 = 0 AND bb.doc_id % 4 = 0 AND a.doc_id < bb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM (SELECT DISTINCT doc_a, doc_b FROM cand) c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard,
+       c.pair_kind
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -8751,6 +8821,7 @@ FROM matched WHERE rank <= 8 ORDER BY query_id, rank
         "simhash": simhash,
         "minhash_sig": minhash_sig,
         "minhash_lsh_dedup": minhash_lsh_dedup,
+        "incremental_dedup": incremental_dedup_sql,
         "simhash_near_dup": simhash_near_dup,
         "dedup_survivors": dedup_survivors,
         "extract_strategies": extract_strategies,

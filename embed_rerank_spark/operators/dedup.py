@@ -839,3 +839,109 @@ def line_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def _lsh_bands(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, bucket) — the banded-bucket form of a signature
+    table (same banding as minhash_lsh_candidates)."""
+    return signatures.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), "|"
+            )
+        ).alias("bucket"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection for a crawl DELTA against an
+    already-deduped base corpus — the production re-crawl shape: at
+    100 TB you never re-pair the base against itself; you persist the
+    base's MinHash signatures once and, per ingest, band only the
+    delta and bucket-join it against the stored base bands.
+
+    Returns (doc_a, doc_b, jaccard, pair_kind) for every verified
+    pair with exact shingle Jaccard >= threshold, where pair_kind is
+    'delta_base' (doc_a = delta doc, doc_b = base doc) or
+    'delta_delta' (both in the delta, doc_a < doc_b). Base-base pairs
+    are by-construction absent — that corpus was already deduped.
+
+    Scale shape: signature/banding cost is O(delta) (base signatures
+    are the persisted artifact — pass ``base_signatures`` to skip
+    recomputing them); the candidate join is bucket-equality
+    delta->base, so its cost scales with the delta and the bucket cap,
+    never base^2. Bucket sizes are counted over the UNION of base and
+    delta bands, so a boilerplate bucket that only becomes degenerate
+    WITH the delta's arrivals is still dropped (same
+    ``max_bucket_size`` law as the batch operator). Verification
+    (exact Jaccard) touches only candidate docs.
+    """
+    rows_per_band = n_hashes // n_bands
+    base_sel = base_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    new_sel = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sig_base = (
+        base_signatures
+        if base_signatures is not None
+        else minhash_signatures(base_sel, n_hashes, shingle_n)
+    )
+    sig_new = minhash_signatures(new_sel, n_hashes, shingle_n)
+    bb = _lsh_bands(sig_base, n_bands, rows_per_band)
+    bn = _lsh_bands(sig_new, n_bands, rows_per_band)
+    sizes = (
+        bb.unionByName(bn)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keep = sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket")
+    bb = bb.join(keep, ["band", "bucket"])
+    bn = bn.join(keep, ["band", "bucket"])
+    delta_base = (
+        bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("pair_kind", F.lit("delta_base"))
+    )
+    delta_delta = (
+        bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(bn.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("pair_kind", F.lit("delta_delta"))
+    )
+    cands = delta_base.unionByName(delta_delta)
+    union_docs = base_sel.unionByName(new_sel)
+    verified = ngram_jaccard_pairs(
+        union_docs, cands.select("doc_a", "doc_b").distinct(), shingle_n
+    )
+    return (
+        cands.join(verified, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "pair_kind")
+    )

@@ -391,3 +391,68 @@ def test_contamination_overlapping_windows_not_double_counted(spark):
     assert r["hit_windows"] == 2
     assert r["covered_tokens"] == 9
     assert r["dl"] == 11
+
+
+# ---- incremental (delta-vs-base) minhash dedup ----
+
+
+def test_incremental_dedup_matches_batch_on_delta_pairs(spark, docs):
+    """Splitting the corpus into base/delta and running the
+    incremental operator must find exactly the batch operator's
+    verified pairs that involve >=1 delta doc (base-base pairs are
+    by-construction excluded)."""
+    base = docs.filter(F.col("doc_id") < 10)
+    delta = docs.filter(F.col("doc_id") >= 10)
+    inc = dedup.incremental_minhash_dedup(
+        delta, base, threshold=0.5, n_hashes=16, n_bands=8
+    )
+    got = {}
+    for r in inc.collect():
+        got[frozenset((r.doc_a, r.doc_b))] = (round(r.jaccard, 9), r.pair_kind)
+    batch = dedup.minhash_lsh_dedup(docs, threshold=0.5, n_hashes=16, n_bands=8)
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    want = {
+        frozenset((r.doc_a, r.doc_b)): round(r.jaccard, 9)
+        for r in batch.collect()
+        if r.doc_a in delta_ids or r.doc_b in delta_ids
+    }
+    assert set(got) == set(want)
+    for k, (j, kind) in got.items():
+        assert j == want[k]
+        ids = set(k)
+        assert kind == ("delta_delta" if ids <= delta_ids else "delta_base")
+
+
+def test_incremental_dedup_orients_delta_base_pairs(spark, docs):
+    base = docs.filter(F.col("doc_id") < 10)
+    delta = docs.filter(F.col("doc_id") >= 10)
+    inc = dedup.incremental_minhash_dedup(
+        delta, base, threshold=0.5, n_hashes=16, n_bands=8
+    ).collect()
+    assert inc, "split corpus must produce delta-base dups (0 vs 10)"
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    for r in inc:
+        if r.pair_kind == "delta_base":
+            assert r.doc_a in delta_ids and r.doc_b not in delta_ids
+        else:
+            assert r.doc_a in delta_ids and r.doc_b in delta_ids and r.doc_a < r.doc_b
+
+
+def test_incremental_dedup_accepts_persisted_signatures(spark, docs):
+    base = docs.filter(F.col("doc_id") < 10)
+    delta = docs.filter(F.col("doc_id") >= 10)
+    sig = dedup.minhash_signatures(
+        base.select("doc_id", "text"), n_hashes=16, shingle_n=3
+    )
+    with_sig = dedup.incremental_minhash_dedup(
+        delta, base, threshold=0.5, n_hashes=16, n_bands=8, base_signatures=sig
+    )
+    without = dedup.incremental_minhash_dedup(
+        delta, base, threshold=0.5, n_hashes=16, n_bands=8
+    )
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(
+        [(r.doc_a, r.doc_b, round(r.jaccard, 9), r.pair_kind) for r in with_sig.collect()]
+    ) == sorted(
+        [(r.doc_a, r.doc_b, round(r.jaccard, 9), r.pair_kind) for r in without.collect()]
+    )
