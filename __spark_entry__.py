@@ -2532,6 +2532,21 @@ def q_geo_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance AGGREGATION (operators/geo.py::
+    geo_distance_rings): doc counts per concentric half-open distance
+    ring around the query origin, zero-count rings included."""
+    from embed_rerank_spark.operators.geo import geo_distance_rings, with_derived_geo
+    from embed_rerank_spark.queryset import (
+        GEO_ORIGIN_LAT,
+        GEO_ORIGIN_LON,
+        GEO_RING_EDGES_KM,
+    )
+
+    geo = with_derived_geo(_docs(spark, sf_dir))
+    return geo_distance_rings(geo, GEO_ORIGIN_LAT, GEO_ORIGIN_LON, GEO_RING_EDGES_KM)
+
+
 def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geo_bounds + geo_centroid per lang group over the
     geo-enriched doc table (operators/geo.py::geo_bounds_centroid)."""
@@ -4298,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot": q_boxplot,
         "string_stats": q_string_stats,
         "geo_distance_topk": q_geo_distance_topk,
+        "geo_distance_rings": q_geo_distance_rings,
         "geotile_grid": q_geotile_grid,
         "geohash_grid": q_geohash_grid,
         "geo_bounds": q_geo_bounds,
@@ -8419,7 +8435,45 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+    from embed_rerank_spark.queryset import GEO_RING_EDGES_KM  # noqa: PLC0415
+
+    _ring_edges = [float(e) for e in GEO_RING_EDGES_KM]
+    _ring_case = " ".join(
+        f"WHEN distance_km < {e} THEN {i}" for i, e in enumerate(_ring_edges)
+    )
+    _ring_rows = ", ".join(
+        f"({i}, {(_ring_edges[i - 1] if i > 0 else 0.0)}, "
+        + (f"{_ring_edges[i]}" if i < len(_ring_edges) else "CAST(NULL AS DOUBLE)")
+        + ")"
+        for i in range(len(_ring_edges) + 1)
+    )
+    geo_rings_sql = f"""
+WITH geo AS (
+    SELECT doc_id,
+           ((CAST(doc_id AS BIGINT) * 2654435761) % 360000000) / 1000000.0 - 180.0 AS lon,
+           ((CAST(doc_id AS BIGINT) * 40503) % 170000000) / 1000000.0 - 85.0 AS lat
+    FROM documents
+),
+d AS (
+    SELECT doc_id,
+           2.0 * 6371.0088 * asin(sqrt(
+               sin(radians({GEO_ORIGIN_LAT} - lat) / 2) * sin(radians({GEO_ORIGIN_LAT} - lat) / 2)
+               + cos(radians(lat)) * cos(radians({GEO_ORIGIN_LAT}))
+                 * sin(radians({GEO_ORIGIN_LON} - lon) / 2) * sin(radians({GEO_ORIGIN_LON} - lon) / 2)
+           )) AS distance_km
+    FROM geo
+),
+assigned AS (
+    SELECT CASE {_ring_case} ELSE {len(_ring_edges)} END AS ring FROM d
+),
+counts AS (SELECT ring, count(*) AS n_docs FROM assigned GROUP BY ring),
+rings AS (SELECT * FROM (VALUES {_ring_rows}) r(ring, from_km, to_km))
+SELECT CAST(r.ring AS INTEGER) AS ring, r.from_km, r.to_km,
+       coalesce(c.n_docs, 0) AS n_docs
+FROM rings r LEFT JOIN counts c USING (ring) ORDER BY r.ring
+"""
     return {
+
         "bm25_topk": bm25,
         "wand_topk": bm25,  # WAND is exact: same oracle as brute force
         "routed_topk": f"""
@@ -8601,6 +8655,7 @@ SELECT CAST(lens.query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_do
        round(avg_length, 6) AS avg_length, round(entropy, 6) AS entropy
 FROM lens JOIN ent ON lens.query_id = ent.query_id
 """,
+        "geo_distance_rings": geo_rings_sql,
         "geo_distance_topk": f"""
 WITH geo AS (
     SELECT doc_id,

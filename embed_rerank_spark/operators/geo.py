@@ -289,3 +289,51 @@ coded AS (SELECT ({terms}) AS code FROM quant),
 hashed AS (SELECT ({chars}) AS geohash FROM coded)
 SELECT geohash, CAST(count(*) AS BIGINT) AS n_docs FROM hashed GROUP BY geohash
 """
+
+
+def geo_distance_rings(
+    docs: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    edges_km: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(ring, from_km, to_km, n_docs) — the ES ``geo_distance``
+    AGGREGATION: doc counts per concentric distance ring around an
+    origin. ``edges_km`` are the ring boundaries; ring i covers
+    ``edges[i-1] <= d < edges[i]`` (ES half-open ranges — a doc on a
+    boundary falls in the NEXT ring), ring 0 starts at 0, the last
+    ring is open (``to_km`` null). Every requested ring appears even
+    at zero count, like the ES response.
+
+    Scale shape: one haversine projection (codegen) + a single
+    combinable groupBy over <= len(edges)+1 ring keys; the ring-bounds
+    table is a literal broadcast."""
+    edges = sorted(float(e) for e in edges_km)
+    if not edges or edges[0] <= 0:
+        raise ValueError("edges_km must be non-empty, all > 0")
+    d = haversine_km(
+        F.col("lat"), F.col("lon"), F.lit(float(origin_lat)), F.lit(float(origin_lon))
+    )
+    ring = F.lit(len(edges))
+    for i in reversed(range(len(edges))):
+        ring = F.when(d < edges[i], F.lit(i)).otherwise(ring)
+    counts = (
+        docs.select(ring.alias("ring"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    bounds = [
+        (i, edges[i - 1] if i > 0 else 0.0, edges[i] if i < len(edges) else None)
+        for i in range(len(edges) + 1)
+    ]
+    rings = docs.sparkSession.createDataFrame(
+        bounds, "ring int, from_km double, to_km double"
+    )
+    return (
+        F.broadcast(rings)
+        .join(counts, "ring", "left")
+        .na.fill({"n_docs": 0})
+        .orderBy("ring")
+        .select("ring", "from_km", "to_km", "n_docs")
+    )

@@ -865,6 +865,7 @@ GEO_ORIGIN_LAT = 20.0
 GEO_ORIGIN_LON = 10.0
 GEO_RADIUS_KM = 3000.0
 GEO_TOP_K = 20
+GEO_RING_EDGES_KM = [2000.0, 6000.0, 12000.0]
 GEOTILE_ZOOM = 6
 
 

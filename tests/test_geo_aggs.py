@@ -349,3 +349,40 @@ def test_geohash_matches_interval_subdivision_reference(spark):
         )
         want = sorted(reference_geohash(lat, lon, precision) for _, lon, lat in pts)
         assert got == want, f"precision {precision}"
+
+
+def test_geo_distance_rings_matches_python(spark):
+    from embed_rerank_spark.operators.geo import geo_distance_rings
+
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    edges = [2000.0, 6000.0, 12000.0]
+    got = geo_distance_rings(docs, 20.0, 10.0, edges).collect()
+    # python reference: half-open [from, to) rings, last open
+    counts = Counter()
+    for (doc_id, *_rest) in DOCS:
+        lon, lat = _py_geo(doc_id)
+        d = _py_haversine(lat, lon, 20.0, 10.0)
+        ring = len(edges)
+        for i, e in enumerate(edges):
+            if d < e:
+                ring = i
+                break
+        counts[ring] += 1
+    assert [r["ring"] for r in got] == [0, 1, 2, 3]
+    for r in got:
+        assert r["n_docs"] == counts.get(r["ring"], 0)
+        if r["ring"] == 0:
+            assert r["from_km"] == 0.0
+        if r["ring"] == len(edges):
+            assert r["to_km"] is None
+    assert sum(r["n_docs"] for r in got) == len(DOCS)
+
+
+def test_geo_distance_rings_rejects_bad_edges(spark):
+    from embed_rerank_spark.operators.geo import geo_distance_rings
+
+    docs = with_derived_geo(spark.createDataFrame(DOCS, SCHEMA))
+    with pytest.raises(ValueError):
+        geo_distance_rings(docs, 0.0, 0.0, [])
+    with pytest.raises(ValueError):
+        geo_distance_rings(docs, 0.0, 0.0, [-5.0, 100.0])
