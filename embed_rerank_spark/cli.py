@@ -92,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         default="or",
         choices=[
             "or", "and", "phrase", "phrase-nextword", "boolean", "fuzzy",
+            "phonetic",
             "prefix", "suffix", "infix", "regexp", "wildcard", "term-range",
             "span-not", "span-containing", "span-within", "span-or",
             "interval", "constant-score",
@@ -376,13 +377,17 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument(
         "--method",
         default="clusters",
-        choices=["exact", "pairs", "clusters", "survivors", "spans", "winnow"],
+        choices=["exact", "pairs", "clusters", "survivors", "spans", "winnow",
+                 "incremental"],
         help="exact = normalized-hash survivors; pairs = MinHash-LSH near-dup "
         "pairs; clusters = transitive clusters w/ canonical ids; survivors = "
         "pairwise survivor set; spans = exact-substring span coverage; "
-        "winnow = MOSS winnowing fingerprint pairs (positional guarantee)",
+        "winnow = MOSS winnowing fingerprint pairs (positional guarantee); "
+        "incremental = delta-vs-base MinHash (--delta = new-crawl parquet; "
+        "--corpus is the already-deduped base)",
     )
     dd.add_argument("--threshold", type=float, default=0.5, help="Jaccard cut (LSH methods)")
+    dd.add_argument("--delta", help="new-crawl parquet (method=incremental)")
     dd.add_argument("--window", type=int, default=16, help="span window tokens (spans)")
 
     sc = sub.add_parser(
@@ -425,6 +430,28 @@ def main(argv: list[str] | None = None) -> int:
     hh.add_argument("--out", required=True)
     hh.add_argument("--capacity", type=int, default=4096)
     hh.add_argument("--top-n", type=int, default=50)
+
+    hl = sub.add_parser(
+        "hll-cardinality",
+        help="per-group distinct count via a mergeable HyperLogLog sketch",
+    )
+    hl.add_argument("--corpus", required=True, help="parquet with a group col + text")
+    hl.add_argument("--out", required=True)
+    hl.add_argument("--p", type=int, default=9, help="2^p registers")
+    hl.add_argument("--group-col", default="lang")
+    hl.add_argument("--granularity", default="shingle3",
+                    choices=["term", "shingle3"])
+
+    gr = sub.add_parser(
+        "geo-rings",
+        help="ES geo_distance aggregation: doc counts per distance ring",
+    )
+    gr.add_argument("--corpus", required=True, help="parquet with doc_id")
+    gr.add_argument("--out", required=True)
+    gr.add_argument("--origin-lat", type=float, required=True)
+    gr.add_argument("--origin-lon", type=float, required=True)
+    gr.add_argument("--edges-km", required=True,
+                    help="comma-separated ring boundaries, e.g. 1000,3000,8000")
 
     cpt = sub.add_parser(
         "change-point",
@@ -733,6 +760,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.boolean import boolean_topk
 
                 out = boolean_topk(idx, queries, k=args.k)
+            elif args.mode == "phonetic":
+                from .operators.rewrite import phonetic_topk
+
+                out = phonetic_topk(idx, queries, k=args.k)
             elif args.mode == "fuzzy":
                 from .operators.rewrite import fuzzy_topk
 
@@ -1052,7 +1083,12 @@ def main(argv: list[str] | None = None) -> int:
             from .operators import dedup as dd_ops
 
             corpus = spark.read.parquet(args.corpus)
-            if args.method == "exact":
+            if args.method == "incremental":
+                out = dd_ops.incremental_minhash_dedup(
+                    spark.read.parquet(args.delta), corpus,
+                    threshold=args.threshold,
+                )
+            elif args.method == "exact":
                 out = dd_ops.exact_dedup(corpus)
             elif args.method == "pairs":
                 out = dd_ops.minhash_lsh_dedup(corpus, threshold=args.threshold)
@@ -1105,6 +1141,28 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.corpus),
                 capacity=args.capacity,
                 top_n=args.top_n,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "hll-cardinality":
+            from .operators.sketches import hll_cardinality
+
+            out = hll_cardinality(
+                spark.read.parquet(args.corpus),
+                p=args.p,
+                group_col=args.group_col,
+                granularity=args.granularity,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "geo-rings":
+            from .operators.geo import geo_distance_rings, with_derived_geo
+
+            out = geo_distance_rings(
+                with_derived_geo(spark.read.parquet(args.corpus)),
+                args.origin_lat,
+                args.origin_lon,
+                [float(e) for e in args.edges_km.split(",")],
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -829,3 +829,66 @@ def test_cli_constant_score_and_change_point(spark, workspace, tmp_path):
             spark.stop = prev_stop
         else:
             del spark.__dict__["stop"]
+
+
+def test_cli_session12_surfaces(spark, workspace, tmp_path):
+    """Session-12 subcommands: hll-cardinality, geo-rings,
+    dedup --method incremental, query --mode phonetic — each runs
+    end-to-end and writes sane parquet."""
+    import embed_rerank_spark.cli as cli
+
+    d = workspace
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "corpus"))
+    docs.filter(F.col("doc_id") % 4 == 0).write.mode("overwrite").parquet(
+        str(tmp_path / "delta")
+    )
+    docs.filter(F.col("doc_id") % 4 != 0).write.mode("overwrite").parquet(
+        str(tmp_path / "base")
+    )
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "hll-cardinality", "--corpus", str(tmp_path / "corpus"),
+            "--out", str(tmp_path / "hll"), "--p", "7",
+        ]) == 0
+        rows = spark.read.parquet(str(tmp_path / "hll")).collect()
+        assert rows and all(r["m"] == 128 and 0 < r["nonzero"] <= 128 for r in rows)
+
+        assert cli.main([
+            "geo-rings", "--corpus", str(tmp_path / "corpus"),
+            "--out", str(tmp_path / "rings"),
+            "--origin-lat", "20.0", "--origin-lon", "10.0",
+            "--edges-km", "2000,8000",
+        ]) == 0
+        rings = spark.read.parquet(str(tmp_path / "rings")).collect()
+        assert sorted(r["ring"] for r in rings) == [0, 1, 2]
+        assert sum(r["n_docs"] for r in rings) == docs.count()
+
+        assert cli.main([
+            "dedup", "--method", "incremental",
+            "--corpus", str(tmp_path / "base"), "--delta", str(tmp_path / "delta"),
+            "--out", str(tmp_path / "incdup"), "--threshold", "0.5",
+        ]) == 0
+        inc = spark.read.parquet(str(tmp_path / "incdup"))
+        assert set(inc.columns) == {"doc_a", "doc_b", "jaccard", "pair_kind"}
+
+        idx = tmp_path / "ph_index"
+        assert cli.main([
+            "build-index", "--pages", str(d / "pages"), "--index", str(idx),
+            "--shards", "4", "--max-concurrent", "2",
+        ]) == 0
+        # w12 is in-vocab; a phonetic variant of it must retrieve docs
+        (tmp_path / "pq.tsv").write_text("0\tw12\n1\tzzzqqq\n")
+        assert cli.main([
+            "query", "--index", str(idx), "--queries", str(tmp_path / "pq.tsv"),
+            "--out", str(tmp_path / "ph_out"), "--mode", "phonetic", "--k", "5",
+        ]) == 0
+        ph = spark.read.parquet(str(tmp_path / "ph_out")).collect()
+        assert ph and all(r["query_id"] == 0 for r in ph)
+    finally:
+        if prev_stop is not None:
+            spark.stop = prev_stop
+        else:
+            del spark.stop
