@@ -3440,6 +3440,19 @@ PIPE_MOVING_WINDOW = 3  # trailing buckets in the moving_fn average
 PIPE_MIN_DOCS = 2  # bucket_selector threshold (applied post-pipeline)
 
 
+def q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg (operators/sketches.py::
+    cumulative_cardinality): per weekly bucket of the derived warc_ts,
+    the HLL distinct-3-gram estimate of the bucket and of everything
+    up through it (cumulative register-max merge, never a re-scan);
+    the oracle replays both estimates from the same md5 registers."""
+    from embed_rerank_spark.operators.sketches import cumulative_cardinality
+
+    return cumulative_cardinality(
+        _docs_with_ts(spark, sf_dir), "warc_ts", interval="week", p=HLL_P
+    )
+
+
 def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregations over a weekly date_histogram of
     matching docs: cumulative_sum, derivative, moving_fn trailing
@@ -4294,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kmv_cardinality": q_kmv_cardinality,
         "hll_cardinality": q_hll_cardinality,
+        "cumulative_cardinality": q_cumulative_cardinality,
         "kmv_set_ops": q_kmv_set_ops,
         "bloom_membership": q_bloom_membership,
         "constant_score": q_constant_score,
@@ -8472,6 +8486,53 @@ SELECT CAST(r.ring AS INTEGER) AS ring, r.from_km, r.to_km,
        coalesce(c.n_docs, 0) AS n_docs
 FROM rings r LEFT JOIN counts c USING (ring) ORDER BY r.ring
 """
+    _hp = 9
+    _hm = 1 << _hp
+    _hq = 60 - _hp
+    _hmask = (1 << _hq) - 1
+    _halpha = 0.7213 / (1.0 + 1.079 / _hm)
+    _hest = (
+        f"round(CASE WHEN {_halpha * _hm * _hm} / (({_hm} - nonzero) + s) <= {2.5 * _hm} "
+        f"AND nonzero < {_hm} "
+        f"THEN {float(_hm)} * ln({float(_hm)} / ({_hm} - nonzero)) "
+        f"ELSE {_halpha * _hm * _hm} / (({_hm} - nonzero) + s) END, 6)"
+    )
+    cumulative_cardinality_sql = f"""
+WITH toksd AS (
+    SELECT strftime(date_trunc('week',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(n_chars % 365 AS INTEGER)),
+                    '%Y-%m-%d') AS grp,
+           {_TOKENIZE_SQL} AS toks
+    FROM documents
+),
+vals AS (
+    SELECT DISTINCT grp,
+           unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS value
+    FROM toksd WHERE len(toks) >= 3
+),
+hashed AS (
+    SELECT grp, CAST(concat('0x', substr(md5(value), 1, 15)) AS BIGINT) AS h
+    FROM vals
+),
+regs AS (
+    SELECT grp, h >> {_hq} AS j,
+           max(CASE WHEN (h & {_hmask}) = 0 THEN {_hq + 1}
+                    ELSE {_hq} - length(bin(h & {_hmask})) + 1 END) AS r
+    FROM hashed GROUP BY 1, 2
+),
+pb AS (SELECT grp, count(*) AS nonzero, sum(power(2.0, -r)) AS s FROM regs GROUP BY grp),
+bl AS (SELECT DISTINCT grp AS b FROM regs),
+cregs AS (
+    SELECT bl.b AS grp, regs.j, max(regs.r) AS r
+    FROM bl JOIN regs ON regs.grp <= bl.b GROUP BY 1, 2
+),
+cb AS (SELECT grp, count(*) AS nonzero, sum(power(2.0, -r)) AS s FROM cregs GROUP BY grp)
+SELECT pb.grp AS bucket_start,
+       (SELECT {_hest} FROM (SELECT pb.nonzero AS nonzero, pb.s AS s)) AS bucket_est,
+       (SELECT {_hest} FROM (SELECT cb.nonzero AS nonzero, cb.s AS s)) AS cum_est
+FROM pb JOIN cb USING (grp) ORDER BY 1
+"""
     return {
 
         "bm25_topk": bm25,
@@ -8656,6 +8717,7 @@ SELECT CAST(lens.query_id AS BIGINT) AS query_id, CAST(n_docs AS BIGINT) AS n_do
 FROM lens JOIN ent ON lens.query_id = ent.query_id
 """,
         "geo_distance_rings": geo_rings_sql,
+        "cumulative_cardinality": cumulative_cardinality_sql,
         "geo_distance_topk": f"""
 WITH geo AS (
     SELECT doc_id,

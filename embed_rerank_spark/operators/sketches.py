@@ -605,3 +605,59 @@ def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
         .groupBy("grp", "j")
         .agg(F.max("r").alias("r"))
     )
+
+
+def cumulative_cardinality(
+    docs: DataFrame,
+    ts_col: str,
+    interval: str = "week",
+    p: int = 9,
+    text_col: str = "text",
+    granularity: str = "shingle3",
+) -> DataFrame:
+    """(bucket_start, bucket_est, cum_est) — the ES
+    ``cumulative_cardinality`` pipeline aggregation: per date bucket,
+    the approximate distinct-value count of that bucket AND of
+    everything seen up through it ("total unique users to date"),
+    both from the SAME HyperLogLog register tables — the cumulative
+    figure is the register-max merge of all buckets <= b (the HLL
+    merge law), never a re-scan of earlier buckets' raw values. ES
+    computes this agg exactly the same way (HLL++ sketch per bucket,
+    merged cumulatively).
+
+    ``cum_est`` is monotonically non-decreasing by construction
+    (register merge can only raise registers). Deterministic given
+    the md5 hash — the DuckDB oracle replays both estimates.
+
+    Scale shape (100 TB): the corpus-sized pass is the one combinable
+    (bucket, j) groupBy-MAX (<= buckets x 2^p rows out); the
+    cumulative merge is a broadcast non-equi join over those
+    planning-sized register rows (buckets^2 x m worst case, still
+    planning-sized), not over values."""
+    bucketed = docs.select(
+        F.date_format(F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd").alias(
+            "grp"
+        ),
+        F.col(text_col).alias("__text"),
+    )
+    values = _grouped_values(bucketed, "grp", "__text", granularity)
+    regs = hll_registers(values, p)
+    per_bucket = hll_estimate(regs, p).select(
+        F.col("grp").alias("bucket_start"), F.col("est").alias("bucket_est")
+    )
+    buckets = regs.select(F.col("grp").alias("b")).distinct()
+    cum_regs = (
+        F.broadcast(buckets)
+        .join(regs, F.col("grp") <= F.col("b"))
+        .groupBy("b", "j")
+        .agg(F.max("r").alias("r"))
+        .select(F.col("b").alias("grp"), "j", "r")
+    )
+    cum = hll_estimate(cum_regs, p).select(
+        F.col("grp").alias("bucket_start"), F.col("est").alias("cum_est")
+    )
+    return (
+        per_bucket.join(cum, "bucket_start")
+        .orderBy("bucket_start")
+        .select("bucket_start", "bucket_est", "cum_est")
+    )

@@ -403,3 +403,30 @@ def test_hll_rejects_bad_p(spark):
         hll_registers(df, 3)
     with _pytest.raises(ValueError):
         hll_registers(df, 17)
+
+
+def test_cumulative_cardinality_monotone_and_final_matches_global(spark):
+    from embed_rerank_spark.operators.sketches import (
+        cumulative_cardinality,
+        hll_cardinality,
+    )
+
+    import datetime as dt
+
+    rows = []
+    for i in range(300):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=(i * 7) % 60)
+        rows.append((i, f"alpha{i % 40} beta{i % 70} gamma{i} delta{i} eps{i}", ts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, warc_ts timestamp")
+    out = cumulative_cardinality(docs, "warc_ts", interval="week", p=7).collect()
+    assert len(out) >= 3
+    cums = [r["cum_est"] for r in out]
+    assert cums == sorted(cums)  # register merge only ever raises
+    for r in out:
+        assert r["bucket_est"] <= r["cum_est"] + 1e-9
+    # the last cumulative estimate IS the whole-corpus estimate (same
+    # registers): compare against hll_cardinality on a single group
+    whole = hll_cardinality(
+        docs.withColumn("g", F.lit("g")), p=7, group_col="g"
+    ).collect()[0]["est"]
+    assert abs(cums[-1] - whole) < 1e-6
