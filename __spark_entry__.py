@@ -603,6 +603,21 @@ def q_edge_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERMS_LOOKUP_SET = [(1, 7), (2, 42), (3, 123)]  # (query_id, seed doc)
+
+
+def q_terms_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup query (operators/wand.py::terms_lookup_topk):
+    term set fetched from a seed document, ANY-match constant-score
+    filter in index order via the filter kernel's OR mode."""
+    from embed_rerank_spark.operators.wand import terms_lookup_topk
+
+    index = _cached_index(spark, sf_dir)
+    return terms_lookup_topk(
+        index, _docs(spark, sf_dir), TERMS_LOOKUP_SET, k=TOP_K, boost=1.0
+    )
+
+
 def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model (Dirichlet, mu=2000) top-k over the compressed
     index — the engine's second similarity besides BM25; collection
@@ -3436,6 +3451,18 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "bucket_start", "n_docs")
 
 
+def q_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg (operators/facets.py::
+    normalize_histogram): percent_of_sum / rescale_0_1 / z-score of
+    the weekly matching-doc histogram, per query, degenerate-range
+    guards pinned to 0.0 in both engines."""
+    from embed_rerank_spark.operators.facets import normalize_histogram
+
+    return normalize_histogram(
+        spark, _docs_with_ts(spark, sf_dir), QUERY_SET, "warc_ts", interval="week"
+    )
+
+
 PIPE_MOVING_WINDOW = 3  # trailing buckets in the moving_fn average
 PIPE_MIN_DOCS = 2  # bucket_selector threshold (applied post-pipeline)
 
@@ -4356,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_fields_topk": q_cross_fields_topk,
         "combined_fields_topk": q_combined_fields_topk,
         "date_histogram": q_date_histogram,
+        "normalize_agg": q_normalize_agg,
         "pipeline_aggs": q_pipeline_aggs,
         "stats_bucket": q_stats_bucket,
         "rate_agg": q_rate_agg,
@@ -4392,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "adjacency_matrix": q_adjacency_matrix,
         "terms_set_topk": q_terms_set_topk,
+        "terms_lookup_topk": q_terms_lookup_topk,
         "histogram_facets": q_histogram_facets,
         "pinned_topk": q_pinned_topk,
         "hard_negatives": q_hard_negatives,
@@ -8533,6 +8562,59 @@ SELECT pb.grp AS bucket_start,
        (SELECT {_hest} FROM (SELECT cb.nonzero AS nonzero, cb.s AS s)) AS cum_est
 FROM pb JOIN cb USING (grp) ORDER BY 1
 """
+    normalize_agg_sql = f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT qt.query_id, tf.doc_id
+    FROM {qt} JOIN tf USING (term)
+),
+buckets AS (
+    SELECT CAST(m.query_id AS BIGINT) AS query_id,
+           strftime(date_trunc('week',
+                    DATE '{DATE_HIST_EPOCH}' + CAST(d.n_chars % 365 AS INTEGER)),
+                    '%Y-%m-%d') AS bucket_start,
+           count(*) AS n_docs
+    FROM matched m JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+)
+SELECT query_id, bucket_start, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / sum(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id), 6)
+         AS pct_of_sum,
+       round(CASE WHEN max(n_docs) OVER (PARTITION BY query_id)
+                       = min(n_docs) OVER (PARTITION BY query_id) THEN 0.0
+                  ELSE CAST(n_docs - min(n_docs) OVER (PARTITION BY query_id) AS DOUBLE)
+                       / (max(n_docs) OVER (PARTITION BY query_id)
+                          - min(n_docs) OVER (PARTITION BY query_id)) END, 6)
+         AS rescaled,
+       round(CASE WHEN stddev_pop(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id) = 0
+                  THEN 0.0
+                  ELSE (CAST(n_docs AS DOUBLE)
+                        - avg(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id))
+                       / stddev_pop(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY query_id)
+             END, 6) AS zscore
+FROM buckets
+"""
+    terms_lookup_sql = f"""
+WITH {_TOKS_CTE},
+seeds AS (SELECT * FROM (VALUES (1, 7), (2, 42), (3, 123)) s(query_id, seed)),
+seed_terms AS (
+    SELECT DISTINCT s.query_id, tf.term
+    FROM seeds s JOIN tf ON tf.doc_id = s.seed
+),
+matched AS (
+    SELECT DISTINCT st.query_id, t2.doc_id
+    FROM seed_terms st JOIN tf t2 USING (term)
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+    FROM matched
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
     return {
 
         "bm25_topk": bm25,
@@ -8718,6 +8800,8 @@ FROM lens JOIN ent ON lens.query_id = ent.query_id
 """,
         "geo_distance_rings": geo_rings_sql,
         "cumulative_cardinality": cumulative_cardinality_sql,
+        "normalize_agg": normalize_agg_sql,
+        "terms_lookup_topk": terms_lookup_sql,
         "geo_distance_topk": f"""
 WITH geo AS (
     SELECT doc_id,

@@ -1824,3 +1824,51 @@ def rate_histogram(
         )
         sel.append("rate_metric")
     return out.select(*sel)
+
+
+def normalize_histogram(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    ts_col: str,
+    interval: str = "week",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs, pct_of_sum, rescaled, zscore)
+    — the Elasticsearch ``normalize`` pipeline aggregation over a
+    ``date_histogram`` of matching docs, all three standard methods at
+    once per non-empty bucket:
+
+    - ``pct_of_sum``  — bucket count / sum of the query's counts;
+    - ``rescaled``    — (v - min) / (max - min), the ``rescale_0_1``
+      method (0.0 when every bucket has the same count — the
+      degenerate range, emitted rather than NaN);
+    - ``zscore``      — (v - mean) / stddev_pop (0.0 on zero
+      variance, same guard).
+
+    Scale shape: inherits ``date_histogram`` (one combinable hash agg
+    keyed (query, bucket)); the normalize windows run per query over
+    the AGGREGATED bucket rows — n_queries x n_buckets, planning-sized
+    — exactly like ``pipeline_aggs``."""
+    buckets = date_histogram(
+        spark, docs, queries, ts_col, interval, id_col, text_col
+    )
+    w = Window.partitionBy("query_id")
+    v = F.col("n_docs").cast("double")
+    total = F.sum(v).over(w)
+    vmin, vmax = F.min(v).over(w), F.max(v).over(w)
+    mean, sd = F.avg(v).over(w), F.stddev_pop(v).over(w)
+    rng = vmax - vmin
+    return buckets.select(
+        "query_id",
+        "bucket_start",
+        "n_docs",
+        F.round(v / total, 6).alias("pct_of_sum"),
+        F.round(
+            F.when(rng == 0, F.lit(0.0)).otherwise((v - vmin) / rng), 6
+        ).alias("rescaled"),
+        F.round(
+            F.when(sd == 0, F.lit(0.0)).otherwise((v - mean) / sd), 6
+        ).alias("zscore"),
+    )

@@ -1513,13 +1513,16 @@ def _filter_partition(
     k: int,
     excl: tuple[int, ...] = (),
     vers: tuple = None,
+    any_match: bool = False,
 ):
     """Filter-context kernel: per shard, the <= k SMALLEST doc_ids
-    containing EVERY query term — no scoring, no tf/dl math (the
-    blocks' docs stream is the only thing decoded; tf/dl bins ride
-    along only because the block layout is fixed). Docs are whole
-    within a shard, so per-shard intersection is exact; newest-wins
-    versions and tombstones mask at decode like every other kernel."""
+    containing EVERY query term (``any_match=False``, the bool-filter
+    AND) or ANY query term (``any_match=True``, the ES ``terms``
+    query) — no scoring, no tf/dl math (the blocks' docs stream is
+    the only thing decoded; tf/dl bins ride along only because the
+    block layout is fixed). Docs are whole within a shard, so
+    per-shard intersection/union is exact; newest-wins versions and
+    tombstones mask at decode like every other kernel."""
     shards = _parse_shards(batches)
     excl_arr = np.sort(np.asarray(excl, dtype=np.int64)) if excl else None
     vmask = version_arrays(vers)
@@ -1550,14 +1553,20 @@ def _filter_partition(
             return got
 
         for qid, terms in queries:
-            if any(t not in tb for t in terms):
-                continue
-            cur: np.ndarray | None = None
-            for t in terms:
-                d = docs_of(t)
-                cur = d if cur is None else cur[np.isin(cur, d, assume_unique=True)]
-                if cur is not None and not len(cur):
-                    break
+            if any_match:
+                present = [t for t in terms if t in tb]
+                if not present:
+                    continue
+                cur = np.unique(np.concatenate([docs_of(t) for t in present]))
+            else:
+                if any(t not in tb for t in terms):
+                    continue
+                cur = None
+                for t in terms:
+                    d = docs_of(t)
+                    cur = d if cur is None else cur[np.isin(cur, d, assume_unique=True)]
+                    if cur is not None and not len(cur):
+                        break
             if cur is None or not len(cur):
                 continue
             if excl_arr is not None and len(excl_arr):
@@ -1622,6 +1631,95 @@ def constant_score_topk(
     vers = index.doc_versions
     per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
         lambda it: _filter_partition(it, qterm_map, k, excl, vers),
+        "query_id long, doc_id long",
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.lit(float(boost)).alias("score"),
+        )
+    )
+
+
+def terms_lookup_topk(
+    index: InvertedIndex,
+    docs: DataFrame,
+    lookups: list[tuple[int, int]],
+    k: int = 10,
+    boost: float = 1.0,
+    max_terms: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch TERMS LOOKUP
+    query — the term set is fetched from a SEED document (ES: index /
+    id / path) instead of arriving in the request, and docs containing
+    ANY of those terms match at constant score ``boost`` in index
+    order (doc_id asc — the ES tie order under one uniform score).
+    The seed document matches itself, as in ES. Seeds whose
+    distinct-term count exceeds ``max_terms`` raise, mirroring the ES
+    ``index.max_terms_count`` guard rather than silently truncating.
+
+    ``lookups`` = (query_id, seed_doc_id) pairs; seed terms are the
+    index's own tokenization of the seed's ``text_col``.
+
+    Scale shape: the seed fetch is one id-pruned scan collecting
+    n_seeds token arrays (driver-side, bounded by max_terms each);
+    matching reuses the constant-score filter kernel in ANY mode —
+    term-pruned postings scan, per-shard <= k smallest doc_ids, global
+    k-smallest window. Nothing corpus-sized reaches the driver."""
+    from ..functions.udfs import tokenize_for_scoring  # noqa: PLC0415
+
+    seeds = sorted({d for _, d in lookups})
+    if not seeds:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    rows = (
+        docs.filter(F.col(id_col).isin(seeds))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(tokenize_for_scoring(F.col(text_col))).alias("toks"),
+        )
+        .collect()
+    )
+    terms_by_seed = {r["doc_id"]: list(r["toks"]) for r in rows}
+    for sid, ts in terms_by_seed.items():
+        if len(ts) > max_terms:
+            raise ValueError(
+                f"seed doc {sid} has {len(ts)} distinct terms > max_terms={max_terms}"
+            )
+    qterm_map = [
+        (qid, terms_by_seed[seed])
+        for qid, seed in lookups
+        if terms_by_seed.get(seed)
+    ]
+    all_terms = sorted({t for _, ts in qterm_map for t in ts})
+    spark = index.postings.sparkSession
+    if not qterm_map:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    needed = [
+        "term", "shard", "block_id", "first_doc", "last_doc",
+        "n_docs", "max_tf", "min_dl", "docs_bin", "tfs_bin", "dls_bin",
+    ]
+    if "seg" in index.postings.columns:
+        needed.append("seg")
+    filtered = index.postings.select(*needed).filter(
+        F.col("term").isin(all_terms)
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    excl = tuple(sorted(index.tombstones)) if index.tombstones else ()
+    vers = index.doc_versions
+    per_shard = shard_partitioned(index, filtered, n_parts).mapInArrow(
+        lambda it: _filter_partition(it, qterm_map, k, excl, vers, any_match=True),
         "query_id long, doc_id long",
     )
     from pyspark.sql import Window  # noqa: PLC0415

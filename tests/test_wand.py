@@ -172,3 +172,52 @@ def test_negative_and_nan_boosts_fall_back_to_literal(spark, docs, index):
     for bad in (f"{q} {first}^-3", f"{q} {first}^nan", f"{q} {first}^-0.5"):
         got = _rows(wand_topk(index, [(1, bad)], k=10, parse_boosts=True))
         assert got == base, bad
+
+
+# ---- ES terms-lookup query (seed-doc term set, ANY-match filter) ----
+
+TL_DOCS = [
+    (1, "fast hash join beats sort merge join"),
+    (2, "slow table scan over the table"),
+    (3, "hash table lookup the fast path"),
+    (4, "merge sort merge the slow path"),
+    (5, "scan scan scan row row"),
+    (6, "a lone row span"),
+]
+
+
+@pytest.fixture(scope="module")
+def tl_setup(spark, tmp_path_factory):
+    tl_docs = spark.createDataFrame(TL_DOCS, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("tlindex"))
+    write_index(build_postings(tl_docs, n_shards=2, block_size=8), path)
+    return tl_docs, InvertedIndex.load(spark, path)
+
+
+def test_terms_lookup_matches_any_seed_term(spark, tl_setup):
+    from embed_rerank_spark.operators.wand import terms_lookup_topk
+
+    tl_docs, tl_index = tl_setup
+    out = terms_lookup_topk(tl_index, tl_docs, [(1, 2), (2, 6)], k=10, boost=2.0)
+    rows = out.collect()
+    assert rows and all(r["score"] == 2.0 for r in rows)
+    toks = {d: set(t.lower().split()) for d, t in TL_DOCS}
+    for qid, seed in [(1, 2), (2, 6)]:
+        got = sorted(r["doc_id"] for r in rows if r["query_id"] == qid)
+        want = sorted(d for d, ts in toks.items() if ts & toks[seed])
+        assert got == want
+        assert seed in got  # ES: the seed matches itself
+        ranks = [r["rank"] for r in sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["doc_id"]
+        )]
+        assert ranks == list(range(1, len(ranks) + 1))  # doc_id asc order
+
+
+def test_terms_lookup_max_terms_guard(spark, tl_setup):
+    import pytest as _pytest
+
+    from embed_rerank_spark.operators.wand import terms_lookup_topk
+
+    tl_docs, tl_index = tl_setup
+    with _pytest.raises(ValueError):
+        terms_lookup_topk(tl_index, tl_docs, [(1, 1)], max_terms=2)
