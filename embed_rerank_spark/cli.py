@@ -442,6 +442,20 @@ def main(argv: list[str] | None = None) -> int:
     hl.add_argument("--granularity", default="shingle3",
                     choices=["term", "shingle3"])
 
+    tl = sub.add_parser(
+        "terms-lookup",
+        help="ES terms-lookup query: seed-doc term set, ANY-match "
+        "constant-score filter in index order",
+    )
+    tl.add_argument("--index", required=True)
+    tl.add_argument("--corpus", required=True, help="parquet with doc_id, text")
+    tl.add_argument("--lookups", required=True,
+                    help="TSV query_id<TAB>seed_doc_id")
+    tl.add_argument("--out", required=True)
+    tl.add_argument("--k", type=int, default=10)
+    tl.add_argument("--boost", type=float, default=1.0)
+    tl.add_argument("--max-terms", type=int, default=1024)
+
     gr = sub.add_parser(
         "geo-rings",
         help="ES geo_distance aggregation: doc counts per distance ring",
@@ -1152,6 +1166,27 @@ def main(argv: list[str] | None = None) -> int:
                 p=args.p,
                 group_col=args.group_col,
                 granularity=args.granularity,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "terms-lookup":
+            from .operators.postings import InvertedIndex
+            from .operators.wand import terms_lookup_topk
+
+            lookups = []
+            with open(args.lookups) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        qid, seed = line.split("\t")
+                        lookups.append((int(qid), int(seed)))
+            out = terms_lookup_topk(
+                InvertedIndex.load(spark, args.index),
+                spark.read.parquet(args.corpus),
+                lookups,
+                k=args.k,
+                boost=args.boost,
+                max_terms=args.max_terms,
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

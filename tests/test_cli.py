@@ -887,6 +887,22 @@ def test_cli_session12_surfaces(spark, workspace, tmp_path):
         ]) == 0
         ph = spark.read.parquet(str(tmp_path / "ph_out")).collect()
         assert ph and all(r["query_id"] == 0 for r in ph)
+
+        from embed_rerank_spark.operators.postings import (
+            build_postings,
+            write_index,
+        )
+
+        write_index(build_postings(docs, n_shards=4), str(tmp_path / "tl_idx"))
+        (tmp_path / "tl.tsv").write_text("1\t3\n")
+        assert cli.main([
+            "terms-lookup", "--index", str(tmp_path / "tl_idx"),
+            "--corpus", str(tmp_path / "corpus"),
+            "--lookups", str(tmp_path / "tl.tsv"),
+            "--out", str(tmp_path / "tl_out"), "--k", "8", "--boost", "3.0",
+        ]) == 0
+        tl = spark.read.parquet(str(tmp_path / "tl_out")).collect()
+        assert tl and all(r["score"] == 3.0 and r["query_id"] == 1 for r in tl)
     finally:
         if prev_stop is not None:
             spark.stop = prev_stop
