@@ -690,6 +690,9 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "dedup" and args.method == "incremental" and not args.delta:
+        p.error("--delta is required for method=incremental")
+
     from .session import get_spark
 
     spark = get_spark(app_name=f"embed-rerank-{args.cmd}", cores=args.cores)

@@ -197,7 +197,32 @@ def fit_head_dim(w: np.ndarray, pooled_dim: int) -> np.ndarray:
 
 
 def head_scores(pooled: np.ndarray, w: np.ndarray, b: float = 0.0) -> np.ndarray:
-    return pooled @ fit_head_dim(w, pooled.shape[1]) + b
+    """``pooled @ w + b``, accumulated in float64.
+
+    The inputs stay float32 (they ARE the semantics — the pooled
+    embedding values are f32 Box-Muller outputs), but the dot product
+    runs in f64 so the reported score is bit-reproducible across
+    engines: an external SQL oracle re-scoring the same widened-to-f64
+    vectors agrees to ~1e-15, far inside the 6-decimal tie/compare
+    rounding, whereas an f32 accumulation drifts by up to
+    ~dim * eps_f32 and can flip a rounded digit."""
+    return pooled.astype(np.float64) @ fit_head_dim(w, pooled.shape[1]).astype(np.float64) + b
+
+
+def group_pooled(
+    query: str,
+    passages: list[str],
+    hidden: int = DEFAULT_HIDDEN,
+    pooling: str = "mean",
+    max_length: int = DEFAULT_MAX_LENGTH,
+) -> np.ndarray:
+    """Pair-tokenize ONE query's candidate passages and pool — the
+    (order-sensitive, batch-scoped-vocab) embedding stage of
+    ``rerank_group``, exposed separately so callers can materialize
+    the pooled vectors themselves (e.g. for an external SQL oracle
+    that re-scores ``pooled @ w``)."""
+    input_ids = tokenize_pairs([query] * len(passages), passages, max_length)
+    return pooled_pseudo_embeddings(input_ids, hidden, pooling)
 
 
 def normalize_scores(scores: np.ndarray, method: str = "none") -> np.ndarray:
@@ -251,8 +276,7 @@ def rerank_group(
     ``head`` lets the caller pass a driver-computed (broadcast) weight
     vector so executors don't re-derive it per group (SURVEY.md §2.1
     S2: model weights -> broadcast variables)."""
-    input_ids = tokenize_pairs([query] * len(passages), passages, max_length)
-    pooled = pooled_pseudo_embeddings(input_ids, hidden, pooling)
+    pooled = group_pooled(query, passages, hidden, pooling, max_length)
     w, b = head if head is not None else linear_head(model_name, hidden)
     scores = head_scores(pooled, w, b)
     return normalize_scores(scores, score_norm)

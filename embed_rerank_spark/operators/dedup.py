@@ -902,11 +902,23 @@ def incremental_minhash_dedup(
     new_sel = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    # A re-crawled url can appear in BOTH base and delta under the same
+    # doc_id; the delta row is the current version. Drop the shadowed
+    # base rows (broadcast anti-join on the delta's ids — the delta is
+    # the small side by construction) before banding/verification:
+    # otherwise union_docs would carry duplicate doc_id rows that
+    # inflate shingle counts in the exact-Jaccard verify, and a delta
+    # doc would emit a self-pair against its own stale base row.
+    delta_ids = new_sel.select("doc_id")
+    base_sel = base_sel.join(F.broadcast(delta_ids), "doc_id", "left_anti")
     sig_base = (
         base_signatures
         if base_signatures is not None
         else minhash_signatures(base_sel, n_hashes, shingle_n)
     )
+    # base_signatures is the persisted artifact and may predate the
+    # delta — shadowed ids must be dropped from it too.
+    sig_base = sig_base.join(F.broadcast(delta_ids), "doc_id", "left_anti")
     sig_new = minhash_signatures(new_sel, n_hashes, shingle_n)
     bb = _lsh_bands(sig_base, n_bands, rows_per_band)
     bn = _lsh_bands(sig_new, n_bands, rows_per_band)

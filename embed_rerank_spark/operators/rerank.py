@@ -136,6 +136,72 @@ def validate_rerank_pool(
     return clean, quarantine
 
 
+def _candidate_pool(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    enforce_limits: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Join the (query_id, doc_id) candidate set with doc text and
+    query text -> (pool, quarantine). Shared by the scoring path and
+    the pooled-vector materializer so both see the exact same groups."""
+    spark = candidates.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    pool = (
+        candidates.select("query_id", "doc_id")
+        .join(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "doc_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+    if enforce_limits:
+        return validate_rerank_pool(pool)
+    return pool, spark.createDataFrame([], "query_id long, reason string, n_rows int")
+
+
+def rerank_pooled_vectors(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    hidden: int = scoring.DEFAULT_HIDDEN,
+    pooling: str = "mean",
+    max_length: int = scoring.DEFAULT_MAX_LENGTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    enforce_limits: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, pooled: array<double>) — the deterministic
+    pooled pseudo-embedding of every (query, candidate) pair, computed
+    in the SAME per-query groups (same ascending-doc_id order, same
+    batch-scoped pair vocab and pad width) the cross_encoder_lite
+    scorer uses. Exists so an external SQL oracle can re-derive the
+    rerank scores as ``pooled @ w`` and value-check the rerank path
+    end-to-end; values are f32 semantics widened to f64 on output so
+    the oracle's f64 dot product matches ``scoring.head_scores``."""
+    pool, _ = _candidate_pool(candidates, docs, queries, id_col, text_col, enforce_limits)
+
+    def pool_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pooled = scoring.group_pooled(
+            pdf["query"].iloc[0], pdf["text"].fillna("").tolist(),
+            hidden, pooling, max_length,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"],
+                "doc_id": pdf["doc_id"],
+                "pooled": [row.astype("float64") for row in pooled],
+            }
+        )
+
+    n_parts = pool.sparkSession.sparkContext.defaultParallelism
+    return (
+        pool.repartition(n_parts, "query_id")
+        .groupBy("query_id")
+        .applyInPandas(pool_group, "query_id long, doc_id long, pooled array<double>")
+    )
+
+
 def rerank_candidates(
     candidates: DataFrame,
     docs: DataFrame,
@@ -182,7 +248,6 @@ def rerank_candidates_with_metrics(
     DataFrame (query_id, reason, n_rows) from the request-cap
     validation stage — the rerank metrics surface."""
     spark = candidates.sparkSession
-    qdf = spark.createDataFrame(queries, "query_id long, query string")
     # S2: the deterministic scoring head is computed once on the driver
     # and BROADCAST to executors (reference loads weights once at
     # startup; re-deriving per group would repeat the sha256+rng work)
@@ -191,15 +256,9 @@ def rerank_candidates_with_metrics(
         if method == "cross_encoder_lite"
         else None
     )
-    pool = (
-        candidates.select("query_id", "doc_id")
-        .join(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "doc_id")
-        .join(F.broadcast(qdf), "query_id")
+    pool, quarantine = _candidate_pool(
+        candidates, docs, queries, id_col, text_col, enforce_limits
     )
-    if enforce_limits:
-        pool, quarantine = validate_rerank_pool(pool)
-    else:
-        quarantine = spark.createDataFrame([], "query_id long, reason string, n_rows int")
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

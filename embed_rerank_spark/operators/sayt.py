@@ -112,8 +112,19 @@ def edge_ngram_topk(
             .select("query_id", "term", "df")
             .collect()
         )
+        # Re-cap per query AFTER the join: the gram table returns every
+        # stored row, which honors the cap only when the table was built
+        # with the same max_expansion. Capping here (rows are already
+        # df-desc/term-asc, the build_edge_grams cap order) keeps
+        # rank-identity with prefix_topk even when the query-time cap is
+        # tighter than the build-time one. A LOOSER query-time cap can't
+        # recover rows the build dropped — build with max_expansion >=
+        # the largest cap you will query with (and matching min_gram:
+        # a query shorter than the build min_gram finds no gram rows).
         for r in sorted(hit, key=lambda r: (r["query_id"], -r["df"], r["term"])):
-            expansions.setdefault(r["query_id"], []).append(r["term"])
+            terms = expansions.setdefault(r["query_id"], [])
+            if len(terms) < max_expansion:
+                terms.append(r["term"])
     for qid, p in short:
         if p and len(p) > max_gram and qid not in expansions:
             expansions[qid] = expand_prefix(index, p, max_expansion)

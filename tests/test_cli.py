@@ -908,3 +908,17 @@ def test_cli_session12_surfaces(spark, workspace, tmp_path):
             spark.stop = prev_stop
         else:
             del spark.stop
+
+
+def test_cli_incremental_dedup_requires_delta(capsys):
+    """dedup --method incremental without --delta is a usage error
+    (argparse exit 2), not an opaque TypeError from parquet(None)."""
+    import embed_rerank_spark.cli as cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main([
+            "dedup", "--corpus", "/nonexistent", "--out", "/nonexistent-out",
+            "--method", "incremental",
+        ])
+    assert exc.value.code == 2
+    assert "--delta is required" in capsys.readouterr().err

@@ -438,6 +438,32 @@ def test_incremental_dedup_orients_delta_base_pairs(spark, docs):
             assert r.doc_a in delta_ids and r.doc_b in delta_ids and r.doc_a < r.doc_b
 
 
+def test_incremental_dedup_recrawled_doc_id_in_both(spark):
+    """A re-crawled doc_id present in BOTH base and delta must not
+    self-pair, and exact Jaccard must be computed over the delta's
+    (current) version only — the shadowed base row is dropped, even
+    when it is still present in persisted base signatures."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(1, txt), (2, "completely different base content here entirely")],
+        "doc_id long, text string",
+    )
+    # doc 1 re-crawled unchanged; new doc 3 duplicates it
+    delta = spark.createDataFrame([(1, txt), (3, txt)], "doc_id long, text string")
+    sig = dedup.minhash_signatures(
+        base.select("doc_id", "text"), n_hashes=16, shingle_n=3
+    )
+    for base_sig in (None, sig):
+        inc = dedup.incremental_minhash_dedup(
+            delta, base, threshold=0.5, n_hashes=16, n_bands=8,
+            base_signatures=base_sig,
+        ).collect()
+        pairs = {(r.doc_a, r.doc_b): (round(r.jaccard, 9), r.pair_kind) for r in inc}
+        assert all(a != b for a, b in pairs)
+        # the only dup is 1<->3, both current delta rows
+        assert pairs == {(1, 3): (1.0, "delta_delta")}
+
+
 def test_incremental_dedup_accepts_persisted_signatures(spark, docs):
     base = docs.filter(F.col("doc_id") < 10)
     delta = docs.filter(F.col("doc_id") >= 10)

@@ -76,7 +76,6 @@ def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only entries are allowed but must be deliberate
     documented_rows_only = {
-        "rerank_topk",
         "media_pipeline",
         "embed_digest",
         "bpe_merges",  # iterative; Python-reference parity in test_bpe.py

@@ -90,6 +90,21 @@ def test_rank_identical_to_prefix_topk(spark, index):
     )
 
 
+def test_query_time_cap_tighter_than_build_time(spark, index):
+    """A gram table built with a loose cap queried with a tighter
+    max_expansion must re-cap after the join (df-desc/term-asc) and
+    stay rank-identical to prefix_topk at that tighter cap."""
+    queries = [(1, "s"), (2, "st")]
+    grams = build_edge_grams(index.term_stats, min_gram=1, max_gram=4, max_expansion=64)
+    got = edge_ngram_topk(index, grams, queries, k=5, max_gram=4, max_expansion=2).collect()
+    want = prefix_topk(index, queries, k=5, max_expansion=2).collect()
+    assert sorted(
+        [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in got]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in want]
+    )
+
+
 def test_rejects_bad_gram_bounds(index):
     with pytest.raises(ValueError):
         build_edge_grams(index.term_stats, min_gram=0, max_gram=4)
