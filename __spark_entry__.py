@@ -1268,17 +1268,24 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on deterministic fake media:
     metadata pass (JVM-only), mapInPandas feature extraction over the
-    binary column, video frame-sampling plan. Deterministic in content
-    but not SQL-expressible (sha256-seeded features) — rows-only."""
+    binary column, struct-level container probe (real PNG/WAV payloads
+    parsed by the from-scratch decoders), video frame-sampling plan.
+    Deterministic in content but not SQL-expressible (sha256-seeded
+    features, binary parsing) — rows-only."""
     from embed_rerank_spark.operators.multimodal import (
         extract_features,
         generate_fake_media,
         media_metadata,
+        parse_media_headers,
         sample_frames,
     )
 
     media = generate_fake_media(spark, 200, seed=7)
     meta = media_metadata(media)
+    headers = parse_media_headers(media).select(
+        "media_id", "fmt", "parsed_width", "parsed_height",
+        "parsed_duration_ms", "header_ok",
+    )
     feats = extract_features(media).select(
         "media_id",
         F.round(
@@ -1295,6 +1302,7 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         meta.join(feats, "media_id")
+        .join(headers, "media_id")
         .join(frames, "media_id", "left")
         .fillna({"n_frames": 0})
         .orderBy("media_id")

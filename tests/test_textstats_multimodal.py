@@ -97,11 +97,146 @@ def test_feature_extraction_deterministic(spark, media):
     np.testing.assert_allclose(np.array(a[0]), expect, rtol=1e-6)
 
 
-def test_decode_stubs_raise(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"xx")
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(9, 5, c), dtype=np.uint8)
+        got = multimodal.decode_image(multimodal.png_encode(px))
+        np.testing.assert_array_equal(got, px)
+    # 2-D grayscale input round-trips as (h, w, 1)
+    g = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        multimodal.decode_image(multimodal.png_encode(g)), g[:, :, None]
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Hand-build an IDAT stream using every scanline filter type
+    (None/Sub/Up/Average/Paeth) and check reconstruction against a
+    straightforward per-pixel reference."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w, h, c = 7, 5, 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.int64)
+    flat = px.reshape(h, w * c)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        enc = np.zeros(w * c, dtype=np.int64)
+        for x in range(w * c):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) >> 1,
+                4: multimodal._paeth(int(a), int(b), int(cc)),
+            }[ftype]
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        multimodal.decode_image(payload), px.astype(np.uint8)
+    )
+
+
+def test_png_paletted_decode():
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    palette = np.array([[250, 1, 2], [3, 240, 5], [6, 7, 230]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = _struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    payload = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"PLTE", palette.tobytes())
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(multimodal.decode_image(payload), palette[idx])
+
+
+def test_image_dimensions_png_jpeg_gif():
+    import struct as _struct
+
+    import numpy as np
+
+    png = multimodal.png_encode(np.zeros((12, 34, 3), dtype=np.uint8))
+    assert multimodal.image_dimensions(png) == ("png", 34, 12)
+    # minimal JPEG: SOI, APP0 stub, DQT stub, SOF0 with dims, EOI
+    sof = b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, 480, 640, 1) + b"\x01\x11\x00"
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _struct.pack(">H", 4) + b"JF"
+        + b"\xff\xdb" + _struct.pack(">H", 4) + b"\x00\x00"
+        + sof
+        + b"\xff\xd9"
+    )
+    assert multimodal.image_dimensions(jpeg) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert multimodal.image_dimensions(gif) == ("gif", 320, 200)
+    with pytest.raises(ValueError):
+        multimodal.image_dimensions(b"not an image at all")
+
+
+def test_wav_roundtrip_and_info():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    mono = rng.uniform(-0.9, 0.9, size=400).astype(np.float32)
+    payload = multimodal.wav_encode(mono, sample_rate=8000)
+    assert multimodal.wav_info(payload) == (8000, 1, 400, 50)
+    got = multimodal.decode_audio(payload)
+    assert got.shape == (400, 1)
+    # quantization: encode scales by 32767, decode by 1/32768, plus
+    # rounding — worst case ~1.5 LSB
+    np.testing.assert_allclose(got[:, 0], mono, atol=1.5 / 32768)
+    # stereo int16 input
+    stereo = rng.integers(-30000, 30000, size=(100, 2)).astype(np.int16)
+    got2 = multimodal.decode_audio(multimodal.wav_encode(stereo, 16000))
+    assert got2.shape == (100, 2)
+    np.testing.assert_allclose(got2, stereo.astype(np.float32) / 32768.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(payload)  # wav is not an image
+
+
+def test_parse_media_headers_matches_declared(spark, media):
+    got = {r.media_id: r for r in multimodal.parse_media_headers(media).collect()}
+    declared = {r.media_id: r for r in media.collect()}
+    assert set(got) == set(declared)
+    for mid, r in got.items():
+        d = declared[mid]
+        if d.kind == "image":
+            assert r.header_ok and r.fmt == "png"
+            assert (r.parsed_width, r.parsed_height) == (d.width, d.height)
+        elif d.kind == "audio":
+            assert r.header_ok and r.fmt == "wav"
+            assert r.parsed_duration_ms == d.duration_ms
+        else:  # opaque video fakes: quarantine path
+            assert not r.header_ok and r.fmt is None
 
 
 def test_frame_sampling_plan(spark, media):
