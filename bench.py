@@ -559,7 +559,56 @@ def main() -> None:
             for a in attempts
         ],
     }
+    if "--compare" in sys.argv:
+        prior_path = sys.argv[sys.argv.index("--compare") + 1]
+        out["compare"] = compare_with_prior(out, prior_path)
     print(json.dumps(out))
+
+
+def compare_with_prior(out: dict, prior_path: str, threshold: float = 1.3) -> dict:
+    """Round-over-round self-regression check: phase-by-phase ratio of
+    this run against a prior BENCH_r{N}.json, flagging any phase more
+    than ``threshold``x slower. Only probe-clean legs are comparable —
+    a contaminated leg on either side reports ``comparable: false``
+    and flags nothing (a co-tenant is not a regression)."""
+    with open(prior_path) as f:
+        prior = json.load(f)
+    # driver-recorded BENCH_r{N}.json wraps the bench line under "parsed"
+    if "parsed" in prior and isinstance(prior["parsed"], dict):
+        prior = prior["parsed"]
+
+    def _phases(d: dict) -> dict:
+        flat = dict(d.get("queries", {}))
+        flat.update(d.get("tiered", {}))
+        # extras include non-timing values (byte counts); keep *_s-like
+        # timings only by excluding known non-second keys
+        flat.update(
+            {
+                k: v
+                for k, v in d.get("extra", {}).items()
+                if isinstance(v, (int, float)) and not k.endswith("_bytes")
+            }
+        )
+        return flat
+
+    comparable = bool(out.get("probe_clean")) and bool(prior.get("probe_clean"))
+    now, prev = _phases(out), _phases(prior)
+    regressions = {}
+    if comparable:
+        for k in sorted(set(now) & set(prev)):
+            if prev[k] > 0.05 and now[k] / prev[k] > threshold:
+                regressions[k] = {
+                    "prior_s": round(prev[k], 3),
+                    "now_s": round(now[k], 3),
+                    "ratio": round(now[k] / prev[k], 2),
+                }
+    return {
+        "baseline": prior_path,
+        "comparable": comparable,
+        "threshold": threshold,
+        "n_phases_compared": len(set(now) & set(prev)) if comparable else 0,
+        "regressions": regressions,
+    }
 
 
 def _calib_burn(_: int) -> float:
