@@ -31,6 +31,12 @@ the round's artifact.
 (local[8] vs local[32] by default) in fresh subprocesses and reports
 throughput at both plus scaling efficiency — the sandbox stand-in for
 the north rule's N vs 4N executor criterion.
+
+``--weak-scaling`` holds cores fixed and quadruples the corpus
+(SPARK_GRAFT_WEAK_SIZES); ``--phrase-scaling`` races the positional
+vs next-word phrase plans along the same ladder; ``--compare FILE``
+appends a phase-regression block against a prior BENCH_r{N}.json.
+SPARK_GRAFT_SHARDS overrides the shard count (oversharding runs).
 """
 
 from __future__ import annotations
@@ -46,8 +52,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # shard count is a CLUSTER-size constant, not a data-size one: WAND
 # parallelism = shards, so it must be >= the largest core count tested
-# (thousands on a real cluster; 32 here)
-N_SHARDS = 32
+# (thousands on a real cluster; 32 here). Env-overridable so the
+# oversharding experiment (shards >> cores, emulating "shard count
+# scales with the corpus" on a fixed-core box) can be measured.
+N_SHARDS = int(os.environ.get("SPARK_GRAFT_SHARDS", "32"))
 RERANK_HIDDEN = 1024
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_QUERIES", "256"))
 # scaling mode needs a compute-bound workload: identical input at both
@@ -109,10 +117,21 @@ def run_suite(cpus: int, n_pages: int) -> dict:
         pages.write.mode("overwrite").parquet(f"{tmp}/pages")
         pages = spark.read.parquet(f"{tmp}/pages")
 
-        t0 = time.perf_counter()
-        extracted = extract_pages(pages).filter(F.col("error").isNull())
-        extracted.write.mode("overwrite").parquet(f"{tmp}/extracted")
-        timings["extract"] = time.perf_counter() - t0
+        # SPARK_GRAFT_SKIP: comma list of phases to drop (bm25_brute,
+        # rerank, docs_bm25, extract). Skipping extract requires also
+        # skipping the phases that read the extracted corpus
+        # (bm25_brute, rerank). Used by the scaling/oversharding legs
+        # where the brute-force oracle would dominate wall time while
+        # measuring nothing about the engine.
+        skip = set(filter(None, os.environ.get("SPARK_GRAFT_SKIP", "").split(",")))
+        if "extract" in skip and not {"bm25_brute", "rerank"} <= skip:
+            raise SystemExit("SPARK_GRAFT_SKIP=extract requires bm25_brute,rerank too")
+
+        if "extract" not in skip:
+            t0 = time.perf_counter()
+            extracted = extract_pages(pages).filter(F.col("error").isNull())
+            extracted.write.mode("overwrite").parquet(f"{tmp}/extracted")
+            timings["extract"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         build_incremental(spark, pages, f"{tmp}/index", n_shards=N_SHARDS, resume=False)
@@ -135,26 +154,30 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             wand_times.append(time.perf_counter() - t0)
         timings["wand_topk"] = min(wand_times)
 
-        corpus = spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text")
-        t0 = time.perf_counter()
-        bm25_topk_bruteforce(spark, corpus, qb, k=10).write.mode("overwrite").parquet(
-            f"{tmp}/brute"
-        )
-        timings["bm25_brute"] = time.perf_counter() - t0
+        if "bm25_brute" not in skip or "rerank" not in skip:
+            corpus = spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text")
+        if "bm25_brute" not in skip:
+            t0 = time.perf_counter()
+            bm25_topk_bruteforce(spark, corpus, qb, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/brute")
+            timings["bm25_brute"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        cands = wand_topk(index, qb, k=50)
-        rerank_candidates(
-            cands, corpus, qb, top_k=10, hidden=RERANK_HIDDEN
-        ).write.mode("overwrite").parquet(f"{tmp}/rerank")
-        timings["rerank"] = time.perf_counter() - t0
+        if "rerank" not in skip:
+            t0 = time.perf_counter()
+            cands = wand_topk(index, qb, k=50)
+            rerank_candidates(
+                cands, corpus, qb, top_k=10, hidden=RERANK_HIDDEN
+            ).write.mode("overwrite").parquet(f"{tmp}/rerank")
+            timings["rerank"] = time.perf_counter() - t0
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        t0 = time.perf_counter()
-        bm25_topk_bruteforce(spark, docs, QUERY_SET, k=10).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/docs_bm25")
-        timings["docs_bm25"] = time.perf_counter() - t0
+        if "docs_bm25" not in skip:
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            t0 = time.perf_counter()
+            bm25_topk_bruteforce(spark, docs, QUERY_SET, k=10).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/docs_bm25")
+            timings["docs_bm25"] = time.perf_counter() - t0
 
         # --- round-2 query-mode side metrics (reported under "extra",
         # NOT in the headline suite total, to keep rounds comparable):
@@ -503,6 +526,12 @@ def main() -> None:
     if "--weak-scaling" in sys.argv:
         weak_scaling_mode()
         return
+    if "--phrase-one" in sys.argv:
+        print(json.dumps(phrase_one_size(N_PAGES)))
+        return
+    if "--phrase-scaling" in sys.argv:
+        phrase_scaling_mode()
+        return
     attempts: list[dict] = []
     for attempt in range(1, MAX_ATTEMPTS + 1):
         probe_before = host_health_probe()
@@ -792,6 +821,132 @@ def scaling_mode() -> None:
                 },
                 "sf": SF,
                 "n_pages": SCALING_PAGES,
+            }
+        )
+    )
+
+
+def phrase_one_size(n_pages: int) -> dict:
+    """One rung of the phrase-path ladder: build the positional index
+    AND the combined next-word (bigram) index over the same corpus,
+    then run identical mid-term and hot-anchor phrase batches through
+    both plan shapes (results are rank-identical — pinned in
+    tests/test_nextword_property.py; the delta is pure plan cost)."""
+    from pyspark.sql import functions as F
+
+    from embed_rerank_spark.operators.positions import (
+        build_combined_phrase_index,
+        build_positional_postings,
+        phrase_topk,
+        phrase_topk_nextword,
+    )
+    from embed_rerank_spark.operators.postings import InvertedIndex, write_index
+    from embed_rerank_spark.plans.build_index import extract_pages
+    from embed_rerank_spark.session import get_spark
+    from embed_rerank_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="embed-rerank-phrase-bench", cores=CPUS)
+    tmp = tempfile.mkdtemp(prefix="erspark_phrase_")
+    out: dict = {"n_pages": n_pages, "cpus": CPUS, "n_shards": N_SHARDS}
+    try:
+        probe_before = host_health_probe()
+        pages = generate_pages(spark, n_pages, seed=42, n_snapshots=4)
+        extract_pages(pages).filter(F.col("error").isNull()).select(
+            "doc_id", "text"
+        ).write.mode("overwrite").parquet(f"{tmp}/extracted")
+        corpus = spark.read.parquet(f"{tmp}/extracted")
+
+        t0 = time.perf_counter()
+        write_index(
+            build_positional_postings(corpus, n_shards=N_SHARDS), f"{tmp}/pos"
+        )
+        out["positional_build"] = round(time.perf_counter() - t0, 3)
+        pos_index = InvertedIndex.load(spark, f"{tmp}/pos")
+
+        t0 = time.perf_counter()
+        write_index(
+            build_combined_phrase_index(corpus, n_shards=N_SHARDS), f"{tmp}/nw"
+        )
+        out["nextword_build"] = round(time.perf_counter() - t0, 3)
+        nw_index = InvertedIndex.load(spark, f"{tmp}/nw")
+
+        phrases = [
+            (i, f"w{(i * 7) % 9973} w{(i * 131 + 17) % 9973}") for i in range(64)
+        ]
+        hot_phrases = [(i, f"w1 w{(i * 7) % 9973}") for i in range(64)]
+        for label, fn in (
+            ("phrase_topk_64", lambda: phrase_topk(pos_index, phrases, k=10)),
+            (
+                "phrase_nextword_64",
+                lambda: phrase_topk_nextword(nw_index, None, phrases, k=10),
+            ),
+            (
+                "phrase_hot_topk_64",
+                lambda: phrase_topk(pos_index, hot_phrases, k=10),
+            ),
+            (
+                "phrase_hot_nextword_64",
+                lambda: phrase_topk_nextword(nw_index, None, hot_phrases, k=10),
+            ),
+        ):
+            times = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                fn().write.mode("overwrite").parquet(f"{tmp}/{label}{rep}")
+                times.append(time.perf_counter() - t0)
+            out[label] = round(min(times), 3)
+        probe_after = host_health_probe()
+        out["host_health"] = {"before": probe_before, "after": probe_after}
+        out["probe_clean"] = _probe_clean(probe_before, probe_after)
+        out["nextword_speedup_mid"] = round(
+            out["phrase_topk_64"] / out["phrase_nextword_64"], 3
+        )
+        out["nextword_speedup_hot"] = round(
+            out["phrase_hot_topk_64"] / out["phrase_hot_nextword_64"], 3
+        )
+        out["build_overhead_x"] = round(
+            out["nextword_build"] / out["positional_build"], 2
+        )
+        return out
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def phrase_scaling_mode() -> None:
+    """VERDICT r03 'What's wrong #1': is the next-word (bigram) index
+    an end-to-end win anywhere on the data ladder, or an opt-in?
+    Runs phrase_one_size at a ladder of corpus sizes (env
+    SPARK_GRAFT_WEAK_SIZES, default 40000,640000) in fresh
+    subprocesses; prints one JSON line with per-size rows and the
+    speedup trajectory. The hypothesis under test (Williams/Zobel/
+    Bahle, 'Fast phrase querying with combined indexes'): the
+    next-word path wins where hot-term position streams are LONG,
+    i.e. its speedup should rise with corpus size."""
+    import subprocess
+
+    sizes = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_WEAK_SIZES", "40000,640000").split(",")
+    ]
+    rows = []
+    for n in sizes:
+        env = dict(os.environ, SPARK_GRAFT_N_PAGES=str(n))
+        p = subprocess.run(
+            [sys.executable, __file__, "--phrase-one"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        rows.append(json.loads(p.stdout.strip().splitlines()[-1]))
+    print(
+        json.dumps(
+            {
+                "metric": "phrase_scaling",
+                "cpus": CPUS,
+                "n_shards": N_SHARDS,
+                "sizes": sizes,
+                "rows": rows,
+                "mid_speedup_by_size": [r["nextword_speedup_mid"] for r in rows],
+                "hot_speedup_by_size": [r["nextword_speedup_hot"] for r in rows],
             }
         )
     )
