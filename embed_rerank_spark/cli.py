@@ -310,8 +310,15 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument(
         "--combined-phrase",
         action="store_true",
-        help="also index next-word (bigram) supertokens in the same "
-        "postings table — query with `query --mode phrase-nextword`",
+        help="OPT-IN: also index next-word (bigram) supertokens in the "
+        "same postings table — query with `query --mode phrase-nextword`. "
+        "Measured on this engine's vectorized block-sliced positional "
+        "kernel, the bigram path LOSES at every benched scale and the "
+        "loss grows with the corpus (40k pages: 0.77x mid-term / 0.86x "
+        "hot-anchor query speed at 1.6x build cost; 640k pages: 0.55x / "
+        "0.68x at 2.7x build — bench.py --phrase-scaling, r04). Use only "
+        "if your workload is dominated by stopword-anchored phrases AND "
+        "you have verified a win on your own corpus.",
     )
     bp.add_argument(
         "--analyzer",
