@@ -69,6 +69,28 @@ ENCODE_DOCS_PER_TASK = int(os.environ.get("SPARK_GRAFT_ENCODE_DOCS_PER_TASK", "2
 MERGE_BLOCKS_PER_TASK = int(os.environ.get("SPARK_GRAFT_MERGE_BLOCKS_PER_TASK", "25000"))
 
 
+# Shard count is QUERY-time parallelism (each WAND task scans one doc
+# shard), so it has two floors: the cluster's core count (else cores
+# idle at query time) and — the r04 oversharding measurement
+# (BENCH/BASELINE.md) — corpus volume: past ~20k docs/shard the
+# per-task position/posting decode dominates and query latency grows
+# with shard SIZE, not shard count. At 2.56M pages on 32 fixed cores,
+# 128 shards beat 32 shards 74.5 vs 47.9 WAND QPS (1.56x) and halved
+# the merge, because four small task waves decode less per task than
+# one wave of 4x-fat shards. On a real cluster the extra shards ride
+# extra executors instead of queueing. Env-tunable like the other
+# volume targets.
+SHARD_DOCS_PER_SHARD = int(os.environ.get("SPARK_GRAFT_DOCS_PER_SHARD", "20000"))
+
+
+def sized_shards(spark: SparkSession, n_docs: int, min_shards: int = 8) -> int:
+    """Auto shard count: max(min_shards, cluster cores,
+    ceil(n_docs / SHARD_DOCS_PER_SHARD)) — pass ``n_shards=None`` to
+    the build entrypoints to use it."""
+    by_volume = -(-int(n_docs) // SHARD_DOCS_PER_SHARD)
+    return max(min_shards, spark.sparkContext.defaultParallelism, by_volume)
+
+
 def encode_partitions(spark: SparkSession, n_docs: int, n_shards: int) -> int:
     """Partition count for the tf->encode shuffle: at least one task
     per core (and per shard), growing linearly with docs so per-task
@@ -321,7 +343,7 @@ def build_incremental(
     spark: SparkSession,
     pages: DataFrame,
     path: str,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     max_concurrent: int = 4,
@@ -329,6 +351,11 @@ def build_incremental(
     positional: bool = False,
 ) -> list[str]:
     """Build every uncommitted snapshot segment; returns snapshots built.
+
+    ``n_shards=None`` sizes the shard count from the TOTAL corpus via
+    ``sized_shards`` (one column-pruned count) — resolved once here,
+    not per segment, because every segment of an index must share one
+    shard function for the merge/tiered readers.
 
     With ``resume=True`` (default), committed segments are skipped —
     restart-after-kill completes the build with identical bytes (the
@@ -342,6 +369,8 @@ def build_incremental(
     cluster scheduler provides."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+    if n_shards is None:
+        n_shards = sized_shards(spark, pages.select("url").count())
     os.makedirs(_segment_dirs(path), exist_ok=True)
     snaps = [
         r[0]
@@ -645,7 +674,7 @@ def build_index(
     spark: SparkSession,
     pages: DataFrame,
     path: str,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     n_salts: int = 1,
@@ -655,7 +684,8 @@ def build_index(
     ``n_salts`` MUST match between segment builds and merges (block
     ranges align to salt buckets). ``positional=True`` builds the
     phrase/proximity-capable index (position streams ride every
-    segment and the merge)."""
+    segment and the merge). ``n_shards=None`` auto-sizes shards from
+    the corpus (``sized_shards``)."""
     build_incremental(
         spark, pages, path, n_shards, block_size, resume, n_salts=n_salts,
         positional=positional,

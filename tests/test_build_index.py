@@ -247,3 +247,39 @@ def test_partition_sizing_scales_with_data(spark):
     assert encode_partitions(spark, n, 8) == 101
     b = 100 * MERGE_BLOCKS_PER_TASK + 1
     assert merge_partitions(spark, b) == 101
+
+
+def test_sized_shards_floors_and_volume(spark, monkeypatch):
+    """Auto shard sizing: floors at max(min, cores), grows with corpus
+    at SHARD_DOCS_PER_SHARD docs per shard (the r04 oversharding rule)."""
+    from embed_rerank_spark.plans import build_index as bi
+
+    monkeypatch.setattr(bi, "SHARD_DOCS_PER_SHARD", 100)
+    cores = spark.sparkContext.defaultParallelism
+    assert bi.sized_shards(spark, 1) == max(8, cores)
+    big = 100 * (cores + 50)
+    assert bi.sized_shards(spark, big) == cores + 50
+    assert bi.sized_shards(spark, big + 1) == cores + 51
+
+
+def test_build_incremental_auto_shards_consistent_across_segments(
+    spark, pages, tmp_path, monkeypatch
+):
+    """n_shards=None resolves ONCE from the total corpus (not per
+    snapshot segment): every segment manifest carries the same shard
+    count, and the merged index loads/queries normally."""
+    from embed_rerank_spark.plans import build_index as bi
+
+    monkeypatch.setattr(bi, "SHARD_DOCS_PER_SHARD", 200)
+    cores = spark.sparkContext.defaultParallelism
+    want = max(8, cores, -(-N_DOCS // 200))
+    path = str(tmp_path / "autoshards")
+    bi.build_incremental(spark, pages, path, n_shards=None, block_size=32)
+    seen = set()
+    seg_root = f"{path}/segments"
+    snaps = os.listdir(seg_root)
+    assert len(snaps) == 3
+    for snap in snaps:
+        with open(f"{seg_root}/{snap}/MANIFEST.json") as f:
+            seen.add(json.load(f)["n_shards"])
+    assert seen == {want}
