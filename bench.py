@@ -508,15 +508,22 @@ MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
 
 
 def _probe_clean(before: dict, after: dict) -> bool:
-    # both probes inside the healthy band (sub-PROBE_FAST_S) = clean
-    # regardless of their ratio: at the fast end the sort's own
-    # variance (cache state, scheduler placement) spans 2x without any
-    # co-tenant — the ratio test exists to catch a contention EDGE,
-    # which necessarily drives one probe far above the healthy band
+    # Contention can only be witnessed by a probe being SLOW. The r04
+    # campaigns exposed a bimodal fast mode on this host: the sort
+    # probe sometimes lands at 0.33-0.74 s (well BELOW the 1.1-1.6 s
+    # healthy band — idle-box frequency boost / cache luck), and a
+    # 0.5 s -> 2.0 s pair then fails the 2x agreement test even though
+    # both sides sit far under the 3-6x contention band. Six campaign
+    # attempts were vetoed exactly this way while their stronger
+    # in-band signal (phase inversions) was zero every time. Fix:
+    # clamp both probes to the healthy-band floor before the ratio
+    # test — an anomalously FAST probe can never flag a window dirty;
+    # a genuinely slow probe (the contention edge) still does.
     a, b = before["sort20M_s"], after["sort20M_s"]
     if max(a, b) <= PROBE_FAST_S:
         return True
-    return max(a, b) / max(min(a, b), 1e-9) <= PROBE_AGREE and max(a, b) <= PROBE_HEALTHY_S
+    a2, b2 = max(a, PROBE_FAST_S), max(b, PROBE_FAST_S)
+    return max(a2, b2) / min(a2, b2) <= PROBE_AGREE and max(a, b) <= PROBE_HEALTHY_S
 
 
 def main() -> None:

@@ -50,7 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build-index", help="pages table -> inverted index (resumable)")
     b.add_argument("--pages", required=True, help="parquet/Iceberg pages table path")
     b.add_argument("--index", required=True, help="output index directory")
-    b.add_argument("--shards", type=int, default=32)
+    b.add_argument(
+        "--shards", default="32",
+        help="doc shard count, or 'auto' = max(8, cores, ceil(docs/20k)) "
+        "(SPARK_GRAFT_DOCS_PER_SHARD tunes the divisor) — shard count is "
+        "query-time parallelism and should scale with the corpus "
+        "(BENCH/BASELINE.md r04 oversharding)",
+    )
     b.add_argument("--salts", type=int, default=1,
                    help="hot-term range salts (rounded up to a power of two)")
     b.add_argument("--block-size", type=int, default=128)
@@ -712,7 +718,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 pages,
                 args.index,
-                n_shards=args.shards,
+                n_shards=None if args.shards == "auto" else int(args.shards),
                 block_size=args.block_size,
                 resume=not args.no_resume,
                 n_salts=args.salts,
