@@ -2946,6 +2946,27 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+UNIMAX_BUDGET = 40_000
+UNIMAX_EPOCHS = 2
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget waterfill (Chung et al. 2023) over the
+    lang column: small languages capped at UNIMAX_EPOCHS full epochs,
+    the remainder split uniformly among the larger ones — exact bigint
+    arithmetic, allocation table bit-identical to the SQL oracle
+    (operators/sampling.py::unimax_allocation)."""
+    from embed_rerank_spark.functions.udfs import tokenize_for_scoring
+    from embed_rerank_spark.operators.sampling import unimax_allocation
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "dl", F.size(tokenize_for_scoring(F.col("text")))
+    )
+    return unimax_allocation(
+        docs, budget_tokens=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS
+    ).orderBy("lang")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: every doc's (seq_id, offset, n_seqs)
     address under contiguous fill at PACK_SEQ_LEN tokens, md5-shuffled
@@ -4501,6 +4522,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "percolate": q_percolate,
         "temperature_mix": q_temperature_mix,
+        "unimax_mix": q_unimax_mix,
         "pack_sequences": q_pack_sequences,
         "stats_facets": q_stats_facets,
         "span_first": q_span_first,
@@ -8741,6 +8763,39 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM ranked WHERE rank <= {TOP_K}
 """
+    # UniMax waterfill, closed form in SQL (same exact-bigint math and
+    # the same prefix-cappedness law as the Spark operator)
+    unimax_sql = f"""
+WITH lang_tokens AS (
+    SELECT lang, CAST(SUM(len({_TOKENIZE_SQL})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           CAST({UNIMAX_EPOCHS} * n_tokens AS BIGINT) AS cap_tokens,
+           row_number() OVER (ORDER BY n_tokens ASC, lang ASC) AS i,
+           CAST(COALESCE(SUM({UNIMAX_EPOCHS} * n_tokens) OVER (
+               ORDER BY n_tokens ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_before,
+           COUNT(*) OVER () AS n_langs
+    FROM lang_tokens
+),
+flagged AS (
+    SELECT *, (cap_tokens * (n_langs - i + 1) <= {UNIMAX_BUDGET} - p_before) AS capped
+    FROM ranked
+),
+kk AS (
+    SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS k,
+           COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0) AS p_k
+    FROM flagged
+)
+SELECT f.lang, f.n_tokens, f.cap_tokens,
+       CAST(CASE WHEN f.capped THEN f.cap_tokens
+            ELSE ({UNIMAX_BUDGET} - kk.p_k) // (f.n_langs - kk.k) END AS BIGINT)
+         AS allocated_tokens,
+       f.capped
+FROM flagged f CROSS JOIN kk
+"""
     # Re-derives the cross-encoder-lite scores as pooled @ w over the
     # engine-materialized pooled pseudo-embeddings (see q_rerank_topk):
     # the embedding stage is the engine's own (not SQL-expressible), but
@@ -9828,6 +9883,7 @@ FROM hist h JOIN chosen c USING (query_id, interval)
         "significant_terms": significant_terms_sql,
         "percolate": percolate_sql,
         "temperature_mix": temperature_mix_sql,
+        "unimax_mix": unimax_sql,
         "pack_sequences": pack_sequences_sql,
         "stats_facets": stats_facets_sql,
         "span_first": span_first_sql,

@@ -295,6 +295,18 @@ def main(argv: list[str] | None = None) -> int:
     tm.add_argument("--budget", type=int, required=True, help="total docs to keep")
     tm.add_argument("--domain-col", default="source")
 
+    um = sub.add_parser(
+        "unimax-mix",
+        help="UniMax language-budget waterfill: small languages capped "
+        "at --epochs full passes, the rest split the remaining token "
+        "budget uniformly (allocation table out)",
+    )
+    um.add_argument("--corpus", required=True, help="parquet doc table")
+    um.add_argument("--out", required=True)
+    um.add_argument("--budget", type=int, required=True, help="total token budget")
+    um.add_argument("--epochs", type=int, default=1, help="max epochs per language")
+    um.add_argument("--lang-col", default="lang")
+
     pk = sub.add_parser(
         "pack",
         help="training-sequence packing: assign every doc its "
@@ -1000,6 +1012,18 @@ def main(argv: list[str] | None = None) -> int:
             corpus = spark.read.parquet(args.corpus)
             out = temperature_mix(
                 corpus, args.alpha, args.budget, domain_col=args.domain_col
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        elif args.cmd == "unimax-mix":
+            from .functions.udfs import tokenize_for_scoring
+            from .operators.sampling import unimax_allocation
+
+            corpus = spark.read.parquet(args.corpus).withColumn(
+                "dl", F.size(tokenize_for_scoring(F.col("text")))
+            )
+            out = unimax_allocation(
+                corpus, args.budget, max_epochs=args.epochs, lang_col=args.lang_col
             )
             out.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

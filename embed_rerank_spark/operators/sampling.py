@@ -251,3 +251,81 @@ def temperature_mix(
         .drop("_rk", "target")
     )
     return under.unionByName(over).drop("_mixb")
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 1,
+    lang_col: str = "lang",
+    dl_col: str = "dl",
+) -> DataFrame:
+    """(lang, n_tokens, cap_tokens, allocated_tokens, capped): UniMax
+    language-budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining") — the waterfilling alternative to ``temperature_mix``:
+    visit languages smallest-first; a language whose full
+    ``max_epochs``-epoch corpus fits under an equal split of the
+    remaining budget is capped at ``cap = max_epochs * n_tokens``;
+    from the first language that exceeds its equal split onward, every
+    remaining (larger) language receives the same uniform share.
+
+    Closed form (mirrored exactly by the SQL oracle): rank languages
+    by n_tokens asc (lang asc ties); with P_{i-1} the running sum of
+    caps before rank i and L the language count, language i is capped
+    iff ``cap_i * (L - i + 1) <= B - P_{i-1}``. Cappedness is a prefix
+    property (for the first uncapped i0 and any j > i0:
+    B - P_{j-1} <= B - P_{i0-1} - (j-i0)*cap_i0 < cap_i0*(L-j+1)
+    <= cap_j*(L-j+1)), so k = #capped and the uncapped share is
+    ``(B - P_k) div (L - k)`` — which the same argument shows is
+    strictly below every uncapped language's cap. All arithmetic is
+    exact bigint (``div``, no float division), bit-identical across
+    engines.
+
+    Scale shape: one combinable agg over the corpus; the waterfill
+    itself runs on the LANGUAGE table — planning-sized by definition
+    (the single-partition windows below see one row per language,
+    which is why the unpartitioned Window is acceptable here)."""
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(dl_col).cast("long").alias("n_tokens")
+    )
+    b = int(budget_tokens)
+    w_rank = Window.orderBy(F.asc("n_tokens"), F.asc("lang"))
+    ranked = (
+        counts.withColumn(
+            "cap_tokens", (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("long")
+        )
+        .withColumn("i", F.row_number().over(w_rank))
+        .withColumn(
+            "p_before",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("i") + 1)
+        <= F.lit(b) - F.col("p_before"),
+    )
+    k_row = flagged.agg(
+        F.coalesce(F.max(F.when(F.col("capped"), F.col("i"))), F.lit(0)).alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("p_k"),
+        F.max("n_langs").alias("n_langs2"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(k_row))
+        .withColumn(
+            "allocated_tokens",
+            F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+                F.expr("div(" + str(b) + " - p_k, n_langs2 - k)")
+            ).cast("long"),
+        )
+        .select("lang", "n_tokens", "cap_tokens", "allocated_tokens", "capped")
+    )

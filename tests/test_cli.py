@@ -922,3 +922,29 @@ def test_cli_incremental_dedup_requires_delta(capsys):
         ])
     assert exc.value.code == 2
     assert "--delta is required" in capsys.readouterr().err
+
+
+def test_cli_unimax_mix(spark, tmp_path):
+    import embed_rerank_spark.cli as cli
+
+    docs = spark.createDataFrame(
+        [(i, "aa " * ((i % 3 + 1) * 5), ["de", "fr", "en"][i % 3]) for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "corpus"))
+    prev_stop = spark.__dict__.get("stop")
+    spark.stop = lambda: None
+    try:
+        assert cli.main([
+            "unimax-mix", "--corpus", str(tmp_path / "corpus"),
+            "--out", str(tmp_path / "alloc"), "--budget", "300", "--epochs", "2",
+        ]) == 0
+    finally:
+        if prev_stop is None:
+            spark.__dict__.pop("stop", None)
+        else:
+            spark.stop = prev_stop
+    alloc = {r.lang: r for r in spark.read.parquet(str(tmp_path / "alloc")).collect()}
+    assert set(alloc) == {"de", "fr", "en"}
+    assert all(r.allocated_tokens <= r.cap_tokens for r in alloc.values())
+    assert sum(r.allocated_tokens for r in alloc.values()) <= 300

@@ -92,3 +92,53 @@ def test_select_token_budget_prefix_rule(spark):
     assert out == want and out
     # budget respected up to one doc of overshoot (greedy prefix rule)
     assert max(out.values()) < budget
+
+
+def test_unimax_allocation_hand_computed(spark):
+    """Waterfill against a hand computation: caps are prefix-monotone,
+    capped langs get full epochs, the rest split the remainder."""
+    from embed_rerank_spark.operators.sampling import unimax_allocation
+
+    # per-lang token masses: a=100, b=200, c=1000, d=5000
+    rows = [("a", 100), ("b", 200), ("c", 1000), ("d", 5000)]
+    docs = spark.createDataFrame(
+        [(f"{lang}{i}", lang, n // 10) for lang, n in rows for i in range(10)],
+        "doc_id string, lang string, dl long",
+    )
+    # E=2, B=3000: caps 200,400,2000,10000
+    # i=1 a: 200*4=800  <= 3000           -> capped (alloc 200)
+    # i=2 b: 400*3=1200 <= 2800           -> capped (alloc 400)
+    # i=3 c: 2000*2=4000 > 2400           -> uncapped
+    # share = (3000 - 600) div 2 = 1200 for c and d
+    got = {
+        r.lang: (r.n_tokens, r.cap_tokens, r.allocated_tokens, r.capped)
+        for r in unimax_allocation(docs, budget_tokens=3000, max_epochs=2).collect()
+    }
+    assert got == {
+        "a": (100, 200, 200, True),
+        "b": (200, 400, 400, True),
+        "c": (1000, 2000, 1200, False),
+        "d": (5000, 10000, 1200, False),
+    }
+    # budget beyond E*total: everything capped, budget left on the table
+    all_capped = unimax_allocation(docs, budget_tokens=10**9, max_epochs=2).collect()
+    assert all(r.capped and r.allocated_tokens == r.cap_tokens for r in all_capped)
+    # tiny budget: nothing capped, uniform split
+    tiny = unimax_allocation(docs, budget_tokens=7, max_epochs=2).collect()
+    assert all((not r.capped) and r.allocated_tokens == 1 for r in tiny)
+
+
+def test_unimax_total_never_exceeds_budget(spark):
+    from embed_rerank_spark.operators.sampling import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(str(i), f"l{i % 7}", (i * 37) % 400 + 1) for i in range(200)],
+        "doc_id string, lang string, dl long",
+    )
+    for budget in (50, 500, 5000, 50000):
+        out = unimax_allocation(docs, budget_tokens=budget, max_epochs=3).collect()
+        total_cap = sum(r.cap_tokens for r in out)
+        spent = sum(r.allocated_tokens for r in out)
+        assert spent <= min(budget, total_cap)
+        # every allocation respects its epoch cap
+        assert all(r.allocated_tokens <= r.cap_tokens for r in out)
