@@ -957,3 +957,39 @@ def incremental_minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "pair_kind")
     )
+
+
+def streaming_exact_dedup(
+    stream_docs: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    key: str = "content",
+    url_col: str = "url",
+) -> DataFrame:
+    """First-arrival-wins exact dedup ON THE INGEST STREAM: drop a
+    page whose content digest (``key="content"``, sha256 over the text
+    column, computed JVM-side) or url (``key="url"``) was already seen
+    within the watermark horizon — the dedup-at-the-door stage of a
+    continuous crawl, upstream of ``plans/streaming_ingest``.
+
+    Built on ``dropDuplicatesWithinWatermark``: dedup state is BOUNDED
+    by the watermark horizon, which is the only shape that survives at
+    100 TB/day (an unbounded seen-set would grow forever); re-crawls
+    that recur beyond the horizon are deliberately let through and
+    handled by the batch machinery downstream (``exact_dedup`` /
+    ``incremental_minhash_dedup`` on the sealed segments, newest-wins
+    versioning at query time) — the streaming stage exists to stop the
+    short-horizon duplicate storm (mirrors, re-queued fetches) before
+    it inflates segment builds."""
+    if key == "content":
+        keyed = stream_docs.withColumn("_dd", F.sha2(F.col(text_col), 256))
+    elif key == "url":
+        keyed = stream_docs.withColumn("_dd", F.col(url_col))
+    else:
+        raise ValueError(f"key must be 'content' or 'url', got {key!r}")
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dd"])
+        .drop("_dd")
+    )

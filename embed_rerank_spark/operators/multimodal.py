@@ -113,13 +113,16 @@ def decode_image(payload: bytes) -> np.ndarray:
     ihdr = None
     palette = None
     idat = bytearray()
-    for tag, data in _png_chunks(payload):
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"PLTE":
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(data)
+    try:
+        for tag, data in _png_chunks(payload):
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif tag == b"PLTE":
+                palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat.extend(data)
+    except struct.error as ex:
+        raise ValueError(f"PNG structure corrupt: {ex}") from ex
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
@@ -130,7 +133,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         )
     channels = _PNG_CHANNELS[color_type]
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG IDAT stream corrupt: {ex}") from ex
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)

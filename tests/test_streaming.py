@@ -190,3 +190,54 @@ def test_stateful_sessionizer_out_of_order_within_watermark(spark, tmp_path):
     first = (1, int(t(11, 58).timestamp()), 3, int(t(12, 5).timestamp()))
     assert first in got, sorted(got)
     assert got <= want, sorted(got - want)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Dedup-at-the-door: the content-digest stream dedup keeps exactly
+    one row per distinct text (within the watermark horizon), matching
+    the batch distinct-digest set."""
+    from embed_rerank_spark.operators.dedup import streaming_exact_dedup
+
+    rows = []
+    for i in range(40):
+        text = f"page body {i % 15}"  # 15 distinct contents, heavy dup storm
+        rows.append((f"http://u{i}", f"2024-01-01 10:{i:02d}:00", text))
+    src = spark.createDataFrame(rows, "url string, ts_str string, text string") \
+        .withColumn("warc_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    d = tmp_path / "pages_stream"
+    src.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    q = (
+        streaming_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").collect()
+    # one survivor per distinct content; helper column dropped
+    assert len(got) == 15
+    assert len({r.text for r in got}) == 15
+    assert set(got[0].asDict()) == {"url", "text", "warc_ts"}
+
+    # url-keyed variant: all 40 urls are distinct -> nothing dropped
+    q2 = (
+        streaming_exact_dedup(stream, watermark="10 minutes", key="url")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_url")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("select count(*) n from dedup_stream_url").first().n == 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_exact_dedup(stream, key="nope")

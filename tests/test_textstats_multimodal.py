@@ -326,3 +326,52 @@ def test_domain_stats_hand_built(spark):
     assert out["b.org"]["dup_docs"] == 0
     q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
     assert abs(out["a.com"]["mean_quality"] - round((q[1] + q[2] + q[3]) / 3, 6)) < 1e-6
+
+
+def test_png_wav_fuzz_roundtrip_and_malformed():
+    """Hypothesis fuzz: arbitrary small images/waveforms round-trip
+    exactly; mangled payloads raise ValueError (never crash)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_case(w, h, c, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        payload = multimodal.png_encode(px)
+        np.testing.assert_array_equal(multimodal.decode_image(payload), px)
+        assert multimodal.image_dimensions(payload) == ("png", w, h)
+        # truncation anywhere after the signature must raise, not crash
+        cut = len(payload) // 2
+        try:
+            multimodal.decode_image(payload[:cut])
+        except ValueError:
+            pass
+        except Exception as ex:  # zlib/struct leakage would be a bug
+            raise AssertionError(f"non-ValueError on truncated PNG: {ex!r}") from ex
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_case(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32767, size=(n, ch)).astype(np.int16)
+        payload = multimodal.wav_encode(samples, rate)
+        got = multimodal.decode_audio(payload)
+        assert got.shape == (n, ch)
+        np.testing.assert_allclose(got, samples / 32768.0, atol=1e-6)
+        sr, nch, ns, _dur = multimodal.wav_info(payload)
+        assert (sr, nch, ns) == (rate, ch, n)
+
+    png_case()
+    wav_case()
