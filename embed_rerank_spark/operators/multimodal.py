@@ -404,6 +404,40 @@ def sample_frames(
     )
 
 
+def fake_media_row(seed: int, i: int) -> dict:
+    """One deterministic fake-media row (pure Python, no Spark):
+    payload bytes derived from (seed, id) via Philox so any caller —
+    the distributed generator below or a driver-side expectation
+    builder — reproduces identical bytes for the same id."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, int(i)]))
+    kind = ["image", "audio", "video"][int(i) % 3]
+    if kind == "image":
+        w = int(rng.integers(4, 33))
+        h = int(rng.integers(4, 33))
+        payload = png_encode(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        dur = 0
+    elif kind == "audio":
+        rate = 8000
+        n_samp = int(rng.integers(80, 800))
+        payload = wav_encode(rng.uniform(-1, 1, size=n_samp).astype(np.float32), rate)
+        w = h = 0
+        dur = int(round(n_samp * 1000.0 / rate))
+    else:
+        payload = rng.bytes(int(rng.integers(200, 2000)))
+        w = int(rng.integers(64, 1920))
+        h = int(rng.integers(64, 1080))
+        dur = int(rng.integers(1000, 60000))
+    return {
+        "media_id": int(i),
+        "kind": kind,
+        "payload": payload,
+        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        "width": w,
+        "height": h,
+        "duration_ms": dur,
+    }
+
+
 def generate_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench: payload bytes
     derived from the id (content-addressable, like real media).
@@ -412,7 +446,7 @@ def generate_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
     decoders and header parsers run against genuine containers;
     video rows stay opaque bytes (MP4 decode is out of scope) with
     declared metadata only."""
-    kinds = ["image", "audio", "video"]
+    cols = ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
 
     def gen(batches):
         import pyarrow as pa
@@ -430,40 +464,88 @@ def generate_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
         )
         for batch in batches:
             ids = batch.column("id").to_numpy()
-            rows = {k: [] for k in ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]}
+            rows = {k: [] for k in cols}
             for i in ids:
-                rng = np.random.Generator(np.random.Philox(key=[seed, int(i)]))
-                kind = kinds[int(i) % 3]
-                if kind == "image":
-                    w = int(rng.integers(4, 33))
-                    h = int(rng.integers(4, 33))
-                    payload = png_encode(
-                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    )
-                    dur = 0
-                elif kind == "audio":
-                    rate = 8000
-                    n_samp = int(rng.integers(80, 800))
-                    payload = wav_encode(
-                        rng.uniform(-1, 1, size=n_samp).astype(np.float32), rate
-                    )
-                    w = h = 0
-                    dur = int(round(n_samp * 1000.0 / rate))
-                else:
-                    payload = rng.bytes(int(rng.integers(200, 2000)))
-                    w = int(rng.integers(64, 1920))
-                    h = int(rng.integers(64, 1080))
-                    dur = int(rng.integers(1000, 60000))
-                rows["media_id"].append(int(i))
-                rows["kind"].append(kind)
-                rows["payload"].append(payload)
-                rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["duration_ms"].append(dur)
+                row = fake_media_row(seed, int(i))
+                for k in cols:
+                    rows[k].append(row[k])
             yield pa.RecordBatch.from_pydict(rows, schema=out_schema)
 
     return spark.range(0, n).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def expected_media_pipeline(
+    n: int, seed: int = 42, every_ms: int = 1000, max_frames: int = 16
+) -> pd.DataFrame:
+    """Driver-side ground-truth mirror of the full media pipeline over
+    the deterministic fake corpus: regenerates each payload locally
+    (``fake_media_row``), then computes declared metadata, md5 digest,
+    header parse (same codecs, invoked as plain functions), the
+    sha256-seeded feature sqnorm, and the frame-plan count — WITHOUT
+    Spark.  Materialized to parquet as the DuckDB oracle for
+    ``media_pipeline``, turning its rows-only check into a value check
+    of the distributed path (Arrow batching, mapInPandas decode, JVM
+    metadata, joins) against an independently-executed local
+    reference."""
+    out: dict[str, list] = {
+        k: []
+        for k in [
+            "media_id", "kind", "mime", "n_bytes", "content_md5",
+            "width", "height", "duration_ms", "feat_sqnorm", "fmt",
+            "parsed_width", "parsed_height", "parsed_duration_ms",
+            "header_ok", "n_frames",
+        ]
+    }
+    for i in range(n):
+        row = fake_media_row(seed, i)
+        payload = row["payload"]
+        # unparseable/opaque rows use sentinels (-1 / 'raw'), not NULL:
+        # nullable ints materialize as float64 in pandas on either side
+        # of the driver's dtype-sensitive compare, so the contract
+        # query coalesces the same way.
+        fmt, w, h, dur = "raw", -1, -1, -1
+        ok = False
+        try:
+            if row["kind"] == "image":
+                fmt, w, h = image_dimensions(payload)
+                ok = True
+            elif row["kind"] == "audio":
+                _rate, _ch, _nsamp, dur = wav_info(payload)
+                fmt = "wav"
+                ok = True
+        except (ValueError, struct.error):
+            pass
+        feats = deterministic_fake_features(payload)
+        n_frames = 0
+        if row["kind"] == "video":
+            n_frames = min(max(row["duration_ms"] // every_ms, 1), max_frames)
+        out["media_id"].append(row["media_id"])
+        out["kind"].append(row["kind"])
+        out["mime"].append(row["mime"])
+        out["n_bytes"].append(len(payload))
+        out["content_md5"].append(hashlib.md5(payload).hexdigest())
+        out["width"].append(row["width"])
+        out["height"].append(row["height"])
+        out["duration_ms"].append(row["duration_ms"])
+        # sequential left-fold in float64, exactly Spark's F.aggregate
+        acc = 0.0
+        for x in feats.tolist():
+            acc += x * x
+        out["feat_sqnorm"].append(round(acc, 3))
+        out["fmt"].append(fmt)
+        out["parsed_width"].append(w)
+        out["parsed_height"].append(h)
+        out["parsed_duration_ms"].append(dur)
+        out["header_ok"].append(ok)
+        out["n_frames"].append(n_frames)
+    pdf = pd.DataFrame(out)
+    for c in (
+        "width", "height", "duration_ms",
+        "parsed_width", "parsed_height", "parsed_duration_ms", "n_bytes",
+    ):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["n_frames"] = pdf["n_frames"].astype("int64")
+    return pdf
 
 
 def parse_media_headers(media: DataFrame, batch_rows: int = 64) -> DataFrame:
