@@ -458,6 +458,51 @@ def run_suite(cpus: int, n_pages: int) -> dict:
         ).parquet(f"{tmp}/wand_tiered")
         tiered["wand_tiered_topk"] = round(time.perf_counter() - t0, 3)
         timings["_tiered"] = tiered  # side-channel, popped by main()
+
+        # --- ranking-quality regression block (reference harness
+        # semantics, tools/tests/quality-rerank-only.py): MRR@10 /
+        # nDCG@10 / recall@10 / MAP@10 of the engine's WAND top-10
+        # against a FIXED deterministic judgment set over the bench
+        # corpus — a tracked per-round metric so a scoring regression
+        # (not just a latency one) is visible round-over-round.
+        # Scores, not seconds: reported under "quality", which the
+        # --compare latency gate deliberately ignores.
+        from embed_rerank_spark.functions.quality import quality_summary  # noqa: PLC0415
+
+        ranking = wand_topk(index, qb, k=10).select("query_id", "rank", "doc_id")
+        qids = ranking.select("query_id").distinct()
+        judgments = (
+            qids.crossJoin(index.doc_stats.select("doc_id"))
+            .select(
+                "query_id",
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") + F.col("query_id")) % 5 == 0,
+                    (F.col("doc_id") + F.col("query_id") * 3) % 3 + 1,
+                )
+                .otherwise(F.lit(0))
+                .alias("rel"),
+            )
+            .filter(F.col("rel") > 0)
+        )
+        qrow = (
+            quality_summary(ranking, judgments, k=10, queries=qids)
+            .agg(
+                F.avg("rr").alias("mrr"),
+                F.avg("ndcg").alias("ndcg"),
+                F.avg("recall").alias("recall"),
+                F.avg("ap").alias("map"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        timings["_quality"] = {
+            "mrr_at_10": round(float(qrow["mrr"]), 6),
+            "ndcg_at_10": round(float(qrow["ndcg"]), 6),
+            "recall_at_10": round(float(qrow["recall"]), 6),
+            "map_at_10": round(float(qrow["map"]), 6),
+            "n_queries": int(qrow["n"]),
+        }
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -546,6 +591,7 @@ def main() -> None:
         probe_after = host_health_probe()
         tiered = timings.pop("_tiered", {})
         extra = timings.pop("_extra", {})
+        quality = timings.pop("_quality", {})
         total = sum(timings.values())
         attempts.append(
             {
@@ -553,6 +599,7 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "tiered": tiered,
                 "extra": extra,
+                "quality": quality,
                 "host_health": {"before": probe_before, "after": probe_after},
                 "clean": _probe_clean(probe_before, probe_after),
                 "attempt": attempt,
@@ -582,6 +629,7 @@ def main() -> None:
         "wand_qps": round(N_QUERIES / chosen["queries"]["wand_topk"], 2),
         "tiered": chosen["tiered"],
         "extra": chosen["extra"],
+        "quality": chosen["quality"],
         "host_health": chosen["host_health"],
         "probe_clean": chosen["clean"],
         "attempts": [
@@ -616,13 +664,16 @@ def compare_with_prior(out: dict, prior_path: str, threshold: float = 1.3) -> di
     def _phases(d: dict) -> dict:
         flat = dict(d.get("queries", {}))
         flat.update(d.get("tiered", {}))
-        # extras include non-timing values (byte counts); keep *_s-like
-        # timings only by excluding known non-second keys
+        # extras mix timings with other units; any NON-timing extra must
+        # carry one of these suffixes (bigger-is-better or unit-typed
+        # values compared as latencies would mis-flag improvements as
+        # regressions)
+        non_timing = ("_bytes", "_qps", "_count", "_rows", "_ratio", "_pct", "_eff")
         flat.update(
             {
                 k: v
                 for k, v in d.get("extra", {}).items()
-                if isinstance(v, (int, float)) and not k.endswith("_bytes")
+                if isinstance(v, (int, float)) and not k.endswith(non_timing)
             }
         )
         return flat

@@ -29,6 +29,23 @@ import sys
 from pyspark.sql import functions as F
 
 
+def _int_or_auto(value: str):
+    """argparse type for --shards: a positive int or the literal
+    'auto' (case-insensitive) — bad input exits with a usage error
+    BEFORE any Spark session starts."""
+    if value.strip().lower() == "auto":
+        return None
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {value!r}"
+        ) from None
+    if n <= 0:
+        raise argparse.ArgumentTypeError(f"shard count must be positive, got {n}")
+    return n
+
+
 def _read_queries(path: str) -> list[tuple[int, str]]:
     """TSV ``query_id<TAB>query text`` (one per line)."""
     out = []
@@ -51,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--pages", required=True, help="parquet/Iceberg pages table path")
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument(
-        "--shards", default="32",
+        "--shards", default=32, type=_int_or_auto,
         help="doc shard count, or 'auto' = max(8, cores, ceil(docs/20k)) "
         "(SPARK_GRAFT_DOCS_PER_SHARD tunes the divisor) — shard count is "
         "query-time parallelism and should scale with the corpus "
@@ -730,7 +747,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 pages,
                 args.index,
-                n_shards=None if args.shards == "auto" else int(args.shards),
+                n_shards=args.shards,
                 block_size=args.block_size,
                 resume=not args.no_resume,
                 n_salts=args.salts,

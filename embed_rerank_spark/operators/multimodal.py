@@ -15,9 +15,10 @@ dimensions/metadata still parse.
 Pattern at 100 TB: media bytes stay in their own column/files; all
 shuffles move (id, metadata, features), never the bytes — only the
 feature-extract / header-probe stages scan the binary column, via
-mapInPandas with small Arrow batches
-(``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned down so a
-batch of images fits executor memory).
+mapInPandas with small Arrow batches (wrap the action in
+``arrow_batch_rows`` so ``spark.sql.execution.arrow.maxRecordsPerBatch``
+is tuned down WHILE the query runs and a batch of images fits executor
+memory).
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -267,7 +269,10 @@ def _wav_chunks(payload: bytes) -> tuple[tuple, int]:
         tag = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if tag == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+            chunk = payload[i + 8 : i + 24]
+            if len(chunk) < 16:  # documented error type, not struct.error
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", chunk)
         elif tag == b"data":
             data_len = min(size, n - i - 8)
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -291,7 +296,10 @@ def decode_audio(payload: bytes) -> np.ndarray:
         tag = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if tag == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+            chunk = payload[i + 8 : i + 24]
+            if len(chunk) < 16:  # documented error type, not struct.error
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", chunk)
         elif tag == b"data":
             data = payload[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
@@ -356,11 +364,32 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(
-    media: DataFrame, dim: int = FEATURE_DIM, batch_rows: int = 64
-) -> DataFrame:
+@contextmanager
+def arrow_batch_rows(spark, batch_rows: int):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` around an
+    ACTION.  Spark reads this conf at query execution time, so setting
+    it while merely BUILDING a lazy plan (the old pattern here) was a
+    no-op — wrap the ``.collect()`` / ``.write`` / ``.toPandas()`` that
+    actually scans media bytes:
+
+        with arrow_batch_rows(spark, 64):
+            feats.collect()
+    """
+    cfg = spark.conf
+    old = cfg.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    try:
+        yield
+    finally:
+        cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """(media_id, features: array<float>): mapInPandas over the binary
-    column in small batches (the only stage that touches bytes)."""
+    column (the only stage that touches bytes).  Batch-size memory
+    bounding is the CALLER's action-scope concern: wrap the action in
+    ``arrow_batch_rows(spark, n)`` — a conf set at plan-build time does
+    not survive to execution."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -370,16 +399,9 @@ def extract_features(
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    cfg = media.sparkSession.conf
-    old = cfg.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-    try:
-        out = media.select("media_id", "payload").mapInPandas(
-            run, "media_id long, features array<float>"
-        )
-    finally:
-        cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    return out
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, features array<float>"
+    )
 
 
 def sample_frames(
@@ -548,13 +570,14 @@ def expected_media_pipeline(
     return pdf
 
 
-def parse_media_headers(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def parse_media_headers(media: DataFrame) -> DataFrame:
     """(media_id, kind, fmt, parsed_width, parsed_height,
     parsed_duration_ms, header_ok): struct-level container probe over
     the binary column — PNG/JPEG/GIF dimensions, WAV duration —
-    via mapInPandas in small Arrow batches (same byte-scanning stage
-    discipline as ``extract_features``: bytes never shuffle, only the
-    parsed metadata comes back). Rows whose payload doesn't parse
+    via mapInPandas (same byte-scanning stage discipline as
+    ``extract_features``: bytes never shuffle, only the parsed
+    metadata comes back; wrap the ACTION in ``arrow_batch_rows`` to
+    bound batch memory). Rows whose payload doesn't parse
     (e.g. the opaque video fakes) come back header_ok=false with null
     fields — the quarantine signal a 100 TB ingest uses to route
     corrupt/unsupported media out of the pipeline."""
@@ -590,18 +613,11 @@ def parse_media_headers(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 out["header_ok"].append(ok)
             yield pd.DataFrame(out)
 
-    cfg = media.sparkSession.conf
-    old = cfg.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-    try:
-        out = media.select("media_id", "kind", "payload").mapInPandas(
-            run,
-            "media_id long, kind string, fmt string, parsed_width int, "
-            "parsed_height int, parsed_duration_ms int, header_ok boolean",
-        )
-    finally:
-        cfg.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    return out
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run,
+        "media_id long, kind string, fmt string, parsed_width int, "
+        "parsed_height int, parsed_duration_ms int, header_ok boolean",
+    )
 
 
 def media_exact_dedup(media: DataFrame) -> DataFrame:

@@ -924,6 +924,34 @@ def test_cli_incremental_dedup_requires_delta(capsys):
     assert "--delta is required" in capsys.readouterr().err
 
 
+def test_cli_shards_bad_value_is_usage_error(capsys):
+    """--shards takes an int or 'auto'; anything else exits 2 from
+    argparse before a Spark session ever starts (not a ValueError
+    traceback from int() mid-run)."""
+    import embed_rerank_spark.cli as cli
+
+    for bad in ("3 2", "fast", "0", "-4"):
+        with pytest.raises(SystemExit) as exc:
+            cli.main([
+                "build-index", "--pages", "/nonexistent",
+                "--index", "/nonexistent-out", "--shards", bad,
+            ])
+        assert exc.value.code == 2, bad
+    err = capsys.readouterr().err
+    assert "integer or 'auto'" in err or "positive" in err
+
+
+def test_cli_shards_accepts_auto_and_int():
+    """'auto' (any case) parses to None (sized_shards rule); ints pass
+    through — parse-level check, no Spark."""
+    import embed_rerank_spark.cli as cli
+
+    assert cli._int_or_auto("auto") is None
+    assert cli._int_or_auto("AUTO") is None
+    assert cli._int_or_auto("Auto ") is None  # case/space tolerant
+    assert cli._int_or_auto("128") == 128
+
+
 def test_cli_unimax_mix(spark, tmp_path):
     import embed_rerank_spark.cli as cli
 

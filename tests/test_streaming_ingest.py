@@ -110,3 +110,64 @@ def test_empty_batch_commits_nothing(spark, staged, tmp_path):
     empty = generate_pages(spark, 10, seed=1, n_snapshots=1).limit(0)
     ingest(empty, 0)
     assert committed_snapshots(idx_path) == set()
+
+
+def test_dedup_at_the_door_composed_with_ingest(spark, tmp_path):
+    """The production ingest chain in ONE pipeline: duplicate-storm
+    pages stream -> streaming_exact_dedup (dedup-at-the-door) ->
+    exactly-once L0 segment ingest -> tiered index, with WAND top-k
+    rank-identical to a batch build over the batch-dedup'd corpus.
+    Duplicates are injected both inside one file and across files, so
+    the dedup state provably carries across micro-batches."""
+    from embed_rerank_spark.operators.dedup import streaming_exact_dedup
+
+    base = generate_pages(spark, 300, seed=29, n_snapshots=1, vocab_size=50)
+    # exact-row duplicate storm: 2x a third of the corpus, so whichever
+    # arrival survives, the surviving rows are byte-identical
+    dups = base.filter(F.col("url").isNotNull()).limit(100)
+    storm = base.unionAll(dups).unionAll(dups)
+    src = str(tmp_path / "incoming")
+    storm.repartition(6).write.parquet(src)  # 6 files -> 6 micro-batches
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped_stream = streaming_exact_dedup(stream, watermark="365 days")
+    idx_path = str(tmp_path / "index")
+    q = start_streaming_ingest(
+        deduped_stream,
+        idx_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        n_shards=4,
+        fanout=3,
+    )
+    q.awaitTermination(300)
+
+    assert len(committed_snapshots(idx_path)) >= 2
+    streamed = load_tiered(spark, idx_path)
+    got = _rows(wand_topk(streamed, QUERIES, k=10))
+
+    # batch reference: dedup the static corpus the same way (exact
+    # content identity; rows are identical so survivor choice is moot),
+    # then one-shot build
+    batch_clean = extract_pages(
+        spark.read.parquet(src).dropDuplicates(["text"])
+    ).filter(F.col("error").isNull() & (F.col("dl") > 0))
+    built = build_postings(batch_clean, n_shards=4)
+    cs = built["corpus_stats"].collect()[0]
+    batch_index = InvertedIndex(
+        postings=built["postings"],
+        term_stats=built["term_stats"],
+        doc_stats=built["doc_stats"],
+        n_docs=cs["n_docs"],
+        avgdl=float(cs["avgdl"]),
+    )
+    expect = _rows(wand_topk(batch_index, QUERIES, k=10))
+    assert got == expect
+    assert len(got) > 0
+    # the index must hold the DEDUP'D doc count (no duplicate storm
+    # inflation): 300 distinct pages minus extraction quarantine
+    assert streamed.n_docs == batch_index.n_docs

@@ -221,6 +221,13 @@ def test_wav_roundtrip_and_info():
         multimodal.decode_audio(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         multimodal.decode_image(payload)  # wav is not an image
+    # fmt chunk shorter than 16 bytes: documented ValueError, never a
+    # leaked struct.error (direct callers rely on the exception type)
+    truncated = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x08\x00\x00\x00" + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(truncated)
+    with pytest.raises(ValueError):
+        multimodal.wav_info(truncated)
 
 
 def test_parse_media_headers_matches_declared(spark, media):
