@@ -55,7 +55,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (thousands on a real cluster; 32 here). Env-overridable so the
 # oversharding experiment (shards >> cores, emulating "shard count
 # scales with the corpus" on a fixed-core box) can be measured.
-N_SHARDS = int(os.environ.get("SPARK_GRAFT_SHARDS", "32"))
+# int, or None for the pinned corpus-scaled rule (sized_shards:
+# max(8, cores, ceil(docs/20k))) — SPARK_GRAFT_SHARDS=auto
+_SHARDS_ENV = os.environ.get("SPARK_GRAFT_SHARDS", "32")
+N_SHARDS = None if _SHARDS_ENV.strip().lower() == "auto" else int(_SHARDS_ENV)
 RERANK_HIDDEN = 1024
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_QUERIES", "256"))
 # scaling mode needs a compute-bound workload: identical input at both
@@ -110,7 +113,13 @@ def run_suite(cpus: int, n_pages: int) -> dict:
     from embed_rerank_spark.sources.pages import generate_pages
 
     spark = get_spark(app_name="embed-rerank-bench", cores=cpus)
-    timings: dict[str, float] = {}
+    # resolve 'auto' through the pinned rule so every build in the
+    # suite (main index, positional, next-word, impact, snap5 segment)
+    # runs the shard count the rule itself produces
+    from embed_rerank_spark.plans.build_index import sized_shards
+
+    eff_shards = N_SHARDS if N_SHARDS is not None else sized_shards(spark, n_pages)
+    timings: dict[str, float] = {"_n_shards": eff_shards}
     tmp = tempfile.mkdtemp(prefix="erspark_bench_")
     try:
         pages = generate_pages(spark, n_pages, seed=42, n_snapshots=4)
@@ -134,7 +143,7 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             timings["extract"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        build_incremental(spark, pages, f"{tmp}/index", n_shards=N_SHARDS, resume=False)
+        build_incremental(spark, pages, f"{tmp}/index", n_shards=eff_shards, resume=False)
         timings["index_build"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -228,7 +237,7 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             write_index(
                 build_positional_postings(
                     spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text"),
-                    n_shards=N_SHARDS,
+                    n_shards=eff_shards,
                 ),
                 f"{tmp}/posindex",
             )
@@ -258,7 +267,7 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             write_index(
                 build_combined_phrase_index(
                     spark.read.parquet(f"{tmp}/extracted").select("doc_id", "text"),
-                    n_shards=N_SHARDS,
+                    n_shards=eff_shards,
                 ),
                 f"{tmp}/nwindex",
             )
@@ -395,7 +404,7 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             t0 = time.perf_counter()
             idict = impact_dictionary(docs_tbl, score_col="n_chars")
             ibuilt = build_postings(
-                with_impact_ids(docs_tbl, idict), n_shards=N_SHARDS
+                with_impact_ids(docs_tbl, idict), n_shards=eff_shards
             )
             ibuilt["postings"].write.mode("overwrite").parquet(f"{tmp}/impact_postings")
             idict.write.mode("overwrite").parquet(f"{tmp}/impact_dict")
@@ -447,7 +456,7 @@ def run_suite(cpus: int, n_pages: int) -> dict:
             "warc_ts", F.lit(BASE_DAY + dt.timedelta(days=4))
         )
         t0 = time.perf_counter()
-        build_segment(spark, extra, f"{tmp}/index", "2025-06-05", n_shards=N_SHARDS)
+        build_segment(spark, extra, f"{tmp}/index", "2025-06-05", n_shards=eff_shards)
         tiered["snap5_segment_build"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         compact(spark, f"{tmp}/index", fanout=4)  # below fanout: no-op
@@ -592,6 +601,7 @@ def main() -> None:
         tiered = timings.pop("_tiered", {})
         extra = timings.pop("_extra", {})
         quality = timings.pop("_quality", {})
+        n_shards_used = timings.pop("_n_shards", N_SHARDS)
         total = sum(timings.values())
         attempts.append(
             {
@@ -600,6 +610,7 @@ def main() -> None:
                 "tiered": tiered,
                 "extra": extra,
                 "quality": quality,
+                "n_shards": n_shards_used,
                 "host_health": {"before": probe_before, "after": probe_after},
                 "clean": _probe_clean(probe_before, probe_after),
                 "attempt": attempt,
@@ -630,6 +641,7 @@ def main() -> None:
         "tiered": chosen["tiered"],
         "extra": chosen["extra"],
         "quality": chosen["quality"],
+        "n_shards": chosen["n_shards"],
         "host_health": chosen["host_health"],
         "probe_clean": chosen["clean"],
         "attempts": [
@@ -904,8 +916,11 @@ def phrase_one_size(n_pages: int) -> dict:
     from embed_rerank_spark.sources.pages import generate_pages
 
     spark = get_spark(app_name="embed-rerank-phrase-bench", cores=CPUS)
+    from embed_rerank_spark.plans.build_index import sized_shards  # noqa: PLC0415
+
+    eff_shards = N_SHARDS if N_SHARDS is not None else sized_shards(spark, n_pages)
     tmp = tempfile.mkdtemp(prefix="erspark_phrase_")
-    out: dict = {"n_pages": n_pages, "cpus": CPUS, "n_shards": N_SHARDS}
+    out: dict = {"n_pages": n_pages, "cpus": CPUS, "n_shards": eff_shards}
     try:
         probe_before = host_health_probe()
         pages = generate_pages(spark, n_pages, seed=42, n_snapshots=4)
@@ -916,14 +931,14 @@ def phrase_one_size(n_pages: int) -> dict:
 
         t0 = time.perf_counter()
         write_index(
-            build_positional_postings(corpus, n_shards=N_SHARDS), f"{tmp}/pos"
+            build_positional_postings(corpus, n_shards=eff_shards), f"{tmp}/pos"
         )
         out["positional_build"] = round(time.perf_counter() - t0, 3)
         pos_index = InvertedIndex.load(spark, f"{tmp}/pos")
 
         t0 = time.perf_counter()
         write_index(
-            build_combined_phrase_index(corpus, n_shards=N_SHARDS), f"{tmp}/nw"
+            build_combined_phrase_index(corpus, n_shards=eff_shards), f"{tmp}/nw"
         )
         out["nextword_build"] = round(time.perf_counter() - t0, 3)
         nw_index = InvertedIndex.load(spark, f"{tmp}/nw")
@@ -1000,7 +1015,7 @@ def phrase_scaling_mode() -> None:
             {
                 "metric": "phrase_scaling",
                 "cpus": CPUS,
-                "n_shards": N_SHARDS,
+                "n_shards": _SHARDS_ENV,
                 "sizes": sizes,
                 "rows": rows,
                 "mid_speedup_by_size": [r["nextword_speedup_mid"] for r in rows],
@@ -1047,17 +1062,25 @@ def weak_scaling_mode() -> None:
         )
         r = json.loads(p.stdout.strip().splitlines()[-1])
         q = r["queries"]
-        build_sec = q["extract"] + q["index_build"] + q["index_merge"]
+        # SPARK_GRAFT_SKIP propagates to the legs: a ladder that skips
+        # the brute-force oracle (it costs ~20 min alone at 2.56M
+        # pages) reports the phases it ran and leaves the gap null
+        build_sec = sum(q.get(p_, 0.0) for p_ in ("extract", "index_build", "index_merge"))
         rows.append(
             {
                 "n_pages": n,
+                "n_shards": r.get("n_shards"),
                 "build_sec": round(build_sec, 3),
                 "build_pages_per_sec": round(n / build_sec, 1),
                 "index_build_pages_per_sec": round(n / q["index_build"], 1),
                 "wand_sec": q["wand_topk"],
                 "wand_qps": r["wand_qps"],
-                "bm25_brute_sec": q["bm25_brute"],
-                "wand_vs_brute_gap": round(q["bm25_brute"] / q["wand_topk"], 2),
+                "bm25_brute_sec": q.get("bm25_brute"),
+                "wand_vs_brute_gap": (
+                    round(q["bm25_brute"] / q["wand_topk"], 2)
+                    if "bm25_brute" in q
+                    else None
+                ),
                 "probe_clean": r.get("probe_clean"),
                 "queries": q,
             }
