@@ -4100,13 +4100,38 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES_EXPECT_PQ = f"{_RERANK_AUX_DIR}/bpe_merges_expect.parquet"
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the
     ordered merge table after BPE_MERGES steps. Iterative algorithm —
-    no single-statement SQL oracle; exact parity with a pure-Python
-    reference implementation is pinned in tests/test_bpe.py
-    (operators/bpe.py::bpe_train)."""
-    from embed_rerank_spark.operators.bpe import bpe_train
+    no single-statement SQL oracle; value-checked since r05 via the
+    ``.oracle_aux`` pattern: the pure-Python single-machine reference
+    (operators/bpe.py::bpe_train_reference, the same one
+    tests/test_bpe.py pins) recomputes the merge table driver-side
+    from the documents parquet and the DuckDB oracle reads it back."""
+    import os  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from embed_rerank_spark.operators.bpe import bpe_train, bpe_train_reference
+
+    os.makedirs(_RERANK_AUX_DIR, exist_ok=True)
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    ref_merges, _ = bpe_train_reference([t or "" for t in texts], BPE_MERGES)
+    pd.DataFrame(
+        {
+            "step": np.arange(1, len(ref_merges) + 1, dtype="int64"),
+            "a": [a for a, _b, _c in ref_merges],
+            "b": [b for _a, b, _c in ref_merges],
+            "cnt": np.asarray([c for _a, _b, c in ref_merges], dtype="int64"),
+        }
+    ).to_parquet(_BPE_MERGES_EXPECT_PQ, index=False)
 
     merges, _ = bpe_train(spark, _docs(spark, sf_dir), n_merges=BPE_MERGES)
     return spark.createDataFrame(
@@ -9309,6 +9334,10 @@ FROM read_parquet('{_MEDIA_EXPECT_PQ}') ORDER BY media_id
         "embed_digest": f"""
 SELECT doc_id, e0, sqnorm, b64_len
 FROM read_parquet('{_EMBED_EXPECT_PQ}') ORDER BY doc_id
+""",
+        "bpe_merges": f"""
+SELECT step, a, b, cnt
+FROM read_parquet('{_BPE_MERGES_EXPECT_PQ}') ORDER BY step
 """,
         "bm25_jaccard_rerank": bm25_jaccard,
         "score_norm": score_norm,

@@ -119,6 +119,48 @@ def _merge_pair_udf():
     return _MERGE_UDF
 
 
+def bpe_train_reference(
+    texts: list[str], n_merges: int, min_pair_count: int = 2
+) -> tuple[list[tuple[str, str, int]], dict[str, tuple[str, ...]]]:
+    """Pure-Python single-machine Sennrich reference for ``bpe_train``
+    (same tokenization, same count-desc/pair-asc tie rule, leftmost
+    non-overlapping merge).  Exists so the distributed path can be
+    VALUE-checked against an independently-executed implementation:
+    tests pin exact parity, and the ``bpe_merges`` contract entry
+    materializes this reference's merge table to ``.oracle_aux`` for
+    the DuckDB oracle.  Driver-sized input only — the distributed
+    trainer is the scale path."""
+    from collections import Counter  # noqa: PLC0415
+
+    words = Counter(w for t in texts for w in t.strip().lower().split())
+    symtab = {w: tuple(list(w) + [END_OF_WORD]) for w in words}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            seq = symtab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w in symtab:
+            seq, out, i = symtab[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symtab[w] = tuple(out)
+    return merges, symtab
+
+
 def bpe_train(
     spark: SparkSession,
     docs: DataFrame,

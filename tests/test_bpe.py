@@ -11,6 +11,7 @@ import pytest
 from embed_rerank_spark.operators.bpe import (
     END_OF_WORD,
     bpe_train,
+    bpe_train_reference,
     bpe_vocab,
     word_counts,
 )
@@ -23,34 +24,10 @@ CORPUS = [
 ]
 
 
-def _ref_bpe(texts: list[str], n_merges: int, min_pair_count: int = 2):
-    words = Counter(w for t in texts for w in t.strip().lower().split())
-    symtab = {w: tuple(list(w) + [END_OF_WORD]) for w in words}
-    merges = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for w, n in words.items():
-            seq = symtab[w]
-            for i in range(len(seq) - 1):
-                pairs[(seq[i], seq[i + 1])] += n
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        (a, b), cnt = best
-        if cnt < min_pair_count:
-            break
-        merges.append((a, b, cnt))
-        for w in symtab:
-            seq, out, i = symtab[w], [], 0
-            while i < len(seq):
-                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(seq[i])
-                    i += 1
-            symtab[w] = tuple(out)
-    return merges, symtab
+# the pure-Python Sennrich reference now lives in the package (it
+# doubles as the .oracle_aux recompute for the bpe_merges contract
+# entry); these tests keep pinning the distributed path against it
+_ref_bpe = bpe_train_reference
 
 
 @pytest.fixture(scope="module")

@@ -74,13 +74,11 @@ def test_query_matches_oracle(name, spark, duck):
 
 def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
-    # rows-only entries are allowed but must be deliberate
-    # (media_pipeline / embed_digest gained .oracle_aux value checks in
-    # r05 — driver-side independent recomputation read back by DuckDB)
-    documented_rows_only = {
-        "bpe_merges",  # iterative; Python-reference parity in test_bpe.py
-    }
-    assert missing <= documented_rows_only, missing
+    # every contract entry is oracle-checked as of r05:
+    # media_pipeline / embed_digest / bpe_merges gained .oracle_aux
+    # value checks (driver-side independent recomputation read back by
+    # DuckDB), closing the last rows-only rows
+    assert missing == set(), missing
 
 
 def test_entry_smoke(spark):
